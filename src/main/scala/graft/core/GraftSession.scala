@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * The reference (amazon-science/bears) has no session concept — execution is
+  * delegated to pandas/Dask kernels per layout
+  * (`src/bears/core/frame/ScalableDataFrame.py:84`). On Spark the session IS
+  * the engine; we pin the settings every oracle comparison depends on
+  * (UTC timestamps, ANSI off for pandas-flavored null semantics) and the
+  * local-mode scale knobs (shuffle partitions = cores, AQE on).
+  */
+object GraftSession {
+
+  /** Create (or reuse) a local session sized for `local[cpus]`.
+    *
+    * At cluster scale the same builder settings apply, except
+    * `shuffle.partitions` should be ~2-3x total executor cores and AQE
+    * coalescing takes care of the rest.
+    */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the standard test tables (`TESTDATA.md`):
+    * `region nation customer supplier part orders lineitem events documents
+    * embeddings`, each a single parquet at `dir/name.parquet`.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

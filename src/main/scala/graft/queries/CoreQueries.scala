@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession.table
+
+/** Core relational spine: scan → filter → project → join → aggregate →
+  * window → sort → set ops. Covers SURVEY.md §2.2–§2.7.
+  *
+  * Each query mirrors a bears capability (cited per query) re-expressed as a
+  * declarative Spark plan so Catalyst handles pushdown/pruning/join strategy.
+  */
+object CoreQueries {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** §2.4 groupby+agg (`ScalableDataFrame.py:1697-1710`): TPC-H Q1-shaped
+    * pricing summary. Scale note: partial aggregation (map-side combine) on
+    * 6 groups means the shuffle moves O(partitions*6) rows — scales to 100 TB.
+    */
+  val q01_agg_pricing_summary: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** §2.2 boolean-mask filter + projection (`ScalableDataFrame.py:1663-1666`,
+    * select `DictScalableDataFrame.py:255-314`). Predicates and the 3-column
+    * projection push down to the parquet scan.
+    */
+  val q02_filter_project: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= ts("1995-06-01 00:00:00") &&
+            col("l_shipdate") < ts("1995-09-01 00:00:00") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * l_discount, 4) AS disc_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        AND l_shipdate < TIMESTAMP '1995-09-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** §2.3 merge(how="inner") 3-way + §2.6 top-k
+    * (`ScalableDataFrame.py:1820-1836`): TPC-H Q3-shaped shipping priority.
+    * customer (150·sf rows) is broadcast; lineitem⋈orders shuffles on the
+    * orderkey — the natural co-partitioning key at 100 TB.
+    */
+  val q03_join_topk_revenue: Q = Q(
+    fn = (s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some("""
+      SELECT l_orderkey, o_orderdate,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""),
+    bench = true)
+
+  /** §2.3 semi join (EXISTS; Spark `left_semi`) — bears note at SURVEY §2.3:
+    * absent in bears itself, required capability for the engine.
+    */
+  val q04_semi_join: Q = Q(
+    fn = (s, dir) => {
+      val big = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      ORDER BY o_orderkey"""))
+
+  /** §2.3 anti join (NOT EXISTS; Spark `left_anti`): customers with no
+    * open orders.
+    */
+  val q05_anti_join: Q = Q(
+    fn = (s, dir) => {
+      val o = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      table(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  /** §2.3 merge(indicator=True) (`ScalableDataFrame.py:1820-1836`): full
+    * outer join with a pandas-style `_merge` ∈ {left_only, right_only, both},
+    * aggregated to counts per class.
+    */
+  val q06_outer_join_indicator: Q = Q(
+    fn = (s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val o = table(s, dir, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey")).distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .withColumn(
+          "merge_side",
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "left_only")
+            .otherwise("right_only"))
+        .groupBy(col("merge_side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("merge_side"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000)
+      SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                  WHEN c_custkey IS NOT NULL THEN 'left_only'
+                  ELSE 'right_only' END AS merge_side,
+             count(*) AS n
+      FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+      GROUP BY 1
+      ORDER BY merge_side"""))
+
+  /** §2.5 window rank (parity-plus; blocked in bears
+    * `ScalableDataFrame.py:1374-1397`): top-3 priciest lineitems per
+    * supplier. Single hash-partitioned window — no global sort.
+    */
+  val q07_window_rank: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, rn, l_orderkey, l_extendedprice
+      FROM (
+        SELECT l_suppkey, l_orderkey, l_extendedprice,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, rn"""),
+    bench = true)
+
+  /** §2.6 nlargest (`ScalableSeries.py:936-942`): true top-k via Catalyst
+    * TakeOrderedAndProject — no global sort, per-partition heaps then a
+    * k-row merge on the driver. Survives any scale.
+    */
+  val q08_topk_nlargest: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100"""))
+
+  /** §2.4 drop_duplicates(subset) (`ScalableDataFrame.py:1732-1738`) —
+    * distinct over a projection.
+    */
+  val q09_distinct: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    oracle = Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** §2.7 concat(axis=0) (`ScalableDataFrame.py:1838-1868`) — row-union of
+    * two frames via unionByName (bears' LIST_OF_DICT concat semantics).
+    */
+  val q10_concat_union: Q = Q(
+    fn = (s, dir) => {
+      val hi = table(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
+      val lo = table(s, dir, "orders").filter(col("o_totalprice") < 20000)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("low").as("bucket"))
+      hi.unionByName(lo).orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'low'  AS bucket FROM orders WHERE o_totalprice < 20000)
+      ORDER BY o_orderkey"""))
+
+  /** §2.4 value_counts(normalize=True) (`ScalableSeries.py:991-993`). */
+  val q11_value_counts: Q = Q(
+    fn = (s, dir) => {
+      val o = table(s, dir, "orders")
+      val total = o.count()
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n") / lit(total.toDouble), 4))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(count(*) / (SELECT count(*) FROM orders)::DOUBLE, 4) AS frac
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY n DESC, o_orderpriority"""))
+
+  /** §2.4 series statistics family (`ScalableSeries.py:880-993`): count,
+    * mean, std (ddof=1), var, min, max, exact median and quantile — one
+    * aggregate pass over l_extendedprice.
+    */
+  val q12_stats_family: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem").agg(
+        count(col("l_extendedprice")).as("cnt"),
+        round(avg(col("l_extendedprice")), 4).as("mean"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std"),
+        round(var_samp(col("l_extendedprice")), 4).as("var"),
+        round(min(col("l_extendedprice")), 4).as("min_v"),
+        round(max(col("l_extendedprice")), 4).as("max_v"),
+        round(expr("median(l_extendedprice)"), 4).as("median_v"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25")),
+    oracle = Some("""
+      SELECT count(l_extendedprice) AS cnt,
+             round(avg(l_extendedprice), 4) AS mean,
+             round(stddev_samp(l_extendedprice), 4) AS std,
+             round(var_samp(l_extendedprice), 4) AS var,
+             round(min(l_extendedprice), 4) AS min_v,
+             round(max(l_extendedprice), 4) AS max_v,
+             round(median(l_extendedprice), 4) AS median_v,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS q25
+      FROM lineitem"""))
+
+  val all: Map[String, Q] = Map(
+    "q01_agg_pricing_summary" -> q01_agg_pricing_summary,
+    "q02_filter_project" -> q02_filter_project,
+    "q03_join_topk_revenue" -> q03_join_topk_revenue,
+    "q04_semi_join" -> q04_semi_join,
+    "q05_anti_join" -> q05_anti_join,
+    "q06_outer_join_indicator" -> q06_outer_join_indicator,
+    "q07_window_rank" -> q07_window_rank,
+    "q08_topk_nlargest" -> q08_topk_nlargest,
+    "q09_distinct" -> q09_distinct,
+    "q10_concat_union" -> q10_concat_union,
+    "q11_value_counts" -> q11_value_counts,
+    "q12_stats_family" -> q12_stats_family)
+}
