@@ -36,7 +36,19 @@ object GraftSession {
   /** Read one of the standard test tables (`TESTDATA.md`):
     * `region nation customer supplier part orders lineitem events documents
     * embeddings`, each a single parquet at `dir/name.parquet`.
+    *
+    * `events.ts` is written as parquet `timestamp[ns]`, which Spark's reader
+    * rejects; we read nanos as long (SPARK-40819 legacy conf) and truncate to
+    * microseconds — the same ns→µs truncation DuckDB applies, so oracle
+    * comparisons agree.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name != "events") spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    }
+  }
 }

@@ -1,6 +1,361 @@
 package graft.queries
 
-/** Placeholder — populated in later milestones. */
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession.table
+import graft.sdf.SDF
+
+/** Operator-surface corpus: each query drives the pandas-flavored
+  * [[graft.sdf.SDF]]/[[graft.sdf.SCol]] layer (SURVEY.md §2.2–§2.8) so the
+  * library implementation itself — not a parallel hand-written plan — is what
+  * the DuckDB oracle verifies.
+  */
 object OpQueries {
-  val all: Map[String, Q] = Map.empty
+
+  /** §2.3 merge with suffix disambiguation (`ScalableDataFrame.py:1820-1836`):
+    * both sides carry a colliding `total` column; merge renames to
+    * `total_x`/`total_y` like pandas.
+    */
+  val q13_merge_suffixes: Q = Q(
+    fn = (s, dir) => {
+      val o = table(s, dir, "orders")
+      val l = SDF(o.groupBy(col("o_custkey")).agg(round(sum(col("o_totalprice")), 4).as("total")))
+      val r = SDF(o.groupBy(col("o_custkey")).agg(round(max(col("o_totalprice")), 4).as("total")))
+      l.merge(r, on = Seq("o_custkey"), how = "inner")
+        .sortValues(Seq(col("o_custkey"))).df
+    },
+    oracle = Some("""
+      WITH l AS (SELECT o_custkey, round(sum(o_totalprice),4) AS total_x FROM orders GROUP BY o_custkey),
+           r AS (SELECT o_custkey, round(max(o_totalprice),4) AS total_y FROM orders GROUP BY o_custkey)
+      SELECT l.o_custkey, total_x, total_y
+      FROM l JOIN r USING (o_custkey)
+      ORDER BY o_custkey"""))
+
+  /** §2.3 merge(how="left", indicator=True): pandas `_merge` tri-state on a
+    * left join (library path; the full-outer variant is q06).
+    */
+  val q14_merge_indicator: Q = Q(
+    fn = (s, dir) => {
+      val c = SDF(table(s, dir, "customer").select(col("c_custkey")))
+      val o = SDF(
+        table(s, dir, "orders").filter(col("o_totalprice") > 280000)
+          .select(col("o_custkey").as("c_custkey")).distinct())
+      c.merge(o, on = Seq("c_custkey"), how = "left", indicator = true)
+        .sortValues(Seq(col("c_custkey"))).df
+    },
+    oracle = Some("""
+      WITH o AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 280000)
+      SELECT customer.c_custkey,
+             CASE WHEN o.c_custkey IS NOT NULL THEN 'both' ELSE 'left_only' END AS _merge
+      FROM customer LEFT JOIN o ON customer.c_custkey = o.c_custkey
+      ORDER BY customer.c_custkey"""))
+
+  /** §2.4 drop_duplicates(subset, keep="last")
+    * (`ScalableDataFrame.py:1732-1738`): latest lineitem per supplier via one
+    * hash-partitioned window (no global sort; scales per-key).
+    */
+  val q15_dropdup_keep_last: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))
+        .dropDuplicates(
+          subset = Seq("l_suppkey"),
+          keep = "last",
+          orderBy = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_suppkey")),
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                   row_number() OVER (PARTITION BY l_suppkey
+                                      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+            FROM lineitem)
+      WHERE rn = 1
+      ORDER BY l_suppkey"""))
+
+  /** §2.8 missing-data family: synthesize nulls, then `fillna` + `replace`
+    * (`ScalableSeries.py:1064-1075`, `ScalableDataFrame.py:1806-1808`).
+    */
+  val q16_fillna_replace: Q = Q(
+    fn = (s, dir) => {
+      val c = SDF(
+        table(s, dir, "customer")
+          .withColumn("bal", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))))
+      val filled = SDF(c.df.na.fill(Map("bal" -> -1.0)))
+      filled
+        .replace(Seq("c_mktsegment"), Map("BUILDING" -> "B", "MACHINERY" -> "M"))
+        .df.select(col("c_custkey"), round(col("bal"), 4).as("bal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey,
+             round(coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, -1.0), 4) AS bal,
+             CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+      ORDER BY c_custkey"""))
+
+  /** §2.8 ffill along event time per user (`NumpyArrayScalableSeries
+    * .py:417-450` method="ffill"): `last(ignoreNulls)` over a bounded window —
+    * partitioned by user, so state stays per-key at scale.
+    */
+  val q17_ffill_window: Q = Q(
+    fn = (s, dir) => {
+      val e = SDF(
+        table(s, dir, "events")
+          .withColumn("v", when(col("value") < 50, lit(null)).otherwise(col("value"))))
+      e.ffill(Seq("v"), orderBy = Seq(col("ts"), col("event_id")), partitionBy = Seq(col("user_id")))
+        .df.select(col("event_id"), col("user_id"), round(col("v"), 4).as("v"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT event_id, user_id,
+             round(last_value(CASE WHEN value < 50 THEN NULL ELSE value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v
+      FROM events
+      ORDER BY event_id"""))
+
+  /** §2.2 isin + between predicates (`ScalableSeries.py:887-889, 1029-1031`). */
+  val q18_isin_between: Q = Q(
+    fn = (s, dir) => {
+      val p = SDF(table(s, dir, "part"))
+      p.loc(p("p_brand").isin("Brand#1", "Brand#2", "Brand#3") && p("p_size").between(5, 25))
+        .df.select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey, p_brand, p_size
+      FROM part
+      WHERE p_brand IN ('Brand#1','Brand#2','Brand#3') AND p_size BETWEEN 5 AND 25
+      ORDER BY p_partkey"""))
+
+  /** §2.2 deterministic sampling (`ScalableDataFrame.py:1772-1776` +
+    * seeded-shuffle determinism `:822-848`): hash-mod sample on a stable key
+    * — reproducible on any cluster layout, unlike partition-seeded `rand`.
+    * Knuth multiplicative hash, expressible identically in both engines.
+    */
+  val q19_sample_hash: Q = Q(
+    fn = (s, dir) => {
+      val l = SDF(table(s, dir, "lineitem"))
+      val key = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber")) % lit(4294967296L)
+      l.sampleByHash(key, pct = 10)
+        .df.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE ((l_orderkey * 2654435761 + l_linenumber) % 4294967296) % 100 < 10
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** §2.4 higher-moment stats through [[graft.sdf.SCol]]: pandas-corrected
+    * kurtosis/skew (`ScalableSeries.py:908-910`), mad (`:912-914`), exact
+    * quantile (`:944-946`), prod via log-sum (`NumpyArrayScalableSeries
+    * .py:292-302`) — scalars repacked into a 1-row frame for the oracle.
+    */
+  val q20_scol_moments: Q = Q(
+    fn = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val price = SDF(li)("l_extendedprice")
+      // prod on O(1)-magnitude values: the log-sum evaluation has ~1e-15
+      // relative error, invisible after round(4) at this scale (it is NOT
+      // at 1e49 — don't prod unbounded positive columns in oracle queries)
+      val growth = SDF(li.filter(col("l_orderkey") < 10).withColumn("g", lit(1.0) + col("l_discount")))("g")
+      val rows = java.util.List.of(org.apache.spark.sql.Row(
+        BigDecimal(price.kurt).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(price.skew).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(price.mad).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(price.quantile(0.9)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(growth.prod).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("kurt", "skew", "mad", "q90", "prod_growth").map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
+    },
+    oracle = Some("""
+      SELECT round(kurtosis(l_extendedprice), 4) AS kurt,
+             round(skewness(l_extendedprice), 4) AS skew,
+             round(avg(abs(l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem))), 4) AS mad,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS q90,
+             (SELECT round(product(1.0 + l_discount), 4) FROM lineitem WHERE l_orderkey < 10) AS prod_growth
+      FROM lineitem"""))
+
+  /** §2.4 idxmax with deterministic tie-break (`ScalableSeries.py:1020-1026`):
+    * the min orderkey holding the max price.
+    */
+  val q21_idxmax: Q = Q(
+    fn = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val mx = li.agg(max(col("l_extendedprice"))).head().getDouble(0)
+      li.filter(col("l_extendedprice") === mx)
+        .agg(
+          min(col("l_orderkey")).as("idxmax_orderkey"),
+          round(max(col("l_extendedprice")), 4).as("max_price"))
+    },
+    oracle = Some("""
+      SELECT min(l_orderkey) AS idxmax_orderkey, round(max(l_extendedprice), 4) AS max_price
+      FROM lineitem
+      WHERE l_extendedprice = (SELECT max(l_extendedprice) FROM lineitem)"""))
+
+  /** §2.4 corr/cov (`ScalableSeries.py:896-906`) via SCol. */
+  val q22_corr_cov: Q = Q(
+    fn = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val q = SDF(li)("l_quantity")
+      val rows = java.util.List.of(org.apache.spark.sql.Row(
+        BigDecimal(q.corrWith(col("l_extendedprice"))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(q.covWith(col("l_extendedprice"))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("corr_qp", "cov_qp").map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
+    },
+    oracle = Some("""
+      SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+      FROM lineitem"""))
+
+  /** §2.4 nunique / is_unique (`ScalableSeries.py:964-989`). */
+  val q23_nunique: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem").agg(
+        count_distinct(col("l_partkey")).as("nuniq_part"),
+        count_distinct(col("l_suppkey")).as("nuniq_supp"),
+        (count_distinct(col("l_orderkey"), col("l_linenumber")) === count(lit(1)))
+          .as("pk_is_unique")),
+    oracle = Some("""
+      SELECT count(DISTINCT l_partkey) AS nuniq_part,
+             count(DISTINCT l_suppkey) AS nuniq_supp,
+             count(DISTINCT (l_orderkey, l_linenumber)) = count(*) AS pk_is_unique
+      FROM lineitem"""))
+
+  /** §2.5 window family (parity-plus; blocked in bears
+    * `ScalableDataFrame.py:1374-1397`): cumsum + shift + diff per supplier in
+    * one window spec — single shuffle, three frame computations.
+    */
+  val q24_cumsum_shift_diff: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .withColumn("cum_qty", round(sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .withColumn("diff_qty", round(col("l_quantity") - col("prev_qty"), 4))
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("cum_qty"), col("prev_qty"), col("diff_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_qty,
+             lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+             round(l_quantity - lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber), 4) AS diff_qty
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** §2.4 grouping sets (parity-plus; `pivot` blocked in bears
+    * `ScalableDataFrame.py:1421-1422`): rollup with explicit null ordering.
+    */
+  val q25_rollup: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** §2.7 intersect/except (SDF.intersect/except): nations with customers but
+    * no suppliers, and nations with both.
+    */
+  val q26_intersect_except: Q = Q(
+    fn = (s, dir) => {
+      val cn = SDF(table(s, dir, "customer").select(col("c_nationkey").as("nationkey")))
+      val sn = SDF(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      val both = cn.intersect(sn).df.withColumn("which", lit("both"))
+      val onlyC = cn.except(sn).df.withColumn("which", lit("customers_only"))
+      both.unionByName(onlyC).orderBy(col("which"), col("nationkey"))
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT nationkey, 'both' AS which
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customers_only' AS which
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT SELECT s_nationkey FROM supplier))
+      ORDER BY which, nationkey"""))
+
+  /** §2.7 ragged concat (`ScalableDataFrame.py:1838-1868`,
+    * LIST_OF_DICT semantics): unionByName(allowMissingColumns) null-fills
+    * the absent columns.
+    */
+  val q27_concat_ragged: Q = Q(
+    fn = (s, dir) => {
+      val a = SDF(table(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("a").as("src")))
+      val b = SDF(table(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("b").as("src")))
+      a.concat(b).df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("src"))
+        .orderBy(col("o_orderkey"), col("src"))
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus, 'a' AS src
+        FROM orders WHERE o_orderkey < 100
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus, 'b'
+        FROM orders WHERE o_orderkey < 100)
+      ORDER BY o_orderkey, src"""))
+
+  /** §2.2 valid() sampled validation + failing-row extraction
+    * (`ScalableDataFrame.py:298-334`): package the boolean verdict with the
+    * failing rows.
+    */
+  val q28_valid_failing_rows: Q = Q(
+    fn = (s, dir) => {
+      val p = SDF(table(s, dir, "part"))
+      val pred = col("p_retailprice") > 0 && col("p_size") <= 50
+      val allValid = p.valid(pred)
+      p.invalidRows(pred).df
+        .select(col("p_partkey"))
+        .withColumn("all_valid", lit(allValid))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey,
+             (SELECT coalesce(min(p_retailprice > 0 AND p_size <= 50), TRUE) FROM part) AS all_valid
+      FROM part
+      WHERE NOT coalesce(p_retailprice > 0 AND p_size <= 50, FALSE)
+      ORDER BY p_partkey"""))
+
+  val all: Map[String, Q] = Map(
+    "q13_merge_suffixes" -> q13_merge_suffixes,
+    "q14_merge_indicator" -> q14_merge_indicator,
+    "q15_dropdup_keep_last" -> q15_dropdup_keep_last,
+    "q16_fillna_replace" -> q16_fillna_replace,
+    "q17_ffill_window" -> q17_ffill_window,
+    "q18_isin_between" -> q18_isin_between,
+    "q19_sample_hash" -> q19_sample_hash,
+    "q20_scol_moments" -> q20_scol_moments,
+    "q21_idxmax" -> q21_idxmax,
+    "q22_corr_cov" -> q22_corr_cov,
+    "q23_nunique" -> q23_nunique,
+    "q24_cumsum_shift_diff" -> q24_cumsum_shift_diff,
+    "q25_rollup" -> q25_rollup,
+    "q26_intersect_except" -> q26_intersect_except,
+    "q27_concat_ragged" -> q27_concat_ragged,
+    "q28_valid_failing_rows" -> q28_valid_failing_rows)
 }

@@ -1,0 +1,167 @@
+package graft.sdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pandas-flavored series surface — the reference's `ScalableSeries`
+  * (`src/bears/core/frame/ScalableSeries.py:49`) over a Spark `Column` bound
+  * to its parent DataFrame.
+  *
+  * Element-wise methods are lazy `Column` algebra (codegen'd, stay inside
+  * whole-stage codegen); the statistics family (`ScalableSeries.py:880-993`)
+  * triggers a single aggregate job and returns a scalar, matching bears'
+  * eager-series semantics. Each aggregate is a partial-aggregatable Spark
+  * built-in, so the shuffle carries one row per partition at any scale.
+  */
+final class SCol(private val df: DataFrame, val col: Column, val name: String) {
+
+  private def scalar[T](e: Column): T = df.agg(e).head().getAs[T](0)
+
+  // ---- element-wise (§2.8) — lazy Column algebra ------------------------
+
+  def +(other: Column): Column = col + other
+  def -(other: Column): Column = col - other
+  def *(other: Column): Column = col * other
+  def /(other: Column): Column = col / other
+  def %(other: Column): Column = col % other
+
+  def abs_ : Column = abs(col)
+
+  /** `clip(lower, upper)` (`ScalableSeries.py:892-894`). */
+  def clip(lower: Double, upper: Double): Column = greatest(least(col, lit(upper)), lit(lower))
+
+  /** `astype` (`NumpyArrayScalableSeries.py:279-284`). */
+  def astype(t: String): Column = col.cast(t)
+
+  def isin(values: Any*): Column = col.isin(values: _*)
+  def between(l: Any, r: Any): Column = col.between(l, r)
+  def isna: Column = col.isNull
+  def notna: Column = col.isNotNull
+  def fillna(value: Any): Column = coalesce(col, lit(value))
+
+  /** `map(dict, na_action)` (`NumpyArrayScalableSeries.py:304-338`): lookup
+    * via a literal map expression — broadcast-free, codegen'd. Keys absent
+    * from the map yield null (pandas NaN).
+    */
+  def mapValues(mapping: Map[String, String]): Column =
+    element_at(typedLit(mapping), col)
+
+  // ---- statistics family (§2.4) — eager scalars -------------------------
+
+  def sum_ : Double = scalar[Double](sum(col.cast("double")))
+  def mean: Double = scalar[Double](avg(col))
+  def min_ : Any = scalar[Any](min(col))
+  def max_ : Any = scalar[Any](max(col))
+  def std: Double = scalar[Double](stddev_samp(col))
+  def variance: Double = scalar[Double](var_samp(col))
+  def count_ : Long = scalar[Long](count(col))
+  def median: Double = scalar[Double](median_expr)
+  private def median_expr = expr(s"median($name)")
+
+  /** Exact quantile with linear interpolation (`ScalableSeries.py:944-946`).
+    * Exact `percentile` is a full-sort aggregate; prefer [[quantileApprox]]
+    * beyond ~10^9 rows per group.
+    */
+  def quantile(q: Double): Double = scalar[Double](expr(s"percentile($name, $q)"))
+  def quantileApprox(q: Double, accuracy: Int = 10000): Double =
+    scalar[Double](percentile_approx(col, lit(q), lit(accuracy)))
+
+  /** Mean absolute deviation (`ScalableSeries.py:912-914`) — two-pass. */
+  def mad: Double = {
+    val m = mean
+    scalar[Double](avg(abs(col - lit(m))))
+  }
+
+  /** Fisher (excess) kurtosis, pandas-compatible bias-corrected
+    * (`ScalableSeries.py:908-910`). Spark's `kurtosis` is the population
+    * excess g2; pandas applies the sample correction
+    * G2 = ((n-1)/((n-2)(n-3))) * ((n+1) g2 + 6).
+    */
+  def kurt: Double = {
+    val Seq(n, g2) = df.agg(count(col), kurtosis(col)).head().toSeq
+      .map(_.toString.toDouble)
+    ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+  }
+
+  /** Pandas-compatible bias-corrected skew G1 = g1 * sqrt(n(n-1))/(n-2). */
+  def skew: Double = {
+    val Seq(n, g1) = df.agg(count(col), functions.skewness(col)).head().toSeq
+      .map(_.toString.toDouble)
+    g1 * math.sqrt(n * (n - 1)) / (n - 2)
+  }
+
+  /** `mode` (`ScalableSeries.py:932-934`); deterministic=min on ties. */
+  def mode_ : Any = scalar[Any](expr(s"mode($name, true)"))
+
+  def nunique(approx: Boolean = false): Long =
+    if (approx) scalar[Long](approx_count_distinct(col))
+    else scalar[Long](count_distinct(col))
+
+  def unique: Seq[Any] = df.select(col).distinct().collect().map(_.get(0)).toSeq
+
+  /** `value_counts` (`ScalableSeries.py:991-993`) — returns a frame. */
+  def valueCounts(normalize: Boolean = false, ascending: Boolean = false, dropna: Boolean = true): DataFrame = {
+    val base0 = df.select(col.as(name))
+    val base = if (dropna) base0.filter(col.isNotNull) else base0
+    val counted = base.groupBy(name).agg(count(lit(1)).as("count"))
+    val sized =
+      if (!normalize) counted
+      else {
+        val total = base.count().toDouble
+        counted.withColumn("proportion", functions.col("count") / lit(total)).drop("count")
+      }
+    val by = if (normalize) "proportion" else "count"
+    sized.orderBy(if (ascending) functions.col(by).asc else functions.col(by).desc, functions.col(name))
+  }
+
+  def isUnique: Boolean = scalar[Boolean](count(col) === count_distinct(col))
+
+  /** Monotonicity (`ScalableSeries.py:972-989`) along a caller-supplied
+    * order: one window pass, `lag` compare, conjunction-reduce.
+    */
+  def isMonotonicIncreasing(orderBy: Column): Boolean = monotonic(orderBy, increasing = true)
+  def isMonotonicDecreasing(orderBy: Column): Boolean = monotonic(orderBy, increasing = false)
+  private def monotonic(orderBy: Column, increasing: Boolean): Boolean = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderBy)
+    val prev = lag(col, 1).over(w)
+    val ok = if (increasing) prev.isNull || col >= prev else prev.isNull || col <= prev
+    df.select(ok.as("ok")).agg(coalesce(min(functions.col("ok")), lit(true)))
+      .head().getBoolean(0)
+  }
+
+  /** `all`/`any` on boolean series (`ScalableSeries.py:880-886`). */
+  def all_ : Boolean = scalar[Boolean](coalesce(bool_and(col), lit(true)))
+  def any_ : Boolean = scalar[Boolean](coalesce(bool_or(col), lit(false)))
+
+  /** `idxmax`/`idxmin` (`ScalableSeries.py:1020-1026`) — `max_by`/`min_by`,
+    * single aggregate, no sort.
+    */
+  def idxmax(idx: Column): Any = scalar[Any](max_by(idx, col))
+  def idxmin(idx: Column): Any = scalar[Any](min_by(idx, col))
+
+  /** Pearson `corr`/`cov` with another column (`ScalableSeries.py:896-906`). */
+  def corrWith(other: Column): Double = scalar[Double](corr(col, other))
+  def covWith(other: Column): Double = scalar[Double](covar_samp(col, other))
+
+  /** `prod` (`NumpyArrayScalableSeries.py:292-302`) via the log-sum trick for
+    * positive values; zero short-circuits. (A custom Aggregator would handle
+    * negatives; bears' use cases are positive numerics.)
+    */
+  def prod: Double = {
+    val r = df.agg(
+      sum(log(abs(col))).as("ls"),
+      sum(when(col === 0, 1).otherwise(0)).as("zeros"),
+      sum(when(col < 0, 1).otherwise(0)).as("negs")).head()
+    if (r.getAs[Long]("zeros") > 0) 0.0
+    else {
+      val sign = if (r.getAs[Long]("negs") % 2 == 0) 1.0 else -1.0
+      sign * math.exp(r.getAs[Double]("ls"))
+    }
+  }
+
+  /** `dot` (`ScalableSeries.py:838-848`). */
+  def dot(other: Column): Double = scalar[Double](sum(col * other))
+
+  private val functions = org.apache.spark.sql.functions
+}

@@ -1,0 +1,251 @@
+package graft.sdf
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pandas-flavored DataFrame surface — the capability layer of the
+  * reference's `ScalableDataFrame` (`src/bears/core/frame/ScalableDataFrame
+  * .py:84-208`) re-expressed over a single physical layout: the distributed
+  * Spark `DataFrame`.
+  *
+  * Design notes (SURVEY.md §1.2): bears' six interchangeable layouts exist to
+  * pick row-wise vs columnar vs single-record vs distributed performance;
+  * Tungsten + whole-stage codegen + AQE serve those purposes natively, so the
+  * layout machinery collapses. Every method here builds a lazy Catalyst plan;
+  * nothing is materialized except the explicitly scalar/driver-side calls
+  * (`head`, `shape`, series statistics on [[SCol]]).
+  *
+  * Mutation: bears SDFs are mutable (`sdf[col] = series`,
+  * `DictScalableDataFrame.py:315-346`). We keep the pandas feel with
+  * `sdf("col") = expr` (Scala `update`) rebinding an internal var; all other
+  * operations are pure and return a new SDF.
+  */
+final class SDF private (private var _df: DataFrame) {
+
+  def df: DataFrame = _df
+  def columns: Seq[String] = _df.columns.toSeq
+  def shape: (Long, Int) = (_df.count(), _df.columns.length)
+
+  // ---- selection (§2.2) -------------------------------------------------
+
+  /** `sdf[col]` — single-column projection → series
+    * (`DictScalableDataFrame.py:255-314`).
+    */
+  def apply(colName: String): SCol = new SCol(_df, col(colName), colName)
+
+  /** `sdf[[cols]]` — sub-frame projection. */
+  def apply(cols: Seq[String]): SDF = SDF(_df.select(cols.map(col): _*))
+
+  /** `sdf[col] = value` — mutable column assignment
+    * (`DictScalableDataFrame.py:315-346`). Accepts a Column expression; use
+    * `lit(v)` for scalars.
+    */
+  def update(colName: String, value: Column): Unit =
+    _df = _df.withColumn(colName, value)
+
+  /** Boolean-mask row filter `sdf.loc[mask]` (`ScalableDataFrame.py:1663-1666`). */
+  def loc(mask: Column): SDF = SDF(_df.filter(mask))
+  def filter(mask: Column): SDF = loc(mask)
+
+  /** Positional slice `iloc[a:b]` (`DictScalableDataFrame.py:352-360`).
+    * Requires a stable global order; callers supply the order columns (Spark
+    * has no implicit row index — SURVEY §1.4).
+    */
+  def iloc(start: Long, end: Long, orderBy: Seq[Column]): SDF = {
+    val w = Window.orderBy(orderBy: _*)
+    SDF(
+      _df.withColumn("__pos__", row_number().over(w).cast("long") - 1)
+        .filter(col("__pos__") >= start && col("__pos__") < end)
+        .drop("__pos__"))
+  }
+
+  def head(n: Int): SDF = SDF(_df.limit(n))
+  def tail(n: Int): Seq[Row] = _df.tail(n).toSeq
+
+  def drop(cols: String*): SDF = SDF(_df.drop(cols: _*))
+
+  /** `rename(columns={...})` (`DictScalableDataFrame.py:193-221`). */
+  def rename(mapping: Map[String, String]): SDF =
+    SDF(_df.withColumnsRenamed(mapping))
+
+  /** `assign(**kwargs)` (`ScalableDataFrame.py:1816-1818`). */
+  def assign(cols: (String, Column)*): SDF =
+    SDF(_df.withColumns(cols.toMap))
+
+  /** `sample(frac, seed)` (`ScalableDataFrame.py:1772-1776`). */
+  def sample(fraction: Double, seed: Long = 42L, withReplacement: Boolean = false): SDF =
+    SDF(_df.sample(withReplacement, fraction, seed))
+
+  /** Deterministic hash-based sample: unlike `sample` (partition-dependent RNG)
+    * this picks the same rows on any cluster layout — the property bears gets
+    * from `RandomState(seed)` on a materialized frame
+    * (`ScalableDataFrame.py:822-848`). `keyHash` must be a stable key expr.
+    */
+  def sampleByHash(keyHash: Column, pct: Int): SDF =
+    SDF(_df.filter(pmod(keyHash, lit(100)) < pct))
+
+  /** Sampled element-wise validation (`ScalableDataFrame.py:298-334`):
+    * check `predicate` on a fraction of rows; returns true iff all sampled
+    * rows pass. `returnFailing` gives the failing rows instead.
+    */
+  def valid(predicate: Column, sampleFraction: Double = 1.0, seed: Long = 42L): Boolean = {
+    val s = if (sampleFraction >= 1.0) _df else _df.sample(sampleFraction, seed)
+    s.agg(coalesce(min(predicate), lit(true))).head().getBoolean(0)
+  }
+  def invalidRows(predicate: Column): SDF = SDF(_df.filter(!coalesce(predicate, lit(false))))
+
+  // ---- joins (§2.3) -----------------------------------------------------
+
+  /** pandas `merge` (`ScalableDataFrame.py:1820-1836`): equi-join with
+    * suffix disambiguation of colliding non-key columns, optional `_merge`
+    * indicator, and `validate` key-multiplicity assertion.
+    *
+    * Scale: Catalyst picks broadcast vs shuffle join; pass
+    * `broadcast(right.df)` wrapped in `SDF` to force the small-dim path.
+    */
+  def merge(
+      right: SDF,
+      on: Seq[String],
+      how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y"),
+      indicator: Boolean = false,
+      validate: Option[String] = None): SDF = {
+    require(on.nonEmpty, "merge requires join keys")
+    validate.foreach(v => SDF.validateMerge(_df, right.df, on, v))
+
+    val collide = (_df.columns.toSet intersect right.df.columns.toSet) -- on.toSet
+    val l0 = collide.foldLeft(_df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r0 = collide.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    val sparkHow = how match {
+      case "outer" => "full_outer"
+      case h => h
+    }
+    if (!indicator) SDF(l0.join(r0, on, sparkHow))
+    else {
+      // presence sentinels survive outer-join nulls, unlike key columns
+      val l1 = l0.withColumn("__l__", lit(1))
+      val r1 = r0.withColumn("__r__", lit(1))
+      val j = l1.join(r1, on, sparkHow)
+      SDF(
+        j.withColumn(
+          "_merge",
+          when(col("__l__").isNotNull && col("__r__").isNotNull, "both")
+            .when(col("__l__").isNotNull, "left_only")
+            .otherwise("right_only"))
+          .drop("__l__", "__r__"))
+    }
+  }
+
+  /** EXISTS / NOT EXISTS — absent in bears (SURVEY §2.3), first-class here. */
+  def semiJoin(right: SDF, on: Seq[String]): SDF = SDF(_df.join(right.df, on, "left_semi"))
+  def antiJoin(right: SDF, on: Seq[String]): SDF = SDF(_df.join(right.df, on, "left_anti"))
+
+  // ---- set ops (§2.7) ---------------------------------------------------
+
+  /** `concat(axis=0)` (`ScalableDataFrame.py:1838-1868`): ragged-tolerant
+    * row union (bears' LIST_OF_DICT concat fills missing columns with null).
+    */
+  def concat(others: SDF*): SDF =
+    SDF(others.foldLeft(_df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
+
+  def intersect(other: SDF): SDF = SDF(_df.intersect(other.df))
+  def except(other: SDF): SDF = SDF(_df.except(other.df))
+
+  // ---- duplicates (§2.4) ------------------------------------------------
+
+  /** `drop_duplicates(subset, keep)` (`ScalableDataFrame.py:1732-1738`).
+    * keep="first"/"last" needs a deterministic order; callers supply it
+    * (pandas keeps input order, which has no distributed meaning).
+    */
+  def dropDuplicates(subset: Seq[String]): SDF = SDF(_df.dropDuplicates(subset))
+  def dropDuplicates(subset: Seq[String], keep: String, orderBy: Seq[Column]): SDF = {
+    val ord = if (keep == "last") orderBy.map(_.desc) else orderBy
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    SDF(
+      _df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") === 1)
+        .drop("__rn__"))
+  }
+
+  /** Boolean `duplicated` mask as an extra column (row-level mask has no
+    * meaning without order; we mark all-but-first per key).
+    */
+  def withDuplicatedFlag(subset: Seq[String], orderBy: Seq[Column], flag: String = "duplicated"): SDF = {
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(orderBy: _*)
+    SDF(_df.withColumn(flag, row_number().over(w) > 1))
+  }
+
+  // ---- missing data (§2.8) ----------------------------------------------
+
+  /** `fillna(value)` per column (`ScalableSeries.py:1064-1075`). */
+  def fillna(values: Map[String, Any]): SDF = SDF(_df.na.fill(values))
+
+  /** ffill/bfill along a caller-supplied order (pandas' implicit row order
+    * does not exist distributed — SURVEY §7 "What's hard").
+    */
+  def ffill(cols: Seq[String], orderBy: Seq[Column], partitionBy: Seq[Column] = Nil): SDF = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    SDF(cols.foldLeft(_df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))))
+  }
+  def bfill(cols: Seq[String], orderBy: Seq[Column], partitionBy: Seq[Column] = Nil): SDF = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    SDF(cols.foldLeft(_df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w))))
+  }
+
+  /** `dropna(how, thresh, subset)` (`ScalableDataFrame.py:1784-1786`). */
+  def dropna(how: String = "any", subset: Seq[String] = Nil): SDF = {
+    val cols = if (subset.nonEmpty) subset else columns
+    SDF(_df.na.drop(how, cols))
+  }
+  def dropna(thresh: Int, subset: Seq[String]): SDF = SDF(_df.na.drop(thresh, subset))
+
+  /** `replace(to_replace, value)` (`ScalableDataFrame.py:1806-1808`). */
+  def replace[T](cols: Seq[String], mapping: Map[T, T]): SDF =
+    SDF(_df.na.replace(cols, mapping))
+
+  // ---- grouping & sorting (§2.4, §2.6) ----------------------------------
+
+  def groupby(cols: String*): org.apache.spark.sql.RelationalGroupedDataset =
+    _df.groupBy(cols.map(col): _*)
+
+  def agg(exprs: Column*): SDF = SDF(_df.agg(exprs.head, exprs.tail: _*))
+
+  def sortValues(by: Seq[Column]): SDF = SDF(_df.orderBy(by: _*))
+
+  /** `nlargest`/`nsmallest` (`ScalableSeries.py:936-942`) — planned as
+    * TakeOrderedAndProject (per-partition heap, k-row merge): true top-k at
+    * any scale, no global sort.
+    */
+  def nlargest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by.map(_.desc): _*).limit(n))
+  def nsmallest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by: _*).limit(n))
+
+  // ---- misc -------------------------------------------------------------
+
+  def persist(): SDF = { _df.persist(); this }
+  def unpersist(): SDF = { _df.unpersist(); this }
+  def collect(): Seq[Row] = _df.collect().toSeq
+}
+
+object SDF {
+  def apply(df: DataFrame): SDF = new SDF(df)
+
+  /** merge(validate=) — key-multiplicity assertion ("1:1"/"1:m"/"m:1"/"m:m"),
+    * reference semantics at `ScalableDataFrame.py:1820-1836`.
+    */
+  private[sdf] def validateMerge(l: DataFrame, r: DataFrame, on: Seq[String], rule: String): Unit = {
+    def unique(d: DataFrame): Boolean =
+      d.groupBy(on.map(col): _*).count().filter(col("count") > 1).isEmpty
+    rule match {
+      case "1:1" =>
+        require(unique(l), s"merge validate=1:1: left keys not unique on $on")
+        require(unique(r), s"merge validate=1:1: right keys not unique on $on")
+      case "1:m" => require(unique(l), s"merge validate=1:m: left keys not unique on $on")
+      case "m:1" => require(unique(r), s"merge validate=m:1: right keys not unique on $on")
+      case "m:m" => ()
+      case other => throw new IllegalArgumentException(s"validate=$other")
+    }
+  }
+}
