@@ -1,0 +1,134 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.MLSchema
+
+/** Storage backends — reference `src/bears/constants/_FileConstants.py:53-58`
+  * (STREAM, LOCAL_FILE_SYSTEM, S3, URL). On Spark these collapse into Hadoop
+  * filesystem URI schemes; S3 is `s3a://` and needs no custom client
+  * (reference carries a 559-line S3 util, `src/bears/util/aws/s3.py` — all of
+  * it is the Hadoop FS here).
+  */
+sealed trait Storage
+object Storage {
+  case object Local extends Storage
+  case object S3 extends Storage
+  case object Url extends Storage
+
+  /** Reference `FileMetadata.py:72-86` detection order. */
+  def detect(path: String): Storage =
+    if (path.startsWith("s3://") || path.startsWith("s3a://")) S3
+    else if (path.startsWith("http://") || path.startsWith("https://")) Url
+    else Local
+}
+
+/** File formats — reference enum `src/bears/constants/_FileConstants.py:8-50`;
+  * ending→format map `:84-135` (longest match wins).
+  */
+sealed abstract class Format(val endings: Seq[String])
+object Format {
+  case object Csv extends Format(Seq(".csv"))
+  case object Tsv extends Format(Seq(".tsv"))
+  case object Parquet extends Format(Seq(".parquet", ".pq"))
+  case object JsonLines extends Format(Seq(".jsonl", ".jsonlines", ".ndjson"))
+  case object Json extends Format(Seq(".json"))
+  case object Yaml extends Format(Seq(".yaml", ".yml"))
+  case object Binary extends Format(Seq(".bin", ".png", ".jpg", ".jpeg", ".pdf", ".wav", ".mp3", ".mp4"))
+
+  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary)
+
+  /** Longest-matching file ending (`FileMetadata.py:122-147`). */
+  def detect(path: String): Format = {
+    val lower = path.toLowerCase.stripSuffix("/")
+    val hits = values.flatMap(f => f.endings.filter(lower.endsWith).map(e => (e.length, f)))
+    if (hits.isEmpty) Parquet else hits.maxBy(_._1)._2
+  }
+}
+
+/** Path + detected storage/format + optional declared schema — the
+  * reference's `FileMetadata` (`src/bears/FileMetadata.py:24-357`).
+  */
+final case class FileMetadata(
+    path: String,
+    storage: Storage,
+    format: Format,
+    schema: Option[MLSchema] = None)
+
+object FileMetadata {
+  def of(path: String, schema: Option[MLSchema] = None): FileMetadata =
+    FileMetadata(path, Storage.detect(path), Format.detect(path), schema)
+}
+
+/** Format-dispatched reader — reference `Reader.of(format)` registry
+  * (`src/bears/reader/Reader.py:83-117`) + `DataFrameReader` semantics
+  * (`reader/dataframe/DataFrameReader.py:163-296`): multi-file reads are
+  * native multi-path scans (no driver-side fan-out/concat needed), schema
+  * filter applies post-read, retries are Spark task retries.
+  */
+object Readers {
+
+  def read(spark: SparkSession, meta: FileMetadata): DataFrame = {
+    val df = meta.format match {
+      case Format.Csv => spark.read.options(csvOpts).csv(meta.path)
+      case Format.Tsv => spark.read.options(csvOpts + ("sep" -> "\t")).csv(meta.path)
+      case Format.Parquet => spark.read.parquet(meta.path)
+      case Format.JsonLines | Format.Json => spark.read.json(meta.path)
+      case Format.Binary => spark.read.format("binaryFile").load(meta.path)
+      case Format.Yaml =>
+        throw new IllegalArgumentException("YAML is a config format; use Config.load")
+    }
+    // post-read schema filter, `Schema.filter_df` semantics
+    // (`src/bears/util/schema.py:655-681`): prune to declared columns,
+    // tolerate missing ones
+    meta.schema.fold(df)(s => s.applyTo(s.filterDf(df)))
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = read(spark, FileMetadata.of(path))
+
+  /** Multi-path read (`DataFrameReader.py:234-296`'s parallel fan-out —
+    * native in Spark).
+    */
+  def readAll(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty)
+    val fmt = Format.detect(paths.head)
+    require(paths.forall(Format.detect(_) == fmt), "mixed formats in multi-path read")
+    fmt match {
+      case Format.Csv => spark.read.options(csvOpts).csv(paths: _*)
+      case Format.Tsv => spark.read.options(csvOpts + ("sep" -> "\t")).csv(paths: _*)
+      case Format.Parquet => spark.read.parquet(paths: _*)
+      case Format.JsonLines | Format.Json => spark.read.json(paths: _*)
+      case other => throw new IllegalArgumentException(s"multi-path $other")
+    }
+  }
+
+  private val csvOpts = Map("header" -> "true", "inferSchema" -> "true")
+}
+
+/** Format-dispatched writer — reference `Writer` registry
+  * (`src/bears/writer/Writer.py:26-387`) + partitioned multi-file sink
+  * (`writer/dataframe/DataFrameWriter.py:291-358`): `num_chunks` maps to
+  * `repartition(n)`, `num_rows` to computed partition count.
+  */
+object Writers {
+
+  def write(df: DataFrame, meta: FileMetadata, mode: String = "overwrite",
+      numChunks: Option[Int] = None, numRows: Option[Long] = None): Unit = {
+    val out = (numChunks, numRows) match {
+      case (Some(n), _) => df.repartition(n)
+      case (None, Some(rows)) =>
+        val total = df.count()
+        df.repartition(math.max(1, math.ceil(total.toDouble / rows).toInt))
+      case _ => df
+    }
+    val w = out.write.mode(mode)
+    meta.format match {
+      case Format.Csv => w.option("header", "true").csv(meta.path)
+      case Format.Tsv => w.option("header", "true").option("sep", "\t").csv(meta.path)
+      case Format.Parquet => w.parquet(meta.path)
+      case Format.JsonLines | Format.Json => w.json(meta.path)
+      case other => throw new IllegalArgumentException(s"unwritable format $other")
+    }
+  }
+
+  def write(df: DataFrame, path: String): Unit = write(df, FileMetadata.of(path))
+}

@@ -1,0 +1,285 @@
+package graft.processor
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.core.{MLSchema, MLType}
+import graft.io.{FileMetadata, Writers}
+
+/** Pipeline config — the reference's YAML structure
+  * (`src/bears/processor/_DataPipeline.py:146-162`): ordered steps of
+  * {input patterns, transformer, params, output pattern}, plus writer
+  * configs. Parsed with Jackson-YAML (ships with Spark), accepting JSON too.
+  */
+final case class StepConfig(
+    input: Seq[String],
+    transformer: String,
+    params: Map[String, Any],
+    output: String)
+
+final case class WriterConfig(input: Seq[String], path: String)
+
+final case class PipelineConfig(steps: Seq[StepConfig], writers: Seq[WriterConfig])
+
+object PipelineConfig {
+
+  def fromYaml(text: String): PipelineConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readValue(text, classOf[java.util.Map[String, Any]]).asScala
+    def anyToSeq(a: Any): Seq[String] = a match {
+      case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+      case s => Seq(s.toString)
+    }
+    def anyToParams(a: Any): Map[String, Any] = a match {
+      case null => Map.empty
+      case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap
+      case other => throw new IllegalArgumentException(s"params must be a map, got $other")
+    }
+    val steps = root.getOrElse("pipeline", new java.util.ArrayList[Any]())
+      .asInstanceOf[java.util.List[_]].asScala.toSeq.map { s =>
+        val m = s.asInstanceOf[java.util.Map[String, Any]].asScala
+        StepConfig(
+          input = anyToSeq(m.getOrElse("input", throw new IllegalArgumentException("step needs input"))),
+          transformer = m.getOrElse("transformer", throw new IllegalArgumentException("step needs transformer")).toString,
+          params = anyToParams(m.getOrElse("params", null)),
+          output = m.getOrElse("output", "{col_name}").toString)
+      }
+    val writers = root.getOrElse("writers", new java.util.ArrayList[Any]())
+      .asInstanceOf[java.util.List[_]].asScala.toSeq.map { s =>
+        val m = s.asInstanceOf[java.util.Map[String, Any]].asScala
+        WriterConfig(
+          input = anyToSeq(m.getOrElse("input", "*")),
+          path = m("path").toString)
+      }
+    PipelineConfig(steps, writers)
+  }
+
+  def fromFile(path: String): PipelineConfig =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** When to persist intermediate frames — reference `PersistLevel`
+  * (`_DataPipeline.py:52-58`). `persist+count` reproduces the reference's
+  * `persist(wait=True)` materialization barrier.
+  */
+sealed trait PersistLevel
+object PersistLevel {
+  case object DontPersist extends PersistLevel
+  case object BeforePipeline extends PersistLevel
+  case object AfterPipeline extends PersistLevel
+  case object BeforeAfterPipeline extends PersistLevel
+  case object EveryStep extends PersistLevel
+}
+
+/** One resolved step: the concrete processors bound to concrete columns.
+  * Resolution happens once against the input schema (the reference's
+  * "schema resolution is static, execution is eager per step", SURVEY §3.2);
+  * execution then builds ONE lazy plan — Catalyst fuses every narrow step
+  * into a single projection.
+  */
+final case class ResolvedStep(
+    transformer: String,
+    bindings: Seq[(Seq[String], DataProcessor, String)]) // (inputCols, processor, outputCol)
+
+final class DataPipeline(
+    val config: PipelineConfig,
+    val persist: PersistLevel = PersistLevel.DontPersist) {
+
+  private var resolved: Option[Seq[ResolvedStep]] = None
+  def steps: Seq[ResolvedStep] = resolved.getOrElse(
+    throw new IllegalStateException("pipeline not fitted/resolved"))
+
+  /** Column-pattern matching — reference `PipelineUtil
+    * .filter_schema_by_input_patterns` (`_DataPipeline.py:1072-1130`):
+    * a pattern is either an MLType name (matches schema values) or a regex
+    * over column names (case-insensitive); matches union in sorted order.
+    */
+  private[processor] def matchColumns(
+      patterns: Seq[String], columns: Seq[String], schema: MLSchema): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    patterns.foreach { p =>
+      val asMLType = scala.util.Try(MLType.fromName(p)).toOption
+      asMLType match {
+        case Some(t) =>
+          out ++= columns.filter(c => schema.fields.get(c).contains(t)).sorted
+        case None =>
+          val re = ("(?i)^" + p + "$").r
+          out ++= columns.filter(c => re.findFirstIn(c).isDefined).sorted
+      }
+    }
+    out.toSeq
+  }
+
+  /** Output-name templating: `{col_name}` substitution
+    * (`_DataPipeline.py:361-425` output_pattern).
+    */
+  private def outName(pattern: String, inputCol: String): String =
+    pattern.replace("{col_name}", inputCol)
+
+  /** Fit: resolve each step against the evolving schema and fit its
+    * processors (each fit = one distributed aggregate at most), exactly the
+    * reference's `from_config` + `fit_transform` split.
+    */
+  def fit(df0: DataFrame, schema0: MLSchema): this.type = {
+    var df = df0
+    var schema = schema0
+    val out = Seq.newBuilder[ResolvedStep]
+    config.steps.foreach { step =>
+      val cols = matchColumns(step.input, df.columns.toSeq, schema)
+      resolveStep(step, cols) match {
+        case None => // SKIP behavior
+        case Some(rs) =>
+          val fitted = rs.bindings.map { case (ins, proc, o) =>
+            proc match {
+              case p: SingleColumnProcessor =>
+                p.fit(df, ins.head)
+                (ins, proc, o)
+              case p: Nto1ColumnProcessor =>
+                p.fit(df, ins)
+                (ins, proc, o)
+            }
+          }
+          val rstep = ResolvedStep(rs.transformer, fitted)
+          out += rstep
+          val (df2, schema2) = applyStep(df, schema, rstep)
+          df = df2
+          schema = schema2
+      }
+    }
+    resolved = Some(out.result())
+    this
+  }
+
+  private def resolveStep(step: StepConfig, cols: Seq[String]): Option[ResolvedStep] = {
+    val probe = ProcessorRegistry.create(step.transformer, step.params)
+    if (cols.isEmpty) {
+      probe.missingColumnBehavior match {
+        case MissingColumnBehavior.Skip => None
+        case MissingColumnBehavior.Execute => Some(ResolvedStep(step.transformer, Seq.empty))
+        case MissingColumnBehavior.Error =>
+          throw new IllegalArgumentException(
+            s"step ${step.transformer}: no columns match ${step.input}")
+      }
+    } else probe match {
+      case _: SingleColumnProcessor =>
+        // one processor instance per matched column (reference
+        // `create_pipeline_step_processors` per-column instantiation)
+        Some(ResolvedStep(step.transformer, cols.map { c =>
+          (Seq(c), ProcessorRegistry.create(step.transformer, step.params), outName(step.output, c))
+        }))
+      case _: Nto1ColumnProcessor =>
+        Some(ResolvedStep(step.transformer,
+          Seq((cols, ProcessorRegistry.create(step.transformer, step.params),
+            outName(step.output, cols.sorted.mkString("_"))))))
+    }
+  }
+
+  private def applyStep(df: DataFrame, schema: MLSchema, step: ResolvedStep): (DataFrame, MLSchema) = {
+    var cur = df
+    var sch = schema.fields
+    step.bindings.foreach { case (ins, proc, o) =>
+      val expr = proc match {
+        case p: SingleColumnProcessor => p.transform(col(ins.head))
+        case p: Nto1ColumnProcessor => p.transform(cur, ins)
+      }
+      cur = cur.withColumn(o, expr)
+      sch = sch + (o -> proc.outputMLType)
+    }
+    (cur, MLSchema(sch))
+  }
+
+  /** Transform: fold the resolved steps into one lazy plan; persist hooks per
+    * `PersistLevel` (`_DataPipeline.py:762-925`).
+    */
+  def transform(df0: DataFrame, schema0: MLSchema): DataFrame = {
+    def materialize(d: DataFrame): DataFrame = { d.persist(); d.count(); d }
+    var df = persist match {
+      case PersistLevel.BeforePipeline | PersistLevel.BeforeAfterPipeline => materialize(df0)
+      case _ => df0
+    }
+    var schema = schema0
+    steps.foreach { s =>
+      val (d2, s2) = applyStep(df, schema, s)
+      df = if (persist == PersistLevel.EveryStep) materialize(d2) else d2
+      schema = s2
+    }
+    df = persist match {
+      case PersistLevel.AfterPipeline | PersistLevel.BeforeAfterPipeline => materialize(df)
+      case _ => df
+    }
+    finalSchema = Some(schema)
+    df
+  }
+
+  def fitTransform(df: DataFrame, schema: MLSchema): DataFrame = {
+    fit(df, schema)
+    transform(df, schema)
+  }
+
+  private var finalSchema: Option[MLSchema] = None
+  def outputSchema: Option[MLSchema] = finalSchema
+
+  /** Writer fan-out (`_DataPipeline.py:986-1039`): each writer takes a
+    * column-pattern subset of the final frame.
+    */
+  def write(df: DataFrame): Unit = {
+    val schema = finalSchema.getOrElse(MLSchema(Map.empty))
+    config.writers.foreach { w =>
+      val cols =
+        if (w.input == Seq("*")) df.columns.toSeq
+        else matchColumns(w.input, df.columns.toSeq, schema)
+      Writers.write(df.select(cols.map(col): _*), FileMetadata.of(w.path))
+    }
+  }
+
+  /** Serializable fitted state — replaces the reference's pickling
+    * (`_DataPipeline.py:1040-1064`) with explicit JSON.
+    */
+  def saveState(path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createArrayNode()
+    steps.foreach { s =>
+      val stepNode = mapper.createObjectNode()
+      stepNode.put("transformer", s.transformer)
+      val binds = mapper.createArrayNode()
+      s.bindings.foreach { case (ins, proc, o) =>
+        val b = mapper.createObjectNode()
+        b.put("inputs", ins.mkString(","))
+        b.put("output", o)
+        val st = mapper.createObjectNode()
+        proc.state.foreach { case (k, v) => st.put(k, v) }
+        b.set[com.fasterxml.jackson.databind.JsonNode]("state", st)
+        binds.add(b)
+      }
+      stepNode.set[com.fasterxml.jackson.databind.JsonNode]("bindings", binds)
+      node.add(stepNode)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), mapper.writeValueAsString(node))
+  }
+
+  /** Restore fitted state into a freshly-configured pipeline. */
+  def loadState(path: String): this.type = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val out = Seq.newBuilder[ResolvedStep]
+    (0 until node.size()).foreach { i =>
+      val stepNode = node.get(i)
+      val name = stepNode.get("transformer").asText()
+      val cfg = config.steps.find(_.transformer == name).getOrElse(
+        throw new IllegalArgumentException(s"state references unknown step $name"))
+      val binds = stepNode.get("bindings")
+      out += ResolvedStep(name, (0 until binds.size()).map { j =>
+        val b = binds.get(j)
+        val proc = ProcessorRegistry.create(name, cfg.params)
+        val st = b.get("state")
+        val stateMap = st.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        proc.restore(stateMap)
+        (b.get("inputs").asText().split(",").toSeq, proc, b.get("output").asText())
+      })
+    }
+    resolved = Some(out.result())
+    this
+  }
+}

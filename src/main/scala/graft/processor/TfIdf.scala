@@ -1,0 +1,103 @@
+package graft.processor
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.MLType
+
+/** TF-IDF vectorization (`src/bears/processor/_text/_TFIDFVectorization
+  * .py:16-76`, which wraps sklearn's TfidfVectorizer).
+  *
+  * We re-derive the same math Spark-first instead of calling a vectorizer:
+  *
+  *   - tokenization = sklearn's default `(?u)\b\w\w+\b` on lowercased text
+  *     (runs of ≥2 word chars);
+  *   - fit = one distributed `explode → groupBy(term) → count` document
+  *     frequency pass, `min_df` / `max_features` pruning, smooth idf
+  *     `ln((1+n)/(1+df)) + 1`, vocabulary indexed by sorted term (sklearn's
+  *     convention); the vocabulary broadcasts to executors as literal maps;
+  *   - transform = a single Column expression over higher-order functions
+  *     producing the sparse vector struct(size, indices, values), L2
+  *     normalized (sklearn `norm='l2'`). No UDF, no Python, no per-row
+  *     vectorizer call.
+  *
+  * Scale: fit shuffles one row per distinct term (partial-aggregated);
+  * transform is embarrassingly parallel. The vocabulary must fit in the
+  * driver/broadcast (`max_features` caps it), which is the same constraint
+  * sklearn+bears has — but here the corpus itself never leaves the cluster.
+  */
+final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnProcessor {
+  import Processors.P._
+
+  val name = "TFIDFVectorization"
+  val inputMLTypes = Seq(MLType.Text)
+  val outputMLType =
+    if (bool(params, "output_sparse", d = false)) MLType.SparseVector else MLType.Vector
+
+  private val maxFeatures: Option[Int] = opt(params, "max_features").map(_.toInt)
+  private val minDf: Long = opt(params, "min_df").map(_.toLong).getOrElse(1L)
+  private val outputSparse: Boolean = bool(params, "output_sparse", d = false)
+
+  /** term → (index, idf); index dense over sorted vocabulary. */
+  private var vocab: Option[Seq[(String, (Int, Double))]] = None
+
+  private def tokenize(in: Column): Column =
+    filter(split(lower(in), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 2)
+
+  override def fit(df: DataFrame, inputCol: String): this.type = {
+    val docs = df.select(tokenize(col(inputCol)).as("toks")).na.drop()
+    val n = docs.count()
+    val dfreq = docs
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val kept = maxFeatures match {
+      case Some(k) => dfreq.orderBy(col("df").desc, col("term")).limit(k)
+      case None => dfreq
+    }
+    val terms = kept.collect().map(r => r.getString(0) -> r.getLong(1))
+    val sorted = terms.sortBy(_._1)
+    vocab = Some(sorted.zipWithIndex.map { case ((t, docf), i) =>
+      t -> (i, math.log((1.0 + n) / (1.0 + docf)) + 1.0)
+    }.toSeq)
+    this
+  }
+
+  def transform(in: Column): Column = {
+    val v = vocab.getOrElse(notFitted("transform"))
+    val idxMap = typedLit(v.map { case (t, (i, _)) => t -> i }.toMap)
+    val idfMap = typedLit(v.map { case (t, (_, f)) => t -> f }.toMap)
+    val size = v.size
+
+    val toks = filter(tokenize(in), t => element_at(idxMap, t).isNotNull)
+    val terms = array_sort(array_distinct(toks))
+    // raw tf * idf per present term, then L2-normalize
+    val entries = transform_hof(terms, t =>
+      struct(
+        element_at(idxMap, t).as("i"),
+        (size_of_matches(toks, t) * element_at(idfMap, t)).as("v")))
+    val norm = sqrt(aggregate(entries, lit(0.0), (acc, e) => acc + e.getField("v") * e.getField("v")))
+    val normed = transform_hof(entries, e =>
+      struct(e.getField("i").as("i"), (e.getField("v") / norm).as("v")))
+
+    val sparse = struct(
+      lit(size).as("size"),
+      transform_hof(normed, _.getField("i")).as("indices"),
+      transform_hof(normed, _.getField("v")).as("values"))
+    if (outputSparse) sparse
+    else new Processors.VectorDensifier(Map.empty).transform(sparse)
+  }
+
+  private def transform_hof(arr: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.transform(arr, f)
+  private def size_of_matches(arr: Column, t: Column): Column =
+    size(filter(arr, x => x === t)).cast("double")
+
+  override def state: Map[String, String] =
+    vocab.map(v => Map("vocab" -> v.map { case (t, (i, f)) => s"$t\u001f$i\u001f$f" }
+      .mkString("\u001e"))).getOrElse(Map.empty)
+  override def restore(s: Map[String, String]): Unit = s.get("vocab").foreach { v =>
+    vocab = Some(v.split('\u001e').toSeq.map { e =>
+      val Array(t, i, f) = e.split('\u001f'); t -> (i.toInt, f.toDouble)
+    })
+  }
+}

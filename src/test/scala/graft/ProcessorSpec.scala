@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{MLSchema, MLType}
+import graft.processor._
+import graft.processor.Processors._
+
+/** Unit tests per SURVEY.md §5.2: each processor's fit+transform on tiny
+  * in-memory frames, including the null-handling and binary-label micro
+  * fixtures from FIXTURES.md.
+  */
+class ProcessorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  private def col1(df: DataFrame, c: String): Seq[Any] =
+    df.select(c).collect().map(_.get(0)).toSeq
+
+  test("CaseTransformation preserves nulls") {
+    val df = Seq(Some("AbC"), None, Some("xY")).toDF("t")
+    val p = new CaseTransformation(Map("case" -> "lower"))
+    assert(col1(df.withColumn("o", p.transform($"t")), "o") == Seq("abc", null, "xy"))
+  }
+
+  test("HtmlTagRemoval strips crocodile brackets, keeps content") {
+    val df = Seq("<p>hi</p> there <a href='x'>link</a>").toDF("t")
+    val p = new HtmlTagRemoval(Map.empty)
+    assert(col1(df.withColumn("o", p.transform($"t")), "o") == Seq("hi there link"))
+  }
+
+  test("PunctuationCleaner replaces every python-punctuation char") {
+    val df = Seq("a,b.c!d?e[f]g").toDF("t")
+    val p = new PunctuationCleaner(Map.empty)
+    assert(col1(df.withColumn("o", p.transform($"t")), "o") == Seq("a b c d e f g"))
+  }
+
+  test("RegexSubstitution applies ordered substitutions with flags") {
+    val df = Seq("Batch BATCH batch").toDF("t")
+    val p = new RegexSubstitution(Map(
+      "substitution_list" -> Seq(Seq("ba+tch", "x")), "ignorecase" -> true))
+    assert(col1(df.withColumn("o", p.transform($"t")), "o") == Seq("x x x"))
+  }
+
+  test("StringRemoval removes literals, not regex") {
+    val df = Seq("a.c a.c abc").toDF("t")
+    val p = new StringRemoval(Map("removal_list" -> Seq("a.c ")))
+    assert(col1(df.withColumn("o", p.transform($"t")), "o") == Seq("abc"))
+  }
+
+  test("TextConcatenation shortest-first ordering + null -> empty with separators") {
+    val df = Seq(
+      ("aaaa", Some("bb"), "c"),
+      ("dddd", None, "e")).toDF("long_col", "mid_col", "tiny")
+    val p = new TextConcatenation(Map("sep" -> "|", "column_order" -> "sort_by_shortest_first"))
+    p.fit(df, Seq("long_col", "mid_col", "tiny"))
+    val out = col1(df.withColumn("o", p.transform(df, Seq("long_col", "mid_col", "tiny"))), "o")
+    // avg lens: tiny=1, mid=2, long=4
+    assert(out == Seq("c|bb|aaaa", "e||dddd"))
+  }
+
+  test("LabelEncoding ranges, unknown fill, inverse, numeric sort") {
+    val df = Seq("b", "a", "c", "a").toDF("l")
+    val enc = new LabelEncoding(Map("encoding_range" -> "one_to_n")).fit(df, "l")
+    val out = df.withColumn("e", enc.transform($"l")).withColumn("back", enc.inverseTransform($"e"))
+    assert(col1(out, "e") == Seq(2L, 1L, 3L, 1L))
+    assert(col1(out, "back") == Seq("b", "a", "c", "a"))
+    // unknown label -> 0 for one_to_n
+    val unk = Seq("zz").toDF("l").withColumn("e", enc.transform($"l"))
+    assert(col1(unk, "e") == Seq(0L))
+    // null stays null (na_action="ignore")
+    val nul = Seq[Option[String]](None).toDF("l").withColumn("e", enc.transform($"l"))
+    assert(col1(nul, "e") == Seq(null))
+    // numeric labels sort numerically like np.unique: 2 < 10
+    val ndf = Seq(10, 2, 10).toDF("l")
+    val nenc = new LabelEncoding(Map("encoding_range" -> "zero_to_n_minus_one")).fit(ndf, "l")
+    assert(col1(ndf.withColumn("e", nenc.transform($"l")), "e") == Seq(1L, 0L, 1L))
+  }
+
+  test("LabelEncoding binary auto-detect from labelspace") {
+    val e1 = LabelEncoding.fromLabelspace(Seq("N", "Y"))
+    val df = Seq("Y", "N").toDF("l")
+    assert(col1(df.withColumn("e", e1.transform($"l")), "e") == Seq(1L, 0L))
+    val e2 = LabelEncoding.fromLabelspace(Seq("TRUE", "FALSE"))
+    val df2 = Seq("TRUE", "FALSE").toDF("l")
+    assert(col1(df2.withColumn("e", e2.transform($"l")), "e") == Seq(1L, 0L))
+    // binary_plus_minus_one maps first sorted label to -1
+    val pm = new LabelEncoding(Map("encoding_range" -> "binary_plus_minus_one"))
+      .fit(Seq("p", "n").toDF("l"), "l")
+    assert(col1(Seq("n", "p").toDF("l").withColumn("e", pm.transform($"l")), "e") == Seq(-1L, 1L))
+  }
+
+  test("imputation strategies incl. constant validation") {
+    val df = Seq(Some(1.0), None, Some(3.0), Some(3.0)).toDF("v")
+    def run(p: SingleColumnProcessor) = col1(df.withColumn("o", p.transform($"v")), "o")
+    assert(run(new NumericMissingValueImputation(Map("strategy" -> "mean")).fit(df, "v"))
+      == Seq(1.0, 7.0 / 3, 3.0, 3.0))
+    assert(run(new NumericMissingValueImputation(Map("strategy" -> "mode")).fit(df, "v"))
+      == Seq(1.0, 3.0, 3.0, 3.0))
+    assert(run(new NumericMissingValueImputation(Map("strategy" -> "constant", "fill_value" -> "9")))
+      == Seq(1.0, 9.0, 3.0, 3.0))
+    intercept[IllegalArgumentException] {
+      new NumericMissingValueImputation(Map("strategy" -> "constant"))
+    }
+    intercept[IllegalArgumentException] {
+      new NumericMissingValueImputation(Map("strategy" -> "mean", "fill_value" -> "9"))
+    }
+    val cdf = Seq(Some("a"), None, Some("a"), Some("b")).toDF("c")
+    val cat = new CategoricalMissingValueImputation(Map("strategy" -> "mode")).fit(cdf, "c")
+    assert(col1(cdf.withColumn("o", cat.transform($"c")), "o") == Seq("a", "a", "a", "b"))
+  }
+
+  test("VectorAssembler flattens scalars + arrays in sorted column order") {
+    val df = Seq((1.0, Seq(2.0, 3.0), 4L)).toDF("a_scalar", "b_vec", "c_int")
+    val va = new VectorAssembler(Map.empty)
+    val out = df.withColumn("v", va.transform(df, Seq("c_int", "a_scalar", "b_vec")))
+    assert(out.select("v").head().getSeq[Double](0) == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("VectorDensifier expands sparse struct; zero elsewhere") {
+    val df = Seq(1).toDF("x").withColumn("sp", struct(
+      lit(5).as("size"), array(lit(1), lit(3)).as("indices"),
+      array(lit(7.0), lit(9.0)).as("values")))
+    val vd = new VectorDensifier(Map.empty)
+    val out = df.withColumn("d", vd.transform($"sp"))
+    assert(out.select("d").head().getSeq[Double](0) == Seq(0.0, 7.0, 0.0, 9.0, 0.0))
+  }
+
+  test("TfIdf state round-trip restores vocabulary") {
+    val df = Seq("aa bb aa", "bb cc", "aa dd").toDF("t")
+    val p = new TfIdfVectorization(Map("output_sparse" -> true))
+    p.fit(df, "t")
+    val p2 = new TfIdfVectorization(Map("output_sparse" -> true))
+    p2.restore(p.state)
+    val v1 = df.withColumn("v", p.transform($"t")).select("v").collect().toSeq
+    val v2 = df.withColumn("v", p2.transform($"t")).select("v").collect().toSeq
+    assert(v1 == v2)
+  }
+
+  test("pipeline config parsing, MLType pattern matching, save/load state") {
+    val yaml =
+      """pipeline:
+        |  - input: [categorical]
+        |    transformer: LabelEncoding
+        |    output: "{col_name}_enc"
+        |  - input: ["t.*t"]
+        |    transformer: CaseTransformation
+        |    params: {case: upper}
+        |    output: "up"
+        |""".stripMargin
+    val cfg = PipelineConfig.fromYaml(yaml)
+    assert(cfg.steps.map(_.transformer) == Seq("LabelEncoding", "CaseTransformation"))
+    val schema = MLSchema(Map("txt" -> MLType.Text, "cat" -> MLType.Categorical))
+    val df = Seq(("x", "a"), ("y", "b")).toDF("txt", "cat")
+    val pipe = new DataPipeline(cfg)
+    val out = pipe.fitTransform(df, schema)
+    assert(out.columns.toSet == Set("txt", "cat", "cat_enc", "up"))
+    assert(col1(out, "cat_enc") == Seq(1L, 2L))
+    assert(col1(out, "up") == Seq("X", "Y"))
+
+    val tmp = java.nio.file.Files.createTempFile("pipe", ".json").toString
+    pipe.saveState(tmp)
+    val pipe2 = new DataPipeline(cfg).loadState(tmp)
+    val out2 = pipe2.transform(df, schema)
+    assert(out2.select("cat_enc", "up").collect().toSeq == out.select("cat_enc", "up").collect().toSeq)
+  }
+
+  test("pipeline missing-column ERROR raises; SKIP passes through") {
+    val yaml =
+      """pipeline:
+        |  - input: [nope]
+        |    transformer: CaseTransformation
+        |    output: "o"
+        |""".stripMargin
+    val df = Seq("x").toDF("txt")
+    val schema = MLSchema(Map("txt" -> MLType.Text))
+    intercept[IllegalArgumentException] {
+      new DataPipeline(PipelineConfig.fromYaml(yaml)).fit(df, schema)
+    }
+  }
+}
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sdf.SDF
+
+/** SDF/SCol edge cases not already covered by the DuckDB oracle corpus. */
+class SdfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  test("merge validate=1:1 rejects duplicate keys") {
+    val l = SDF(Seq((1, "a"), (1, "b")).toDF("k", "v"))
+    val r = SDF(Seq((1, "x")).toDF("k", "w"))
+    intercept[IllegalArgumentException] {
+      l.merge(r, on = Seq("k"), validate = Some("1:1"))
+    }
+    // m:1 passes when right is unique
+    assert(l.merge(r, on = Seq("k"), validate = Some("m:1")).df.count() == 2)
+  }
+
+  test("merge suffixes rename colliding non-key columns only") {
+    val l = SDF(Seq((1, "a")).toDF("k", "v"))
+    val r = SDF(Seq((1, "b")).toDF("k", "v"))
+    val m = l.merge(r, on = Seq("k"))
+    assert(m.columns.sorted == Seq("k", "v_x", "v_y"))
+  }
+
+  test("mutable update rebinds like sdf[col] = expr") {
+    val sdf = SDF(Seq(1, 2).toDF("x"))
+    sdf("y") = col("x") * 2
+    assert(sdf.df.select("y").collect().map(_.getInt(0)).toSeq == Seq(2, 4))
+  }
+
+  test("iloc slices by global position") {
+    val sdf = SDF(Seq(5, 3, 1, 4, 2).toDF("x"))
+    val sliced = sdf.iloc(1, 3, orderBy = Seq(col("x")))
+    assert(sliced.df.collect().map(_.getInt(0)).toSet == Set(2, 3))
+  }
+
+  test("SCol eager stats on tiny frame") {
+    val sdf = SDF(Seq(1.0, 2.0, 2.0, 9.0).toDF("x"))
+    val c = sdf("x")
+    assert(c.sum_ == 14.0)
+    assert(c.mean == 3.5)
+    assert(c.mode_ == 2.0)
+    assert(c.nunique() == 3)
+    assert(c.idxmax(col("x") * 10) == 90.0)
+    assert(!c.isUnique)
+    assert(c.isMonotonicIncreasing(col("x")))
+    assert(math.abs(c.prod - 36.0) < 1e-9)
+    val b = SDF(Seq(true, true, false).toDF("x"))("x")
+    assert(b.any_ && !b.all_)
+  }
+
+  test("valid() with sampling and invalidRows") {
+    val sdf = SDF(Seq(1, 2, -3, 4).toDF("x"))
+    assert(!sdf.valid(col("x") > 0))
+    assert(sdf.invalidRows(col("x") > 0).df.collect().map(_.getInt(0)).toSeq == Seq(-3))
+    assert(SDF(Seq.empty[Int].toDF("x")).valid(col("x") > 0))
+  }
+}
