@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stream.{BatchStream, Sharding}
+
+/** Property tests for the sharding contract (SURVEY.md §5.3), mirroring the
+  * reference's internal assertions (`ScalableDataFrame.py:741-754,
+  * 1112-1153`): drop_last tri-state bounds, balanced batch counts,
+  * reverse-shard complement, shuffle determinism.
+  */
+class StreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  private val grid = for {
+    n <- Seq(63L, 1000L, 25003L)
+    b <- Seq(1L, 7L, 16L, 256L)
+    s <- Seq(1, 2, 8)
+    if s * b <= n
+  } yield (n, b, s)
+
+  test("closed-form shard bounds == direct interval algorithm (npartitions=1)") {
+    grid.foreach { case (n, b, s) =>
+      Seq(true, false).foreach { dropLast =>
+        val (_, intervals, batches) = Sharding.balancedShardIntervals(n, 1, s, b, dropLast)
+        val direct = (0 until s).map { rank =>
+          val sel = Sharding.shardIntervals(intervals, rank, s)
+          (sel.head._1, sel.last._2, batches)
+        }
+        val closed = Sharding.inMemoryShardBounds(n, s, b, dropLast)
+        assert(direct == closed, s"n=$n b=$b s=$s dropLast=$dropLast")
+      }
+    }
+  }
+
+  test("drop_last=true: all batches exactly B; < S*B rows dropped; equal batch counts") {
+    grid.foreach { case (n, b, s) =>
+      val bounds = Sharding.inMemoryShardBounds(n, s, b, dropLast = true)
+      val batchCounts = bounds.map(_._3)
+      assert(batchCounts.distinct.size == 1)
+      val kept = bounds.map { case (a, e, _) => e - a }.sum
+      assert(n - kept < s * b, s"dropped ${n - kept} >= $s*$b")
+      bounds.foreach { case (a, e, k) =>
+        val sizes = Sharding.batchSizes(e - a, Some(b), None, Some(true), k)
+        assert(sizes.forall(_ == b))
+      }
+    }
+  }
+
+  test("drop_last=false: no row lost; equal batch counts; last batch in [B,2B) with <=1 row spread") {
+    grid.foreach { case (n, b, s) =>
+      val bounds = Sharding.inMemoryShardBounds(n, s, b, dropLast = false)
+      assert(bounds.map { case (a, e, _) => e - a }.sum == n, "rows lost")
+      assert(bounds.map(_._3).distinct.size == 1, "unequal batch counts")
+      val lastSizes = bounds.flatMap { case (a, e, k) =>
+        val sizes = Sharding.batchSizes(e - a, Some(b), None, Some(false), k)
+        assert(sizes.init.forall(_ == b), "non-last batch != B")
+        sizes.lastOption
+      }
+      if (n / (s * b) > 0) {
+        // [B, 2B]: the reference's "between 1 and 2*batch_size" is inclusive —
+        // remainder S*B-1 pads ceil((S*B-1)/S) = B rows onto one last batch
+        assert(lastSizes.forall(sz => sz >= b && sz <= 2 * b),
+          s"last batch out of bounds: $lastSizes")
+        assert(lastSizes.max - lastSizes.min <= 1, s"last-batch spread >1: $lastSizes")
+      }
+    }
+  }
+
+  test("numChunks mode: exactly C chunks, sizes within 1 row") {
+    Seq((63L, 10L), (1000L, 7L), (25003L, 32L)).foreach { case (n, c) =>
+      val sizes = Sharding.batchSizes(n, None, Some(c), None, 0)
+      assert(sizes.size == c)
+      assert(sizes.sum == n)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("spark assign: shards partition the rows; reverse shard is the complement") {
+    val n = 103
+    val df = spark.range(n).toDF("id")
+    val s = 4
+    def plan(r: Int, rev: Boolean): BatchStream.Plan =
+      BatchStream.Plan(numRows = Some(10L), shard = (r, s), dropLast = Some(false), reverseSharding = rev)
+    val parts: Seq[Set[Long]] = (0 until s).map { r =>
+      BatchStream.assign(df, Seq(col("id")), plan(r, rev = false))
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(parts.map(_.size).sum == n)
+    assert(parts.reduce(_ ++ _).size == n, "shards must cover all rows disjointly")
+    val rev0 = BatchStream.assign(df, Seq(col("id")), plan(0, rev = true))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rev0 == parts.drop(1).reduce(_ ++ _), "reverse shard != complement")
+  }
+
+  test("spark toLocalBatches: ordered batches with contract sizes; shuffle deterministic") {
+    val df = spark.range(63).toDF("id")
+    val plan = BatchStream.Plan(numRows = Some(10L), shard = (1, 2), dropLast = Some(false),
+      shuffle = true, seed = 7L)
+    val batches1 = BatchStream.toLocalBatches(BatchStream.assign(df, Seq(col("id")), plan)).toSeq
+    val batches2 = BatchStream.toLocalBatches(BatchStream.assign(df, Seq(col("id")), plan)).toSeq
+    assert(batches1.map(_._2.map(_.getLong(0))) == batches2.map(_._2.map(_.getLong(0))),
+      "same seed must give identical batches")
+    val sizes = batches1.map(_._2.size)
+    assert(sizes.init.forall(_ == 10) && sizes.last >= 10 && sizes.last < 20)
+    // different seed -> different permutation (overwhelmingly)
+    val other = BatchStream.toLocalBatches(
+      BatchStream.assign(df, Seq(col("id")), plan.copy(seed = 8L))).toSeq
+    assert(other.map(_._2.map(_.getLong(0))) != batches1.map(_._2.map(_.getLong(0))))
+  }
+
+  test("splitNames formats part names") {
+    assert(Sharding != null)
+    assert(BatchStream.splitNames("x", Seq(3, 3, 1)) ==
+      Seq("x-part-0001-rows-1-3", "x-part-0002-rows-4-6", "x-part-0003-rows-7-7"))
+  }
+}
