@@ -341,7 +341,38 @@ object OpQueries {
       WHERE NOT coalesce(p_retailprice > 0 AND p_size <= 50, FALSE)
       ORDER BY p_partkey"""))
 
+  /** §2.9 balanced sharding through [[graft.stream.BatchStream]]: shard 1 of
+    * 4 over orders (B=10, drop_last=false). The oracle recomputes the same
+    * closed-form interval arithmetic in SQL: K=N/(S*B) complete batch
+    * columns per shard plus ceil/floor pad of the remainder, last batch
+    * absorbing the pad.
+    */
+  val q41_stream_shard: Q = Q(
+    fn = (s, dir) => {
+      import graft.stream.BatchStream
+      val o = table(s, dir, "orders")
+      val plan = BatchStream.Plan(numRows = Some(10L), shard = (1, 4), dropLast = Some(false))
+      BatchStream.assign(o, Seq(col("o_orderkey")), plan)
+        .select(col("o_orderkey"), col(BatchStream.BatchCol).as("batch_id"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos FROM orders),
+      c AS (SELECT count(*) // 40 AS k, count(*) % 40 AS rem FROM orders),
+      e AS (SELECT k,
+                   k * 10 + rem // 4 + CASE WHEN rem % 4 > 0 THEN 1 ELSE 0 END AS start1,
+                   2 * (k * 10) + 2 * (rem // 4)
+                     + CASE WHEN rem % 4 > 0 THEN 1 ELSE 0 END
+                     + CASE WHEN rem % 4 > 1 THEN 1 ELSE 0 END AS end1
+            FROM c)
+      SELECT o_orderkey,
+             least((pos - start1) // 10, k - 1) AS batch_id
+      FROM p, e
+      WHERE pos >= start1 AND pos < end1
+      ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
+    "q41_stream_shard" -> q41_stream_shard,
     "q13_merge_suffixes" -> q13_merge_suffixes,
     "q14_merge_indicator" -> q14_merge_indicator,
     "q15_dropdup_keep_last" -> q15_dropdup_keep_last,
