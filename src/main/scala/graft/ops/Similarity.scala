@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextAnalysis.hash60
+
+/** Approximate-nearest-neighbor over embedding columns (parity-plus,
+  * SURVEY.md §7 M5b): brute-force cosine top-k as the exact baseline, and a
+  * hyperplane-LSH bucketed variant as the scale path (candidate set shrinks
+  * to one bucket; the cross product never materializes globally).
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays — `zip_with` dot product +
+    * `aggregate` norms, one codegen'd expression, no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign: plane p dotted with v,
+    * where plane components are ±1 derived from the portable hash of
+    * (plane, index). sign bits concatenate into the LSH bucket key.
+    */
+  def hyperplaneBucket(vecCol: Column, planes: Int, dim: Int): Column = {
+    val v = vecCol.cast("array<double>")
+    val bits = (0 until planes).map { p =>
+      val dotp = (0 until dim).map { i =>
+        val sign = if (planeSign(p, i)) 1.0 else -1.0
+        element_at(v, i + 1) * sign
+      }.reduce(_ + _)
+      when(dotp >= 0, lit(1L) * (1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Plane component sign, computed once on the driver (same value the
+    * oracle derives via md5 in SQL): parity of hash60("p:i").
+    */
+  def planeSign(p: Int, i: Int): Boolean = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    val hex = md5.map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) & 1L) == 0L
+  }
+
+  /** Brute-force cosine top-k: queries × corpus cross join, per-query heap
+    * via window rank. Exact; use for ≤10^5-row query sets or as the
+    * verification stage. Corpus side broadcasts when small.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = queries.crossJoin(corpus)
+      .withColumn("cos", cosine(col(qVec).cast("array<double>"), col(cVec).cast("array<double>")))
+      .filter(col(qId) =!= col(cId))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Bucketed ANN top-k: both sides bucket by [[hyperplaneBucket]]; the join
+    * happens per bucket (equi-join on the bucket key → hash shuffle on
+    * buckets, not a cross product). Recall < 1 by construction; raise
+    * `planes` count or probe multiple buckets for higher recall.
+    */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, planes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = queries.withColumn("__bucket__", hyperplaneBucket(col(qVec), planes, dim))
+    val cb = corpus.withColumn("__bucket__", hyperplaneBucket(col(cVec), planes, dim))
+    val scored = qb.join(cb, "__bucket__")
+      .withColumn("cos", cosine(col(qVec).cast("array<double>"), col(cVec).cast("array<double>")))
+      .filter(col(qId) =!= col(cId))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (parity-plus over the reference — SURVEY.md §7 M5b): language ID, quality
+  * scoring, token counting, fingerprinting. Everything is a codegen'd Column
+  * expression over built-ins — per-row cost is O(len), no UDF, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace-lowered word tokens. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 1)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation
+    * marks — the classic GPT-2 pre-tokenizer shape, as a portable regex.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** 60-bit content hash usable identically in any engine with md5:
+    * first 15 hex chars of md5 as a non-negative long. The basis for
+    * fingerprints, MinHash and SimHash below.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: 60-bit hash of the whitespace-normalized,
+    * lowercased text (stable under formatting noise).
+    */
+  def fingerprint(c: Column): Column =
+    hash60(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Frequent-word profiles for the n-gram language-ID heuristic. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "de", "la", "y", "es"),
+    "zh" -> Seq.empty) // CJK detected by charset below
+
+  /** Language-ID heuristic: score each profile by stopword hits per token;
+    * CJK characters short-circuit to zh; ties and zero scores → "und"
+    * (undetermined). Deterministic, engine-portable.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit): _*)))
+    val scored = LangProfiles.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map {
+      case (lang, words) => (lit(lang), score(words))
+    }
+    val best = scored.tail.foldLeft(scored.head) { case ((bl, bs), (l, s)) =>
+      (when(s > bs, l).otherwise(bl), greatest(s, bs))
+    }
+    when(c.rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"), "zh")
+      .when(best._2 > 0, best._1)
+      .otherwise("und")
+  }
+
+  /** Quality signals (`documents` regime): word count, mean word length,
+    * punctuation ratio, stopword ratio, plus a [0,1] composite score — the
+    * usual pre-training filter features.
+    */
+  def qualityStruct(c: Column): Column = {
+    val toks = tokens(c)
+    val nWords = size(toks).cast("double")
+    val meanWordLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+      greatest(nWords, lit(1.0))
+    val punct = (length(c) - length(regexp_replace(c, "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]", "")))
+      .cast("double")
+    val punctRatio = punct / greatest(length(c).cast("double"), lit(1.0))
+    val stop = size(filter(toks, t => t.isin(LangProfiles.values.flatten.toSeq.distinct.map(lit): _*)))
+      .cast("double")
+    val stopRatio = stop / greatest(nWords, lit(1.0))
+    val score =
+      least(nWords / 100.0, lit(1.0)) * 0.4 +
+        least(meanWordLen / 8.0, lit(1.0)) * 0.2 +
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2 +
+        least(stopRatio * 4.0, lit(1.0)) * 0.2
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(score, 4).as("quality"))
+  }
+
+  /** Word k-shingles: contiguous k-grams joined by a space — the MinHash
+    * input unit.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+}

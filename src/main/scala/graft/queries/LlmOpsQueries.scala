@@ -1,6 +1,407 @@
 package graft.queries
 
-/** Placeholder — populated in later milestones. */
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession.table
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data operator corpus (SURVEY.md §7 M5b; graded first-class):
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis, and
+  * multimodal plumbing — every oracle re-derives the full computation in SQL
+  * from the shared engine-portable md5-based hash.
+  */
 object LlmOpsQueries {
-  val all: Map[String, Q] = Map.empty
+
+  /** Shared SQL fragment: 60-bit hash of an expression (= TextAnalysis.hash60). */
+  private def h60(sqlExpr: String): String =
+    s"CAST(('0x' || substr(md5($sqlExpr), 1, 15)) AS BIGINT)"
+
+  /** Whitespace + BPE-ish token counting. */
+  val q50_token_counts: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             x -> length(x) >= 1)) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Exact dedup via normalized 60-bit fingerprint: duplicate half the
+    * corpus under new ids, dedup keeps the min id per digest group.
+    */
+  val q51_exact_dedup: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val corpus = docs.unionByName(dupes)
+      Dedup.exactDedup(corpus, col("text"), col("doc_id"))
+        .select(col("keep_id"), col("dups"))
+        .orderBy(col("keep_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0)
+      SELECT min(doc_id) AS keep_id, count(*) AS dups
+      FROM corpus
+      GROUP BY ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}
+      ORDER BY keep_id"""),
+    bench = true)
+
+  /** MinHash signatures: 8 salted hash functions over 3-shingles — the
+    * oracle recomputes every signature element.
+    */
+  val q52_minhash_signature: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          posexplode(Dedup.minhashSignature(col("text"), k = 3, numHashes = 4)).as(Seq("h", "sig")))
+        .select(col("doc_id"), col("h").cast("long").as("h"), col("sig"))
+        .orderBy(col("doc_id"), col("h")),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents WHERE doc_id < 100),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      salted AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h)
+      SELECT doc_id, h, sig FROM salted
+      ORDER BY doc_id, h"""))
+
+  /** MinHash LSH banding → candidate pairs (band bucket join), then exact
+    * n-gram Jaccard verification of each candidate — the full near-dup
+    * pipeline. Near-dups are synthesized by appending a word to half the
+    * docs under shifted ids.
+    */
+  val q53_minhash_lsh_jaccard: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" appended")))
+      val corpus = docs.unionByName(near)
+      val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2)
+      val t = corpus
+      cands
+        .join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+        .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+        .withColumn("jac", round(Dedup.jaccard(col("text_a"), col("text_b"), 3), 4))
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jac"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' appended' FROM documents
+        WHERE doc_id < 200 AND doc_id % 2 = 0),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h),
+      band AS (
+        SELECT doc_id, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM sig
+        GROUP BY doc_id, h // 2),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+      jacs AS (
+        SELECT id_a, id_b,
+               round(
+                 len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                 len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                 4) AS jac
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, jac FROM jacs
+      WHERE jac >= 0.5
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
+  /** SimHash (16-bit here; 32/64 in the library) + hamming distance to the
+    * corpus medoid doc 0 — bit-level oracle via range cross join.
+    */
+  val q54_simhash_hamming: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 100)
+      val withSim = docs.select(col("doc_id"),
+        Dedup.simhash(col("text"), bits = 16).as("simhash"))
+      val ref = withSim.filter(col("doc_id") === 0).select(col("simhash").as("ref_sim"))
+      withSim.crossJoin(broadcast(ref))
+        .select(col("doc_id"), col("simhash"),
+          Dedup.hamming(col("simhash"), col("ref_sim")).as("ham"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.t
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                         x -> length(x) >= 1) AS t
+              FROM documents WHERE doc_id < 100) d, UNNEST(d.t) u(t)),
+      h AS (SELECT doc_id, ${h60("t")} AS hv FROM toks),
+      bits AS (
+        SELECT doc_id, r.k,
+               CASE WHEN sum(2 * ((hv >> r.k) & 1) - 1) > 0
+                    THEN CAST(1 AS BIGINT) << r.k ELSE 0 END AS bit
+        FROM h CROSS JOIN range(16) r(k)
+        GROUP BY doc_id, r.k),
+      sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+      SELECT doc_id, simhash,
+             CAST(bit_count(xor(simhash, (SELECT simhash FROM sh WHERE doc_id = 0))) AS BIGINT) AS ham
+      FROM sh
+      ORDER BY doc_id"""))
+
+  /** Brute-force cosine top-k over embeddings (queries = vec_id < 3): the
+    * exact ANN baseline. The oracle computes the dot products with the same
+    * sequential summation order.
+    */
+  val q55_cosine_topk: Q = Q(
+    fn = (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.bruteForceTopK(queries, broadcast(corpus), "q_id", "q_vec", "c_id", "c_vec", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (
+        SELECT q_id, c_id,
+               list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) AS cos
+        FROM q CROSS JOIN c
+        WHERE q_id <> c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        FROM scored)
+      SELECT q_id, c_id, round(cos, 4) AS cos, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank"""),
+    bench = true)
+
+  /** Hyperplane-LSH bucketed ANN (the scale path): 4 deterministic
+    * hash-derived hyperplanes bucket both sides; top-3 within bucket. The
+    * oracle recomputes the plane signs from the same md5 parity.
+    */
+  val q56_cosine_bucketed_ann: Q = Q(
+    fn = (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.bucketedTopK(queries, corpus, "q_id", "q_vec", "c_id", "c_vec",
+        k = 3, planes = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      planes AS (
+        SELECT p.p, i.i,
+               CASE WHEN (${h60("(p.p || ':' || i.i)")} & 1) = 0 THEN 1.0 ELSE -1.0 END AS sign
+        FROM range(4) p(p) CROSS JOIN range(64) i(i)),
+      dots AS (
+        SELECT vec_id, p, sum(vec[i + 1] * sign) AS d
+        FROM v CROSS JOIN planes
+        GROUP BY vec_id, p),
+      buckets AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      q AS (SELECT v.vec_id AS q_id, vec AS qv, bucket FROM v JOIN buckets USING (vec_id) WHERE vec_id < 3),
+      c AS (SELECT v.vec_id AS c_id, vec AS cv, bucket FROM v JOIN buckets USING (vec_id)),
+      scored AS (
+        SELECT q_id, c_id,
+               list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) AS cos
+        FROM q JOIN c USING (bucket)
+        WHERE q_id <> c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        FROM scored)
+      SELECT q_id, c_id, round(cos, 4) AS cos, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""))
+
+  /** Embedding-cosine near-dup detection: LSH buckets + exact cosine >= τ
+    * within buckets, on a corpus with planted near-duplicates.
+    */
+  val q57_cosine_neardup: Q = Q(
+    fn = (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val corpus = emb.unionByName(planted)
+      Dedup.cosineCandidates(corpus, col("embedding"), col("vec_id"),
+        planes = 4, dim = 64, threshold = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 5 = 0),
+      planes AS (
+        SELECT p.p, i.i,
+               CASE WHEN (${h60("(p.p || ':' || i.i)")} & 1) = 0 THEN 1.0 ELSE -1.0 END AS sign
+        FROM range(4) p(p) CROSS JOIN range(64) i(i)),
+      dots AS (
+        SELECT vec_id, p, sum(vec[i + 1] * sign) AS d
+        FROM corpus CROSS JOIN planes GROUP BY vec_id, p),
+      buckets AS (
+        SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      t AS (SELECT corpus.vec_id, vec, bucket FROM corpus JOIN buckets USING (vec_id)),
+      pairs AS (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               list_sum(list_transform(range(1, 65), i -> l.vec[i] * r.vec[i])) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> l.vec[i] * l.vec[i]))) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> r.vec[i] * r.vec[i]))) AS cos
+        FROM t l JOIN t r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      SELECT id_a, id_b, round(cos, 4) AS cos
+      FROM pairs WHERE cos >= 0.999
+      ORDER BY id_a, id_b"""))
+
+  /** Language-ID heuristic + quality scoring — the text-filtering stage of a
+    * pre-training pipeline, aggregated per (true) lang label.
+    */
+  val q58_langid_quality: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.select(col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.qualityStruct(col("text")).as("q"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("q.quality")), 4).as("avg_quality"),
+          round(avg(col("q.stopword_ratio")), 4).as("avg_stop"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                           x -> length(x) >= 1) AS t
+        FROM documents),
+      scores AS (
+        SELECT doc_id, lang, text, t,
+          len(list_filter(t, x -> x IN ('der','und','die','das','ist'))) AS s_de,
+          len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+          len(list_filter(t, x -> x IN ('el','de','la','y','es'))) AS s_es,
+          len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS s_fr
+        FROM toks),
+      folded AS (
+        SELECT *,
+          CASE WHEN s_fr > greatest(s_es, s_en, s_de) THEN 'fr'
+               WHEN s_es > greatest(s_en, s_de) THEN 'es'
+               WHEN s_en > s_de THEN 'en'
+               ELSE 'de' END AS best_lang,
+          greatest(s_de, s_en, s_es, s_fr) AS best_score
+        FROM scores),
+      pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN best_score > 0 THEN best_lang ELSE 'und' END AS pred_lang,
+               len(t)::DOUBLE AS n_words,
+               list_sum(list_transform(t, x -> length(x)))::DOUBLE /
+                 greatest(len(t)::DOUBLE, 1.0) AS mean_word_len,
+               (length(text) - length(regexp_replace(text,
+                  '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')))::DOUBLE /
+                 greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+               len(list_filter(t, x -> x IN ('the','and','of','to','is','der','und','die','das','ist',
+                                             'le','la','et','les','est','el','de','y','es')))::DOUBLE /
+                 greatest(len(t)::DOUBLE, 1.0) AS stop_ratio
+        FROM folded),
+      quality AS (
+        SELECT lang, pred_lang,
+               round(least(n_words / 100.0, 1.0) * 0.4 +
+                     least(mean_word_len / 8.0, 1.0) * 0.2 +
+                     (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+                     least(stop_ratio * 4.0, 1.0) * 0.2, 4) AS q,
+               round(stop_ratio, 4) AS sr
+        FROM pred)
+      SELECT lang, pred_lang, count(*) AS n,
+             round(avg(q), 4) AS avg_quality, round(avg(sr), 4) AS avg_stop
+      FROM quality
+      GROUP BY lang, pred_lang
+      ORDER BY lang, pred_lang"""))
+
+  /** Multimodal asset plumbing: documents → binary payload + metadata
+    * struct; the stubbed decode's shape math is oracle-checked on byte
+    * lengths (the checksum path is spec-tested — see MultimodalSpec).
+    */
+  val q59_multimodal_assets: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val assets = docs.select(
+        col("doc_id"),
+        Multimodal.assetStruct(
+          concat(lit("doc://"), col("doc_id")),
+          encode(col("text"), "UTF-8"),
+          map(lit("lang"), col("lang"))).as("asset"))
+      Multimodal.decodeImages(assets, "asset").toDF()
+        .select(col("path"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("channels").cast("long").as("channels"))
+        .orderBy(col("path"))
+    },
+    oracle = Some("""
+      SELECT 'doc://' || doc_id AS path,
+             greatest(1, octet_length(encode(text)) % 640) AS width,
+             (octet_length(encode(text)) // 640) % 480 + 1 AS height,
+             CAST(3 AS BIGINT) AS channels
+      FROM documents
+      ORDER BY path"""))
+
+  val all: Map[String, Q] = Map(
+    "q50_token_counts" -> q50_token_counts,
+    "q51_exact_dedup" -> q51_exact_dedup,
+    "q52_minhash_signature" -> q52_minhash_signature,
+    "q53_minhash_lsh_jaccard" -> q53_minhash_lsh_jaccard,
+    "q54_simhash_hamming" -> q54_simhash_hamming,
+    "q55_cosine_topk" -> q55_cosine_topk,
+    "q56_cosine_bucketed_ann" -> q56_cosine_bucketed_ann,
+    "q57_cosine_neardup" -> q57_cosine_neardup,
+    "q58_langid_quality" -> q58_langid_quality,
+    "q59_multimodal_assets" -> q59_multimodal_assets)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the LLM-ops layer beyond what the oracle corpus covers:
+  * driver-side/executor-side hash agreement, stub decode determinism, and
+  * ANN recall sanity.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  test("driver-side planeSign parity agrees with executor-side hash60") {
+    val pairs = for (p <- 0 until 4; i <- 0 until 8) yield (p, i)
+    val df = pairs.toDF("p", "i")
+      .withColumn("h", TextAnalysis.hash60(concat(col("p"), lit(":"), col("i"))))
+      .withColumn("even", (col("h") % 2) === 0)
+    df.collect().foreach { r =>
+      assert(Similarity.planeSign(r.getInt(0), r.getInt(1)) == r.getBoolean(3),
+        s"plane sign mismatch at (${r.getInt(0)},${r.getInt(1)})")
+    }
+  }
+
+  test("simhash of identical texts has hamming 0; different texts differ") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "entirely different words here altogether")).toDF("id", "t")
+      .withColumn("sh", Dedup.simhash(col("t"), bits = 32))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("jaccard bounds and self-similarity") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("l", "r")
+      .withColumn("j", Dedup.jaccard(col("l"), col("r"), 2))
+    val js = df.collect().map(_.getDouble(2))
+    assert(js(0) == 1.0 && js(1) == 0.0)
+  }
+
+  test("multimodal decode stub: deterministic, partition-count invariant") {
+    val docs = Seq((1L, "hello world"), (2L, "x" * 2000)).toDF("id", "t")
+    def run(parts: Int) = {
+      val assets = docs.repartition(parts).select(col("id"),
+        Multimodal.assetStruct(concat(lit("doc://"), col("id")), encode(col("t"), "UTF-8"),
+          map(lit("k"), lit("v"))).as("asset"))
+      Multimodal.decodeImages(assets, "asset").collect().sortBy(_.path).toSeq
+    }
+    val a = run(1); val b = run(4)
+    assert(a == b, "decode must not depend on partitioning")
+    assert(a.head.width == 11 && a.head.channels == 3)
+    assert(a.forall(_.checksum != 0L))
+    // resize keeps identity except shape
+    val resized = Multimodal.resize(Multimodal.decodeImages(
+      docs.select(col("id"), Multimodal.assetStruct(concat(lit("d"), col("id")),
+        encode(col("t"), "UTF-8"), map()).as("asset")), "asset"), 224, 224).collect()
+    assert(resized.forall(d => d.width == 224 && d.height == 224))
+  }
+
+  test("bucketed ANN results are a subset of brute-force rankings' candidates") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val brute = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 40)
+      .select("q_id", "c_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = Similarity.bucketedTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 5, planes = 3, dim = 8)
+      .collect()
+    assert(bucketed.nonEmpty)
+    bucketed.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(2)) < 1e-9,
+        s"bucketed pair $key must carry the exact cosine")
+    }
+  }
+
+  test("langId picks CJK fast path and stopword winner") {
+    val df = Seq("the cat and the dog of it is", "der hund und die katze ist da", "你好世界")
+      .toDF("t").withColumn("l", TextAnalysis.langId(col("t")))
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("en", "de", "zh"))
+  }
+}
