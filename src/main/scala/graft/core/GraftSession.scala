@@ -47,8 +47,9 @@ object GraftSession {
     else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      // integer DIV, not `/`: ns epochs exceed 2^53, double division loses µs
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     }
   }
 }

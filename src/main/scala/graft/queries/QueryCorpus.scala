@@ -28,7 +28,8 @@ final case class Q(
 object QueryCorpus {
 
   val all: Map[String, Q] =
-    CoreQueries.all ++ OpQueries.all ++ ProcessorQueries.all ++ PipelineQueries.all ++ LlmOpsQueries.all
+    CoreQueries.all ++ OpQueries.all ++ ProcessorQueries.all ++ PipelineQueries.all ++
+      LlmOpsQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

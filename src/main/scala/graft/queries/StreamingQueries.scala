@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming corpus (SURVEY.md §7 M5a): each query actually runs
+  * the streaming engine (readStream → watermark → stateful op → memory
+  * sink, driven to completion) and the materialized result is compared to a
+  * batch SQL oracle over the same events — proving the streaming plans
+  * compute the same answers the batch engine would.
+  */
+object StreamingQueries {
+
+  /** Tumbling 5-minute windows per event type with watermark. */
+  val q60_stream_tumbling: Q = Q(
+    fn = (s, dir) => {
+      val out = EventStreams.runToCompletion(
+        EventStreams.tumblingCounts(EventStreams.readEvents(s, dir), "5 minutes", "1 minute"),
+        mode = "complete")
+      out.orderBy(col("w_start"), col("event_type"))
+    },
+    oracle = Some("""
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+             time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+             event_type, count(*) AS n, round(sum(value), 4) AS total
+      FROM events
+      GROUP BY 1, 2, 3
+      ORDER BY w_start, event_type"""))
+
+  /** Sliding windows: width 10 min, slide 5 min — every event lands in two
+    * windows; the oracle unnests both bucket starts.
+    */
+  val q61_stream_sliding: Q = Q(
+    fn = (s, dir) => {
+      val out = EventStreams.runToCompletion(
+        EventStreams.slidingCounts(EventStreams.readEvents(s, dir), "10 minutes", "5 minutes", "1 minute"),
+        mode = "complete")
+      out.orderBy(col("w_start"))
+    },
+    oracle = Some("""
+      SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, count(*) AS n
+      FROM (SELECT UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start
+            FROM events)
+      GROUP BY w_start
+      ORDER BY w_start"""))
+
+  /** Stateful streaming dedup: two replays of the stream unioned (every
+    * event twice) → `dropDuplicates(event_id)` with watermark state →
+    * exactly one row per event survives.
+    */
+  val q62_stream_dedup: Q = Q(
+    fn = (s, dir) => {
+      val doubled = EventStreams.readEvents(s, dir)
+        .unionByName(EventStreams.readEvents(s, dir))
+      val deduped = EventStreams.runToCompletion(
+        EventStreams.dedupEvents(doubled, "1 minute"), mode = "append")
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("n_ids"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Per-user session windows (10-minute inactivity gap): streaming
+    * `session_window` vs the batch gaps-and-islands derivation. Session end
+    * = last event + gap; a gap of exactly 10 minutes starts a new session
+    * (window end is exclusive).
+    */
+  val q63_stream_sessions: Q = Q(
+    fn = (s, dir) => {
+      val out = EventStreams.runToCompletion(
+        EventStreams.sessionCounts(EventStreams.readEvents(s, dir), "10 minutes", "1 minute"),
+        mode = "complete")
+      out.orderBy(col("user_id"), col("s_start"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM e)
+      SELECT min(ts) AS s_start,
+             max(ts) + INTERVAL '10 minutes' AS s_end,
+             user_id, count(*) AS n, round(sum(value), 4) AS total
+      FROM s
+      GROUP BY user_id, sid
+      ORDER BY user_id, s_start"""))
+
+  val all: Map[String, Q] = Map(
+    "q60_stream_tumbling" -> q60_stream_tumbling,
+    "q61_stream_sliding" -> q61_stream_sliding,
+    "q62_stream_dedup" -> q62_stream_dedup,
+    "q63_stream_sessions" -> q63_stream_sessions)
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (parity-plus — the reference
+  * has no event streaming at all, SURVEY.md §2.9 last row / §7 M5a): the
+  * same `readStream → transform → writeStream` plans run unchanged against
+  * a Kafka source at scale; here the parquet fixture drives them.
+  *
+  * State design for 100 TB/day streams: every aggregation below keys its
+  * state by (window, type) or (user) — state size is bounded by key
+  * cardinality × window retention, and the watermark expires old state;
+  * nothing accumulates unboundedly.
+  */
+object EventStreams {
+
+  /** The events schema as stored (ts is parquet timestamp[ns], which Spark
+    * reads as long under the nanosAsLong conf — see GraftSession.table).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the parquet fixture: one file = one micro-batch
+    * replay of the full history.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob, not the bare file: the streaming source wants a directory-like
+    // path to monitor (at scale this is the landing directory / Kafka topic)
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts + sums per event type with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window event counts (width, slide). */
+  def slidingCounts(events: DataFrame, width: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"), col("n"))
+
+  /** Stateful exact-once dedup on event_id within the watermark horizon
+    * (`dropDuplicates` keeps per-key state, expired by the watermark).
+    */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(Seq("event_id"))
+
+  /** Per-user session windows with an inactivity gap: session end = last
+    * event + gap (Spark `session_window` semantics).
+    */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("total"))
+
+  /** Drive a streaming frame to completion against the finite fixture and
+    * return the materialized result (memory sink; `complete` for
+    * aggregations so the final windows emit, `append` for row streams).
+    */
+  def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -19,10 +19,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # normalize datetime resolution: duckdb yields us/ns depending on source
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # duckdb returns decimal/era dtypes occasionally; normalize to builtin
     return df.reset_index(drop=True)
 
 
