@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — absent in both bears and vanilla Spark
+  * (SURVEY.md §2.3 last row): for each left row, the latest right row with
+  * `rightTime <= leftTime` within the same key.
+  *
+  * Implementation strategy (a) from the custom-operator preference order:
+  * COMPOSE built-ins rather than a custom SparkPlan. Tag both sides, union,
+  * and run one `last(_, ignoreNulls)` window over (key, time, side) — a
+  * single shuffle+sort on the key, no range join, no per-key loop. At 100 TB
+  * this is the plan you'd want anyway: both sides co-partition on the key,
+  * and the window is the same sort a sort-merge range join would need,
+  * minus the quadratic candidate expansion.
+  */
+object AsOfJoin {
+
+  /** @param left left frame
+    * @param right right frame
+    * @param keys equi-join key column names (same names both sides)
+    * @param leftTime left event-time column
+    * @param rightTime right event-time column
+    * @param rightPayload right columns to carry (renamed as given)
+    * @param strict if true, require rightTime < leftTime (exclusive)
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Map[String, String],
+      strict: Boolean = false): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // side 0 = right, 1 = left: at equal times the right row sorts first,
+    // so `last(...)` has already seen it (inclusive semantics); strict mode
+    // flips the order so equal-time right rows sort after the left row.
+    val sideOrder = if (strict) Seq(col("__t__"), col("__side__").desc) else Seq(col("__t__"), col("__side__"))
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t__"), lit(0).as("__side__")) ++
+        rightPayload.map { case (from, to) => col(from).as(s"__p_$to") }: _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t__"), lit(1).as("__side__")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(sideOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightPayload.values.foldLeft(unioned) { (d, to) =>
+      d.withColumn(s"__c_$to", last(col(s"__p_$to"), ignoreNulls = true).over(w))
+    }
+
+    carried.filter(col("__side__") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__t__").as(leftTime)) ++
+          leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
+          rightPayload.values.map(to => col(s"__c_$to").as(to)): _*)
+  }
+}

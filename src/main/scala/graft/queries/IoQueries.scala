@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession.table
+import graft.io.{Compress, FileMetadata, Readers, Writers}
+import graft.ops.AsOfJoin
+import graft.sdf.SDF
+
+/** I/O layer + remaining operator-surface corpus: sink→source round-trips
+  * through the format-detecting readers/writers (SURVEY.md §2.1), wire
+  * compression, the as-of join (custom composed operator), and the scalar
+  * function family (§2.8).
+  */
+object IoQueries {
+
+  private def scratch(name: String): String = {
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_scratch", name)
+    d.toString
+  }
+
+  /** CSV sink → multi-file chunked write → CSV scan with schema inference
+    * (`CsvReader.py:19-111` / `CsvWriter.py`; chunked naming
+    * `DataFrameWriter.py:291-358`).
+    */
+  val q70_csv_roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("nation_csv")
+      Writers.write(table(s, dir, "nation"), FileMetadata.of(out + ".csv"), numChunks = Some(2))
+      Readers.read(s, out + ".csv")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    oracle = Some("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation
+      ORDER BY n_nationkey"""))
+
+  /** JSON-lines sink → scan (`JsonLinesReader.py` / `JsonLinesWriter.py`). */
+  val q71_jsonl_roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("orders_jsonl")
+      val subset = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Writers.write(subset, FileMetadata.of(out + ".jsonl"))
+      Readers.read(s, out + ".jsonl")
+        .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** gzip JSON wire compression round-trip
+    * (`ScalableDataFrame.py:336-393`): frame → payload → frame with pinned
+    * schema.
+    */
+  val q72_compress_roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val region = table(s, dir, "region")
+      val payload = Compress.compress(region)
+      Compress.decompress(s, payload, Some(region.schema))
+        .orderBy(col("r_regionkey"))
+    },
+    oracle = Some("SELECT * FROM region ORDER BY r_regionkey"))
+
+  /** As-of backward join (custom composed operator): for every event, the
+    * user's most recent signup at-or-before it — verified against DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  val q64_asof_join: Q = Q(
+    fn = (s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.backward(
+        left, signups,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Map("event_id" -> "last_signup_id"))
+        .select(col("event_id"), col("user_id"), col("last_signup_id"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT l.event_id, l.user_id, r.event_id AS last_signup_id
+      FROM events l
+      ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""),
+    bench = true)
+
+  /** §2.8 scalar family through SCol: clip, astype (truncating cast), abs,
+    * arithmetic, conditional bucketing.
+    */
+  val q65_scalar_funcs: Q = Q(
+    fn = (s, dir) => {
+      val li = SDF(table(s, dir, "lineitem"))
+      val qty = li("l_quantity")
+      li.df.select(
+        col("l_orderkey"), col("l_linenumber"),
+        qty.clip(5.0, 40.0).as("qty_clip"),
+        qty.astype("long").as("qty_int"),
+        round(abs(col("l_discount") - lit(0.05)), 4).as("disc_dev"),
+        when(col("l_extendedprice") > 50000, "high")
+          .when(col("l_extendedprice") > 20000, "mid")
+          .otherwise("low").as("price_band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber,
+             least(greatest(l_quantity, 5.0), 40.0) AS qty_clip,
+             CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
+             round(abs(l_discount - 0.05), 4) AS disc_dev,
+             CASE WHEN l_extendedprice > 50000 THEN 'high'
+                  WHEN l_extendedprice > 20000 THEN 'mid'
+                  ELSE 'low' END AS price_band
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** §2.3 cross join (merge how="cross"). */
+  val q66_cross_join: Q = Q(
+    fn = (s, dir) => {
+      val r = table(s, dir, "region").select(col("r_name"))
+      val n = table(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+    },
+    oracle = Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name"""))
+
+  /** §2.8 dict-map (`ss.map(dict)`, `NumpyArrayScalableSeries.py:304-338`):
+    * literal-map lookup with null for absent keys (na_action semantics).
+    */
+  val q67_dict_map: Q = Q(
+    fn = (s, dir) => {
+      val c = SDF(table(s, dir, "customer"))
+      c.df.select(
+        col("c_custkey"),
+        c("c_mktsegment").mapValues(Map(
+          "BUILDING" -> "B2B", "MACHINERY" -> "IND", "AUTOMOBILE" -> "AUTO")).as("seg_code"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey,
+             CASE c_mktsegment WHEN 'BUILDING' THEN 'B2B'
+                               WHEN 'MACHINERY' THEN 'IND'
+                               WHEN 'AUTOMOBILE' THEN 'AUTO' END AS seg_code
+      FROM customer
+      ORDER BY c_custkey"""))
+
+  val all: Map[String, Q] = Map(
+    "q70_csv_roundtrip" -> q70_csv_roundtrip,
+    "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
+    "q72_compress_roundtrip" -> q72_compress_roundtrip,
+    "q64_asof_join" -> q64_asof_join,
+    "q65_scalar_funcs" -> q65_scalar_funcs,
+    "q66_cross_join" -> q66_cross_join,
+    "q67_dict_map" -> q67_dict_map)
+}

@@ -29,7 +29,7 @@ object QueryCorpus {
 
   val all: Map[String, Q] =
     CoreQueries.all ++ OpQueries.all ++ ProcessorQueries.all ++ PipelineQueries.all ++
-      LlmOpsQueries.all ++ StreamingQueries.all
+      LlmOpsQueries.all ++ StreamingQueries.all ++ IoQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
