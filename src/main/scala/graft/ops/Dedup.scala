@@ -32,10 +32,17 @@ object Dedup {
     * the shingle hash with the function index — `min_j over shingles of
     * hash60(j || ':' || shingle)`. Pure expression, one pass per row.
     */
-  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(textCol, k)
+  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column =
+    minhashFromShingles(shingles(textCol, k), numHashes)
+
+  /** Signature from a precomputed shingles column — stage the shingles as
+    * their own projection first (see [[graft.processor.TfIdfVectorization
+    * .transformStaged]]: inlined Column references re-evaluate the whole
+    * tokenize→shingle subtree once per hash function otherwise).
+    */
+  def minhashFromShingles(shinglesCol: Column, numHashes: Int): Column = {
     val sigs = (0 until numHashes).map { j =>
-      array_min(transform(sh, s => hash60(concat(lit(s"$j:"), s))))
+      array_min(transform(shinglesCol, s => hash60(concat(lit(s"$j:"), s))))
     }
     array(sigs: _*)
   }
@@ -62,7 +69,9 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: Column, idCol: Column,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val withBands = df
-      .select(idCol.as("id"), explode(lshBands(minhashSignature(textCol, k, numHashes), numHashes, bands)).as("b"))
+      .select(idCol.as("id"), shingles(textCol, k).as("__sh__"))
+      .select(col("id"), minhashFromShingles(col("__sh__"), numHashes).as("__sig__"))
+      .select(col("id"), explode(lshBands(col("__sig__"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
     val l = withBands.as("l")
     val r = withBands.as("r")
@@ -75,9 +84,13 @@ object Dedup {
   /** Exact n-gram Jaccard similarity of two texts (the verification stage
     * after LSH candidates): |A∩B| / |A∪B| over distinct shingles.
     */
-  def jaccard(a: Column, b: Column, k: Int): Column = {
-    val sa = array_distinct(shingles(a, k))
-    val sb = array_distinct(shingles(b, k))
+  def jaccard(a: Column, b: Column, k: Int): Column =
+    jaccardShingles(array_distinct(shingles(a, k)), array_distinct(shingles(b, k)))
+
+  /** Jaccard over precomputed distinct-shingle arrays — compute the arrays
+    * once per document BEFORE a pair join, not per pair.
+    */
+  def jaccardShingles(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)

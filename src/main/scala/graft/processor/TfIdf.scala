@@ -62,6 +62,36 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
     this
   }
 
+  /** Staged transform: materializes each stage (tokens → entries → norm) as
+    * its own projection so every subexpression evaluates ONCE per row.
+    * The single-Column [[transform]] inlines the whole tree at every
+    * reference — nested HOFs then re-evaluate tokenization per term, which
+    * is exponential in stage depth (measured 168s → ~2s at sf0.1). Use this
+    * from pipelines; `transform` remains for tiny frames / API parity.
+    */
+  def transformStaged(df: DataFrame, inputCol: String, outCol: String): DataFrame = {
+    val v = vocab.getOrElse(notFitted("transformStaged"))
+    val idxMap = typedLit(v.map { case (t, (i, _)) => t -> i }.toMap)
+    val idfMap = typedLit(v.map { case (t, (_, f)) => t -> f }.toMap)
+    val size = v.size
+    val toks = "__tfidf_toks__"; val entries = "__tfidf_entries__"; val nrm = "__tfidf_norm__"
+    val staged = df
+      .withColumn(toks, filter(tokenize(col(inputCol)), t => element_at(idxMap, t).isNotNull))
+      .withColumn(entries, transform_hof(array_sort(array_distinct(col(toks))), t =>
+        struct(
+          element_at(idxMap, t).as("i"),
+          (size_of_matches(col(toks), t) * element_at(idfMap, t)).as("v"))))
+      .withColumn(nrm, sqrt(aggregate(col(entries), lit(0.0),
+        (acc, e) => acc + e.getField("v") * e.getField("v"))))
+      .withColumn(outCol, struct(
+        lit(size).as("size"),
+        transform_hof(col(entries), _.getField("i")).as("indices"),
+        transform_hof(col(entries), e => (e.getField("v") / col(nrm)).as("v")).as("values")))
+      .drop(toks, entries, nrm)
+    if (outputSparse) staged
+    else staged.withColumn(outCol, new Processors.VectorDensifier(Map.empty).transform(col(outCol)))
+  }
+
   def transform(in: Column): Column = {
     val v = vocab.getOrElse(notFitted("transform"))
     val idxMap = typedLit(v.map { case (t, (i, _)) => t -> i }.toMap)

@@ -102,11 +102,13 @@ object LlmOpsQueries {
       val corpus = docs.unionByName(near)
       val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
         k = 3, numHashes = 4, bands = 2)
-      val t = corpus
+      // distinct shingle sets computed once per doc, BEFORE the pair join
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(graft.ops.TextAnalysis.shingles(col("text"), 3)).as("sh"))
       cands
-        .join(t.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-        .join(t.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-        .withColumn("jac", round(Dedup.jaccard(col("text_a"), col("text_b"), 3), 4))
+        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jac", round(Dedup.jaccardShingles(col("sh_a"), col("sh_b")), 4))
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("id_a"), col("id_b"))

@@ -212,7 +212,7 @@ object ProcessorQueries {
       val docs = table(s, dir, "documents")
       val tfidf = new TfIdfVectorization(Map("max_features" -> 20, "output_sparse" -> true))
       tfidf.fit(docs, "text")
-      docs.withColumn("vec", tfidf.transform(col("text")))
+      tfidf.transformStaged(docs, "text", "vec")
         .select(col("doc_id"),
           posexplode(arrays_zip(col("vec.indices"), col("vec.values"))).as(Seq("pos", "entry")))
         .select(
