@@ -218,6 +218,25 @@ final class DataPipeline(
     transform(df, schema)
   }
 
+  /** Low-latency local path — the reference's RECORD regime
+    * (`_DataPipeline.py:926-958`, layout_scaling thresholds `:556-572`:
+    * TRANSFORM on ≤5 rows runs row-at-a-time without the heavy engine).
+    *
+    * Rows go in as a `LocalRelation`; every narrow (non-fitting) step is a
+    * projection over it, which Catalyst's ConvertToLocalRelation rule
+    * evaluates ON THE DRIVER during optimization — `collect()` launches no
+    * Spark job, so single-record inference skips the ~100ms job overhead.
+    */
+  def transformLocal(
+      spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      sparkSchema: org.apache.spark.sql.types.StructType,
+      schema: MLSchema): Seq[org.apache.spark.sql.Row] = {
+    val local = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sparkSchema)
+    transform(local, schema).collect().toSeq
+  }
+
   private var finalSchema: Option[MLSchema] = None
   def outputSchema: Option[MLSchema] = finalSchema
 

@@ -39,6 +39,15 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def notna: Column = col.isNotNull
   def fillna(value: Any): Column = coalesce(col, lit(value))
 
+  /** `ss.apply(func)` escape hatch (`ScalableSeries.py:855-868`) — a Scala
+    * closure as a UDF. LAST resort (§2.12): a UDF breaks whole-stage codegen
+    * and columnar batching; prefer Column algebra / built-ins, which cover
+    * every reference processor (SURVEY.md §2.10).
+    */
+  def applyUdf[I: scala.reflect.runtime.universe.TypeTag,
+      O: scala.reflect.runtime.universe.TypeTag](f: I => O): Column =
+    udf(f).apply(col)
+
   /** `map(dict, na_action)` (`NumpyArrayScalableSeries.py:304-338`): lookup
     * via a literal map expression — broadcast-free, codegen'd. Keys absent
     * from the map yield null (pandas NaN).

@@ -167,6 +167,26 @@ class ProcessorSpec extends AnyFunSuite {
     assert(out2.select("cat_enc", "up").collect().toSeq == out.select("cat_enc", "up").collect().toSeq)
   }
 
+  test("transformLocal: LocalRelation path collects without a Spark job") {
+    val yaml =
+      """pipeline:
+        |  - input: [txt]
+        |    transformer: CaseTransformation
+        |    params: {case: upper}
+        |    output: "up"
+        |""".stripMargin
+    val schema = MLSchema(Map("txt" -> MLType.Text))
+    val df = Seq("x").toDF("txt")
+    val pipe = new DataPipeline(PipelineConfig.fromYaml(yaml)).fit(df, schema)
+    val sparkSchema = df.schema
+    val rows = Seq(org.apache.spark.sql.Row("hello"), org.apache.spark.sql.Row("world"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out = pipe.transformLocal(spark, rows, sparkSchema, schema)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(out.map(_.getString(1)) == Seq("HELLO", "WORLD"))
+    assert(after == before, "local path must not launch a Spark job")
+  }
+
   test("pipeline missing-column ERROR raises; SKIP passes through") {
     val yaml =
       """pipeline:
