@@ -63,10 +63,13 @@ object Multimodal {
       }
   }
 
-  /** STUB kernel — deterministic byte-derived fake of an image decode. */
+  /** STUB kernel — deterministic byte-derived fake of an image decode.
+    * Checksum = [[graft.functions.FnvHash64]] (same kernel as the codegen'd
+    * Catalyst expression, so relational and typed paths agree).
+    */
   private[ops] def fakeDecode(path: String, bytes: Array[Byte]): DecodedImage = {
     val n = if (bytes == null) 0 else bytes.length
-    val checksum = if (n == 0) 0L else bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+    val checksum = if (n == 0) 0L else graft.functions.FnvHash64.hash(bytes)
     DecodedImage(path, width = math.max(1, n % 640), height = math.max(1, (n / 640) % 480 + 1),
       channels = 3, checksum = checksum)
   }

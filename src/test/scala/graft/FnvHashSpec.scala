@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FnvHash64
+import graft.ops.Multimodal
+
+/** Native Catalyst expression spec: interpreted eval == codegen eval ==
+  * driver-side kernel, SQL registration, and agreement with the multimodal
+  * decode checksum.
+  */
+class FnvHashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  test("fnv_hash64 matches driver-side kernel on strings and binary") {
+    val data = Seq("", "a", "hello world", "graft engine é中")
+    val df = data.toDF("s")
+      .withColumn("h", FnvHash64.fnv_hash64(col("s")))
+      .withColumn("hb", FnvHash64.fnv_hash64(encode(col("s"), "UTF-8")))
+    df.collect().zip(data).foreach { case (r, s) =>
+      val expected = FnvHash64.hash(s.getBytes("UTF-8"))
+      assert(r.getLong(1) == expected && r.getLong(2) == expected, s"mismatch for '$s'")
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = (0 until 100).map(i => s"row-$i").toDF("s")
+    def hashes(codegen: String): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.withColumn("h", FnvHash64.fnv_hash64(col("s")))
+        .collect().map(_.getLong(1)).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(hashes("CODEGEN_ONLY") == hashes("NO_CODEGEN"))
+  }
+
+  test("SQL registration") {
+    FnvHash64.register(spark)
+    val out = spark.sql("SELECT fnv_hash64('abc') AS h").head().getLong(0)
+    assert(out == FnvHash64.hash("abc".getBytes("UTF-8")))
+  }
+
+  test("expression checksum equals the multimodal decode stub checksum") {
+    val docs = Seq((1L, "payload bytes here")).toDF("id", "t")
+    val assets = docs.select(col("id"),
+      Multimodal.assetStruct(concat(lit("d"), col("id")), encode(col("t"), "UTF-8"), map()).as("asset"))
+    val decoded = Multimodal.decodeImages(assets, "asset").collect().head
+    val viaExpr = docs.select(FnvHash64.fnv_hash64(encode(col("t"), "UTF-8"))).head().getLong(0)
+    assert(decoded.checksum == viaExpr)
+  }
+}
