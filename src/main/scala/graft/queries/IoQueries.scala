@@ -147,7 +147,35 @@ object IoQueries {
       FROM customer
       ORDER BY c_custkey"""))
 
+  /** §2.8 bfill + dropna + §2.4 duplicated mask in one pass through SDF:
+    * backward-fill nulls per user along event time, flag repeat events per
+    * user, drop rows whose trailing nulls could not be filled.
+    */
+  val q68_na_bfill_duplicated: Q = Q(
+    fn = (s, dir) => {
+      val e = SDF(table(s, dir, "events")
+        .withColumn("v", when(col("value") < 50, lit(null)).otherwise(col("value"))))
+      e.bfill(Seq("v"), orderBy = Seq(col("ts"), col("event_id")), partitionBy = Seq(col("user_id")))
+        .withDuplicatedFlag(Seq("user_id"), orderBy = Seq(col("ts"), col("event_id")), flag = "repeat_user")
+        .dropna(how = "any", subset = Seq("v"))
+        .df.select(col("event_id"), col("user_id"), round(col("v"), 4).as("v"), col("repeat_user"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT event_id, user_id,
+               first_value(CASE WHEN value < 50 THEN NULL ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1 AS repeat_user
+        FROM events)
+      SELECT event_id, user_id, round(v, 4) AS v, repeat_user
+      FROM f
+      WHERE v IS NOT NULL
+      ORDER BY event_id"""))
+
   val all: Map[String, Q] = Map(
+    "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,

@@ -73,6 +73,13 @@ final class SDF private (private var _df: DataFrame) {
   def assign(cols: (String, Column)*): SDF =
     SDF(_df.withColumns(cols.toMap))
 
+  /** `applymap(func)` (`ScalableDataFrame.py:1686-1688`,
+    * `DictScalableDataFrame.py:362-373` column-by-column apply): the same
+    * expression builder applied to every column — one fused projection.
+    */
+  def applymap(f: Column => Column): SDF =
+    SDF(_df.select(columns.map(c => f(col(c)).as(c)): _*))
+
   /** `sample(frac, seed)` (`ScalableDataFrame.py:1772-1776`). */
   def sample(fraction: Double, seed: Long = 42L, withReplacement: Boolean = false): SDF =
     SDF(_df.sample(withReplacement, fraction, seed))
