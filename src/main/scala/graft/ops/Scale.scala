@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location utilities — the mechanisms SURVEY.md §4 and the
+  * scale mandate call for when AQE's automatic skew handling isn't enough:
+  * salting for hot keys and bucketing for shuffle-free repeated joins.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation: a hot group key (think: the empty
+    * document, the null user) funnels its rows through `salts` partial
+    * groups before the final combine, so no single task owns the hot key.
+    * Correct for algebraic aggregates expressed as (partial, combine)
+    * pairs on the same column name.
+    *
+    * @param partials per-output (partialAgg, finalCombine) keyed by alias,
+    *   e.g. "n" -> (count(lit(1)), sum) — partial runs per (key, salt),
+    *   combine re-aggregates per key.
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      partials: Map[String, (Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt__", pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+    val partial = salted
+      .groupBy((keys :+ "__salt__").map(col): _*)
+      .agg(partials.head._2._1.as(partials.head._1),
+        partials.tail.map { case (n, (p, _)) => p.as(n) }.toSeq: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head._2._2(col(partials.head._1)).as(partials.head._1),
+        partials.tail.map { case (n, (_, c)) => c(col(n)).as(n) }.toSeq: _*)
+  }
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a random-ish
+    * stable salt in [0, salts); the (small-enough) right side replicates
+    * once per salt value, so each hot-key's rows spread over `salts` tasks.
+    * Result equals the plain inner join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
+    val l = left.withColumn("__salt__",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val r = right.withColumn("__salt__", explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, keys :+ "__salt__").drop("__salt__")
+  }
+
+  /** Persist a frame bucketed (and sorted) by join keys: repeated joins on
+    * those keys become shuffle-free AND sort-free (bucket-local sort-merge)
+    * — the co-location strategy for fact-to-fact joins at 100 TB.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+}

@@ -174,8 +174,61 @@ object IoQueries {
       WHERE v IS NOT NULL
       ORDER BY event_id"""))
 
+  /** §2.5 rolling mean + pct_change (blocked in bears,
+    * `ScalableDataFrame.py:1374-1397`): 4-row trailing window and relative
+    * change per supplier — one window spec, two frames.
+    */
+  val q69_rolling_pct_change: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("roll_avg_qty", round(avg(col("l_quantity")).over(w.rowsBetween(-3, 0)), 4))
+        .withColumn("pct_change", round(
+          (col("l_quantity") - lag(col("l_quantity"), 1).over(w)) /
+            lag(col("l_quantity"), 1).over(w), 4))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("roll_avg_qty"), col("pct_change"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg_qty,
+             round((l_quantity - lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)) /
+                   lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber), 4) AS pct_change
+      FROM lineitem
+      WHERE l_suppkey <= 3
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** Pivot (parity-plus; blocked in bears `ScalableDataFrame.py:1421-1422`):
+    * return-flag quantity totals pivoted by line status.
+    */
+  val q73_pivot: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = Map(
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
+    "q69_rolling_pct_change" -> q69_rolling_pct_change,
+    "q73_pivot" -> q73_pivot,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Scale
+
+/** Scale-mechanism specs: salted plans must be result-identical to plain
+  * plans, and bucketed joins must plan without shuffle exchanges.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  test("saltedAggregate equals plain aggregation on a skewed key") {
+    // 90% of rows share one key — the salting target
+    val df = ((1 to 900).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Scale.saltedAggregate(df, Seq("k"), salts = 8, partials = Map(
+      "total" -> (sum(col("v")), (c: org.apache.spark.sql.Column) => sum(c)),
+      "n" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val left = ((1 to 500).map(_ => 1) ++ (1 to 50)).map(k => (k, s"l$k")).toDF("k", "lv")
+    val right = (1 to 50).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, "k").collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), salts = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed join plans without shuffle exchanges") {
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    Scale.writeBucketed(a, "bkt_a", Seq("k"), buckets = 4)
+    Scale.writeBucketed(b, "bkt_b", Seq("k"), buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
