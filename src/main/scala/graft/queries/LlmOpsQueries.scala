@@ -276,7 +276,7 @@ object LlmOpsQueries {
         .withColumn("vec_id", col("vec_id") + 1000000)
       val corpus = emb.unionByName(planted)
       Dedup.cosineCandidates(corpus, col("embedding"), col("vec_id"),
-        planes = 4, dim = 64, threshold = 0.999)
+        planes = 6, dim = 64, threshold = 0.999)
         .orderBy(col("id_a"), col("id_b"))
     },
     oracle = Some(s"""
@@ -287,7 +287,7 @@ object LlmOpsQueries {
       planes AS (
         SELECT p.p, i.i,
                CASE WHEN (${h60("(p.p || ':' || i.i)")} & 1) = 0 THEN 1.0 ELSE -1.0 END AS sign
-        FROM range(4) p(p) CROSS JOIN range(64) i(i)),
+        FROM range(6) p(p) CROSS JOIN range(64) i(i)),
       dots AS (
         SELECT vec_id, p, sum(vec[i + 1] * sign) AS d
         FROM corpus CROSS JOIN planes GROUP BY vec_id, p),

@@ -38,6 +38,17 @@ class ScaleSpec extends AnyFunSuite {
   test("bucketed join plans without shuffle exchanges") {
     val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    // a fresh in-memory catalog + a leftover warehouse dir from a prior JVM
+    // trips LOCATION_ALREADY_EXISTS; clear both
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Scale.writeBucketed(a, "bkt_a", Seq("k"), buckets = 4)
     Scale.writeBucketed(b, "bkt_b", Seq("k"), buckets = 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
