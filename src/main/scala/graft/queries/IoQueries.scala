@@ -225,8 +225,29 @@ object IoQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Exact product aggregate (native DeclarativeAggregate,
+    * `functions.ProductAgg`) — grouped compounding factor per order,
+    * verified against DuckDB's exact `product()`. Unlike the log-sum trick
+    * this is bit-exact under partial aggregation.
+    */
+  val q74_product_agg: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .groupBy(col("l_orderkey"))
+        .agg(round(graft.functions.ProductAgg.product_exact(lit(1.0) + col("l_discount")), 4)
+          .as("growth"))
+        .orderBy(col("l_orderkey")),
+    oracle = Some("""
+      SELECT l_orderkey, round(product(1.0 + l_discount), 4) AS growth
+      FROM lineitem
+      WHERE l_orderkey < 100
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey"""))
+
   val all: Map[String, Q] = Map(
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
+    "q74_product_agg" -> q74_product_agg,
     "q69_rolling_pct_change" -> q69_rolling_pct_change,
     "q73_pivot" -> q73_pivot,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,

@@ -153,21 +153,13 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def corrWith(other: Column): Double = scalar[Double](corr(col, other))
   def covWith(other: Column): Double = scalar[Double](covar_samp(col, other))
 
-  /** `prod` (`NumpyArrayScalableSeries.py:292-302`) via the log-sum trick for
-    * positive values; zero short-circuits. (A custom Aggregator would handle
-    * negatives; bears' use cases are positive numerics.)
+  /** `prod` (`NumpyArrayScalableSeries.py:292-302`) — exact native
+    * aggregate ([[graft.functions.ProductAgg]], partial-aggregation-correct
+    * multiply), not the lossy `exp(sum(log))` trick. Empty/all-null series
+    * yields 1.0, matching pandas.
     */
-  def prod: Double = {
-    val r = df.agg(
-      sum(log(abs(col))).as("ls"),
-      sum(when(col === 0, 1).otherwise(0)).as("zeros"),
-      sum(when(col < 0, 1).otherwise(0)).as("negs")).head()
-    if (r.getAs[Long]("zeros") > 0) 0.0
-    else {
-      val sign = if (r.getAs[Long]("negs") % 2 == 0) 1.0 else -1.0
-      sign * math.exp(r.getAs[Double]("ls"))
-    }
-  }
+  def prod: Double =
+    scalar[Double](coalesce(graft.functions.ProductAgg.product_exact(col), lit(1.0)))
 
   /** `dot` (`ScalableSeries.py:838-848`). */
   def dot(other: Column): Double = scalar[Double](sum(col * other))
