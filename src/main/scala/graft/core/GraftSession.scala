@@ -24,6 +24,7 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration (`SparkSessionExtensions` — the guide's
+  * tier (c) integration point): installs graft's native expressions as SQL
+  * functions on every session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "fnv_hash64" -> ((exprs: Seq[Expression]) => FnvHash64(exprs.head)),
+    "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()))
+
+  /** Install into an ALREADY-RUNNING session (extensions config only applies
+    * at session construction; `getOrCreate` on an active session ignores it).
+    */
+  def installInto(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -43,6 +43,14 @@ class FnvHashSpec extends AnyFunSuite {
     assert(out == FnvHash64.hash("abc".getBytes("UTF-8")))
   }
 
+  test("GraftExtensions installs SQL functions (running-session path)") {
+    graft.functions.GraftExtensions.installInto(spark)
+    assert(spark.sql("SELECT fnv_hash64('abc') AS h").head().getLong(0)
+      == FnvHash64.hash("abc".getBytes("UTF-8")))
+    assert(spark.sql("SELECT round(product_exact(x), 4) AS p FROM VALUES (1.5),(2.0),(NULL) t(x)")
+      .head().getDouble(0) == 3.0)
+  }
+
   test("expression checksum equals the multimodal decode stub checksum") {
     val docs = Seq((1L, "payload bytes here")).toDF("id", "t")
     val assets = docs.select(col("id"),
