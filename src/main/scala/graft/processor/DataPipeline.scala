@@ -83,11 +83,21 @@ final case class ResolvedStep(
     transformer: String,
     bindings: Seq[(Seq[String], DataProcessor, String)]) // (inputCols, processor, outputCol)
 
+/** Per-step timing record — the reference's `ProcessorPerf`/
+  * `PipelineStepPerf` (`_DataPipeline.py:61-144`); here only fit does eager
+  * work (transform is one lazy plan), so fit wall-time is what's recorded.
+  */
+final case class StepPerf(transformer: String, inputCols: Seq[String], fitSec: Double)
+
 final class DataPipeline(
     val config: PipelineConfig,
     val persist: PersistLevel = PersistLevel.DontPersist) {
 
   private var resolved: Option[Seq[ResolvedStep]] = None
+  private var perf: Seq[StepPerf] = Nil
+
+  /** Fit timings of the last `fit` call (`ProcessingPipelinePerf` analog). */
+  def lastFitPerf: Seq[StepPerf] = perf
   def steps: Seq[ResolvedStep] = resolved.getOrElse(
     throw new IllegalStateException("pipeline not fitted/resolved"))
 
@@ -126,11 +136,13 @@ final class DataPipeline(
     var df = df0
     var schema = schema0
     val out = Seq.newBuilder[ResolvedStep]
+    val perfOut = Seq.newBuilder[StepPerf]
     config.steps.foreach { step =>
       val cols = matchColumns(step.input, df.columns.toSeq, schema)
       resolveStep(step, cols) match {
         case None => // SKIP behavior
         case Some(rs) =>
+          val t0 = System.nanoTime()
           val fitted = rs.bindings.map { case (ins, proc, o) =>
             proc match {
               case p: SingleColumnProcessor =>
@@ -141,6 +153,7 @@ final class DataPipeline(
                 (ins, proc, o)
             }
           }
+          perfOut += StepPerf(rs.transformer, cols, (System.nanoTime() - t0) / 1e9)
           val rstep = ResolvedStep(rs.transformer, fitted)
           out += rstep
           val (df2, schema2) = applyStep(df, schema, rstep)
@@ -149,6 +162,7 @@ final class DataPipeline(
       }
     }
     resolved = Some(out.result())
+    perf = perfOut.result()
     this
   }
 

@@ -159,6 +159,9 @@ class ProcessorSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("txt", "cat", "cat_enc", "up"))
     assert(col1(out, "cat_enc") == Seq(1L, 2L))
     assert(col1(out, "up") == Seq("X", "Y"))
+    // perf records: one StepPerf per executed step
+    assert(pipe.lastFitPerf.map(_.transformer) == Seq("LabelEncoding", "CaseTransformation"))
+    assert(pipe.lastFitPerf.forall(_.fitSec >= 0))
 
     val tmp = java.nio.file.Files.createTempFile("pipe", ".json").toString
     pipe.saveState(tmp)
