@@ -28,6 +28,15 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dups"))
   }
 
+  /** Surviving-rows form of [[exactDedup]]: keep exactly the min-id row per
+    * digest group (semi-join back on the keeper ids — the id set shuffles,
+    * never the documents).
+    */
+  def exactDedupRows(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val keepers = exactDedup(df, textCol, idCol).select(col("keep_id"))
+    df.join(keepers, idCol === col("keep_id"), "left_semi")
+  }
+
   /** MinHash signature: H independent hash functions simulated by salting
     * the shingle hash with the function index — `min_j over shingles of
     * hash60(j || ':' || shingle)`. Pure expression, one pass per row.

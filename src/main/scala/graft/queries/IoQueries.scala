@@ -245,9 +245,32 @@ object IoQueries {
       GROUP BY l_orderkey
       ORDER BY l_orderkey"""))
 
+  /** Semi-structured JSON column (`events.props`): extract, cast, aggregate
+    * — the get_json_object path a real event pipeline lives on.
+    */
+  val q75_json_props: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          round(avg(col("k")), 4).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type,
+             count(CAST(props->>'k' AS BIGINT)) AS n,
+             round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+             max(CAST(props->>'k' AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Map[String, Q] = Map(
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
     "q74_product_agg" -> q74_product_agg,
+    "q75_json_props" -> q75_json_props,
     "q69_rolling_pct_change" -> q69_rolling_pct_change,
     "q73_pivot" -> q73_pivot,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,

@@ -81,6 +81,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactDedupRows keeps exactly the min-id row per duplicate group") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val out = graft.ops.Dedup.exactDedupRows(df, col("t"), col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("Retry.withRetry retries then succeeds / exhausts") {
+    var calls = 0
+    val v = graft.io.Retry.withRetry(attempts = 3, initialWaitMs = 1) {
+      calls += 1; if (calls < 3) throw new RuntimeException("flaky"); 42
+    }
+    assert(v == 42 && calls == 3)
+    intercept[RuntimeException] {
+      graft.io.Retry.withRetry(attempts = 2, initialWaitMs = 1) {
+        throw new RuntimeException("always")
+      }
+    }
+  }
+
   test("langId picks CJK fast path and stopword winner") {
     val df = Seq("the cat and the dog of it is", "der hund und die katze ist da", "你好世界")
       .toDF("t").withColumn("l", TextAnalysis.langId(col("t")))
