@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation —
+  * the clustering stage that turns near-dup candidate PAIRS
+  * ([[Dedup.minhashCandidates]] / [[Dedup.cosineCandidates]]) into dedup
+  * GROUPS (keep one representative per component).
+  *
+  * Algorithm: every node starts labeled with itself; each round, a node
+  * adopts the minimum label in its neighborhood; converged when no label
+  * changes. Rounds = O(component diameter) — near-dup graphs are
+  * overwhelmingly small star/clique components, so 3–5 rounds suffice in
+  * practice (`maxIter` caps pathological chains). Each round is one
+  * edge-join + one min-aggregate: shuffle scales with |E|, never |V|².
+  */
+object Components {
+
+  /** @param edges two-column frame of undirected edges (ids)
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    // symmetrize once; self-edges make isolated candidate nodes carry through
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .union(edges.select(col(aCol).as("src"), col(aCol).as("dst")))
+      .union(edges.select(col(bCol).as("src"), col(bCol).as("dst")))
+      .distinct()
+      .persist()
+
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node takes the min over its neighbors' current labels (and its own)
+      val next = sym
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nbr_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("next_label"))
+        .persist()
+      val changed = next
+        .join(labels, "id")
+        .filter(col("next_label") =!= col("component"))
+        .limit(1).count() > 0
+      labels = next.withColumnRenamed("next_label", "component")
+      converged = !changed
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup dedup: candidates → components → per-component
+    * min-id representative; returns the surviving rows of `df`.
+    */
+  def dedupByCandidates(df: DataFrame, idCol: String, candidates: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(candidates, aCol, bCol)
+    val keepers = comps.groupBy(col("component")).agg(min(col("id")).as("keep_id"))
+      .select(col("keep_id").as(idCol))
+    val inGraph = comps.select(col("id").as(idCol))
+    // rows never in any candidate pair survive untouched; graph rows survive
+    // iff they are their component's representative
+    df.join(inGraph, Seq(idCol), "left_anti")
+      .unionByName(df.join(keepers, Seq(idCol), "left_semi"))
+  }
+}
