@@ -72,6 +72,56 @@ object Similarity {
       .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` Voronoi
+    * cells via k-means centroids (fit on a sample — the training cost is
+    * O(sample), not O(corpus)); each query probes its `nprobe` nearest
+    * cells only. The corpus side shuffles once on cell id; queries join
+    * per-cell — the classic IVF trade of recall for a 1/nlist candidate
+    * fraction. Complements [[bucketedTopK]] (LSH) as the second scale path.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nlist: Int, nprobe: Int, sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
+      .select(array_to_vector(col(cVec).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
+
+    // centroid assignment as a literal-array expression: nearest centroid by
+    // L2 — no model UDF in the scan, stays in codegen'd Column algebra
+    val centroids = model.clusterCenters.map(_.toArray)
+    def nearestCells(vec: Column, n: Int): Column = {
+      val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+        val d = ctr.zipWithIndex.map { case (cv, j) =>
+          val diff = element_at(vec, j + 1) - lit(cv)
+          diff * diff
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(i).as("cell"))
+      }
+      slice(array_sort(array(dists: _*)), 1, n)
+    }
+
+    val cb = corpus.withColumn("__v__", col(cVec).cast("array<double>"))
+      .withColumn("__cell__", nearestCells(col("__v__"), 1).getItem(0).getField("cell"))
+      .withColumn("__cn__", l2norm(col("__v__")))
+    val qb = queries.withColumn("__qv__", col(qVec).cast("array<double>"))
+      .withColumn("__cell__", explode(transform(
+        nearestCells(col("__qv__"), nprobe), _.getField("cell"))))
+      .withColumn("__qn__", l2norm(col("__qv__")))
+
+    val scored = qb.join(cb, "__cell__")
+      .withColumn("cos", dot(col("__qv__"), col("__v__")) / col("__qn__") / col("__cn__"))
+      .filter(col(qId) =!= col(cId))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Bucketed ANN top-k: both sides bucket by [[hyperplaneBucket]]; the join
     * happens per bucket (equi-join on the bucket key → hash shuffle on
     * buckets, not a cross product). Recall < 1 by construction; raise

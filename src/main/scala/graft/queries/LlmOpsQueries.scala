@@ -395,7 +395,24 @@ object LlmOpsQueries {
       FROM documents
       ORDER BY path"""))
 
+  /** IVF ANN (KMeans cells + nprobe) — not SQL-expressible (centroid fit),
+    * so no oracle: the driver records a rows-only check; exactness vs
+    * brute-force at full probe is spec-verified (OpsSpec).
+    */
+  val q76_cosine_ivf: Q = Q(
+    fn = (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopK(queries, corpus, "q_id", "q_vec", "c_id", "c_vec",
+        k = 3, nlist = 8, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = None)
+
   val all: Map[String, Q] = Map(
+    "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,
     "q51_exact_dedup" -> q51_exact_dedup,
     "q52_minhash_signature" -> q52_minhash_signature,

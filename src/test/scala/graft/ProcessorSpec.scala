@@ -190,6 +190,32 @@ class ProcessorSpec extends AnyFunSuite {
     assert(after == before, "local path must not launch a Spark job")
   }
 
+  test("pipeline writer fan-out writes pattern-selected columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_out").toString
+    val yaml =
+      s"""pipeline:
+         |  - input: [txt]
+         |    transformer: CaseTransformation
+         |    params: {case: upper}
+         |    output: "up"
+         |writers:
+         |  - input: ["up"]
+         |    path: "$dir/up_only.parquet"
+         |  - input: ["*"]
+         |    path: "$dir/all.jsonl"
+         |""".stripMargin
+    val schema = MLSchema(Map("txt" -> MLType.Text))
+    val df = Seq("a", "b").toDF("txt")
+    val pipe = new DataPipeline(PipelineConfig.fromYaml(yaml))
+    val out = pipe.fitTransform(df, schema)
+    pipe.write(out)
+    val upOnly = spark.read.parquet(s"$dir/up_only.parquet")
+    assert(upOnly.columns.toSeq == Seq("up"))
+    assert(upOnly.collect().map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
+    val all = spark.read.json(s"$dir/all.jsonl")
+    assert(all.columns.sorted.toSeq == Seq("txt", "up"))
+  }
+
   test("pipeline missing-column ERROR raises; SKIP passes through") {
     val yaml =
       """pipeline:
