@@ -267,10 +267,59 @@ object IoQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Datetime part extraction + truncation over order dates. */
+  val q77_date_parts: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .withColumn("qtr", quarter(col("o_orderdate")).cast("long"))
+        .withColumn("mon", month(col("o_orderdate")).cast("long"))
+        .withColumn("month_start", date_trunc("month", col("o_orderdate")))
+        .groupBy(col("yr"), col("qtr"), col("mon"), col("month_start"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy(col("yr"), col("mon")),
+    oracle = Some("""
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(quarter FROM o_orderdate) AS qtr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             date_trunc('month', o_orderdate) AS month_start,
+             count(*) AS n, round(sum(o_totalprice), 4) AS total
+      FROM orders
+      GROUP BY 1, 2, 3, 4
+      ORDER BY yr, mon"""))
+
+  /** String function family: substring, length, position, padding, split,
+    * case-insensitive contains.
+    */
+  val q78_string_funcs: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).cast("long").as("name_len"),
+          instr(col("p_brand"), "#").cast("long").as("hash_pos"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+          size(split(col("p_name"), " ")).cast("long").as("name_words"),
+          col("p_type").contains("a").as("has_a"))
+        .orderBy(col("p_partkey")),
+    oracle = Some("""
+      SELECT p_partkey,
+             substr(p_name, 1, 8) AS name8,
+             length(p_name) AS name_len,
+             strpos(p_brand, '#') AS hash_pos,
+             lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+             len(string_split(p_name, ' ')) AS name_words,
+             contains(p_type, 'a') AS has_a
+      FROM part
+      ORDER BY p_partkey"""))
+
   val all: Map[String, Q] = Map(
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
     "q74_product_agg" -> q74_product_agg,
     "q75_json_props" -> q75_json_props,
+    "q77_date_parts" -> q77_date_parts,
+    "q78_string_funcs" -> q78_string_funcs,
     "q69_rolling_pct_change" -> q69_rolling_pct_change,
     "q73_pivot" -> q73_pivot,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
