@@ -237,11 +237,12 @@ object OpQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      table(s, dir, "lineitem")
-        .withColumn("cum_qty", round(sum(col("l_quantity")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
-        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
-        .withColumn("diff_qty", round(col("l_quantity") - col("prev_qty"), 4))
+      val li = SDF(table(s, dir, "lineitem"))
+      val qty = li("l_quantity")
+      li.df
+        .withColumn("cum_qty", round(qty.cumsum(w), 4))
+        .withColumn("prev_qty", qty.shift(1, w))
+        .withColumn("diff_qty", round(qty.diff(w), 4))
         .filter(col("l_suppkey") <= 5)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("cum_qty"), col("prev_qty"), col("diff_qty"))

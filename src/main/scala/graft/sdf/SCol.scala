@@ -139,6 +139,26 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
       .head().getBoolean(0)
   }
 
+  /** Window family (§2.5 — blocked in bears `ScalableDataFrame
+    * .py:1374-1397`, natural on Spark): cumsum / shift / diff / pct_change /
+    * rank over a caller-supplied (partition, order) spec. Lazy Columns; one
+    * shuffle per distinct window spec.
+    */
+  def cumsum(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(col).over(over.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow))
+  def shift(n: Int, over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (n >= 0) lag(col, n).over(over) else lead(col, -n).over(over)
+  def diff(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    col - lag(col, 1).over(over)
+  def pctChange(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (col - lag(col, 1).over(over)) / lag(col, 1).over(over)
+  def rank_(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    rank().over(over).cast("long")
+  def rolling(n: Int, over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    avg(col).over(over.rowsBetween(-(n - 1), 0))
+
   /** `all`/`any` on boolean series (`ScalableSeries.py:880-886`). */
   def all_ : Boolean = scalar[Boolean](coalesce(bool_and(col), lit(true)))
   def any_ : Boolean = scalar[Boolean](coalesce(bool_or(col), lit(false)))

@@ -229,6 +229,29 @@ final class SDF private (private var _df: DataFrame) {
   def nlargest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by.map(_.desc): _*).limit(n))
   def nsmallest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by: _*).limit(n))
 
+  /** pandas-style `describe()` over numeric columns, long format
+    * (stat, column, value) — count/mean/std/min/25%/50%/75%/max in ONE
+    * aggregate pass (all statistics partial-aggregate or sketch).
+    */
+  def describe(cols: Seq[String]): DataFrame = {
+    val stats: Seq[(String, Column => Column)] = Seq(
+      "count" -> (c => count(c).cast("double")),
+      "mean" -> (c => avg(c)),
+      "std" -> (c => stddev_samp(c)),
+      "min" -> (c => min(c).cast("double")),
+      "25%" -> (c => percentile_approx(c, lit(0.25), lit(10000))),
+      "50%" -> (c => percentile_approx(c, lit(0.5), lit(10000))),
+      "75%" -> (c => percentile_approx(c, lit(0.75), lit(10000))),
+      "max" -> (c => max(c).cast("double")))
+    val aggs = for { c <- cols; (s, f) <- stats } yield f(col(c)).as(s"${c}__$s")
+    val row = _df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = _df.sparkSession
+    val out = for { c <- cols; (s, _) <- stats } yield
+      (s, c, Option(row.getAs[Any](s"${c}__$s")).map(_.toString.toDouble))
+    import spark.implicits._
+    out.toDF("stat", "column", "value")
+  }
+
   // ---- misc -------------------------------------------------------------
 
   def persist(): SDF = { _df.persist(); this }

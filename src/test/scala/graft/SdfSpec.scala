@@ -55,6 +55,36 @@ class SdfSpec extends AnyFunSuite {
     assert(b.any_ && !b.all_)
   }
 
+  test("describe(): long-format stats in one pass") {
+    val sdf = SDF(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0)).toDF("a", "b"))
+    val d = sdf.describe(Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double](2)).toMap
+    assert(d(("count", "a")) == 4.0)
+    assert(d(("mean", "b")) == 25.0)
+    assert(d(("min", "a")) == 1.0 && d(("max", "b")) == 40.0)
+    assert(d(("50%", "a")) >= 2.0 && d(("50%", "a")) <= 3.0)
+  }
+
+  test("SCol window helpers: cumsum/shift/diff/pct_change/rank/rolling") {
+    import org.apache.spark.sql.expressions.Window
+    val sdf = SDF(Seq((1, 10.0), (2, 20.0), (3, 40.0)).toDF("i", "v"))
+    val w = Window.orderBy(col("i"))
+    val v = sdf("v")
+    val out = sdf.df
+      .withColumn("cs", v.cumsum(w))
+      .withColumn("sh", v.shift(1, w))
+      .withColumn("df_", v.diff(w))
+      .withColumn("pc", v.pctChange(w))
+      .withColumn("rk", v.rank_(w))
+      .withColumn("ra", v.rolling(2, w))
+      .orderBy(col("i")).collect()
+    assert(out.map(_.getAs[Double]("cs")).toSeq == Seq(10.0, 30.0, 70.0))
+    assert(out.map(r => Option(r.getAs[Any]("sh"))).toSeq == Seq(None, Some(10.0), Some(20.0)))
+    assert(out.last.getAs[Double]("pc") == 1.0)
+    assert(out.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Double]("ra")).toSeq == Seq(10.0, 15.0, 30.0))
+  }
+
   test("valid() with sampling and invalidRows") {
     val sdf = SDF(Seq(1, 2, -3, 4).toDF("x"))
     assert(!sdf.valid(col("x") > 0))
