@@ -27,9 +27,18 @@ final case class Q(
   */
 object QueryCorpus {
 
-  val all: Map[String, Q] =
-    CoreQueries.all ++ OpQueries.all ++ ProcessorQueries.all ++ PipelineQueries.all ++
-      LlmOpsQueries.all ++ StreamingQueries.all ++ IoQueries.all
+  val all: Map[String, Q] = {
+    val parts = Seq(
+      CoreQueries.all, OpQueries.all, ProcessorQueries.all, PipelineQueries.all,
+      LlmOpsQueries.all, StreamingQueries.all, IoQueries.all)
+    val merged = parts.reduce(_ ++ _)
+    // Map ++ silently drops duplicate keys — a name collision would silently
+    // shrink the correctness corpus
+    require(merged.size == parts.map(_.size).sum,
+      s"duplicate query names across corpus objects: ${
+        parts.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    merged
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -112,6 +112,32 @@ class StreamSpec extends AnyFunSuite {
     assert(other.map(_._2.map(_.getLong(0))) != batches1.map(_._2.map(_.getLong(0))))
   }
 
+  test("scalacheck: sharding invariants over generated (N, B, S)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(1L, 100000L)
+      b <- Gen.choose(1L, 512L)
+      s <- Gen.choose(1, 16)
+      if s * b <= n
+    } yield (n, b, s)
+    val prop = forAll(gen) { case (n, b, s) =>
+      val t = Sharding.inMemoryShardBounds(n, s, b, dropLast = true)
+      val f = Sharding.inMemoryShardBounds(n, s, b, dropLast = false)
+      val dropOk = n - t.map { case (a, e, _) => e - a }.sum < s * b
+      val noLoss = f.map { case (a, e, _) => e - a }.sum == n
+      val contiguous = f.sliding(2).forall {
+        case Seq((_, e1, _), (a2, _, _)) => e1 == a2
+        case _ => true
+      }
+      val equalBatches = t.map(_._3).distinct.size == 1 && f.map(_._3).distinct.size == 1
+      dropOk && noLoss && contiguous && equalBatches
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("splitNames formats part names") {
     assert(Sharding != null)
     assert(BatchStream.splitNames("x", Seq(3, 3, 1)) ==
