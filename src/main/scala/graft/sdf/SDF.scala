@@ -218,6 +218,16 @@ final class SDF private (private var _df: DataFrame) {
   def groupby(cols: String*): org.apache.spark.sql.RelationalGroupedDataset =
     _df.groupBy(cols.map(col): _*)
 
+  /** Grouped-map escape hatch (`ScalableDataFrame.py:1697-1710` delegating
+    * to a pandas GroupBy object; Spark's `flatMapGroups` is the typed
+    * equivalent of `applyInPandas`). Arbitrary per-group Scala logic; group
+    * state must fit one executor's memory — prefer `groupby().agg` whenever
+    * the computation is expressible as aggregates.
+    */
+  def groupApply[K: org.apache.spark.sql.Encoder, T: org.apache.spark.sql.Encoder](
+      keyFn: Row => K)(f: (K, Iterator[Row]) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] =
+    _df.groupByKey(keyFn).flatMapGroups((k: K, it: Iterator[Row]) => f(k, it).iterator)
+
   def agg(exprs: Column*): SDF = SDF(_df.agg(exprs.head, exprs.tail: _*))
 
   def sortValues(by: Seq[Column]): SDF = SDF(_df.orderBy(by: _*))

@@ -85,6 +85,15 @@ class SdfSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Double]("ra")).toSeq == Seq(10.0, 15.0, 30.0))
   }
 
+  test("groupApply: arbitrary per-group logic via flatMapGroups") {
+    val sdf = SDF(Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v"))
+    val out = sdf.groupApply(r => r.getString(0)) { (k, rows) =>
+      val vs = rows.map(_.getDouble(1)).toSeq
+      Seq((k, vs.max - vs.min))
+    }.collect().toMap
+    assert(out == Map("a" -> 2.0, "b" -> 0.0))
+  }
+
   test("valid() with sampling and invalidRows") {
     val sdf = SDF(Seq(1, 2, -3, 4).toDF("x"))
     assert(!sdf.valid(col("x") > 0))
