@@ -33,6 +33,7 @@ object Components {
 
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("component"))
+    var prevPersisted: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -46,6 +47,8 @@ object Components {
         .join(labels, "id")
         .filter(col("next_label") =!= col("component"))
         .limit(1).count() > 0
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = Some(next)
       labels = next.withColumnRenamed("next_label", "component")
       converged = !changed
       iter += 1

@@ -110,6 +110,8 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 
   /** `value_counts` (`ScalableSeries.py:991-993`) — returns a frame. */
   def valueCounts(normalize: Boolean = false, ascending: Boolean = false, dropna: Boolean = true): DataFrame = {
+    require(name != "count" && name != "proportion",
+      s"valueCounts on a column named '$name' would collide with its output column; rename first")
     val base0 = df.select(col.as(name))
     val base = if (dropna) base0.filter(col.isNotNull) else base0
     val counted = base.groupBy(name).agg(count(lit(1)).as("count"))

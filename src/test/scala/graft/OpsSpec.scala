@@ -122,6 +122,26 @@ class OpsSpec extends AnyFunSuite {
     assert(one.nonEmpty)
   }
 
+  test("asof strict vs inclusive at equal timestamps") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 100L, "at"), (1L, 50L, "before")).toDF("k", "t", "tag")
+    def run(strict: Boolean): String = {
+      val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t",
+        Map("tag" -> "matched"), strict = strict).collect().head
+      out.getAs[String]("matched")
+    }
+    assert(run(strict = false) == "at", "inclusive picks the equal-time right row")
+    assert(run(strict = true) == "before", "strict picks only earlier rows")
+  }
+
+  test("frameSampleExpr strides synthetic frame indices") {
+    val df = Seq(("x" * 3000)).toDF("t")
+      .withColumn("frames", Multimodal.frameSampleExpr(encode(col("t"), "UTF-8"), 2))
+    // 3000 bytes -> 2 frames (0,1); stride 2 keeps frame 0
+    assert(df.head().getSeq[Int](1) == Seq(0))
+  }
+
   test("langId picks CJK fast path and stopword winner") {
     val df = Seq("the cat and the dog of it is", "der hund und die katze ist da", "你好世界")
       .toDF("t").withColumn("l", TextAnalysis.langId(col("t")))
