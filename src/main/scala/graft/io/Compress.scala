@@ -45,6 +45,16 @@ object Compress {
     schema.fold(spark.read.json(lines))(s => spark.read.schema(s).json(lines))
   }
 
+  /** Optional base64 wrapping (`ScalableDataFrame.py:363, 380` base64
+    * flag) for text-safe transport of the gzip payload.
+    */
+  def compressBase64(df: DataFrame): String =
+    java.util.Base64.getEncoder.encodeToString(compress(df))
+
+  def decompressBase64(spark: SparkSession, payload: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    decompress(spark, java.util.Base64.getDecoder.decode(payload), schema)
+
   /** Executor-side variant: one payload per partition, no driver hop. */
   def compressPerPartition(df: DataFrame): Dataset[Array[Byte]] = {
     import df.sparkSession.implicits._

@@ -267,6 +267,32 @@ final class SDF private (private var _df: DataFrame) {
   def persist(): SDF = { _df.persist(); this }
   def unpersist(): SDF = { _df.unpersist(); this }
   def collect(): Seq[Row] = _df.collect().toSeq
+
+  // ---- driver-local layout conversions (SURVEY §1.2: bears' six layouts
+  // collapse to the distributed frame + collect()-side local forms;
+  // `as_dict`/`as_list_of_dict`/`as_record`, `ScalableDataFrame.py:1899-1984`)
+
+  /** LIST_OF_DICT: rows as name→value maps (driver-local). */
+  def asRecords: Seq[Map[String, Any]] = {
+    val names = columns
+    collect().map(r => names.zip(r.toSeq).toMap)
+  }
+
+  /** DICT: dense columnar map name→values (driver-local). */
+  def asColumns: Map[String, Seq[Any]] = {
+    val rows = collect()
+    columns.zipWithIndex.map { case (c, i) => c -> rows.map(_.get(i)) }.toMap
+  }
+
+  /** RECORD: exactly one row (`RecordScalableDataFrame.py:17-18`'s
+    * low-latency single-record regime; pair with
+    * `DataPipeline.transformLocal` for no-job inference).
+    */
+  def asRecord: Map[String, Any] = {
+    val rows = _df.limit(2).collect()
+    require(rows.length == 1, s"asRecord requires exactly 1 row, found ${rows.length}")
+    columns.zip(rows.head.toSeq).toMap
+  }
 }
 
 object SDF {

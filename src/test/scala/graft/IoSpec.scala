@@ -66,6 +66,14 @@ class IoSpec extends AnyFunSuite {
     assert(rows.length == 3)
   }
 
+  test("base64 compression round-trip") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val b64 = Compress.compressBase64(df)
+    assert(b64.matches("[A-Za-z0-9+/=]+"))
+    val back = Compress.decompressBase64(spark, b64, Some(df.schema))
+    assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
   test("writers honor numRows-based chunking") {
     val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString + "/out.csv"
     val df = spark.range(10).toDF("id")

@@ -94,6 +94,14 @@ class SdfSpec extends AnyFunSuite {
     assert(out == Map("a" -> 2.0, "b" -> 0.0))
   }
 
+  test("local layout conversions: records, columns, single record") {
+    val sdf = SDF(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(sdf.asRecords == Seq(Map("id" -> 1L, "v" -> "a"), Map("id" -> 2L, "v" -> "b")))
+    assert(sdf.asColumns == Map("id" -> Seq(1L, 2L), "v" -> Seq("a", "b")))
+    assert(sdf.head(1).asRecord == Map("id" -> 1L, "v" -> "a"))
+    intercept[IllegalArgumentException] { sdf.asRecord }
+  }
+
   test("valid() with sampling and invalidRows") {
     val sdf = SDF(Seq(1, 2, -3, 4).toDF("x"))
     assert(!sdf.valid(col("x") > 0))
