@@ -34,8 +34,9 @@ object Format {
   case object Json extends Format(Seq(".json"))
   case object Yaml extends Format(Seq(".yaml", ".yml"))
   case object Binary extends Format(Seq(".bin", ".png", ".jpg", ".jpeg", ".pdf", ".wav", ".mp3", ".mp4"))
+  case object Npz extends Format(Seq(".npz", ".npy"))
 
-  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary)
+  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz)
 
   /** Longest-matching file ending (`FileMetadata.py:122-147`). */
   def detect(path: String): Format = {
@@ -74,6 +75,7 @@ object Readers {
       case Format.Parquet => spark.read.parquet(meta.path)
       case Format.JsonLines | Format.Json => spark.read.json(meta.path)
       case Format.Binary => spark.read.format("binaryFile").load(meta.path)
+      case Format.Npz => Npz.read(spark, meta.path)
       case Format.Yaml =>
         throw new IllegalArgumentException("YAML is a config format; use Config.load")
     }
@@ -126,6 +128,7 @@ object Writers {
       case Format.Tsv => w.option("header", "true").option("sep", "\t").csv(meta.path)
       case Format.Parquet => w.parquet(meta.path)
       case Format.JsonLines | Format.Json => w.json(meta.path)
+      case Format.Npz => Npz.write(out, meta.path) // driver-side single-file sink
       case other => throw new IllegalArgumentException(s"unwritable format $other")
     }
   }

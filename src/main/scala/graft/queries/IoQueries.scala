@@ -51,6 +51,26 @@ object IoQueries {
       FROM orders
       ORDER BY o_orderkey"""))
 
+  /** NPZ sink → NPZ scan round-trip (`reader/dataframe/NpzReader.py`;
+    * driver-side `np.savez` sink `ScalableDataFrame.py:2015-2017`): pure-JVM
+    * NPY codec, long/string/double columns through `<i8`/`<U{n}`/`<f8`.
+    */
+  val q79_npz_roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("supplier_npz") + ".npz"
+      new java.io.File(out).getParentFile.mkdirs()
+      val subset = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      Writers.write(subset, FileMetadata.of(out))
+      Readers.read(s, out)
+        .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 4).as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      SELECT s_suppkey, s_name, round(s_acctbal, 4) AS s_acctbal
+      FROM supplier
+      ORDER BY s_suppkey"""))
+
   /** gzip JSON wire compression round-trip
     * (`ScalableDataFrame.py:336-393`): frame → payload → frame with pinned
     * schema.
@@ -325,6 +345,7 @@ object IoQueries {
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
+    "q79_npz_roundtrip" -> q79_npz_roundtrip,
     "q64_asof_join" -> q64_asof_join,
     "q65_scalar_funcs" -> q65_scalar_funcs,
     "q66_cross_join" -> q66_cross_join,

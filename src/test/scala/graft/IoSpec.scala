@@ -81,4 +81,64 @@ class IoSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv"))
     assert(files == 4, s"expected ceil(10/3)=4 chunk files, got $files")
   }
+
+  test("npz round-trip: long/int/double/float/bool/string/timestamp columns") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("ts", TimestampType)))
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T03:04:05.123456Z"))
+    val rows = Seq(
+      Row(1L, 10, 1.5, 2.5f, true, "alpha", t0),
+      Row(2L, 20, Double.NaN, -0.5f, false, "βeta✓", null), // unicode + NaT
+      Row(3L, 30, -7.25, 0f, true, "", t0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val path = java.nio.file.Files.createTempDirectory("npz").resolve("t.npz").toString
+    Writers.write(df, FileMetadata.of(path))
+    assert(Format.detect(path) == Format.Npz)
+    val back = Readers.read(spark, path).orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back(0).getString(5) == "alpha" && back(1).getString(5) == "βeta✓" && back(2).getString(5) == "")
+    assert(back(1).getDouble(2).isNaN && back(0).getDouble(2) == 1.5)
+    assert(back(0).getTimestamp(6) == t0 && back(1).isNullAt(6))
+    assert(back.map(_.getBoolean(4)).toSeq == Seq(true, false, true))
+  }
+
+  test("npy golden bytes: hand-built v1.0 header parses; 2-D becomes array column") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 1-D int64 [7, -1, 42]
+    def npy(descr: String, shape: String, payload: ByteBuffer): Array[Byte] = {
+      val h0 = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shape, }"
+      val pad = (64 - ((10 + h0.length + 1) % 64)) % 64
+      val h = h0 + (" " * pad) + "\n"
+      val out = ByteBuffer.allocate(10 + h.length + payload.position()).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(0x93.toByte).put("NUMPY".getBytes).put(1.toByte).put(0.toByte)
+      out.putShort(h.length.toShort).put(h.getBytes("ISO-8859-1"))
+      out.put(payload.flip().asInstanceOf[ByteBuffer]).array()
+    }
+    val p1 = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    p1.putLong(7L).putLong(-1L).putLong(42L)
+    val c1 = Npz.parseNpy(npy("<i8", "(3,)", p1))
+    assert(c1.values == IndexedSeq(7L, -1L, 42L))
+    // 2-D float32 (2, 3) — the embedding-matrix case
+    val p2 = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1f, 2f, 3f, 4f, 5f, 6f).foreach(p2.putFloat)
+    val c2 = Npz.parseNpy(npy("<f4", "(2, 3)", p2))
+    assert(c2.values == IndexedSeq(IndexedSeq(1f, 2f, 3f), IndexedSeq(4f, 5f, 6f)))
+  }
+
+  test("npz rejects nulls in integer columns and ragged members") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(null))), schema)
+    val path = java.nio.file.Files.createTempDirectory("npz").resolve("bad.npz").toString
+    val e = intercept[Exception] { Writers.write(df, FileMetadata.of(path)) }
+    assert(e.getMessage.contains("null") || e.getCause != null)
+  }
 }
