@@ -228,6 +228,58 @@ object OpQueries {
              count(DISTINCT (l_orderkey, l_linenumber)) = count(*) AS pk_is_unique
       FROM lineitem"""))
 
+  /** §2.4 `corr(method="spearman")` (`ScalableSeries.py:896-898`) via
+    * scale-safe fractional ranks ([[graft.ops.RankStats]]: parallel sort +
+    * zipWithIndex + tie-group averaging — no global window).
+    */
+  val q80_spearman_corr: Q = Q(
+    fn = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val rho = SDF(li)("l_quantity").spearmanWith("l_extendedprice")
+      val rows = java.util.List.of(org.apache.spark.sql.Row(
+        BigDecimal(rho).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("spearman_qp", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
+    },
+    oracle = Some("""
+      SELECT round(corr(ra, rb), 4) AS spearman_qp FROM (
+        SELECT rank() OVER (ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+               rank() OVER (ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+        FROM lineitem)"""))
+
+  /** pandas `expanding()` family (parity-plus §2.5): running mean/sum/count
+    * per supplier — one window spec, three frames, single shuffle.
+    */
+  val q81_expanding: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val li = SDF(table(s, dir, "lineitem"))
+      val qty = li("l_quantity")
+      li.df
+        .withColumn("exp_mean", round(qty.expandingMean(w), 4))
+        .withColumn("exp_sum", round(qty.expandingSum(w), 4))
+        .withColumn("exp_n", qty.expandingCount(w))
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("exp_mean"), col("exp_sum"), col("exp_n"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(avg(l_quantity) OVER w, 4) AS exp_mean,
+             round(sum(l_quantity) OVER w, 4) AS exp_sum,
+             count(l_quantity) OVER w AS exp_n
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
   /** §2.5 window family (parity-plus; blocked in bears
     * `ScalableDataFrame.py:1374-1397`): cumsum + shift + diff per supplier in
     * one window spec — single shuffle, three frame computations.
@@ -384,6 +436,8 @@ object OpQueries {
     "q20_scol_moments" -> q20_scol_moments,
     "q21_idxmax" -> q21_idxmax,
     "q22_corr_cov" -> q22_corr_cov,
+    "q80_spearman_corr" -> q80_spearman_corr,
+    "q81_expanding" -> q81_expanding,
     "q23_nunique" -> q23_nunique,
     "q24_cumsum_shift_diff" -> q24_cumsum_shift_diff,
     "q25_rollup" -> q25_rollup,

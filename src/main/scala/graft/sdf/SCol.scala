@@ -128,17 +128,39 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def isUnique: Boolean = scalar[Boolean](count(col) === count_distinct(col))
 
   /** Monotonicity (`ScalableSeries.py:972-989`) along a caller-supplied
-    * order: one window pass, `lag` compare, conjunction-reduce.
+    * order. Null values are ignored (matching the former window-`lag` form,
+    * where `min` over booleans skips nulls).
+    *
+    * Scale: a global `Window.orderBy` + `lag` would single-task the table;
+    * instead we range-sort in parallel, check adjacency inside each sorted
+    * partition, and stitch partitions with one tiny per-partition
+    * (ok, first, last) summary on the driver — range partitions are
+    * contiguous, so partition index order IS global order.
     */
   def isMonotonicIncreasing(orderBy: Column): Boolean = monotonic(orderBy, increasing = true)
   def isMonotonicDecreasing(orderBy: Column): Boolean = monotonic(orderBy, increasing = false)
   private def monotonic(orderBy: Column, increasing: Boolean): Boolean = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderBy)
-    val prev = lag(col, 1).over(w)
-    val ok = if (increasing) prev.isNull || col >= prev else prev.isNull || col <= prev
-    df.select(ok.as("ok")).agg(coalesce(min(functions.col("ok")), lit(true)))
-      .head().getBoolean(0)
+    val proj = df.select(orderBy.as("__o__"), col.as("__v__")).orderBy(functions.col("__o__"))
+    val ord0 = SCol.anyOrdering(proj.schema("__v__").dataType)
+    val ord = if (increasing) ord0 else ord0.reverse
+    val summaries = proj.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var ok = true
+      var first: Any = null
+      var last: Any = null
+      rows.foreach { r =>
+        val v = r.get(1)
+        if (v != null) {
+          if (last != null && ord.compare(last, v) > 0) ok = false
+          if (first == null) first = v
+          last = v
+        }
+      }
+      if (first == null && ok) Iterator.empty // all-null/empty partition
+      else Iterator.single((pid, ok, first, last))
+    }.collect().sortBy(_._1)
+    summaries.forall(_._2) && summaries.iterator.sliding(2).withPartial(false)
+      .forall { case Seq((_, _, _, prevLast), (_, _, nextFirst, _)) =>
+        ord.compare(prevLast, nextFirst) <= 0 }
   }
 
   /** Window family (§2.5 — blocked in bears `ScalableDataFrame
@@ -160,6 +182,23 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     rank().over(over).cast("long")
   def rolling(n: Int, over: org.apache.spark.sql.expressions.WindowSpec): Column =
     avg(col).over(over.rowsBetween(-(n - 1), 0))
+  /** `expanding()` family (pandas expanding.mean/sum/min/max/count —
+    * unbounded-preceding frames).
+    */
+  def expandingMean(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    avg(col).over(expandingFrame(over))
+  def expandingSum(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(col).over(expandingFrame(over))
+  def expandingMin(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    min(col).over(expandingFrame(over))
+  def expandingMax(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    max(col).over(expandingFrame(over))
+  def expandingCount(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    count(col).over(expandingFrame(over))
+  private def expandingFrame(over: org.apache.spark.sql.expressions.WindowSpec) =
+    over.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
 
   /** `all`/`any` on boolean series (`ScalableSeries.py:880-886`). */
   def all_ : Boolean = scalar[Boolean](coalesce(bool_and(col), lit(true)))
@@ -171,8 +210,11 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def idxmax(idx: Column): Any = scalar[Any](max_by(idx, col))
   def idxmin(idx: Column): Any = scalar[Any](min_by(idx, col))
 
-  /** Pearson `corr`/`cov` with another column (`ScalableSeries.py:896-906`). */
+  /** Pearson `corr`/`cov` with another column (`ScalableSeries.py:896-906`);
+    * `method="spearman"` via [[graft.ops.RankStats]] (scale-safe ranks).
+    */
   def corrWith(other: Column): Double = scalar[Double](corr(col, other))
+  def spearmanWith(otherName: String): Double = graft.ops.RankStats.spearman(df, name, otherName)
   def covWith(other: Column): Double = scalar[Double](covar_samp(col, other))
 
   /** `prod` (`NumpyArrayScalableSeries.py:292-302`) — exact native
@@ -187,4 +229,25 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def dot(other: Column): Double = scalar[Double](sum(col * other))
 
   private val functions = org.apache.spark.sql.functions
+}
+
+object SCol {
+  import org.apache.spark.sql.types._
+
+  /** Runtime ordering over external (Row-level) values for orderable Spark
+    * types — what `Column >= Column` compares, lifted to the driver/executor
+    * side for the partition-stitch in [[SCol.isMonotonicIncreasing]].
+    */
+  private[sdf] def anyOrdering(dt: DataType): Ordering[Any] = (dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+    case FloatType | DoubleType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+    case _: DecimalType => Ordering.by((x: Any) => BigDecimal(x.asInstanceOf[java.math.BigDecimal]))
+    case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+    case BooleanType => Ordering.by((x: Any) => x.asInstanceOf[Boolean])
+    case DateType => Ordering.by((x: Any) => x.asInstanceOf[java.sql.Date].getTime)
+    case TimestampType => Ordering.by((x: Any) => x.asInstanceOf[java.sql.Timestamp].getTime)
+    case other => throw new IllegalArgumentException(s"monotonicity undefined for $other")
+  }).asInstanceOf[Ordering[Any]]
 }

@@ -51,13 +51,17 @@ final class SDF private (private var _df: DataFrame) {
   /** Positional slice `iloc[a:b]` (`DictScalableDataFrame.py:352-360`).
     * Requires a stable global order; callers supply the order columns (Spark
     * has no implicit row index — SURVEY §1.4).
+    *
+    * Scale: a parallel range-partitioned sort + per-partition offset fix
+    * (`zipWithIndex`), never a global `Window.orderBy` — an un-partitioned
+    * window funnels the whole table through one task at 100 TB.
     */
   def iloc(start: Long, end: Long, orderBy: Seq[Column]): SDF = {
-    val w = Window.orderBy(orderBy: _*)
-    SDF(
-      _df.withColumn("__pos__", row_number().over(w).cast("long") - 1)
-        .filter(col("__pos__") >= start && col("__pos__") < end)
-        .drop("__pos__"))
+    val sorted = _df.orderBy(orderBy: _*)
+    val sliced = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => i >= start && i < end }
+      .map(_._1)
+    SDF(_df.sparkSession.createDataFrame(sliced, sorted.schema))
   }
 
   def head(n: Int): SDF = SDF(_df.limit(n))

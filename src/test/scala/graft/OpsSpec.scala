@@ -147,4 +147,23 @@ class OpsSpec extends AnyFunSuite {
       .toDF("t").withColumn("l", TextAnalysis.langId(col("t")))
     assert(df.collect().map(_.getString(1)).toSeq == Seq("en", "de", "zh"))
   }
+
+  test("RankStats: average ranks with ties; spearman on monotone transform = 1") {
+    import graft.ops.RankStats
+    // values 10,20,20,30 → fractional ranks 1, 2.5, 2.5, 4 (pandas average)
+    val df = Seq((1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)).toDF("id", "v")
+    val ranked = RankStats.withAverageRank(df, "v", "r")
+      .orderBy("id").collect().map(_.getAs[Double]("r")).toSeq
+    assert(ranked == Seq(1.0, 2.5, 2.5, 4.0))
+    // spearman is invariant under monotone transforms: rho(x, exp(x)) = 1
+    val mono = (1 to 50).map(i => (i.toDouble, math.exp(i / 10.0))).toDF("a", "b")
+    assert(math.abs(RankStats.spearman(mono, "a", "b") - 1.0) < 1e-12)
+    // and detects perfect inverse ordering
+    val inv = (1 to 50).map(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    assert(math.abs(RankStats.spearman(inv, "a", "b") + 1.0) < 1e-12)
+    // pairwise-complete: nulls dropped before ranking
+    val withNull = Seq((Some(1.0), Some(2.0)), (None, Some(9.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), None), (Some(4.0), Some(5.0))).toDF("a", "b")
+    assert(math.abs(RankStats.spearman(withNull, "a", "b") - 1.0) < 1e-12)
+  }
 }

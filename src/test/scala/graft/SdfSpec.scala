@@ -40,6 +40,29 @@ class SdfSpec extends AnyFunSuite {
     assert(sliced.df.collect().map(_.getInt(0)).toSet == Set(2, 3))
   }
 
+  test("iloc and monotonicity stay correct across many partitions") {
+    // 10k shuffled rows over 16 partitions: exercises the range-sort +
+    // partition-stitch paths (no single-task global window at scale)
+    val n = 10000
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle((0 until n).toList), 16)
+      .toDF("x")
+    val sdf = SDF(df)
+    assert(sdf.iloc(4998, 5003, Seq(col("x"))).df.collect().map(_.getInt(0)).toSet ==
+      Set(4998, 4999, 5000, 5001, 5002))
+    assert(sdf("x").isMonotonicIncreasing(col("x")))
+    assert(!sdf("x").isMonotonicDecreasing(col("x")))
+    // single dip anywhere in the sequence is caught (within or across partitions)
+    val dipped = spark.sparkContext.parallelize(
+      (0 until n).map(i => (i, if (i == 7321) -1 else i)), 16).toDF("o", "v")
+    assert(!SDF(dipped)("v").isMonotonicIncreasing(col("o")))
+    // nulls are ignored; strings and timestamps are orderable
+    val withNulls = Seq((1, Some(1)), (2, None), (3, Some(2))).toDF("o", "v")
+    assert(SDF(withNulls)("v").isMonotonicIncreasing(col("o")))
+    val strs = Seq((1, "a"), (2, "b"), (3, "b"), (4, "a")).toDF("o", "v")
+    assert(!SDF(strs)("v").isMonotonicIncreasing(col("o")))
+    assert(SDF(strs.limit(3))("v").isMonotonicIncreasing(col("o")))
+  }
+
   test("SCol eager stats on tiny frame") {
     val sdf = SDF(Seq(1.0, 2.0, 2.0, 9.0).toDF("x"))
     val c = sdf("x")
