@@ -411,7 +411,44 @@ object LlmOpsQueries {
     },
     oracle = None)
 
+  /** Deterministic stratified sampling (class rebalancing): per-stratum
+    * Bernoulli on the portable id-hash ([[graft.ops.Sampling]]) — map-side
+    * filter, no shuffle, identical selection on any partitioning/engine.
+    */
+  val q82_stratified_sample: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.stratifiedByHash(
+        table(s, dir, "orders"),
+        stratum = col("o_orderstatus"), id = col("o_orderkey"),
+        fractions = Map("O" -> 0.10, "F" -> 0.05, "P" -> 1.0))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some(s"""
+      SELECT o_orderkey, o_orderstatus
+      FROM orders
+      WHERE ${h60("CAST(o_orderkey AS VARCHAR)")} % 10000 <
+            CASE o_orderstatus WHEN 'O' THEN 1000 WHEN 'F' THEN 500 ELSE 10000 END
+      ORDER BY o_orderkey"""))
+
+  /** pandas `sample(n=...)` as deterministic top-n by id-hash
+    * (TakeOrderedAndProject — per-partition top-n, no global sort).
+    */
+  val q83_sample_n: Q = Q(
+    fn = (s, dir) =>
+      graft.sdf.SDF(table(s, dir, "customer")).sampleN(100, col("c_custkey")).df
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    oracle = Some(s"""
+      SELECT c_custkey, c_mktsegment FROM (
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        ORDER BY ${h60("CAST(c_custkey AS VARCHAR)")}
+        LIMIT 100)
+      ORDER BY c_custkey"""))
+
   val all: Map[String, Q] = Map(
+    "q82_stratified_sample" -> q82_stratified_sample,
+    "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,
     "q51_exact_dedup" -> q51_exact_dedup,

@@ -228,6 +228,27 @@ object OpQueries {
              count(DISTINCT (l_orderkey, l_linenumber)) = count(*) AS pk_is_unique
       FROM lineitem"""))
 
+  /** §2.4 `groupby(dropna=True)` (`ScalableDataFrame.py:1697-1710`): pandas
+    * drops null group keys; the filter lands before the aggregation (and
+    * reaches the scan).
+    */
+  val q84_groupby_dropna: Q = Q(
+    fn = (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .withColumn("seg", when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")))
+      SDF(cust).groupby(Seq("seg"), dropna = true)
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
+        .orderBy(col("seg"))
+    },
+    oracle = Some("""
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+             count(*) AS n,
+             round(sum(c_acctbal), 4) AS bal
+      FROM customer
+      WHERE c_mktsegment <> 'BUILDING'
+      GROUP BY 1
+      ORDER BY seg"""))
+
   /** §2.4 `corr(method="spearman")` (`ScalableSeries.py:896-898`) via
     * scale-safe fractional ranks ([[graft.ops.RankStats]]: parallel sort +
     * zipWithIndex + tie-group averaging — no global window).
@@ -438,6 +459,7 @@ object OpQueries {
     "q22_corr_cov" -> q22_corr_cov,
     "q80_spearman_corr" -> q80_spearman_corr,
     "q81_expanding" -> q81_expanding,
+    "q84_groupby_dropna" -> q84_groupby_dropna,
     "q23_nunique" -> q23_nunique,
     "q24_cumsum_shift_diff" -> q24_cumsum_shift_diff,
     "q25_rollup" -> q25_rollup,

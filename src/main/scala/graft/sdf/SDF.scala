@@ -96,6 +96,11 @@ final class SDF private (private var _df: DataFrame) {
   def sampleByHash(keyHash: Column, pct: Int): SDF =
     SDF(_df.filter(pmod(keyHash, lit(100)) < pct))
 
+  /** pandas `sample(n=...)`: exact-n deterministic sample by id-hash order
+    * ([[graft.ops.Sampling.nByHash]] — TakeOrdered top-n, no global sort).
+    */
+  def sampleN(n: Int, id: Column): SDF = SDF(graft.ops.Sampling.nByHash(_df, id, n))
+
   /** Sampled element-wise validation (`ScalableDataFrame.py:298-334`):
     * check `predicate` on a fraction of rows; returns true iff all sampled
     * rows pass. `returnFailing` gives the failing rows instead.
@@ -221,6 +226,15 @@ final class SDF private (private var _df: DataFrame) {
 
   def groupby(cols: String*): org.apache.spark.sql.RelationalGroupedDataset =
     _df.groupBy(cols.map(col): _*)
+
+  /** `groupby(dropna=)` (`ScalableDataFrame.py:1697-1710`): pandas drops
+    * null group keys by default; Spark groups them. `dropna = true` filters
+    * null-keyed rows before grouping (predicate reaches the scan).
+    */
+  def groupby(cols: Seq[String], dropna: Boolean): org.apache.spark.sql.RelationalGroupedDataset = {
+    val base = if (dropna) _df.filter(cols.map(col(_).isNotNull).reduce(_ && _)) else _df
+    base.groupBy(cols.map(col): _*)
+  }
 
   /** Grouped-map escape hatch (`ScalableDataFrame.py:1697-1710` delegating
     * to a pandas GroupBy object; Spark's `flatMapGroups` is the typed

@@ -148,6 +148,24 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(1)).toSeq == Seq("en", "de", "zh"))
   }
 
+  test("Sampling: partition-invariant stratified selection; exact-n sample") {
+    import graft.ops.Sampling
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
+    val picked = Sampling.stratifiedByHash(df, col("cls"), col("id"), Map("a" -> 0.5, "b" -> 0.1))
+    val keys = picked.select("id").collect().map(_.getLong(0)).toSet
+    // identical selection under a different partitioning (map-side determinism)
+    val keys7 = Sampling.stratifiedByHash(df.repartition(7), col("cls"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.1)).select("id").collect().map(_.getLong(0)).toSet
+    assert(keys == keys7 && keys.nonEmpty)
+    // per-stratum rates land near the requested fractions
+    val byCls = picked.groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byCls("a") / 666.0 - 0.5) < 0.1 && math.abs(byCls("b") / 1334.0 - 0.1) < 0.05)
+    assert(Sampling.nByHash(df, col("id"), 25).count() == 25)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedByHash(df, col("cls"), col("id"), Map("a" -> 1.5))
+    }
+  }
+
   test("RankStats: average ranks with ties; spearman on monotone transform = 1") {
     import graft.ops.RankStats
     // values 10,20,20,30 → fractional ranks 1, 2.5, 2.5, 4 (pandas average)
