@@ -69,13 +69,21 @@ object FileMetadata {
 object Readers {
 
   def read(spark: SparkSession, meta: FileMetadata): DataFrame = {
+    // URL storage (reference `read_url`, `Reader.py:101-117`): driver-side
+    // fetch to a temp file (with the reader retry loop), then the normal
+    // format dispatch. A URL is a single small object by nature — the
+    // distributed path for bulk data is s3a/HDFS multi-path scans.
+    val path = meta.storage match {
+      case Storage.Url => fetchUrl(meta.path, meta.format)
+      case _ => meta.path
+    }
     val df = meta.format match {
-      case Format.Csv => spark.read.options(csvOpts).csv(meta.path)
-      case Format.Tsv => spark.read.options(csvOpts + ("sep" -> "\t")).csv(meta.path)
-      case Format.Parquet => spark.read.parquet(meta.path)
-      case Format.JsonLines | Format.Json => spark.read.json(meta.path)
-      case Format.Binary => spark.read.format("binaryFile").load(meta.path)
-      case Format.Npz => Npz.read(spark, meta.path)
+      case Format.Csv => spark.read.options(csvOpts).csv(path)
+      case Format.Tsv => spark.read.options(csvOpts + ("sep" -> "\t")).csv(path)
+      case Format.Parquet => spark.read.parquet(path)
+      case Format.JsonLines | Format.Json => spark.read.json(path)
+      case Format.Binary => spark.read.format("binaryFile").load(path)
+      case Format.Npz => Npz.read(spark, path)
       case Format.Yaml =>
         throw new IllegalArgumentException("YAML is a config format; use Config.load")
     }
@@ -104,6 +112,15 @@ object Readers {
   }
 
   private val csvOpts = Map("header" -> "true", "inferSchema" -> "true")
+
+  private def fetchUrl(url: String, format: Format): String = Retry.withRetry() {
+    val suffix = format.endings.headOption.getOrElse(".bin")
+    val tmp = java.nio.file.Files.createTempFile("graft_url", suffix)
+    val in = new java.net.URI(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toString
+  }
 }
 
 /** Format-dispatched writer — reference `Writer` registry

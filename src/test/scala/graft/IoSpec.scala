@@ -131,6 +131,52 @@ class IoSpec extends AnyFunSuite {
     assert(c2.values == IndexedSeq(IndexedSeq(1f, 2f, 3f), IndexedSeq(4f, 5f, 6f)))
   }
 
+  test("url storage read: driver fetch + format dispatch (local http server)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val body = "k,v\n1,a\n2,b\n".getBytes("UTF-8")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        x.sendResponseHeaders(200, body.length.toLong)
+        try x.getResponseBody.write(body) finally x.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      assert(Storage.detect(url) == Storage.Url)
+      val df = Readers.read(spark, url).orderBy("k")
+      assert(df.columns.toSeq == Seq("k", "v"))
+      assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+    } finally server.stop(0)
+  }
+
+  test("scalacheck: npy codec round-trips arbitrary columns") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    import org.apache.spark.sql.types._
+    val longs = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+      .map(v => (LongType: DataType, v.map(x => x: Any)))
+    val doubles = Gen.listOf(Gen.oneOf(Gen.choose(-1e18, 1e18), Gen.const(Double.NaN)))
+      .map(v => (DoubleType: DataType, v.map(x => x: Any)))
+    val bools = Gen.listOf(Gen.oneOf(true, false))
+      .map(v => (BooleanType: DataType, v.map(x => x: Any)))
+    val strings = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("日本語✓"), Gen.const("")))
+      .map(v => (StringType: DataType, v.map(x => x: Any)))
+    val prop = forAll(Gen.oneOf(longs, doubles, bools, strings)) { case (dt, values) =>
+      val col = Npz.parseNpy(Npz.toNpy(dt, values.toIndexedSeq))
+      val same = col.values.size == values.size &&
+        col.values.zip(values).forall {
+          case (a: Double, b: Double) => (a.isNaN && b.isNaN) || a == b
+          case (a, b) => a == b
+        }
+      Prop(same)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("npz rejects nulls in integer columns and ragged members") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
