@@ -222,6 +222,12 @@ final class SDF private (private var _df: DataFrame) {
   def replace[T](cols: Seq[String], mapping: Map[T, T]): SDF =
     SDF(_df.na.replace(cols, mapping))
 
+  /** `replace(regex=True)` (`ScalableDataFrame.py:1806-1808`): pattern
+    * substitution on string columns, codegen'd `regexp_replace`.
+    */
+  def replaceRegex(cols: Seq[String], pattern: String, replacement: String): SDF =
+    SDF(cols.foldLeft(_df)((d, c) => d.withColumn(c, regexp_replace(col(c), pattern, replacement))))
+
   // ---- grouping & sorting (§2.4, §2.6) ----------------------------------
 
   def groupby(cols: String*): org.apache.spark.sql.RelationalGroupedDataset =

@@ -63,6 +63,13 @@ class SdfSpec extends AnyFunSuite {
     assert(SDF(strs.limit(3))("v").isMonotonicIncreasing(col("o")))
   }
 
+  test("replaceRegex substitutes across columns") {
+    val sdf = SDF(Seq(("a-1", "b-2"), ("c-3", "d-4")).toDF("x", "y"))
+    val out = sdf.replaceRegex(Seq("x", "y"), "-\\d", "#").df.collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a#", "b#"), ("c#", "d#")))
+  }
+
   test("SCol eager stats on tiny frame") {
     val sdf = SDF(Seq(1.0, 2.0, 2.0, 9.0).toDF("x"))
     val c = sdf("x")
