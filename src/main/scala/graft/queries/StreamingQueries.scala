@@ -96,7 +96,30 @@ object StreamingQueries {
       GROUP BY user_id, sid
       ORDER BY user_id, s_start"""))
 
+  /** Stream-stream interval join (bounded-state conversion attribution):
+    * clicks matched to same-user purchases within 30 minutes, replayed
+    * against the batch self-join oracle.
+    */
+  val q85_stream_interval_join: Q = Q(
+    fn = (s, dir) => {
+      val ev = EventStreams.readEvents(s, dir)
+      val out = EventStreams.runToCompletion(
+        EventStreams.intervalJoin(ev, "click", "purchase", watermark = "1 minute", within = "30 minutes"),
+        mode = "append")
+      out.orderBy(col("l_id"), col("r_id"))
+    },
+    oracle = Some("""
+      SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id
+      FROM events c
+      JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      ORDER BY l_id, r_id"""))
+
   val all: Map[String, Q] = Map(
+    "q85_stream_interval_join" -> q85_stream_interval_join,
     "q60_stream_tumbling" -> q60_stream_tumbling,
     "q61_stream_sliding" -> q61_stream_sliding,
     "q62_stream_dedup" -> q62_stream_dedup,

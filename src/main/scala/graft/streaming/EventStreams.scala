@@ -78,6 +78,32 @@ object EventStreams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n"), col("total"))
 
+  /** Stream-stream inner join with event-time bounds: every `leftType` event
+    * matched to the same user's `rightType` events in `[l_ts, l_ts + within]`.
+    * Both sides carry watermarks and the join condition is time-bounded, so
+    * each side's buffered state expires as the watermark advances — the
+    * canonical bounded-state stream join (conversion attribution, funnel
+    * steps) that stays O(active-horizon) at any throughput.
+    */
+  def intervalJoin(
+      events: DataFrame,
+      leftType: String, rightType: String,
+      watermark: String, within: String): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(
+      r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      "inner")
+      .select(col("l_id"), col("r_id"), col("user_id"))
+  }
+
   /** Drive a streaming frame to completion against the finite fixture and
     * return the materialized result (memory sink; `complete` for
     * aggregations so the final windows emit, `append` for row streams).
