@@ -118,8 +118,27 @@ object StreamingQueries {
       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       ORDER BY l_id, r_id"""))
 
+  /** Custom stateful accumulation (`mapGroupsWithState`): per-user running
+    * (count, total). The fixture replays as one micro-batch, so the final
+    * update per user equals the batch aggregate — the oracle.
+    */
+  val q86_stream_stateful_totals: Q = Q(
+    fn = (s, dir) => {
+      val out = EventStreams.runToCompletion(
+        EventStreams.statefulUserTotals(EventStreams.readEvents(s, dir)).toDF(),
+        mode = "update")
+      out.select(col("user_id"), col("n"), round(col("total"), 4).as("total"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Map[String, Q] = Map(
     "q85_stream_interval_join" -> q85_stream_interval_join,
+    "q86_stream_stateful_totals" -> q86_stream_stateful_totals,
     "q60_stream_tumbling" -> q60_stream_tumbling,
     "q61_stream_sliding" -> q61_stream_sliding,
     "q62_stream_dedup" -> q62_stream_dedup,

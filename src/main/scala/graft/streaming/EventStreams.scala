@@ -104,6 +104,30 @@ object EventStreams {
       .select(col("l_id"), col("r_id"), col("user_id"))
   }
 
+  /** Output row of [[statefulUserTotals]]. */
+  final case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** Custom per-key state via `mapGroupsWithState` (the
+    * `KeyValueGroupedDataset` custom-state API — arbitrary accumulator logic
+    * the built-in aggregates can't express): running (count, sum) per user,
+    * one updated row per key per micro-batch. State is one small tuple per
+    * user — O(distinct users), partitioned across executors by key.
+    */
+  def statefulUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          UserTotals(user, n, total)
+      }
+  }
+
   /** Drive a streaming frame to completion against the finite fixture and
     * return the materialized result (memory sink; `complete` for
     * aggregations so the final windows emit, `append` for row streams).
