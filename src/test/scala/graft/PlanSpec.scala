@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.QueryCorpus
+
+/** Plan-regression guards: the physical-plan properties that make the corpus
+  * hold at 100 TB (SURVEY §4 / README "100 TB discipline"), asserted so an
+  * innocent-looking edit can't silently trade them away. Checked at sf0.001 —
+  * plan SHAPE (pushdown, broadcast choice, top-k operator) is scale-free
+  * even when AQE picks sizes at runtime.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryCorpus.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan") {
+    val p = plan("q01_agg_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown in:\n$p")
+  }
+
+  test("q03: dimension joins broadcast (no shuffle join for small dims)") {
+    val p = plan("q03_join_topk_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"small-dim join degraded to SMJ:\n$p")
+  }
+
+  test("q03/q08: top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q03_join_topk_revenue").contains("TakeOrderedAndProject"))
+    assert(plan("q08_topk_nlargest").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val p = plan("q01_agg_pricing_summary")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0,
+      s"expected HashAggregate + Exchange in:\n$p")
+    // formatted tree prints downstream-first: final agg, exchange, partial agg
+    val partialAfterExchange = p.indexOf("HashAggregate", exchange)
+    assert(partialAfterExchange > exchange, s"no partial aggregate below the exchange:\n$p")
+  }
+
+  test("scan prunes columns: q02 projection reads only selected columns") {
+    val p = plan("q02_filter_project")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(scanCols.isDefined, s"no FileScan in:\n$p")
+    // only the projected/filtered columns are read — not the full 11-column row
+    val read = scanCols.get.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(read == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan reads unexpected columns: $read")
+  }
+}
