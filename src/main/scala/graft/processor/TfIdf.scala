@@ -44,8 +44,11 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
     filter(split(lower(in), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 2)
 
   override def fit(df: DataFrame, inputCol: String): this.type = {
+    // n = non-null docs; counted on the raw column so this pass never runs
+    // the tokenizer (split() is null only for null input, so this equals
+    // the tokenized-and-dropped count)
+    val n = df.filter(col(inputCol).isNotNull).count()
     val docs = df.select(tokenize(col(inputCol)).as("toks")).na.drop()
-    val n = docs.count()
     val dfreq = docs
       .select(explode(array_distinct(col("toks"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
