@@ -125,6 +125,8 @@ object Npz {
     * `.npy` (single column named `value`) into a DataFrame.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    require(Storage.detect(path) == Storage.Local,
+      s"NPZ is a driver-local interchange format; copy to local disk first (got: $path)")
     val cols: Seq[(String, NpyColumn)] =
       if (path.toLowerCase.endsWith(".npy"))
         Seq("value" -> parseNpy(readAllBytes(path)))
@@ -209,6 +211,8 @@ object Npz {
     * (the reference's `np.savez` sink, `ScalableDataFrame.py:2015-2017`).
     */
   def write(df: DataFrame, path: String): Unit = {
+    require(Storage.detect(path) == Storage.Local,
+      s"NPZ sink writes a driver-local file (got: $path)")
     df.schema.fields.foreach { f =>
       require(writable(f.dataType), s"NPY sink for ${f.dataType} unsupported (column ${f.name})")
     }

@@ -245,6 +245,30 @@ object IoQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** pandas `melt` (wide→long, inverse of q73's pivot): three measure
+    * columns unpivoted to (variable, value) rows via `stack` — narrow,
+    * shuffle-free.
+    */
+  val q87_melt: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem").filter(col("l_orderkey") <= 100))
+        .melt(
+          idVars = Seq("l_orderkey", "l_linenumber"),
+          valueVars = Seq("l_quantity", "l_discount", "l_tax"))
+        .df
+        .select(col("l_orderkey"), col("l_linenumber"), col("variable"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable")),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, variable, round(value, 4) AS value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber, variable"""))
+
   /** Exact product aggregate (native DeclarativeAggregate,
     * `functions.ProductAgg`) — grouped compounding factor per order,
     * verified against DuckDB's exact `product()`. Unlike the log-sum trick
@@ -342,6 +366,7 @@ object IoQueries {
     "q78_string_funcs" -> q78_string_funcs,
     "q69_rolling_pct_change" -> q69_rolling_pct_change,
     "q73_pivot" -> q73_pivot,
+    "q87_melt" -> q87_melt,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,

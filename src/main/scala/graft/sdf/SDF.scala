@@ -228,6 +228,19 @@ final class SDF private (private var _df: DataFrame) {
   def replaceRegex(cols: Seq[String], pattern: String, replacement: String): SDF =
     SDF(cols.foldLeft(_df)((d, c) => d.withColumn(c, regexp_replace(col(c), pattern, replacement))))
 
+  /** pandas `melt` (wide→long; inverse of pivot — parity-plus alongside
+    * §2.4 rollup/cube). `stack()` expands rows in place: narrow op, no
+    * shuffle; value columns must share a type.
+    */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+      varName: String = "variable", valueName: String = "value"): SDF = {
+    require(valueVars.nonEmpty, "melt needs at least one value column")
+    val stackArgs = valueVars.map(v => s"'$v', `$v`").mkString(", ")
+    SDF(_df.selectExpr(
+      idVars.map(c => s"`$c`") :+
+        s"stack(${valueVars.size}, $stackArgs) AS (`$varName`, `$valueName`)": _*))
+  }
+
   // ---- grouping & sorting (§2.4, §2.6) ----------------------------------
 
   def groupby(cols: String*): org.apache.spark.sql.RelationalGroupedDataset =
