@@ -101,4 +101,28 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
+
+  /** Overlapping fixed-width character chunks (context-window splitting for
+    * LLM corpora): chunk k covers `[k·(size−overlap), … + size)`. Pure HOF
+    * expression — narrow, codegen'd, rows expand in place when exploded.
+    */
+  def chunkWindows(c: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size, s"bad chunking ($size, $overlap)")
+    val step = size - overlap
+    when(c.isNull, lit(null))
+      .when(length(c) === 0, array())
+      .otherwise(transform(
+        sequence(lit(0L), ((length(c) - 1) / step).cast("long")),
+        k => substring(c, (k * step + 1).cast("int"), lit(size))))
+  }
+
+  /** PII redaction (training-data scrubbing): emails then phone-like digit
+    * runs, patterns chosen to mean the same thing in Java and RE2 regex
+    * dialects so the scrub is engine-portable.
+    */
+  def scrubPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    regexp_replace(regexp_replace(c, email, "[EMAIL]"), phone, "[PHONE]")
+  }
 }

@@ -446,8 +446,55 @@ object LlmOpsQueries {
         LIMIT 100)
       ORDER BY c_custkey"""))
 
+  /** Context-window chunking: overlapping 200-char windows, step 150 —
+    * each document expands in place (no shuffle), the LLM-corpus splitting
+    * primitive.
+    */
+  val q88_text_chunks: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkWindows(col("text"), size = 200, overlap = 50))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    oracle = Some("""
+      SELECT doc_id, k AS chunk_idx, substr(text, CAST(k * 150 AS INT) + 1, 200) AS chunk
+      FROM documents,
+           UNNEST(generate_series(0, (length(text) - 1) // 150)) AS t(k)
+      WHERE doc_id < 50
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** PII scrubbing (emails + phone-like digit runs) over synthesized
+    * contact strings — replacement text identical across engines.
+    */
+  val q89_pii_scrub: Q = Q(
+    fn = (s, dir) => {
+      val synth = concat(
+        col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+        lit("@example.com> call +1 (555) 010-"),
+        lpad(col("c_custkey").cast("string"), 4, "0"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), TextAnalysis.scrubPii(synth).as("scrubbed"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey,
+             regexp_replace(
+               regexp_replace(
+                 c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+                   || '@example.com> call +1 (555) 010-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+      FROM customer
+      ORDER BY c_custkey"""))
+
   val all: Map[String, Q] = Map(
     "q82_stratified_sample" -> q82_stratified_sample,
+    "q88_text_chunks" -> q88_text_chunks,
+    "q89_pii_scrub" -> q89_pii_scrub,
     "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,
