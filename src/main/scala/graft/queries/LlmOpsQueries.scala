@@ -491,10 +491,38 @@ object LlmOpsQueries {
       FROM customer
       ORDER BY c_custkey"""))
 
+  /** Shard-parallel sequence packing: documents binned to ~1000-token packs
+    * inside 8 hash-shards — the batch-construction op for fixed context
+    * windows, deterministic on any partitioning.
+    */
+  val q90_sequence_packing: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.ops.Packing.packByTokenBudget(
+        docs, id = col("doc_id"), tokens = col("n_tok"), budget = 1000L, shards = 8)
+        .select(col("doc_id"), col("n_tok"), col("shard"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                               x -> length(x) >= 1)) AS n_tok,
+               ${h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        FROM documents)
+      SELECT doc_id, n_tok, shard,
+             CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  // 1000 AS BIGINT) AS bin
+      FROM toks
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q82_stratified_sample" -> q82_stratified_sample,
     "q88_text_chunks" -> q88_text_chunks,
     "q89_pii_scrub" -> q89_pii_scrub,
+    "q90_sequence_packing" -> q90_sequence_packing,
     "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,
