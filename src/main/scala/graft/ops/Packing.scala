@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * Exact greedy packing is a sequential scan — unparallelizable. The
   * scalable formulation packs independently inside `shards` hash-shards:
   * within a shard, documents are ordered by id and binned by
-  * `floor(exclusive-cumsum(tokens) / budget)`, so every bin holds at least
-  * `budget` tokens' worth of consecutive docs (the last doc of a bin may
-  * overflow the budget — the standard streaming-packing relaxation; callers
-  * that need hard caps split oversized docs first with
+  * `floor(exclusive-cumsum(tokens) / budget)`: bins are contiguous doc runs
+  * whose token span covers a full `budget` stride — a bin's last doc may
+  * overflow the budget, and the following bin may start short by up to one
+  * doc's worth (the standard streaming-packing relaxation; callers that
+  * need hard caps split oversized docs first with
   * [[TextAnalysis.chunkWindows]]). Each shard's window is partition-local:
   * one shuffle by shard id, no global sort, deterministic on any cluster
   * layout.

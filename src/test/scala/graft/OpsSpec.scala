@@ -148,6 +148,29 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(1)).toSeq == Seq("en", "de", "zh"))
   }
 
+  test("Packing: bins fill to budget within shards, contiguous in id order") {
+    import graft.ops.Packing
+    val docs = (1 to 500).map(i => (i.toLong, 50L + (i % 7) * 30L)).toDF("id", "tok")
+    val packed = Packing.packByTokenBudget(docs, col("id"), col("tok"), budget = 1000L, shards = 4)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("id"),
+        r.getAs[Long]("tok"), r.getAs[Long]("bin")))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._2)
+      // bins are non-decreasing along id order (contiguous packs)
+      assert(byId.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // every bin except the shard's last fills to budget minus at most one
+      // doc's worth of prior-bin overflow (docs here are <= 230 tokens)
+      val binTotals = byId.groupBy(_._4).toSeq.sortBy(_._1).map { case (b, rs) => (b, rs.map(_._3).sum) }
+      binTotals.dropRight(1).foreach { case (b, total) =>
+        assert(total > 1000L - 230L, s"bin $b underfilled: $total")
+      }
+    }
+    // identical assignment under a different input partitioning
+    val again = Packing.packByTokenBudget(docs.repartition(13), col("id"), col("tok"), 1000L, 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("bin"))).toSet
+    assert(again == packed.map(r => (r._2, r._1, r._4)).toSet)
+  }
+
   test("Sampling: partition-invariant stratified selection; exact-n sample") {
     import graft.ops.Sampling
     val df = (1 to 2000).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
