@@ -518,11 +518,97 @@ object LlmOpsQueries {
       FROM toks
       ORDER BY doc_id"""))
 
+  /** End-to-end near-dup clustering: q53's verified MinHash+Jaccard pairs →
+    * distributed min-label connected components ([[graft.ops.Components]]) →
+    * one survivor per cluster. The graph step is oracle-checked against a
+    * DuckDB recursive-CTE transitive closure — the only iterative oracle in
+    * the corpus.
+    */
+  val q91_dedup_clusters: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" appended")))
+      val corpus = docs.unionByName(near)
+      val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2)
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(graft.ops.TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val pairs = cands
+        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .filter(round(Dedup.jaccardShingles(col("sh_a"), col("sh_b")), 4) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val full = corpus.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val survivors = full.groupBy(col("component")).agg(min(col("doc_id")).as("survivor"))
+      full.join(survivors, "component")
+        .select(col("doc_id"), col("component"), (col("doc_id") === col("survivor")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' appended' FROM documents
+        WHERE doc_id < 200 AND doc_id % 2 = 0),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h),
+      band AS (
+        SELECT doc_id, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM sig
+        GROUP BY doc_id, h // 2),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(
+                len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                4) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS n, doc_id AS lbl FROM corpus
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n)
+      SELECT c.doc_id, c.component, c.doc_id = m.survivor AS keep
+      FROM comp c
+      JOIN (SELECT component, min(doc_id) AS survivor FROM comp GROUP BY component) m
+        USING (component)
+      ORDER BY c.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q82_stratified_sample" -> q82_stratified_sample,
     "q88_text_chunks" -> q88_text_chunks,
     "q89_pii_scrub" -> q89_pii_scrub,
     "q90_sequence_packing" -> q90_sequence_packing,
+    "q91_dedup_clusters" -> q91_dedup_clusters,
     "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,
