@@ -113,6 +113,19 @@ object Readers {
 
   private val csvOpts = Map("header" -> "true", "inferSchema" -> "true")
 
+  /** STREAM storage (`_FileConstants.py:53-58`; `Reader.read_stream`,
+    * `Reader.py:101-117`): a driver-held file-like object. Spooled to a temp
+    * file, then the normal format dispatch — streams are by nature
+    * driver-local and single-object, like URL reads.
+    */
+  def readStream(spark: SparkSession, in: java.io.InputStream, format: Format): DataFrame = {
+    val suffix = format.endings.headOption.getOrElse(".bin")
+    val tmp = java.nio.file.Files.createTempFile("graft_stream", suffix)
+    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    read(spark, FileMetadata(tmp.toString, Storage.Local, format))
+  }
+
   private def fetchUrl(url: String, format: Format): String = Retry.withRetry() {
     val suffix = format.endings.headOption.getOrElse(".bin")
     val tmp = java.nio.file.Files.createTempFile("graft_url", suffix)

@@ -151,6 +151,14 @@ class IoSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("stream storage read: in-memory jsonl stream to frame") {
+    val payload = "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n".getBytes("UTF-8")
+    val df = Readers.readStream(spark,
+      new java.io.ByteArrayInputStream(payload), Format.JsonLines).orderBy("a")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
+
   test("scalacheck: npy codec round-trips arbitrary columns") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll
