@@ -26,6 +26,23 @@ object Similarity {
     */
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Element-wise mean of an embedding column per group (class centroids /
+    * mean pooling for curation and IVF seeding). Distributed as
+    * explode → per-(group, dim) partial-agg average → re-assemble sorted —
+    * the shuffle carries one row per (group, dim), never whole vectors;
+    * no UDF, no driver collection.
+    */
+  def meanPool(df: DataFrame, groupCols: Seq[String], vec: Column, out: String): DataFrame = {
+    val keys = groupCols.map(col)
+    df.select(keys :+ posexplode(vec).as(Seq("__dim__", "__v__")): _*)
+      .groupBy(keys :+ col("__dim__"): _*)
+      .agg(avg(col("__v__")).as("__mean__"))
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("__dim__"), col("__mean__")))).as("__entries__"))
+      .withColumn(out, transform(col("__entries__"), e => e.getField("__mean__")))
+      .drop("__entries__")
+  }
+
   /** Deterministic pseudo-random hyperplane sign: plane p dotted with v,
     * where plane components are ±1 derived from the portable hash of
     * (plane, index). sign bits concatenate into the LSH bucket key.

@@ -603,12 +603,35 @@ object LlmOpsQueries {
         USING (component)
       ORDER BY c.doc_id"""))
 
+  /** Per-class embedding centroids (mean pooling): distributed
+    * explode → per-dim partial agg → reassemble; compared in long form so
+    * the full pooled array round-trips through the oracle.
+    */
+  val q93_mean_pool: Q = Q(
+    fn = (s, dir) => {
+      val pooled = graft.ops.Similarity.meanPool(
+        table(s, dir, "embeddings"), Seq("label"), col("embedding"), "centroid")
+      pooled
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "mean_v")))
+        .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
+          round(col("mean_v"), 4).as("mean_v"))
+        .orderBy(col("label"), col("dim"))
+    },
+    oracle = Some("""
+      SELECT CAST(label AS BIGINT) AS label, pos - 1 AS dim,
+             round(avg(embedding[pos]::DOUBLE), 4) AS mean_v
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+      GROUP BY label, pos
+      ORDER BY label, dim"""))
+
   val all: Map[String, Q] = Map(
     "q82_stratified_sample" -> q82_stratified_sample,
     "q88_text_chunks" -> q88_text_chunks,
     "q89_pii_scrub" -> q89_pii_scrub,
     "q90_sequence_packing" -> q90_sequence_packing,
     "q91_dedup_clusters" -> q91_dedup_clusters,
+    "q93_mean_pool" -> q93_mean_pool,
     "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,

@@ -249,6 +249,28 @@ object OpQueries {
       GROUP BY 1
       ORDER BY seg"""))
 
+  /** §2.4 grouped exact quantiles (`quantile(q, interpolation)` per group):
+    * `percentile` is linear-interpolated in both engines; one partial-agg
+    * shuffle.
+    */
+  val q92_group_quantiles: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+             round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+             round(quantile_cont(l_quantity, 0.75), 4) AS q75
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   /** §2.4 `corr(method="spearman")` (`ScalableSeries.py:896-898`) via
     * scale-safe fractional ranks ([[graft.ops.RankStats]]: parallel sort +
     * zipWithIndex + tie-group averaging — no global window).
@@ -460,6 +482,7 @@ object OpQueries {
     "q80_spearman_corr" -> q80_spearman_corr,
     "q81_expanding" -> q81_expanding,
     "q84_groupby_dropna" -> q84_groupby_dropna,
+    "q92_group_quantiles" -> q92_group_quantiles,
     "q23_nunique" -> q23_nunique,
     "q24_cumsum_shift_diff" -> q24_cumsum_shift_diff,
     "q25_rollup" -> q25_rollup,
