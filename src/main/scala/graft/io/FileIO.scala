@@ -144,7 +144,8 @@ object Readers {
 object Writers {
 
   def write(df: DataFrame, meta: FileMetadata, mode: String = "overwrite",
-      numChunks: Option[Int] = None, numRows: Option[Long] = None): Unit = {
+      numChunks: Option[Int] = None, numRows: Option[Long] = None,
+      partitionBy: Seq[String] = Nil): Unit = {
     val out = (numChunks, numRows) match {
       case (Some(n), _) => df.repartition(n)
       case (None, Some(rows)) =>
@@ -152,7 +153,11 @@ object Writers {
         df.repartition(math.max(1, math.ceil(total.toDouble / rows).toInt))
       case _ => df
     }
-    val w = out.write.mode(mode)
+    // hive-style directory partitioning: the scale-critical layout choice —
+    // a reader filtering on the partition column prunes whole directories
+    // (PartitionFilters, no data read) instead of scanning 100 TB
+    val w0 = out.write.mode(mode)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     meta.format match {
       case Format.Csv => w.option("header", "true").csv(meta.path)
       case Format.Tsv => w.option("header", "true").option("sep", "\t").csv(meta.path)

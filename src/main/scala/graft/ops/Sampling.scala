@@ -43,4 +43,21 @@ object Sampling {
     */
   def nByHash(df: DataFrame, id: Column, n: Int): DataFrame =
     df.orderBy(TextAnalysis.hash60(id.cast("string"))).limit(n)
+
+  /** Deterministic train/val/test split: id-hash bucketed into consecutive
+    * fraction ranges, appended as a label column. Map-side, reproducible on
+    * any partitioning — the same row lands in the same split on every
+    * engine, re-run, and cluster size.
+    */
+  def split(df: DataFrame, id: Column, fractions: Seq[(String, Double)],
+      out: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, s"fractions must sum to 1: $fractions")
+    val bucket = pmod(TextAnalysis.hash60(id.cast("string")), lit(10000L))
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + (f * 10000).round }.tail
+    val labeled = fractions.zip(bounds).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), bound), acc) => when(bucket < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn(out, labeled)
+  }
 }

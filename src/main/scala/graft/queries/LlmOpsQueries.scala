@@ -603,6 +603,24 @@ object LlmOpsQueries {
         USING (component)
       ORDER BY c.doc_id"""))
 
+  /** Deterministic train/val/test split: hash-range bucketing, identical
+    * assignment on any engine/partitioning.
+    */
+  val q94_train_val_test: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.split(
+        table(s, dir, "documents").select(col("doc_id")),
+        id = col("doc_id"),
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      SELECT doc_id,
+             CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+                  WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id"""))
+
   /** Per-class embedding centroids (mean pooling): distributed
     * explode → per-dim partial agg → reassemble; compared in long form so
     * the full pooled array round-trips through the oracle.
@@ -632,6 +650,7 @@ object LlmOpsQueries {
     "q90_sequence_packing" -> q90_sequence_packing,
     "q91_dedup_clusters" -> q91_dedup_clusters,
     "q93_mean_pool" -> q93_mean_pool,
+    "q94_train_val_test" -> q94_train_val_test,
     "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,

@@ -151,6 +151,22 @@ class IoSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("partitioned parquet write: reader prunes partitions on the filter") {
+    val df = (1 to 100).map(i => (i.toLong, if (i % 4 == 0) "big" else "small", i * 1.5))
+      .toDF("id", "bucket", "v")
+    val dir = java.nio.file.Files.createTempDirectory("part").resolve("t.parquet").toString
+    Writers.write(df, FileMetadata.of(dir), partitionBy = Seq("bucket"))
+    // hive layout on disk
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("bucket=big", "bucket=small"))
+    val back = Readers.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("bucket") === "big")
+    assert(back.count() == 25)
+    // the filter lands in PartitionFilters (directory pruning), not a data scan filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), s"no partition pruning in:\n$plan")
+  }
+
   test("stream storage read: in-memory jsonl stream to frame") {
     val payload = "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n".getBytes("UTF-8")
     val df = Readers.readStream(spark,
