@@ -621,6 +621,77 @@ object LlmOpsQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** C4-style corpus cleaning, end-to-end in one plan: language filter +
+    * quality threshold + token-length band + exact-dup collapse — the
+    * composition every training-data pipeline runs, entirely narrow ops
+    * plus ONE shuffle (the fingerprint groupBy).
+    */
+  val q95_corpus_clean: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.qualityStruct(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .filter(col("pred_lang") === "en" &&
+          round(col("q.quality"), 4) >= 0.45 &&
+          col("n_tok").between(20, 10000))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dups"))
+        .select(col("doc_id"), col("dups"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                           x -> length(x) >= 1) AS t
+        FROM documents),
+      scores AS (
+        SELECT doc_id, text, t,
+          len(list_filter(t, x -> x IN ('der','und','die','das','ist'))) AS s_de,
+          len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+          len(list_filter(t, x -> x IN ('el','de','la','y','es'))) AS s_es,
+          len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS s_fr
+        FROM toks),
+      folded AS (
+        SELECT *,
+          CASE WHEN s_fr > greatest(s_es, s_en, s_de) THEN 'fr'
+               WHEN s_es > greatest(s_en, s_de) THEN 'es'
+               WHEN s_en > s_de THEN 'en'
+               ELSE 'de' END AS best_lang,
+          greatest(s_de, s_en, s_es, s_fr) AS best_score
+        FROM scores),
+      pred AS (
+        SELECT doc_id, text,
+               CASE WHEN best_score > 0 THEN best_lang ELSE 'und' END AS pred_lang,
+               len(t) AS n_tok,
+               len(t)::DOUBLE AS n_words,
+               list_sum(list_transform(t, x -> length(x)))::DOUBLE /
+                 greatest(len(t)::DOUBLE, 1.0) AS mean_word_len,
+               (length(text) - length(regexp_replace(text,
+                  '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]', '', 'g')))::DOUBLE /
+                 greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+               len(list_filter(t, x -> x IN ('the','and','of','to','is','der','und','die','das','ist',
+                                             'le','la','et','les','est','el','de','y','es')))::DOUBLE /
+                 greatest(len(t)::DOUBLE, 1.0) AS stop_ratio
+        FROM folded),
+      kept AS (
+        SELECT doc_id, text
+        FROM pred
+        WHERE pred_lang = 'en'
+          AND round(least(n_words / 100.0, 1.0) * 0.4 +
+                    least(mean_word_len / 8.0, 1.0) * 0.2 +
+                    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+                    least(stop_ratio * 4.0, 1.0) * 0.2, 4) >= 0.45
+          AND n_tok BETWEEN 20 AND 10000)
+      SELECT min(doc_id) AS doc_id, count(*) AS dups
+      FROM kept
+      GROUP BY ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}
+      ORDER BY doc_id"""))
+
   /** Per-class embedding centroids (mean pooling): distributed
     * explode → per-dim partial agg → reassemble; compared in long form so
     * the full pooled array round-trips through the oracle.
@@ -651,6 +722,7 @@ object LlmOpsQueries {
     "q91_dedup_clusters" -> q91_dedup_clusters,
     "q93_mean_pool" -> q93_mean_pool,
     "q94_train_val_test" -> q94_train_val_test,
+    "q95_corpus_clean" -> q95_corpus_clean,
     "q83_sample_n" -> q83_sample_n,
     "q76_cosine_ivf" -> q76_cosine_ivf,
     "q50_token_counts" -> q50_token_counts,
