@@ -48,8 +48,15 @@ object TextAnalysis {
     * CJK characters short-circuit to zh; ties and zero scores → "und"
     * (undetermined). Deterministic, engine-portable.
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
+  def langId(c: Column): Column = langIdStaged(c, tokens(c))
+
+  /** [[langId]] over a pre-tokenized column — stage `tokens(c)` once with a
+    * `withColumn` when combining with other token consumers (quality, count,
+    * TF-IDF): Catalyst inlines Column trees at every reference, so an
+    * unstaged composition re-tokenizes per consumer (the TfIdf
+    * transformStaged lesson).
+    */
+  def langIdStaged(c: Column, toks: Column): Column = {
     def score(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words.map(lit): _*)))
     val scored = LangProfiles.toSeq.filter(_._2.nonEmpty).sortBy(_._1).map {
@@ -67,8 +74,10 @@ object TextAnalysis {
     * punctuation ratio, stopword ratio, plus a [0,1] composite score — the
     * usual pre-training filter features.
     */
-  def qualityStruct(c: Column): Column = {
-    val toks = tokens(c)
+  def qualityStruct(c: Column): Column = qualityStructStaged(c, tokens(c))
+
+  /** [[qualityStruct]] over a pre-tokenized column (see [[langIdStaged]]). */
+  def qualityStructStaged(c: Column, toks: Column): Column = {
     val nWords = size(toks).cast("double")
     val meanWordLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
       greatest(nWords, lit(1.0))

@@ -629,12 +629,16 @@ object LlmOpsQueries {
   val q95_corpus_clean: Q = Q(
     fn = (s, dir) => {
       val docs = table(s, dir, "documents")
-      docs.select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("pred_lang"),
-        TextAnalysis.qualityStruct(col("text")).as("q"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+      // tokens staged ONCE; langId/quality/count all read the staged column
+      // (unstaged, each consumer re-tokenizes — 4 regex passes per row)
+      docs
+        .withColumn("__toks__", TextAnalysis.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextAnalysis.langIdStaged(col("text"), col("__toks__")).as("pred_lang"),
+          TextAnalysis.qualityStructStaged(col("text"), col("__toks__")).as("q"),
+          size(col("__toks__")).cast("long").as("n_tok"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
         .filter(col("pred_lang") === "en" &&
           round(col("q.quality"), 4) >= 0.45 &&
           col("n_tok").between(20, 10000))
@@ -690,7 +694,8 @@ object LlmOpsQueries {
       SELECT min(doc_id) AS doc_id, count(*) AS dups
       FROM kept
       GROUP BY ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** Per-class embedding centroids (mean pooling): distributed
     * explode → per-dim partial agg → reassemble; compared in long form so
