@@ -108,6 +108,34 @@ object IoQueries {
       ORDER BY l.event_id"""),
     bench = true)
 
+  /** As-of join with tolerance (market/telemetry semantics): the match only
+    * stands if the right row is within the time bound — carried `signup_ts`
+    * nulls the payload past tolerance, same single-shuffle plan as q64.
+    */
+  val q96_asof_tolerance: Q = Q(
+    fn = (s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.backward(
+        left, signups,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Map("event_id" -> "last_signup_id", "ts" -> "signup_ts"))
+        .select(col("event_id"), col("user_id"),
+          when(col("signup_ts").isNotNull &&
+            col("ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
+            col("last_signup_id")).as("recent_signup_id"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT l.event_id, l.user_id,
+             CASE WHEN r.ts IS NOT NULL AND l.ts <= r.ts + INTERVAL '2 hours'
+                  THEN r.event_id END AS recent_signup_id
+      FROM events l
+      ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""))
+
   /** §2.8 scalar family through SCol: clip, astype (truncating cast), abs,
     * arithmetic, conditional bucketing.
     */
@@ -372,6 +400,7 @@ object IoQueries {
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
     "q79_npz_roundtrip" -> q79_npz_roundtrip,
     "q64_asof_join" -> q64_asof_join,
+    "q96_asof_tolerance" -> q96_asof_tolerance,
     "q65_scalar_funcs" -> q65_scalar_funcs,
     "q66_cross_join" -> q66_cross_join,
     "q67_dict_map" -> q67_dict_map)
