@@ -249,6 +249,28 @@ object OpQueries {
       GROUP BY 1
       ORDER BY seg"""))
 
+  /** §2.4 grouped bias-corrected moments (pandas G1/G2 per group, via
+    * `SCol.sampleSkew/sampleKurt` aggregate Columns — one partial-agg
+    * shuffle; DuckDB's skewness/kurtosis use the same sample corrections).
+    */
+  val q97_group_moments: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(graft.sdf.SCol.sampleSkew(col("l_extendedprice")), 4).as("skew_g"),
+          round(graft.sdf.SCol.sampleKurt(col("l_extendedprice")), 4).as("kurt_g"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(skewness(l_extendedprice), 4) AS skew_g,
+             round(kurtosis(l_extendedprice), 4) AS kurt_g,
+             round(stddev_samp(l_extendedprice), 4) AS sd
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   /** §2.4 grouped exact quantiles (`quantile(q, interpolation)` per group):
     * `percentile` is linear-interpolated in both engines; one partial-agg
     * shuffle.
@@ -483,6 +505,7 @@ object OpQueries {
     "q81_expanding" -> q81_expanding,
     "q84_groupby_dropna" -> q84_groupby_dropna,
     "q92_group_quantiles" -> q92_group_quantiles,
+    "q97_group_moments" -> q97_group_moments,
     "q23_nunique" -> q23_nunique,
     "q24_cumsum_shift_diff" -> q24_cumsum_shift_diff,
     "q25_rollup" -> q25_rollup,

@@ -234,6 +234,19 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 object SCol {
   import org.apache.spark.sql.types._
 
+  /** Pandas-style bias-corrected skew/kurt as aggregate Columns (usable per
+    * group, unlike the scalar [[SCol.skew]]/[[SCol.kurt]]): the same
+    * G1/G2 corrections applied to Spark's population g1/g2.
+    */
+  def sampleSkew(c: Column): Column = {
+    val n = count(c).cast("double")
+    skewness(c) * sqrt(n * (n - 1)) / (n - 2)
+  }
+  def sampleKurt(c: Column): Column = {
+    val n = count(c).cast("double")
+    ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * kurtosis(c) + lit(6))
+  }
+
   /** Runtime ordering over external (Row-level) values for orderable Spark
     * types — what `Column >= Column` compares, lifted to the driver/executor
     * side for the partition-stitch in [[SCol.isMonotonicIncreasing]].
