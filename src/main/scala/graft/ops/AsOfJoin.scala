@@ -54,15 +54,21 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(sideOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightPayload.values.foldLeft(unioned) { (d, to) =>
-      d.withColumn(s"__c_$to", last(col(s"__p_$to"), ignoreNulls = true).over(w))
-    }
+    // carry ONE last(struct(all payload cols)) — the struct is non-null
+    // exactly on right rows, so the matched right row is selected atomically
+    // and its field values (nulls included) are preserved; independent
+    // per-column last() windows could mix values from different right rows
+    // when the matched row holds a null in one payload column.
+    val payloadStruct = struct(
+      rightPayload.values.toSeq.map(to => col(s"__p_$to").as(to)): _*)
+    val carried = unioned.withColumn("__c__",
+      last(when(col("__side__") === 0, payloadStruct), ignoreNulls = true).over(w))
 
     carried.filter(col("__side__") === 1)
       .select(
         keys.map(col) ++
           Seq(col("__t__").as(leftTime)) ++
           leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
-          rightPayload.values.map(to => col(s"__c_$to").as(to)): _*)
+          rightPayload.values.map(to => col("__c__").getField(to).as(to)): _*)
   }
 }

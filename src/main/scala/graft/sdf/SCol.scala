@@ -87,16 +87,20 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     * G2 = ((n-1)/((n-2)(n-3))) * ((n+1) g2 + 6).
     */
   def kurt: Double = {
-    val Seq(n, g2) = df.agg(count(col), kurtosis(col)).head().toSeq
-      .map(_.toString.toDouble)
-    ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+    val row = df.agg(count(col), kurtosis(col)).head()
+    val n = row.getLong(0).toDouble
+    // correction divides by (n-2)(n-3); Spark yields null for n < 2 — NaN
+    // for both, matching pandas on short series
+    if (n < 4 || row.isNullAt(1)) Double.NaN
+    else ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * row.getDouble(1) + 6)
   }
 
   /** Pandas-compatible bias-corrected skew G1 = g1 * sqrt(n(n-1))/(n-2). */
   def skew: Double = {
-    val Seq(n, g1) = df.agg(count(col), functions.skewness(col)).head().toSeq
-      .map(_.toString.toDouble)
-    g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    val row = df.agg(count(col), functions.skewness(col)).head()
+    val n = row.getLong(0).toDouble
+    if (n < 3 || row.isNullAt(1)) Double.NaN
+    else row.getDouble(1) * math.sqrt(n * (n - 1)) / (n - 2)
   }
 
   /** `mode` (`ScalableSeries.py:932-934`); deterministic=min on ties. */

@@ -235,10 +235,13 @@ final class SDF private (private var _df: DataFrame) {
   def melt(idVars: Seq[String], valueVars: Seq[String],
       varName: String = "variable", valueName: String = "value"): SDF = {
     require(valueVars.nonEmpty, "melt needs at least one value column")
-    val stackArgs = valueVars.map(v => s"'$v', `$v`").mkString(", ")
-    SDF(_df.selectExpr(
-      idVars.map(c => s"`$c`") :+
-        s"stack(${valueVars.size}, $stackArgs) AS (`$varName`, `$valueName`)": _*))
+    // Column-object stack() call; names go through backtick-escaped quoting
+    // (`` doubling) so quotes/backticks in column names cannot misparse
+    def c(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    val gen = stack(
+      lit(valueVars.size) +: valueVars.flatMap(v => Seq(lit(v), c(v))): _*)
+      .as(Seq(varName, valueName))
+    SDF(_df.select(idVars.map(c) :+ gen: _*))
   }
 
   // ---- grouping & sorting (§2.4, §2.6) ----------------------------------

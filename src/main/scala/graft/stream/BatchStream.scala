@@ -88,9 +88,21 @@ object BatchStream {
     val shardLen = selected.map { case (a, c) => c - a }.sum
     val batchId = batchIdExpr(col(ShardPosCol), shardLen, plan)
 
+    // numChunks + drop_last=true: exactly C equal chunks of floor(L/C) rows;
+    // the remainder rows (shardPos >= C*floor(L/C)) are DROPPED, matching the
+    // reference contract (`ScalableDataFrame.py:732-754`) — without this
+    // filter they would form an extra undersized batch id C, breaking the
+    // equal-batch guarantee gradient-sync consumers rely on.
+    val keepRow: Column = (plan.numRows, plan.numChunks) match {
+      case (None, Some(c)) if plan.dropLast.contains(true) =>
+        col(ShardPosCol) < lit(c * (shardLen / c))
+      case _ => lit(true)
+    }
+
     withPos.filter(inShard)
       .withColumn(ShardPosCol, shardPos)
       .withColumn(BatchCol, batchId)
+      .filter(keepRow)
   }
 
   /** Closed-form batch id for a shard-local position, mirroring

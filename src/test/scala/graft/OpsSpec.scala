@@ -135,6 +135,22 @@ class OpsSpec extends AnyFunSuite {
     assert(run(strict = true) == "before", "strict picks only earlier rows")
   }
 
+  test("asof carries the matched right row atomically, nulls included") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    // matched right row (t=90) has a null in payload `a`; an older row (t=50)
+    // has a value — merge_asof semantics demand the matched row's null, not a
+    // per-column fallback mixing values from two different right rows
+    val right = Seq(
+      (1L, 90L, Option.empty[String], Option("new_b")),
+      (1L, 50L, Option("old_a"), Option("old_b"))).toDF("k", "t", "a", "b")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t",
+      Map("a" -> "a_m", "b" -> "b_m")).collect().head
+    assert(out.getAs[String]("b_m") == "new_b")
+    assert(out.getAs[String]("a_m") == null,
+      "null in the matched row must not fall back to an older right row")
+  }
+
   test("frameSampleExpr strides synthetic frame indices") {
     val df = Seq(("x" * 3000)).toDF("t")
       .withColumn("frames", Multimodal.frameSampleExpr(encode(col("t"), "UTF-8"), 2))

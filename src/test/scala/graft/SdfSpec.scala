@@ -132,6 +132,17 @@ class SdfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { sdf.asRecord }
   }
 
+  test("melt survives quote/backtick column names; kurt/skew NaN on short series") {
+    val df = Seq((1L, 2.0, 3.0)).toDF("id", "it's", "a`b")
+    val out = SDF(df).melt(Seq("id"), Seq("it's", "a`b"), "var", "val").df
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("it's", 2.0), ("a`b", 3.0)))
+    val short = SDF(Seq(1.0).toDF("x"))
+    assert(short("x").kurt.isNaN && short("x").skew.isNaN)
+    val three = SDF(Seq(1.0, 2.0, 4.0).toDF("x"))
+    assert(!three("x").skew.isNaN && three("x").kurt.isNaN)
+  }
+
   test("valid() with sampling and invalidRows") {
     val sdf = SDF(Seq(1, 2, -3, 4).toDF("x"))
     assert(!sdf.valid(col("x") > 0))

@@ -138,6 +138,25 @@ class StreamSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("spark assign: numChunks + drop_last=true drops the remainder, yields C equal batches") {
+    val n = 65L
+    val df = spark.range(n).toDF("id")
+    val c = 10L
+    val plan = BatchStream.Plan(numChunks = Some(c), dropLast = Some(true))
+    val assigned = BatchStream.assign(df, Seq(col("id")), plan)
+    val byBatch = assigned.groupBy(BatchStream.BatchCol).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch.keySet == (0L until c).toSet,
+      s"expected batch ids 0..${c - 1}, got ${byBatch.keySet.toSeq.sorted}")
+    assert(byBatch.values.forall(_ == n / c),
+      s"every chunk must have exactly ${n / c} rows: $byBatch")
+    assert(assigned.count() == c * (n / c), "remainder rows must be dropped")
+    // drop_last unset keeps every row with within-1 spread
+    val keepAll = BatchStream.assign(df, Seq(col("id")),
+      BatchStream.Plan(numChunks = Some(c)))
+    assert(keepAll.count() == n)
+  }
+
   test("splitNames formats part names") {
     assert(Sharding != null)
     assert(BatchStream.splitNames("x", Seq(3, 3, 1)) ==
