@@ -100,34 +100,49 @@ object Similarity {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nlist: Int, nprobe: Int, sampleFraction: Double = 1.0,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val train = (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
       .select(array_to_vector(col(cVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
+    ivfTopKWithCentroids(queries, corpus, qId, qVec, cId, cVec, k, nprobe,
+      model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
 
-    // centroid assignment as a literal-array expression: nearest centroid by
-    // L2 — no model UDF in the scan, stays in codegen'd Column algebra
-    val centroids = model.clusterCenters.map(_.toArray)
-    def nearestCells(vec: Column, n: Int): Column = {
-      val dists = centroids.zipWithIndex.map { case (ctr, i) =>
-        val d = ctr.zipWithIndex.map { case (cv, j) =>
-          val diff = element_at(vec, j + 1) - lit(cv)
-          diff * diff
-        }.reduce(_ + _)
-        struct(d.as("d"), lit(i).as("cell"))
-      }
-      slice(array_sort(array(dists: _*)), 1, n)
+  /** IVF core with caller-supplied centroids (the KMeans fit above, or any
+    * deterministic seeding — the oracle query derives centroids from fixed
+    * corpus rows so DuckDB can replay cell assignment).
+    *
+    * The centroid table ships as ONE `typedLit` array-of-arrays literal and
+    * distances/argmin run through `transform`/`aggregate`/`array_sort` HOFs:
+    * expression size is CONSTANT in nlist×dim. (The earlier form inlined
+    * `nlist × dim` literal terms into the projection — at a realistic
+    * nlist=1024 / dim=768 that is ~800k expression nodes, past Janino's
+    * 64KB method limit: codegen falls over exactly when scale arrives.)
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nprobe: Int, centroids: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nlist = centroids.size
+    val ctr = typedLit(centroids)
+    // per-cell squared-L2 ranks: (distance, cell) structs sorted asc — ties
+    // break toward the lower cell id (oracle mirrors with ORDER BY d, cell)
+    def cellRanks(vec: Column): Column = {
+      val dists = transform(ctr, c =>
+        aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v))
+      array_sort(zip_with(dists, sequence(lit(0), lit(nlist - 1)),
+        (d, i) => struct(d.as("d"), i.as("cell"))))
     }
 
     val cb = corpus.withColumn("__v__", col(cVec).cast("array<double>"))
-      .withColumn("__cell__", nearestCells(col("__v__"), 1).getItem(0).getField("cell"))
+      .withColumn("__cell__", cellRanks(col("__v__")).getItem(0).getField("cell"))
       .withColumn("__cn__", l2norm(col("__v__")))
     val qb = queries.withColumn("__qv__", col(qVec).cast("array<double>"))
       .withColumn("__cell__", explode(transform(
-        nearestCells(col("__qv__"), nprobe), _.getField("cell"))))
+        slice(cellRanks(col("__qv__")), 1, nprobe), _.getField("cell"))))
       .withColumn("__qn__", l2norm(col("__qv__")))
 
     val scored = qb.join(cb, "__cell__")

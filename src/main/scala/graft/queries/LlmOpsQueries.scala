@@ -395,21 +395,61 @@ object LlmOpsQueries {
       FROM documents
       ORDER BY path"""))
 
-  /** IVF ANN (KMeans cells + nprobe) — not SQL-expressible (centroid fit),
-    * so no oracle: the driver records a rows-only check; exactness vs
-    * brute-force at full probe is spec-verified (OpsSpec).
+  /** IVF ANN with deterministic-by-construction centroids: the 8 cell
+    * centers are fixed corpus rows (vec_id seed list, present at every SF),
+    * so DuckDB replays the squared-L2 cell assignment, the nprobe=2 probe
+    * set and the per-cell cosine top-k exactly. The library API path
+    * ([[Similarity.ivfTopK]]) fits KMeans instead; full-probe==brute-force
+    * stays spec-verified (OpsSpec).
     */
   val q76_cosine_ivf: Q = Q(
     fn = (s, dir) => {
       val emb = table(s, dir, "embeddings")
+      val seedIds = Seq(7L, 61L, 113L, 167L, 211L, 263L, 317L, 373L)
+      // bounded driver collect: nlist rows, same budget as a KMeans model
+      val centroids = emb.filter(col("vec_id").isin(seedIds: _*))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      Similarity.ivfTopK(queries, corpus, "q_id", "q_vec", "c_id", "c_vec",
-        k = 3, nlist = 8, nprobe = 2)
+      Similarity.ivfTopKWithCentroids(queries, corpus, "q_id", "q_vec", "c_id", "c_vec",
+        k = 3, nprobe = 2, centroids = centroids)
         .orderBy(col("q_id"), col("rank"))
     },
-    oracle = None)
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      ctr AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS cv
+        FROM v WHERE vec_id IN (7, 61, 113, 167, 211, 263, 317, 373)),
+      dist AS (
+        SELECT v.vec_id, ctr.cell,
+               list_sum(list_transform(range(1, 65), i -> (vec[i] - cv[i]) * (vec[i] - cv[i]))) AS d
+        FROM v CROSS JOIN ctr),
+      cells AS (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM dist),
+      c AS (
+        SELECT a.vec_id AS c_id, vec AS ccv, a.cell
+        FROM cells a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
+      q AS (
+        SELECT p.vec_id AS q_id, vec AS qv, p.cell
+        FROM cells p JOIN v ON v.vec_id = p.vec_id WHERE p.rn <= 2 AND p.vec_id < 3),
+      scored AS (
+        SELECT q_id, c_id,
+               list_sum(list_transform(range(1, 65), i -> qv[i] * ccv[i])) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> ccv[i] * ccv[i]))) AS cos
+        FROM q JOIN c USING (cell)
+        WHERE q_id <> c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        FROM scored)
+      SELECT q_id, c_id, round(cos, 4) AS cos, rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY q_id, rank"""))
 
   /** Deterministic stratified sampling (class rebalancing): per-stratum
     * Bernoulli on the portable id-hash ([[graft.ops.Sampling]]) — map-side

@@ -122,6 +122,25 @@ class OpsSpec extends AnyFunSuite {
     assert(one.nonEmpty)
   }
 
+  test("IVF ANN: realistic nlist x dim stays a constant-size expression (no codegen blowout)") {
+    // 256 centroids x 128 dims = 32k doubles: with round-1's inlined literal
+    // terms this was ~100k expression nodes (Janino 64KB method-limit); as a
+    // typedLit + HOF argmin it's one array literal and executes fine
+    val nlist = 256; val dim = 128
+    val centroids = Seq.tabulate(nlist)(i => Seq.tabulate(dim)(j => math.sin(i * dim + j)))
+    val vecs = (0 until 6).map(i => (i.toLong, Array.tabulate(dim)(j => math.cos(i * 3 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val out = Similarity.ivfTopKWithCentroids(q, c, "q_id", "q_vec", "c_id", "c_vec",
+      k = 3, nprobe = nlist, centroids = centroids)
+    // full probe == brute force, and the plan must actually execute
+    val brute = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(got == brute)
+  }
+
   test("asof strict vs inclusive at equal timestamps") {
     import graft.ops.AsOfJoin
     val left = Seq((1L, 100L)).toDF("k", "t")
