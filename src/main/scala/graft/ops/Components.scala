@@ -12,17 +12,35 @@ import org.apache.spark.sql.functions._
   * adopts the minimum label in its neighborhood; converged when no label
   * changes. Rounds = O(component diameter) — near-dup graphs are
   * overwhelmingly small star/clique components, so 3–5 rounds suffice in
-  * practice (`maxIter` caps pathological chains). Each round is one
-  * edge-join + one min-aggregate: shuffle scales with |E|, never |V|².
+  * practice (`maxIter` caps pathological chains; the returned status says
+  * whether the cap was hit). Each round is one edge-join + one
+  * min-aggregate: shuffle scales with |E|, never |V|².
+  *
+  * Lineage discipline: each round chains join→agg onto the previous round's
+  * plan. Left unbroken, the logical plan and the RDD DAG grow linearly with
+  * rounds — planning slows every iteration, and one lost executor recomputes
+  * the WHOLE chain from the raw edges. `localCheckpoint` every
+  * [[CheckpointEvery]] rounds truncates both, bounding recompute depth and
+  * keeping the plan constant-size regardless of iteration count.
   */
 object Components {
 
+  /** Truncate lineage every this many label-propagation rounds. */
+  val CheckpointEvery = 3
+
   /** @param edges two-column frame of undirected edges (ids)
-    * @return (id, component) — component = min node id reachable
+    * @return (id, component) — component = min node id reachable.
+    *         Logs a warning when `maxIter` is hit before convergence
+    *         (labels then under-merge); use [[connectedComponentsWithStatus]]
+    *         to branch on it programmatically.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
+      maxIter: Int = 10): DataFrame =
+    connectedComponentsWithStatus(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus an explicit converged flag. */
+  def connectedComponentsWithStatus(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): (DataFrame, Boolean) = {
     // symmetrize once; self-edges make isolated candidate nodes carry through
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -33,28 +51,37 @@ object Components {
 
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("component"))
-    var prevPersisted: Option[DataFrame] = None
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // each node takes the min over its neighbors' current labels (and its own)
-      val next = sym
+      val propagated = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nbr_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("next_label"))
-        .persist()
+      val checkpointed = (iter + 1) % CheckpointEvery == 0
+      // eager localCheckpoint truncates plan+DAG; otherwise cache lazily (the
+      // changed-count job below materializes it)
+      val next = if (checkpointed) propagated.localCheckpoint(true) else propagated.persist()
       val changed = next
         .join(labels, "id")
         .filter(col("next_label") =!= col("component"))
         .limit(1).count() > 0
-      prevPersisted.foreach(_.unpersist())
-      prevPersisted = Some(next)
+      // a checkpointed frame's blocks ARE its data (lineage is gone) — never
+      // unpersist those; plain cached rounds are safe to drop
+      prevCached.foreach(_.unpersist())
+      prevCached = if (checkpointed) None else Some(next)
       labels = next.withColumnRenamed("next_label", "component")
       converged = !changed
       iter += 1
     }
     sym.unpersist()
-    labels
+    if (!converged)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"connectedComponents hit maxIter=$maxIter before convergence: " +
+          "labels are under-merged (raise maxIter for high-diameter graphs)")
+    (labels, converged)
   }
 
   /** End-to-end near-dup dedup: candidates → components → per-component

@@ -20,6 +20,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Seq(20L, 21L).forall(comps(_) == 20L))
   }
 
+  test("high-diameter chain converges with bounded plan size; maxIter hit is surfaced") {
+    // path graph 0-1-2-...-20: diameter 20, needs ~log-to-linear rounds of
+    // min-label propagation — several checkpoint cycles at CheckpointEvery=3
+    val n = 20L
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, converged) =
+      Components.connectedComponentsWithStatus(edges, "id_a", "id_b", maxIter = 30)
+    assert(converged, "path graph must converge within maxIter=30")
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to n).forall(comps(_) == 0L))
+    // lineage truncation: ~21 propagation rounds ran, but the result's RDD
+    // lineage must stop at the last localCheckpoint (<=CheckpointEvery rounds
+    // back) — measured depth ~24 truncated vs 100+ if every round chained
+    def depth(r: org.apache.spark.rdd.RDD[_]): Int =
+      if (r.dependencies.isEmpty) 1 else 1 + r.dependencies.map(d => depth(d.rdd)).max
+    val d = depth(labels.rdd)
+    assert(d < 40, s"RDD lineage depth $d — grew with iterations, checkpoint not truncating")
+
+    val (_, hitCap) =
+      Components.connectedComponentsWithStatus(edges, "id_a", "id_b", maxIter = 2)
+    assert(!hitCap, "maxIter=2 on a diameter-20 chain must report non-convergence")
+  }
+
   test("dedupByCandidates keeps representatives + untouched rows") {
     val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "t")
     val cands = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
