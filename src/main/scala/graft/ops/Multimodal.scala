@@ -42,11 +42,14 @@ object Multimodal {
   final case class DecodedImage(
       path: String, width: Int, height: Int, channels: Int, checksum: Long)
 
-  /** Decode stub: a real implementation would invoke an image codec here
-    * (per-partition, reusing a decoder instance). The deterministic fake
-    * derives shape/checksum from the bytes so tests can assert exact
-    * values. The mapPartitions shape — iterator in, iterator out, typed
-    * Encoder output — is exactly what a real codec integration uses.
+  /** Image decode: REAL for PNG/JPEG payloads via the JDK's `javax.imageio`
+    * (the reference's `reader/asset/image/ImageIOReader.py` capability, zero
+    * extra dependencies); payloads without an image magic number — audio/
+    * video (no JVM codec in scope) and opaque bytes — fall back to the
+    * deterministic byte-derived fake so the pipeline shape stays testable.
+    * mapPartitions: iterator in, iterator out, typed Encoder output; codec
+    * setup (disable ImageIO's temp-file disk cache) happens once per
+    * partition, exactly where a heavier codec would init.
     */
   def decodeImages(assets: DataFrame, assetCol: String): Dataset[DecodedImage] = {
     val spark = assets.sparkSession
@@ -54,18 +57,38 @@ object Multimodal {
     val pathIdx = 0; val dataIdx = 1
     assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
       .mapPartitions { rows =>
-        // ??? real codec init would happen once per partition here
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         rows.map { r =>
           val path = r.getString(pathIdx)
           val bytes = r.getAs[Array[Byte]](dataIdx)
-          fakeDecode(path, bytes)
+          realDecode(path, bytes).getOrElse(fakeDecode(path, bytes))
         }
       }
   }
 
-  /** STUB kernel — deterministic byte-derived fake of an image decode.
-    * Checksum = [[graft.functions.FnvHash64]] (same kernel as the codegen'd
-    * Catalyst expression, so relational and typed paths agree).
+  /** PNG/JPEG decode through `javax.imageio`: shape from the decoded raster,
+    * checksum over the source bytes. Returns None when the payload has no
+    * image magic number or the codec rejects it.
+    */
+  private[ops] def realDecode(path: String, bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 4) return None
+    val isPng = bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
+    val isJpeg = bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
+    if (!isPng && !isJpeg) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else Some(DecodedImage(path, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, graft.functions.FnvHash64.hash(bytes)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB kernel — deterministic byte-derived fake for non-image payloads
+    * (audio/video decode has no JVM codec in this environment). Checksum =
+    * [[graft.functions.FnvHash64]] (same kernel as the codegen'd Catalyst
+    * expression, so relational and typed paths agree).
     */
   private[ops] def fakeDecode(path: String, bytes: Array[Byte]): DecodedImage = {
     val n = if (bytes == null) 0 else bytes.length
@@ -92,7 +115,10 @@ object Multimodal {
 
   /** Byte-size bucketing for decode load balancing: partition key spreading
     * large payloads across executors (skew guard before `mapPartitions`).
+    * `xxhash64` runs directly over the binary — a partitioning key needs no
+    * oracle portability, and md5-of-base64 expanded the full payload into a
+    * string for a fraction of the distribution quality per cycle.
     */
   def sizeBucket(dataCol: Column, buckets: Int): Column =
-    pmod(TextAnalysis.hash60(base64(dataCol)), lit(buckets))
+    pmod(xxhash64(dataCol), lit(buckets.toLong))
 }

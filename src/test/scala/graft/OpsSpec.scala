@@ -62,6 +62,29 @@ class OpsSpec extends AnyFunSuite {
     assert(resized.forall(d => d.width == 224 && d.height == 224))
   }
 
+  test("real PNG/JPEG payloads decode through javax.imageio with true shape") {
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+    val png = imageBytes(5, 3, "png")
+    val jpg = imageBytes(8, 6, "jpg")
+    val txt = "not an image".getBytes("UTF-8")
+    val rows = Seq(("png", png), ("jpg", jpg), ("txt", txt)).toDF("id", "payload")
+    val assets = rows.select(col("id"),
+      Multimodal.assetStruct(col("id"), col("payload"), map()).as("asset"))
+    val decoded = Multimodal.decodeImages(assets, "asset")
+      .collect().map(d => d.path -> d).toMap
+    assert(decoded("png").width == 5 && decoded("png").height == 3 && decoded("png").channels == 3)
+    assert(decoded("jpg").width == 8 && decoded("jpg").height == 6 && decoded("jpg").channels == 3)
+    // non-image payloads keep the deterministic byte-derived fake
+    assert(decoded("txt").width == txt.length % 640)
+    assert(decoded.values.forall(_.checksum != 0L))
+  }
+
   test("bucketed ANN results are a subset of brute-force rankings' candidates") {
     val vecs = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j).toFloat)))
