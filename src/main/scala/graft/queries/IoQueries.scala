@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession.table
-import graft.io.{Compress, FileMetadata, Readers, Writers}
+import graft.io.{Compress, FileMetadata, Pdf, Readers, Writers}
 import graft.ops.AsOfJoin
 import graft.sdf.SDF
 
@@ -386,7 +386,38 @@ object IoQueries {
       FROM part
       ORDER BY p_partkey"""))
 
+  /** PDF Document pillar (reference `reader/document/pdf/FitzPdfReader.py`):
+    * synthesize a 1–2 page PDF per document (FlateDecode content streams),
+    * then recover the page text with the stream-walking extractor. The
+    * oracle replays the 120-char page split over the source text, so stream
+    * framing, Flate round-trip, literal escaping and Tj parsing are all
+    * hash-verified end-to-end.
+    */
+  val q98_pdf_extract: Q = Q(
+    fn = (s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val assets = docs.as[(Long, String)].map { case (id, t) =>
+          val pages = if (t.length > 120) Seq(t.substring(0, 120), t.substring(120)) else Seq(t)
+          ("doc://" + id, Pdf.synthesize(pages))
+        }.toDF("path", "data")
+        .select(graft.ops.Multimodal.assetStruct(col("path"), col("data"), map()).as("asset"))
+      Pdf.extractPages(assets, "asset").toDF()
+        .select(col("path"), col("page").cast("long").as("page"), col("text").as("ptext"))
+        .orderBy(col("path"), col("page"))
+    },
+    oracle = Some("""
+      WITH pages AS (
+        SELECT 'doc://' || doc_id AS path, CAST(0 AS BIGINT) AS page,
+               CASE WHEN length(text) > 120 THEN substr(text, 1, 120) ELSE text END AS ptext
+        FROM documents
+        UNION ALL
+        SELECT 'doc://' || doc_id, CAST(1 AS BIGINT), substr(text, 121)
+        FROM documents WHERE length(text) > 120)
+      SELECT path, page, ptext FROM pages ORDER BY path, page"""))
+
   val all: Map[String, Q] = Map(
+    "q98_pdf_extract" -> q98_pdf_extract,
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
     "q74_product_agg" -> q74_product_agg,
     "q75_json_props" -> q75_json_props,

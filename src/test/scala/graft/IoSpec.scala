@@ -211,4 +211,68 @@ class IoSpec extends AnyFunSuite {
     val e = intercept[Exception] { Writers.write(df, FileMetadata.of(path)) }
     assert(e.getMessage.contains("null") || e.getCause != null)
   }
+
+  test("Pdf: synthesize/extract round-trip — Flate, escaping, multi-page, unicode") {
+    import graft.io.Pdf
+    val pages = Seq("Hello (world) with \\escapes\\ and )(parens", "第二页 unicode text", "")
+    val doc = Pdf.extract(Pdf.synthesize(pages))
+    // empty page has no shown text -> not surfaced (documented heuristic)
+    assert(doc.pages.map(_.text) == pages.filter(_.nonEmpty))
+    assert(doc.pages.map(_.index) == Seq(0, 1))
+    // uncompressed content streams parse through the same path
+    val plain = Pdf.extract(Pdf.synthesize(Seq("plain stream"), compress = false))
+    assert(plain.pages.map(_.text) == Seq("plain stream"))
+    // nested balanced parens inside a literal survive
+    assert(Pdf.textShown("BT (a(b)c) Tj ET") == "a(b)c")
+    // text outside BT..ET is ignored; garbage bytes don't throw
+    assert(Pdf.textShown("(not shown) BT (shown) Tj ET") == "shown")
+    assert(Pdf.extract(Array[Byte](1, 2, 3)).pages.isEmpty)
+  }
+
+  test("Pdf: distributed extractPages yields one row per page") {
+    import graft.io.Pdf
+    import org.apache.spark.sql.functions.{col, map}
+    val docs = Seq((1L, "short"), (2L, "x" * 150)).toDF("id", "t")
+    val assets = docs.select(col("id"), col("t")).as[(Long, String)]
+      .map { case (id, t) =>
+        val ps = if (t.length > 120) Seq(t.take(120), t.drop(120)) else Seq(t)
+        ("doc://" + id, Pdf.synthesize(ps))
+      }.toDF("path", "data")
+      .select(graft.ops.Multimodal.assetStruct(col("path"), col("data"), map()).as("asset"))
+    val rows = Pdf.extractPages(assets, "asset").collect().sortBy(r => (r.path, r.page))
+    assert(rows.map(r => (r.path, r.page)).toSeq ==
+      Seq(("doc://1", 0), ("doc://2", 0), ("doc://2", 1)))
+    assert(rows.head.text == "short")
+    assert(rows(1).text == "x" * 120 && rows(2).text == "x" * 30)
+  }
+
+  test("ObjectStore: exists/list/copy/delete/get/put over the file: scheme") {
+    val base = "file:" + java.nio.file.Files.createTempDirectory("objstore").toString
+    val a = ObjectStore.joinPath(base, "sub", "a.txt")
+    val b = ObjectStore.joinPath(base, "sub", "nested", "b.txt")
+    assert(!ObjectStore.exists(a))
+    ObjectStore.putString(a, "hello")
+    ObjectStore.putString(b, "world")
+    assert(ObjectStore.exists(a) && ObjectStore.getString(a) == "hello")
+    assert(ObjectStore.size(a) == 5L)
+    // recursive vs flat listing; subdir listing
+    assert(ObjectStore.list(ObjectStore.joinPath(base, "sub")).map(_.split('/').last) ==
+      Seq("a.txt", "b.txt"))
+    assert(ObjectStore.list(ObjectStore.joinPath(base, "sub"), recursive = false)
+      .map(_.split('/').last) == Seq("a.txt"))
+    assert(ObjectStore.listSubdirs(ObjectStore.joinPath(base, "sub"))
+      .map(_.split('/').last) == Seq("nested"))
+    assert(ObjectStore.list(ObjectStore.joinPath(base, "missing")).isEmpty)
+    // whole-directory copy, then single-file copy
+    val copied = ObjectStore.joinPath(base, "copy")
+    assert(ObjectStore.copy(ObjectStore.joinPath(base, "sub"), copied))
+    assert(ObjectStore.getString(ObjectStore.joinPath(copied, "nested", "b.txt")) == "world")
+    ObjectStore.touch(ObjectStore.joinPath(base, "marker"))
+    assert(ObjectStore.size(ObjectStore.joinPath(base, "marker")) == 0L)
+    // delete file then tree
+    assert(ObjectStore.delete(a))
+    assert(!ObjectStore.exists(a) && ObjectStore.exists(b))
+    assert(ObjectStore.delete(base))
+    assert(!ObjectStore.exists(b))
+  }
 }
