@@ -22,19 +22,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try QueryCorpus.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try QueryCorpus.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val names = QueryCorpus.benchNames
-    names.foreach(run) // warm-up: JIT + parquet footer cache
-    val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    names.foreach(run(_, sfDir)) // warm-up: JIT + parquet footer cache
+    val results = names.map(n => n -> run(n, sfDir))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Second scale point (sf0.01 sibling dir, if distinct and present) → a
+    // two-point scale curve in the same JSON line; extra keys are
+    // backward-compatible with the driver's {"value","queries","sf"} read.
+    val smallDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+    val curve =
+      if (smallDir.isDirectory && smallDir.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath) {
+        val small = names.map(n => n -> run(n, smallDir.getAbsolutePath))
+        s""","sf_small":"sf0.01","queries_small":${fmt(small)}"""
+      } else ""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"$curve}""")
     spark.stop()
   }
 }

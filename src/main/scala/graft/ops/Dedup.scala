@@ -73,17 +73,42 @@ object Dedup {
 
   /** Candidate near-dup pairs via MinHash LSH: explode bands, self-join on
     * (band, band_hash), dedupe pairs. At scale the join shuffles only
-    * bucket keys; bucket skew is bounded by band width.
+    * bucket keys; bucket skew is bounded by band width — EXCEPT on
+    * pathological corpora (thousands of byte-identical documents land every
+    * band in one bucket, and the within-bucket self-join is quadratic).
+    * `maxBucketSize` is that cliff's guard: buckets above the cap are
+    * dropped with a logged count before the pair join, bounding work to
+    * `buckets × cap²` pairs. Exact duplicates belong to [[exactDedup]]
+    * (linear) anyway — LSH is for the NEAR-dup tail, so a cap around
+    * 50–500 loses nothing real at 100 TB. Off by default: the oracle query
+    * replays the uncapped join.
     */
   def minhashCandidates(df: DataFrame, textCol: Column, idCol: Column,
-      k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     val withBands = df
       .select(idCol.as("id"), shingles(textCol, k).as("__sh__"))
       .select(col("id"), minhashFromShingles(col("__sh__"), numHashes).as("__sig__"))
       .select(col("id"), explode(lshBands(col("__sig__"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val l = withBands.as("l")
-    val r = withBands.as("r")
+    val pruned = maxBucketSize match {
+      case None => withBands
+      case Some(cap) =>
+        val staged = withBands.persist() // signatures compute once, not per branch
+        val hot = staged.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__bsz__"))
+          .filter(col("__bsz__") > cap)
+          .persist()
+        val nHot = hot.count()
+        if (nHot > 0)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"minhashCandidates: dropping $nHot LSH bucket(s) over cap=$cap " +
+              "(pathological duplicate mass — run exactDedup first)")
+        staged.join(hot.select(col("band"), col("band_hash")),
+          Seq("band", "band_hash"), "left_anti")
+    }
+    val l = pruned.as("l")
+    val r = pruned.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
       col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

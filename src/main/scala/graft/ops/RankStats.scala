@@ -42,4 +42,36 @@ object RankStats {
     val r = ranked.agg(corr(col("__ra__"), col("__rb__"))).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
+
+  /** Kendall tau-b — the last method of the `corr(other, method)` contract
+    * (`ScalableSeries.py:896-898`): (C − D) / √((n0 − n1)(n0 − n2)) over
+    * concordant/discordant pair counts with tie corrections.
+    *
+    * Scale: exact tau is inherently pairwise — this is ONE distributed
+    * self-join producing n(n−1)/2 comparison rows and a single aggregate
+    * (no driver loop), fine to ~10^5 rows (10^10 pair-rows streamed, never
+    * materialized). Beyond that, estimate on a [[Sampling]] subset: tau is
+    * an average over pairs, so a uniform sample is unbiased.
+    */
+  def kendall(df: DataFrame, a: String, b: String): Double = {
+    val d = df.select(col(a).cast("double").as("x"), col(b).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("__i__", monotonically_increasing_id()) // any distinct ids: pairs count once via <
+    val l = d.as("l"); val r = d.as("r")
+    val prod = (col("l.x") - col("r.x")) * (col("l.y") - col("r.y"))
+    val row = l.join(r, col("l.__i__") < col("r.__i__"))
+      .agg(
+        sum(when(prod > 0, 1L).otherwise(0L)).as("c"),
+        sum(when(prod < 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col("l.x") === col("r.x"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l.y") === col("r.y"), 1L).otherwise(0L)).as("n2"),
+        count(lit(1)).as("n0"))
+      .head()
+    if (row.isNullAt(4) || row.getLong(4) == 0L) Double.NaN
+    else {
+      val Seq(c, disc, n1, n2, n0) = (0 to 4).map(row.getLong(_))
+      val denom = math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+      if (denom == 0.0) Double.NaN else (c - disc) / denom
+    }
+  }
 }

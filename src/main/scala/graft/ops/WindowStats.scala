@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exponentially-weighted windows — pandas `ewm`, blocked in the reference
+  * (`ScalableDataFrame.py:1374-1397`), parity-plus here.
+  *
+  * ewm is a RECURSIVE window (y_t depends on y_{t-1}): not expressible as a
+  * Spark window-frame aggregate, and the closed-form trick (weight by
+  * (1-α)^{-i}, cumsum, rescale) overflows doubles past a few hundred rows.
+  * Instead: one groupBy collects each key's series sorted by the order
+  * column, ONE linear `aggregate` HOF pass runs the recursion per group, and
+  * explode restores the rows. Shuffle count = 1 (the groupBy); memory bound =
+  * one key's series per task — the same per-group bound pandas itself needs.
+  */
+object WindowStats {
+
+  /** Exponentially-weighted mean per key group along `orderCol`.
+    *
+    * @param adjust pandas semantics —
+    *               true:  y_t = Σ_{i≤t} (1-α)^(t-i)·x_i / Σ_{i≤t} (1-α)^(t-i)
+    *               false: y_0 = x_0; y_t = α·x_t + (1-α)·y_{t-1}
+    */
+  def ewmMean(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, alpha: Double, adjust: Boolean = false,
+      out: String = "ewm"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    val keyCols = keys.map(col)
+    val grouped = df
+      .groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("x")))).as("__s__"))
+
+    // acc = (outputs so far, numerator state, denominator state); the fold
+    // appends one output per element — linear in group size. adjust=false
+    // carries y_{t-1} in the numerator slot.
+    val zero = struct(
+      typedLit(Seq.empty[Double]).as("arr"),
+      lit(0.0).as("num"), lit(0.0).as("den"))
+    val folded = aggregate(
+      col("__s__"), zero,
+      (acc, e) => {
+        val x = e.getField("x")
+        val first = size(acc.getField("arr")) === 0
+        val num =
+          if (adjust) x + acc.getField("num") * beta
+          else when(first, x).otherwise(x * alpha + acc.getField("num") * beta)
+        val den =
+          if (adjust) lit(1.0) + acc.getField("den") * beta else lit(0.0)
+        val y = if (adjust) num / den else num
+        struct(concat(acc.getField("arr"), array(y)).as("arr"),
+          num.as("num"), den.as("den"))
+      },
+      acc => acc.getField("arr"))
+
+    grouped.withColumn("__e__", folded) // staged: HOF result referenced once
+      .select(keyCols :+ explode(arrays_zip(col("__s__"), col("__e__"))).as("__z__"): _*)
+      .select(keyCols ++ Seq(
+        col("__z__.__s__.o").as(orderCol),
+        col("__z__.__s__.x").as(valueCol),
+        col("__z__.__e__").as(out)): _*)
+  }
+}

@@ -556,7 +556,8 @@ object LlmOpsQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
                   // 1000 AS BIGINT) AS bin
       FROM toks
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** End-to-end near-dup clustering: q53's verified MinHash+Jaccard pairs →
     * distributed min-label connected components ([[graft.ops.Components]]) →
@@ -641,7 +642,8 @@ object LlmOpsQueries {
       FROM comp c
       JOIN (SELECT component, min(doc_id) AS survivor FROM comp GROUP BY component) m
         USING (component)
-      ORDER BY c.doc_id"""))
+      ORDER BY c.doc_id"""),
+    bench = true)
 
   /** Deterministic train/val/test split: hash-range bucketing, identical
     * assignment on any engine/partitioning.

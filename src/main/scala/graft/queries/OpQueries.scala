@@ -345,6 +345,77 @@ object OpQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
+  /** §2.4 `corr(method="kendall")` — the last method of the pandas `corr`
+    * contract (`ScalableSeries.py:896-898`): tau-b via one distributed pair
+    * join + a single aggregate ([[graft.ops.RankStats.kendall]]). Exact tau
+    * is inherently O(n²) pairs; the part table keeps the oracle replay cheap,
+    * and the scale path is a uniform [[graft.ops.Sampling]] subset (tau is a
+    * pair average — sampling is unbiased).
+    */
+  val q100_kendall_tau: Q = Q(
+    fn = (s, dir) => {
+      val tau = graft.ops.RankStats.kendall(
+        table(s, dir, "part"), "p_size", "p_retailprice")
+      val rows = java.util.List.of(org.apache.spark.sql.Row(
+        BigDecimal(tau).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("kendall_tau", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT row_number() OVER (ORDER BY p_partkey) AS i,
+               CAST(p_size AS DOUBLE) AS x, CAST(p_retailprice AS DOUBLE) AS y
+        FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL),
+      p AS (
+        SELECT sum(CASE WHEN (l.x - r.x) * (l.y - r.y) > 0 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN (l.x - r.x) * (l.y - r.y) < 0 THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN l.x = r.x THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN l.y = r.y THEN 1 ELSE 0 END) AS n2,
+               count(*) AS n0
+        FROM d l JOIN d r ON l.i < r.i)
+      SELECT round((c - d) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 4)
+               AS kendall_tau
+      FROM p"""))
+
+  /** §2.5 `ewm(alpha).mean()` (parity-plus; blocked in bears
+    * `ScalableDataFrame.py:1374-1397`): recursive weighted mean per customer
+    * over their orders ([[graft.ops.WindowStats.ewmMean]] — one groupBy
+    * shuffle, linear `aggregate` HOF recursion per group). The oracle replays
+    * the SAME recursion per prefix via `list_reduce` — identical operation
+    * order (α·x + β·y_prev, left fold from x_1) makes both sides bit-identical
+    * doubles (the closed-form pair-join oracle differed in ~0.3% of rows at
+    * 1e5 magnitude). Quantization is floor(x·1e4 + 0.5)/1e4 spelled out on
+    * BOTH sides — `round` itself differs (Spark: BigDecimal HALF_UP on the
+    * shortest decimal repr; DuckDB: numeric) and flipped 2 tie rows.
+    * O(len²) per group, fine at oracle scale.
+    */
+  val q99_ewm_mean: Q = Q(
+    fn = (s, dir) => {
+      val o = table(s, dir, "orders").filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("x"))
+      graft.ops.WindowStats.ewmMean(o, keys = Seq("o_custkey"),
+        orderCol = "o_orderkey", valueCol = "x", alpha = 0.3, adjust = false)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (floor(col("ewm") * 1e4 + 0.5) / 1e4).as("ewm"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT o_custkey AS k, o_orderkey AS o, CAST(o_totalprice AS DOUBLE) AS x
+        FROM orders WHERE o_custkey <= 200),
+      g AS (
+        SELECT k, list(o ORDER BY o) AS os, list(x ORDER BY o) AS xs
+        FROM d GROUP BY k)
+      SELECT k AS o_custkey,
+             unnest(os) AS o_orderkey,
+             unnest(list_transform(generate_series(1, len(xs)),
+               i -> floor(list_reduce(xs[1:i], (acc, x) -> 0.3 * x + 0.7 * acc)
+                          * 1e4 + 0.5) / 1e4)) AS ewm
+      FROM g
+      ORDER BY o_custkey, o_orderkey"""))
+
   /** §2.5 window family (parity-plus; blocked in bears
     * `ScalableDataFrame.py:1374-1397`): cumsum + shift + diff per supplier in
     * one window spec — single shuffle, three frame computations.
@@ -503,6 +574,8 @@ object OpQueries {
     "q22_corr_cov" -> q22_corr_cov,
     "q80_spearman_corr" -> q80_spearman_corr,
     "q81_expanding" -> q81_expanding,
+    "q100_kendall_tau" -> q100_kendall_tau,
+    "q99_ewm_mean" -> q99_ewm_mean,
     "q84_groupby_dropna" -> q84_groupby_dropna,
     "q92_group_quantiles" -> q92_group_quantiles,
     "q97_group_moments" -> q97_group_moments,

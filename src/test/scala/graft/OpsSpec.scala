@@ -36,6 +36,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m(1L) != m(3L))
   }
 
+  test("LSH hot-bucket cap bounds pairs on an adversarial all-identical corpus") {
+    // 120 byte-identical docs: every band lands in one bucket -> uncapped
+    // join would materialize 120*119/2 pairs per band
+    val clones = (1L to 120L).map(i => (i, "the same exact document text repeated"))
+    // plus one genuine near-dup pair in its own (cold) bucket
+    val pair = Seq(
+      (201L, "completely different rare tokens alpha beta gamma delta"),
+      (202L, "completely different rare tokens alpha beta gamma zeta"))
+    val df = (clones ++ pair).toDF("id", "t")
+    val capped = Dedup.minhashCandidates(df, col("t"), col("id"), maxBucketSize = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 120 && b <= 120 },
+      "hot clone buckets must be dropped")
+    assert(capped.contains((201L, 202L)), "cold near-dup bucket must survive the cap")
+    // uncapped default keeps the old (oracle-checked) behavior
+    val full = Dedup.minhashCandidates(df, col("t"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 2L)) && full.contains((201L, 202L)))
+  }
+
   test("jaccard bounds and self-similarity") {
     val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("l", "r")
       .withColumn("j", Dedup.jaccard(col("l"), col("r"), 2))
@@ -264,5 +284,36 @@ class OpsSpec extends AnyFunSuite {
     val withNull = Seq((Some(1.0), Some(2.0)), (None, Some(9.0)), (Some(2.0), Some(4.0)),
       (Some(3.0), None), (Some(4.0), Some(5.0))).toDF("a", "b")
     assert(math.abs(RankStats.spearman(withNull, "a", "b") - 1.0) < 1e-12)
+  }
+
+  test("RankStats.kendall: tau-b matches hand-computed pair counts") {
+    import graft.ops.RankStats
+    // x=1..5, y=(1,2,3,5,4): one discordant pair, no ties -> (9-1)/10 = 0.8
+    val noTies = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0), (5.0, 4.0)).toDF("a", "b")
+    assert(math.abs(RankStats.kendall(noTies, "a", "b") - 0.8) < 1e-12)
+    // ties: x=(1,1,2,3), y=(1,2,2,3): C=4, D=0, n0=6, n1=1, n2=1 -> 4/5
+    val ties = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0)).toDF("a", "b")
+    assert(math.abs(RankStats.kendall(ties, "a", "b") - 0.8) < 1e-12)
+    // perfect inverse -> -1; constant column -> denom 0 -> NaN
+    val inv = (1 to 20).map(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    assert(math.abs(RankStats.kendall(inv, "a", "b") + 1.0) < 1e-12)
+    val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("a", "b")
+    assert(RankStats.kendall(const, "a", "b").isNaN)
+  }
+
+  test("WindowStats.ewmMean matches pandas ewm recursion (both adjust modes)") {
+    import graft.ops.WindowStats
+    val df = Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 4.0),
+      (2, 1, 10.0)).toDF("k", "t", "x")
+    // pandas ewm(alpha=0.5, adjust=False): y = [1, 1.5, 2.25, 3.125]
+    val raw = WindowStats.ewmMean(df, Seq("k"), "t", "x", alpha = 0.5, adjust = false)
+      .orderBy("k", "t").collect().map(_.getAs[Double]("ewm")).toSeq
+    assert(raw.take(4).zip(Seq(1.0, 1.5, 2.25, 3.125)).forall { case (a, e) => math.abs(a - e) < 1e-12 })
+    assert(raw(4) == 10.0, "single-row group is its own ewm")
+    // pandas ewm(alpha=0.5, adjust=True): y_t = sum(b^i x_{t-i}) / sum(b^i)
+    val adj = WindowStats.ewmMean(df, Seq("k"), "t", "x", alpha = 0.5, adjust = true)
+      .orderBy("k", "t").collect().map(_.getAs[Double]("ewm")).toSeq
+    val expected = Seq(1.0, 2.5 / 1.5, 4.25 / 1.75, 6.125 / 1.875)
+    assert(adj.take(4).zip(expected).forall { case (a, e) => math.abs(a - e) < 1e-12 })
   }
 }
