@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Frame wire compression — the reference's `compress()`/`decompress()`
   * (`src/bears/core/frame/ScalableDataFrame.py:336-393, 2057-2086`): rows as
-  * minified JSON, gzip'd (level 9), optionally base64. Brotli is out of
-  * scope on the JVM stdlib; gzip is the declared codec (the reference
-  * supports both).
+  * minified JSON, compressed, optionally base64. Codecs: gzip (JVM stdlib,
+  * the default) and zstd (via the zstd-jni Spark already ships for shuffle/
+  * parquet — no new dependency). Brotli, the reference's other codec, has no
+  * JVM-stdlib/Spark-bundled implementation and stays out of scope; zstd
+  * strictly dominates it for this engine's wire format anyway.
   *
   * Two regimes:
   *   - [[compress]]: driver-side single payload — the reference's use case
@@ -18,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *     the form that scales (no driver materialization).
   */
 object Compress {
+
+  /** Wire codec ids accepted by every entry point. */
+  val Gzip = "gzip"
+  val Zstd = "zstd"
 
   def gzip(s: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -31,33 +37,58 @@ object Compress {
     new String(in.readAllBytes(), StandardCharsets.UTF_8)
   }
 
-  /** Whole frame → one gzip'd JSON-lines payload (driver-side). */
-  def compress(df: DataFrame): Array[Byte] =
-    gzip(df.toJSON.collect().mkString("\n"))
+  def zstd(s: String): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(s.getBytes(StandardCharsets.UTF_8), 9)
+
+  def unzstd(b: Array[Byte]): String = {
+    // content size is embedded in the frame header by Zstd.compress
+    val n = com.github.luben.zstd.Zstd.getFrameContentSize(b)
+    require(n >= 0 && n <= Int.MaxValue, s"bad zstd frame content size: $n")
+    new String(com.github.luben.zstd.Zstd.decompress(b, n.toInt), StandardCharsets.UTF_8)
+  }
+
+  private def encoder(codec: String): String => Array[Byte] = codec match {
+    case Gzip => gzip
+    case Zstd => zstd
+    case other => throw new IllegalArgumentException(s"unknown codec: $other (gzip|zstd)")
+  }
+
+  private def decoder(codec: String): Array[Byte] => String = codec match {
+    case Gzip => gunzip
+    case Zstd => unzstd
+    case other => throw new IllegalArgumentException(s"unknown codec: $other (gzip|zstd)")
+  }
+
+  /** Whole frame → one compressed JSON-lines payload (driver-side). */
+  def compress(df: DataFrame, codec: String = Gzip): Array[Byte] =
+    encoder(codec)(df.toJSON.collect().mkString("\n"))
 
   /** Payload → frame, schema re-inferred from JSON (pass `schema` to pin
     * types exactly, mirroring the reference's layout round-trip).
     */
   def decompress(spark: SparkSession, payload: Array[Byte],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      codec: String = Gzip): DataFrame = {
     import spark.implicits._
-    val lines: Dataset[String] = spark.createDataset(gunzip(payload).split("\n").toSeq)
+    val lines: Dataset[String] = spark.createDataset(decoder(codec)(payload).split("\n").toSeq)
     schema.fold(spark.read.json(lines))(s => spark.read.schema(s).json(lines))
   }
 
   /** Optional base64 wrapping (`ScalableDataFrame.py:363, 380` base64
-    * flag) for text-safe transport of the gzip payload.
+    * flag) for text-safe transport of the compressed payload.
     */
-  def compressBase64(df: DataFrame): String =
-    java.util.Base64.getEncoder.encodeToString(compress(df))
+  def compressBase64(df: DataFrame, codec: String = Gzip): String =
+    java.util.Base64.getEncoder.encodeToString(compress(df, codec))
 
   def decompressBase64(spark: SparkSession, payload: String,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    decompress(spark, java.util.Base64.getDecoder.decode(payload), schema)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      codec: String = Gzip): DataFrame =
+    decompress(spark, java.util.Base64.getDecoder.decode(payload), schema, codec)
 
   /** Executor-side variant: one payload per partition, no driver hop. */
-  def compressPerPartition(df: DataFrame): Dataset[Array[Byte]] = {
+  def compressPerPartition(df: DataFrame, codec: String = Gzip): Dataset[Array[Byte]] = {
     import df.sparkSession.implicits._
-    df.toJSON.mapPartitions(rows => Iterator.single(gzip(rows.mkString("\n"))))
+    val enc = encoder(codec)
+    df.toJSON.mapPartitions(rows => Iterator.single(enc(rows.mkString("\n"))))
   }
 }

@@ -49,8 +49,18 @@ object Components {
       .distinct()
       .persist()
 
+    // Convergence test: labels are monotone non-increasing per node (the
+    // self-edges put each node's own label under the min), so sum(component)
+    // strictly decreases until the fixed point — an EXACT no-join test, one
+    // scalar agg per round instead of a next⋈prev join (which was a third
+    // shuffle per round and dominated wall-clock on small graphs). decimal(38)
+    // keeps the sum exact at any |V| (long would overflow at cluster scale).
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col(df.columns.last).cast("decimal(38,0)"))).first().getDecimal(0))
+
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("component"))
+    var prevSum = labelSum(labels)
     var prevCached: Option[DataFrame] = None
     var converged = false
     var iter = 0
@@ -62,18 +72,16 @@ object Components {
         .agg(min(col("nbr_label")).as("next_label"))
       val checkpointed = (iter + 1) % CheckpointEvery == 0
       // eager localCheckpoint truncates plan+DAG; otherwise cache lazily (the
-      // changed-count job below materializes it)
+      // labelSum job below materializes it)
       val next = if (checkpointed) propagated.localCheckpoint(true) else propagated.persist()
-      val changed = next
-        .join(labels, "id")
-        .filter(col("next_label") =!= col("component"))
-        .limit(1).count() > 0
+      val nextSum = labelSum(next)
       // a checkpointed frame's blocks ARE its data (lineage is gone) — never
       // unpersist those; plain cached rounds are safe to drop
       prevCached.foreach(_.unpersist())
       prevCached = if (checkpointed) None else Some(next)
       labels = next.withColumnRenamed("next_label", "component")
-      converged = !changed
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist()

@@ -97,6 +97,68 @@ object Multimodal {
       channels = 3, checksum = checksum)
   }
 
+  final case class DecodedAudio(
+      path: String, sampleRate: Float, channels: Int, frames: Long,
+      durationSec: Double, checksum: Long)
+
+  /** Audio decode: REAL for WAV/AIFF (PCM) payloads via the JDK's
+    * `javax.sound.sampled.AudioSystem` (the reference's
+    * `reader/asset/audio/TorchAudioReader.py` capability for uncompressed
+    * formats, zero extra dependencies); compressed codecs (mp3/ogg — no JVM
+    * codec in scope) fall back to the deterministic byte-derived fake so the
+    * pipeline shape stays testable. Same mapPartitions batch shape as
+    * [[decodeImages]].
+    */
+  def decodeAudio(assets: DataFrame, assetCol: String): Dataset[DecodedAudio] = {
+    implicit val enc: org.apache.spark.sql.Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+    assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val path = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          realDecodeAudio(path, bytes).getOrElse(fakeDecodeAudio(path, bytes))
+        }
+      }
+  }
+
+  /** WAV (`RIFF….WAVE`) / AIFF (`FORM….AIFF`) header+frame decode through
+    * `AudioSystem`. Reads format metadata and the frame count from the
+    * stream header — no full-sample materialization; the checksum covers the
+    * source bytes. None when the payload is not an uncompressed audio
+    * container the JDK can parse.
+    */
+  private[ops] def realDecodeAudio(path: String, bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes == null || bytes.length < 12) return None
+    def tag(off: Int, s: String) = s.indices.forall(i => bytes(off + i) == s(i).toByte)
+    val isWav = tag(0, "RIFF") && tag(8, "WAVE")
+    val isAiff = tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))
+    if (!isWav && !isAiff) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val dur = if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0
+          Some(DecodedAudio(path, fmt.getSampleRate, fmt.getChannels, frames, dur,
+            graft.functions.FnvHash64.hash(bytes)))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB kernel for compressed audio (no JVM codec in this environment):
+    * deterministic byte-derived metadata, FnvHash64 checksum — mirrors
+    * [[fakeDecode]].
+    */
+  private[ops] def fakeDecodeAudio(path: String, bytes: Array[Byte]): DecodedAudio = {
+    val n = if (bytes == null) 0 else bytes.length
+    val checksum = if (n == 0) 0L else graft.functions.FnvHash64.hash(bytes)
+    val frames = n.toLong * 4
+    DecodedAudio(path, sampleRate = 16000f, channels = 1, frames = frames,
+      durationSec = frames / 16000.0, checksum = checksum)
+  }
+
   /** Resize stub: metadata-level transform (a real kernel would rescale
     * pixels per partition); keeps the fixed-width output contract.
     */

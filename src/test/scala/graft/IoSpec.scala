@@ -66,6 +66,18 @@ class IoSpec extends AnyFunSuite {
     assert(rows.length == 3)
   }
 
+  test("zstd round-trip: driver payload, per-partition payloads, unknown codec rejected") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
+    val z = Compress.compress(df, codec = Compress.Zstd)
+    // zstd magic 0xFD2FB528 little-endian
+    assert((z(0) & 0xFF) == 0x28 && (z(1) & 0xFF) == 0xB5)
+    val back = Compress.decompress(spark, z, Some(df.schema), codec = Compress.Zstd)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val parts = Compress.compressPerPartition(df.repartition(2), codec = Compress.Zstd).collect()
+    assert(parts.map(Compress.unzstd).flatMap(_.split("\n").filter(_.nonEmpty)).length == 3)
+    intercept[IllegalArgumentException] { Compress.compress(df, codec = "brotli") }
+  }
+
   test("base64 compression round-trip") {
     val df = Seq((1L, "x")).toDF("id", "v")
     val b64 = Compress.compressBase64(df)

@@ -105,6 +105,30 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded.values.forall(_.checksum != 0L))
   }
 
+  test("real WAV payloads decode through javax.sound.sampled with true format") {
+    def wavBytes(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = Array.tabulate(nFrames * channels * 2)(i => ((i * 37) % 251).toByte)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val wav = wavBytes(8000f, 2, 1600)
+    val txt = "not audio at all".getBytes("UTF-8")
+    val assets = Seq(("wav", wav), ("txt", txt)).toDF("id", "payload")
+      .select(Multimodal.assetStruct(col("id"), col("payload"), map()).as("asset"))
+    val decoded = Multimodal.decodeAudio(assets, "asset")
+      .collect().map(d => d.path -> d).toMap
+    assert(decoded("wav").sampleRate == 8000f && decoded("wav").channels == 2)
+    assert(decoded("wav").frames == 1600L)
+    assert(math.abs(decoded("wav").durationSec - 0.2) < 1e-9)
+    // non-audio payloads keep the deterministic byte-derived fake
+    assert(decoded("txt").sampleRate == 16000f && decoded("txt").channels == 1)
+    assert(decoded.values.forall(_.checksum != 0L))
+  }
+
   test("bucketed ANN results are a subset of brute-force rankings' candidates") {
     val vecs = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j).toFloat)))
