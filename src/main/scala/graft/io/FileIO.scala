@@ -35,8 +35,9 @@ object Format {
   case object Yaml extends Format(Seq(".yaml", ".yml"))
   case object Binary extends Format(Seq(".bin", ".png", ".jpg", ".jpeg", ".pdf", ".wav", ".mp3", ".mp4"))
   case object Npz extends Format(Seq(".npz", ".npy"))
+  case object Orc extends Format(Seq(".orc"))
 
-  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz)
+  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz, Orc)
 
   /** Longest-matching file ending (`FileMetadata.py:122-147`). */
   def detect(path: String): Format = {
@@ -81,6 +82,7 @@ object Readers {
       case Format.Csv => spark.read.options(csvOpts).csv(path)
       case Format.Tsv => spark.read.options(csvOpts + ("sep" -> "\t")).csv(path)
       case Format.Parquet => spark.read.parquet(path)
+      case Format.Orc => spark.read.orc(path)
       case Format.JsonLines | Format.Json => spark.read.json(path)
       case Format.Binary => spark.read.format("binaryFile").load(path)
       case Format.Npz => Npz.read(spark, path)
@@ -106,6 +108,7 @@ object Readers {
       case Format.Csv => spark.read.options(csvOpts).csv(paths: _*)
       case Format.Tsv => spark.read.options(csvOpts + ("sep" -> "\t")).csv(paths: _*)
       case Format.Parquet => spark.read.parquet(paths: _*)
+      case Format.Orc => spark.read.orc(paths: _*)
       case Format.JsonLines | Format.Json => spark.read.json(paths: _*)
       case other => throw new IllegalArgumentException(s"multi-path $other")
     }
@@ -162,6 +165,7 @@ object Writers {
       case Format.Csv => w.option("header", "true").csv(meta.path)
       case Format.Tsv => w.option("header", "true").option("sep", "\t").csv(meta.path)
       case Format.Parquet => w.parquet(meta.path)
+      case Format.Orc => w.orc(meta.path)
       case Format.JsonLines | Format.Json => w.json(meta.path)
       case Format.Npz => Npz.write(out, meta.path) // driver-side single-file sink
       case other => throw new IllegalArgumentException(s"unwritable format $other")

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * this is the plan you'd want anyway: both sides co-partition on the key,
   * and the window is the same sort a sort-merge range join would need,
   * minus the quadratic candidate expansion.
+  *
+  * Skew caveat: one giant key = one task's window. The salted variant for
+  * that workload: bucket `leftTime` into coarse ranges, salt the key with
+  * the range id, and carry each range's last-right-row-before-boundary as a
+  * seed row into the next range (one extra narrow pass) — keeps per-task
+  * windows bounded without changing results. Not built here because no
+  * oracle workload exhibits the skew; this note is the recipe.
   */
 object AsOfJoin {
 

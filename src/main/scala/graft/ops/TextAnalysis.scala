@@ -125,6 +125,39 @@ object TextAnalysis {
         k => substring(c, (k * step + 1).cast("int"), lit(size))))
   }
 
+  /** Gopher-style repetition signal #1 (public rule set from the Gopher
+    * paper's quality filters): fraction of non-blank lines that duplicate an
+    * earlier line. Pure per-document Column algebra — shuffle-free, scans
+    * once at any corpus size.
+    */
+  def duplicateLineFraction(c: Column): Column = {
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    when(c.isNull || size(lines) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
+  /** Gopher-style repetition signal #2: occurrences of the most frequent
+    * word n-gram over total n-grams. Computed per document without exploding:
+    * sort the gram array, then one linear `aggregate` fold tracks the longest
+    * equal-run (= max frequency). Takes the PRE-STAGED gram array — stage
+    * [[shingles]] in its own projection first (nested-HOF re-eval trap).
+    */
+  def topNgramFractionStaged(grams: Column): Column = {
+    val zero = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val folded = aggregate(
+      array_sort(grams), zero,
+      (acc, g) => {
+        val run = when(g <=> acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(grams.isNull || size(grams) === 0, lit(0.0))
+      .otherwise(folded.cast("double") / size(grams))
+  }
+
   /** PII redaction (training-data scrubbing): emails then phone-like digit
     * runs, patterns chosen to mean the same thing in Java and RE2 regex
     * dialects so the scrub is engine-portable.

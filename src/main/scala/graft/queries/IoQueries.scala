@@ -71,6 +71,26 @@ object IoQueries {
       FROM supplier
       ORDER BY s_suppkey"""))
 
+  /** ORC sink → ORC scan round-trip (parity-plus: ORC ships inside
+    * spark-sql; a columnar alternative to parquet with the same pushdown/
+    * pruning story — relevant wherever a lakehouse standardized on ORC).
+    */
+  val q101_orc_roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("part_orc") + ".orc"
+      val subset = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      Writers.write(subset, FileMetadata.of(out), numChunks = Some(2))
+      Readers.read(s, out)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          round(col("p_retailprice"), 4).as("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey, p_brand, p_size, round(p_retailprice, 4) AS p_retailprice
+      FROM part
+      ORDER BY p_partkey"""))
+
   /** gzip JSON wire compression round-trip
     * (`ScalableDataFrame.py:336-393`): frame → payload → frame with pinned
     * schema.
@@ -427,6 +447,7 @@ object IoQueries {
     "q73_pivot" -> q73_pivot,
     "q87_melt" -> q87_melt,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
+    "q101_orc_roundtrip" -> q101_orc_roundtrip,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
     "q79_npz_roundtrip" -> q79_npz_roundtrip,

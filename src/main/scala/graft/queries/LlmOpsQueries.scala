@@ -645,6 +645,55 @@ object LlmOpsQueries {
       ORDER BY c.doc_id"""),
     bench = true)
 
+  /** Gopher-rule repetition signals (quality-filter pillar): duplicate-line
+    * fraction over a synthesized 3-line doc (the corpus text is single-line,
+    * so the query injects a repeated 50-char prefix line deterministically on
+    * both sides) and most-frequent-bigram fraction. Spark side is
+    * shuffle-free per-doc Column algebra — grams staged once, one linear
+    * sort+fold; the oracle re-derives the max frequency by exploding grams.
+    */
+  val q102_repetition: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("multi", concat_ws("\n", col("text"),
+          substring(col("text"), 1, 50), substring(col("text"), 1, 50)))
+        .withColumn("grams", TextAnalysis.shingles(col("text"), 2))
+        .select(col("doc_id"),
+          round(TextAnalysis.duplicateLineFraction(col("multi")), 4).as("dup_line_frac"),
+          round(TextAnalysis.topNgramFractionStaged(col("grams")), 4).as("top_bigram_frac"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH lf AS (
+        SELECT doc_id,
+               list_filter(string_split(text || chr(10) || substr(text, 1, 50)
+                                        || chr(10) || substr(text, 1, 50), chr(10)),
+                           x -> length(trim(x)) > 0) AS lines
+        FROM documents),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+1], ' ')) END AS grams
+        FROM toks),
+      freq AS (
+        SELECT doc_id, gr, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gr FROM sh)
+        GROUP BY doc_id, gr),
+      tops AS (
+        SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+        FROM freq GROUP BY doc_id)
+      SELECT l.doc_id,
+             round(CASE WHEN len(l.lines) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(l.lines))::DOUBLE / len(l.lines) END,
+                   4) AS dup_line_frac,
+             t.top_bigram_frac
+      FROM lf l JOIN tops t USING (doc_id)
+      ORDER BY l.doc_id"""))
+
   /** Deterministic train/val/test split: hash-range bucketing, identical
     * assignment on any engine/partitioning.
     */
@@ -767,6 +816,7 @@ object LlmOpsQueries {
     "q89_pii_scrub" -> q89_pii_scrub,
     "q90_sequence_packing" -> q90_sequence_packing,
     "q91_dedup_clusters" -> q91_dedup_clusters,
+    "q102_repetition" -> q102_repetition,
     "q93_mean_pool" -> q93_mean_pool,
     "q94_train_val_test" -> q94_train_val_test,
     "q95_corpus_clean" -> q95_corpus_clean,

@@ -148,6 +148,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals: duplicate-line fraction and top-bigram fraction") {
+    val df = Seq(
+      (1L, "a\na\nb"),                       // 3 lines, 2 distinct -> 1/3
+      (2L, "x\n \ny"),                        // blank line ignored -> 0.0
+      (3L, "one two one two one")).toDF("id", "t") // bigrams: "one two"×2, "two one"×2 of 4
+      .withColumn("grams", TextAnalysis.shingles(col("t"), 2))
+      .select(col("id"),
+        TextAnalysis.duplicateLineFraction(col("t")).as("dl"),
+        TextAnalysis.topNgramFractionStaged(col("grams")).as("tb"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(m(1L)._1 - 1.0 / 3) < 1e-12)
+    assert(m(2L)._1 == 0.0)
+    assert(math.abs(m(3L)._2 - 0.5) < 1e-12)
+    // single-token doc: one degenerate gram -> fraction 1.0
+    val single = Seq((1L, "hello")).toDF("id", "t")
+      .withColumn("grams", TextAnalysis.shingles(col("t"), 2))
+      .select(TextAnalysis.topNgramFractionStaged(col("grams"))).head().getDouble(0)
+    assert(single == 1.0)
+  }
+
   test("exactDedupRows keeps exactly the min-id row per duplicate group") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
     val out = graft.ops.Dedup.exactDedupRows(df, col("t"), col("id"))
