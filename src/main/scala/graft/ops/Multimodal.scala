@@ -167,6 +167,93 @@ object Multimodal {
     decoded.map(d => d.copy(width = w, height = h))
   }
 
+  final case class ResizedImage(path: String, data: Array[Byte], width: Int, height: Int)
+
+  /** REAL pixel resize for PNG/JPEG payloads: decode → bilinear rescale on a
+    * `java.awt.Graphics2D` raster → re-encode as PNG bytes — the
+    * decode/transform/encode kernel shape of the reference's image pipeline
+    * (`reader/asset/image/ImageIOReader.py` + PIL resize), JDK-only.
+    * Non-image payloads pass through unchanged (data untouched, target dims
+    * recorded) so mixed asset columns survive the map. Runs per-partition;
+    * pair with [[sizeBucket]] repartitioning when payload sizes are skewed.
+    */
+  def resizeImages(assets: DataFrame, assetCol: String, w: Int, h: Int): Dataset[ResizedImage] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ResizedImage] = Encoders.product[ResizedImage]
+    assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val path = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          rescale(bytes, w, h) match {
+            case Some(out) => ResizedImage(path, out, w, h)
+            case None => ResizedImage(path, bytes, w, h)
+          }
+        }
+      }
+  }
+
+  private[ops] def rescale(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      if (bytes == null) None
+      else {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          Some(out.toByteArray)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  final case class ImageStats(
+      path: String, width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL per-channel feature extraction: mean R/G/B over the decoded raster
+    * — the simplest useful image feature (normalization stats, dead-image
+    * detection) and the template for heavier kernels (histograms, phashes).
+    * Fixed-width output: downstream joins never carry pixels.
+    */
+  def imageChannelStats(assets: DataFrame, assetCol: String): Dataset[ImageStats] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageStats] = Encoders.product[ImageStats]
+    assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val path = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val img = if (bytes == null) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val n = img.getWidth.toLong * img.getHeight
+              Some(ImageStats(path, img.getWidth, img.getHeight,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
   /** Frame-sample stub for video payloads: pick every `stride`-th synthetic
     * frame index from a byte-length-derived frame count.
     */

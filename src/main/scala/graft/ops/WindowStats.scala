@@ -62,4 +62,66 @@ object WindowStats {
         col("__z__.__s__.x").as(valueCol),
         col("__z__.__e__").as(out)): _*)
   }
+
+  /** Exponentially-weighted variance (pandas `ewm(alpha).var(bias)`), same
+    * groupBy + linear-fold shape as [[ewmMean]]. The fold carries the decayed
+    * weighted moments (Σw, Σw², Σw·x, Σw·x²) — pandas' effective weights are
+    * w_i = β^(t-i) for adjust=true and w_0 = β^t, w_i = α·β^(t-i) for
+    * adjust=false — and emits
+    * `(Σwx²/Σw − (Σwx/Σw)²) · (Σw)²/((Σw)² − Σw²)` (the debiased weighted
+    * variance; NaN while the correction denominator is 0, i.e. at the first
+    * observation — matching pandas bias=false).
+    */
+  def ewmVar(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, alpha: Double, adjust: Boolean = false,
+      bias: Boolean = false, out: String = "ewm_var"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    val keyCols = keys.map(col)
+    val grouped = df
+      .groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("x")))).as("__s__"))
+
+    val zero = struct(
+      typedLit(Seq.empty[Double]).as("arr"),
+      lit(0.0).as("sw"), lit(0.0).as("sw2"),
+      lit(0.0).as("m1"), lit(0.0).as("m2"))
+    val folded = aggregate(
+      col("__s__"), zero,
+      (acc, e) => {
+        val x = e.getField("x")
+        val first = size(acc.getField("arr")) === 0
+        val (wNew, w2New) =
+          if (adjust) (lit(1.0), lit(1.0))
+          else (when(first, 1.0).otherwise(alpha), when(first, 1.0).otherwise(alpha * alpha))
+        val sw = wNew + acc.getField("sw") * beta
+        val sw2 = w2New + acc.getField("sw2") * (beta * beta)
+        val m1 = wNew * x + acc.getField("m1") * beta
+        val m2 = wNew * x * x + acc.getField("m2") * beta
+        val mean = m1 / sw
+        val biased = m2 / sw - mean * mean
+        val v =
+          if (bias) biased
+          else when(sw * sw > sw2, biased * sw * sw / (sw * sw - sw2))
+            .otherwise(lit(Double.NaN))
+        struct(concat(acc.getField("arr"), array(v)).as("arr"),
+          sw.as("sw"), sw2.as("sw2"), m1.as("m1"), m2.as("m2"))
+      },
+      acc => acc.getField("arr"))
+
+    grouped.withColumn("__e__", folded)
+      .select(keyCols :+ explode(arrays_zip(col("__s__"), col("__e__"))).as("__z__"): _*)
+      .select(keyCols ++ Seq(
+        col("__z__.__s__.o").as(orderCol),
+        col("__z__.__s__.x").as(valueCol),
+        col("__z__.__e__").as(out)): _*)
+  }
+
+  /** `ewm(alpha).std(bias)` — sqrt of [[ewmVar]]. */
+  def ewmStd(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, alpha: Double, adjust: Boolean = false,
+      bias: Boolean = false, out: String = "ewm_std"): DataFrame =
+    ewmVar(df, keys, orderCol, valueCol, alpha, adjust, bias, out)
+      .withColumn(out, sqrt(col(out)))
 }

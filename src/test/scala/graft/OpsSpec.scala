@@ -105,6 +105,31 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded.values.forall(_.checksum != 0L))
   }
 
+  test("resizeImages rescales real pixels; imageChannelStats reads true means") {
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val red = solidPng(10, 6, 0xFF0000)
+    val txt = "not an image".getBytes("UTF-8")
+    val assets = Seq(("red", red), ("txt", txt)).toDF("id", "payload")
+      .select(Multimodal.assetStruct(col("id"), col("payload"), map()).as("asset"))
+    // resize: output decodes to the target shape, pixels preserved for solid color
+    val resized = Multimodal.resizeImages(assets, "asset", 4, 3)
+      .collect().map(r => r.path -> r).toMap
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized("red").data))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    assert((back.getRGB(2, 1) & 0xFFFFFF) == 0xFF0000, "solid red survives bilinear rescale")
+    assert(resized("txt").data.sameElements(txt), "non-image payloads pass through")
+    // channel stats: solid red -> means (255, 0, 0); non-images dropped
+    val stats = Multimodal.imageChannelStats(assets, "asset").collect()
+    assert(stats.length == 1 && stats.head.path == "red")
+    assert(stats.head.meanR == 255.0 && stats.head.meanG == 0.0 && stats.head.meanB == 0.0)
+  }
+
   test("real WAV payloads decode through javax.sound.sampled with true format") {
     def wavBytes(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
@@ -127,6 +152,43 @@ class OpsSpec extends AnyFunSuite {
     // non-audio payloads keep the deterministic byte-derived fake
     assert(decoded("txt").sampleRate == 16000f && decoded("txt").channels == 1)
     assert(decoded.values.forall(_.checksum != 0L))
+  }
+
+  test("WindowStats.ewmVar matches explicit pandas effective-weight formula") {
+    import graft.ops.WindowStats
+    val xs = Seq(1.0, 2.0, 3.0, 4.0)
+    val alpha = 0.5; val beta = 1 - alpha
+    // independent expected: materialize the effective weights per t, debias
+    def expected(adjust: Boolean): Seq[Double] = xs.indices.map { t =>
+      val w = (0 to t).map { i =>
+        if (adjust) math.pow(beta, t - i)
+        else if (i == 0) math.pow(beta, t) else alpha * math.pow(beta, t - i)
+      }
+      val sw = w.sum; val sw2 = w.map(v => v * v).sum
+      val mean = w.zip(xs).map { case (wi, x) => wi * x }.sum / sw
+      val biased = w.zip(xs).map { case (wi, x) => wi * (x - mean) * (x - mean) }.sum / sw
+      if (sw * sw - sw2 <= 0) Double.NaN else biased * sw * sw / (sw * sw - sw2)
+    }
+    val df = xs.zipWithIndex.map { case (x, i) => (1, i, x) }.toDF("k", "t", "x")
+    for (adjust <- Seq(true, false)) {
+      val got = WindowStats.ewmVar(df, Seq("k"), "t", "x", alpha, adjust = adjust)
+        .orderBy("t").collect().map(_.getAs[Double]("ewm_var")).toSeq
+      val exp = expected(adjust)
+      assert(got.head.isNaN && exp.head.isNaN, s"adjust=$adjust first var is NaN")
+      got.tail.zip(exp.tail).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-10, s"adjust=$adjust: got $g expected $e")
+      }
+    }
+    // pandas cross-check: ewm(alpha=0.5, adjust=True).var() of [1,2,3,4]
+    val adj = WindowStats.ewmVar(df, Seq("k"), "t", "x", alpha, adjust = true)
+      .orderBy("t").collect().map(_.getAs[Double]("ewm_var"))
+    assert(math.abs(adj(1) - 0.5) < 1e-9)
+    assert(math.abs(adj(2) - 0.9285714286) < 1e-9)
+    assert(math.abs(adj(3) - 1.3857142857) < 1e-9)
+    // std = sqrt(var)
+    val sd = WindowStats.ewmStd(df, Seq("k"), "t", "x", alpha, adjust = true)
+      .orderBy("t").collect().map(_.getAs[Double]("ewm_std"))
+    assert(math.abs(sd(3) - math.sqrt(adj(3))) < 1e-12)
   }
 
   test("bucketed ANN results are a subset of brute-force rankings' candidates") {
