@@ -47,6 +47,18 @@ class PlanSpec extends AnyFunSuite {
     assert(partialAfterExchange > exchange, s"no partial aggregate below the exchange:\n$p")
   }
 
+  test("q99 ewm: one hash shuffle (the groupBy) — recursion adds no exchanges") {
+    val p = plan("q99_ewm_mean")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"ewm should shuffle exactly once, got $hashExchanges:\n$p")
+  }
+
+  test("q102 repetition: per-doc column algebra is shuffle-free (sort only)") {
+    val p = plan("q102_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition signals must not hash-shuffle:\n$p")
+  }
+
   test("scan prunes columns: q02 projection reads only selected columns") {
     val p = plan("q02_filter_project")
     val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
