@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: every node starts labeled with itself; each round, a node
   * adopts the minimum label in its neighborhood; converged when no label
-  * changes. Rounds = O(component diameter) — near-dup graphs are
-  * overwhelmingly small star/clique components, so 3–5 rounds suffice in
-  * practice (`maxIter` caps pathological chains; the returned status says
-  * whether the cap was hit). Each round is one edge-join + one
-  * min-aggregate: shuffle scales with |E|, never |V|².
+  * changes. Near-dup graphs are overwhelmingly small star/clique components,
+  * so 1–3 rounds suffice in practice; from round 3 on, pointer jumping
+  * (label ← label(label)) doubles the propagation horizon per round, so even
+  * pathological chains converge in O(log diameter) rounds (`maxIter` caps
+  * the loop; the returned status says whether the cap was hit). Each round
+  * is one edge-join + one min-aggregate (+ one label self-join when
+  * jumping): shuffle scales with |E|, never |V|².
   *
   * Lineage discipline: each round chains join→agg onto the previous round's
   * plan. Left unbroken, the logical plan and the RDD DAG grow linearly with
@@ -66,15 +68,33 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       // each node takes the min over its neighbors' current labels (and its own)
-      val propagated = sym
+      val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nbr_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("next_label"))
+      // Pointer jumping from round 3 on: label ← label(label). Every label IS
+      // a node id of the same graph, its own label is ≤ it and reachable, so
+      // the flattening is sound and keeps labels monotone — and it doubles
+      // the propagation horizon, turning high-diameter chains from O(d)
+      // rounds into O(log d). Rounds 1-2 skip the extra join: star/clique
+      // components (the overwhelming near-dup case) have converged by then.
+      val (propagated, roundScratch) =
+        if (iter < 2) (neighborMin, None)
+        else {
+          // cache the propagate result for the round: both sides of the jump
+          // self-join read it — uncached it would compute twice
+          val nm = neighborMin.persist()
+          val parent = nm.select(col("id").as("__pid__"), col("next_label").as("__plbl__"))
+          val jumped = nm.join(parent, col("next_label") === col("__pid__"), "left")
+            .select(col("id"), coalesce(col("__plbl__"), col("next_label")).as("next_label"))
+          (jumped, Some(nm))
+        }
       val checkpointed = (iter + 1) % CheckpointEvery == 0
       // eager localCheckpoint truncates plan+DAG; otherwise cache lazily (the
       // labelSum job below materializes it)
       val next = if (checkpointed) propagated.localCheckpoint(true) else propagated.persist()
       val nextSum = labelSum(next)
+      roundScratch.foreach(_.unpersist())
       // a checkpointed frame's blocks ARE its data (lineage is gone) — never
       // unpersist those; plain cached rounds are safe to drop
       prevCached.foreach(_.unpersist())

@@ -21,18 +21,19 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   test("high-diameter chain converges with bounded plan size; maxIter hit is surfaced") {
-    // path graph 0-1-2-...-20: diameter 20, needs ~log-to-linear rounds of
-    // min-label propagation — several checkpoint cycles at CheckpointEvery=3
-    val n = 20L
+    // path graph 0-1-...-100: diameter 100. Plain min-label propagation would
+    // need ~100 rounds; pointer jumping (from round 3) doubles the horizon
+    // per round, so maxIter=15 proves the O(log d) path — across several
+    // checkpoint cycles at CheckpointEvery=3
+    val n = 100L
     val edges = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, converged) =
-      Components.connectedComponentsWithStatus(edges, "id_a", "id_b", maxIter = 30)
-    assert(converged, "path graph must converge within maxIter=30")
+      Components.connectedComponentsWithStatus(edges, "id_a", "id_b", maxIter = 15)
+    assert(converged, "diameter-100 chain must converge within 15 jumping rounds")
     val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to n).forall(comps(_) == 0L))
-    // lineage truncation: ~21 propagation rounds ran, but the result's RDD
-    // lineage must stop at the last localCheckpoint (<=CheckpointEvery rounds
-    // back) — measured depth ~24 truncated vs 100+ if every round chained
+    // lineage truncation: the result's RDD lineage must stop at the last
+    // localCheckpoint (<=CheckpointEvery rounds back), not chain every round
     def depth(r: org.apache.spark.rdd.RDD[_]): Int =
       if (r.dependencies.isEmpty) 1 else 1 + r.dependencies.map(d => depth(d.rdd)).max
     val d = depth(labels.rdd)
@@ -40,7 +41,7 @@ class ComponentsSpec extends AnyFunSuite {
 
     val (_, hitCap) =
       Components.connectedComponentsWithStatus(edges, "id_a", "id_b", maxIter = 2)
-    assert(!hitCap, "maxIter=2 on a diameter-20 chain must report non-convergence")
+    assert(!hitCap, "maxIter=2 on a diameter-100 chain must report non-convergence")
   }
 
   test("dedupByCandidates keeps representatives + untouched rows") {
