@@ -416,6 +416,45 @@ object OpQueries {
       FROM g
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** §2.4 `DataFrame.corr()` (pandas matrix contract,
+    * `ScalableDataFrame.py` corr forwarding): all pairwise pearson
+    * correlations of four lineitem measures in ONE partial-aggregated pass,
+    * long format with diagonal.
+    */
+  val q103_corr_matrix: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))
+        .corrMatrix(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 4).as("corr"))
+        .orderBy(col("col_a"), col("col_b")),
+    oracle = Some("""
+      WITH c AS (
+        SELECT corr(l_quantity, l_extendedprice) AS qe,
+               corr(l_quantity, l_discount) AS qd,
+               corr(l_quantity, l_tax) AS qt,
+               corr(l_extendedprice, l_discount) AS ed,
+               corr(l_extendedprice, l_tax) AS et,
+               corr(l_discount, l_tax) AS dt
+        FROM lineitem)
+      SELECT col_a, col_b, round(v, 4) AS corr FROM (
+        SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, CAST(1.0 AS DOUBLE) AS v FROM c
+        UNION ALL SELECT 'l_quantity', 'l_extendedprice', qe FROM c
+        UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM c
+        UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM c
+        UNION ALL SELECT 'l_extendedprice', 'l_quantity', qe FROM c
+        UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', CAST(1.0 AS DOUBLE) FROM c
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM c
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM c
+        UNION ALL SELECT 'l_discount', 'l_quantity', qd FROM c
+        UNION ALL SELECT 'l_discount', 'l_extendedprice', ed FROM c
+        UNION ALL SELECT 'l_discount', 'l_discount', CAST(1.0 AS DOUBLE) FROM c
+        UNION ALL SELECT 'l_discount', 'l_tax', dt FROM c
+        UNION ALL SELECT 'l_tax', 'l_quantity', qt FROM c
+        UNION ALL SELECT 'l_tax', 'l_extendedprice', et FROM c
+        UNION ALL SELECT 'l_tax', 'l_discount', dt FROM c
+        UNION ALL SELECT 'l_tax', 'l_tax', CAST(1.0 AS DOUBLE) FROM c)
+      ORDER BY col_a, col_b"""))
+
   /** §2.5 window family (parity-plus; blocked in bears
     * `ScalableDataFrame.py:1374-1397`): cumsum + shift + diff per supplier in
     * one window spec — single shuffle, three frame computations.
@@ -576,6 +615,7 @@ object OpQueries {
     "q81_expanding" -> q81_expanding,
     "q100_kendall_tau" -> q100_kendall_tau,
     "q99_ewm_mean" -> q99_ewm_mean,
+    "q103_corr_matrix" -> q103_corr_matrix,
     "q84_groupby_dropna" -> q84_groupby_dropna,
     "q92_group_quantiles" -> q92_group_quantiles,
     "q97_group_moments" -> q97_group_moments,

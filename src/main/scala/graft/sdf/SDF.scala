@@ -302,6 +302,39 @@ final class SDF private (private var _df: DataFrame) {
     out.toDF("stat", "column", "value")
   }
 
+  /** pandas `DataFrame.corr(method)` — full pairwise correlation matrix in
+    * long format (col_a, col_b, corr), diagonal included. Pearson runs all
+    * k(k−1)/2 `corr` aggregates in ONE partial-aggregated pass; spearman
+    * first stages fractional ranks per column ([[graft.ops.RankStats]] —
+    * k parallel range-sorts, same work pandas does serially) and reuses the
+    * pearson pass on the ranks. Driver holds only the k×k scalars — same
+    * bound as pandas' output.
+    */
+  def corrMatrix(cols: Seq[String], method: String = "pearson"): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least 2 columns")
+    val base = method match {
+      case "pearson" => _df
+      case "spearman" =>
+        cols.foldLeft(_df.select(cols.map(col): _*)) { (d, c) =>
+          graft.ops.RankStats.withAverageRank(d, c, s"__rk_$c")
+            .drop(c).withColumnRenamed(s"__rk_$c", c)
+        }
+      case other => throw new IllegalArgumentException(
+        s"corr method '$other' not supported here (pearson|spearman; kendall: RankStats.kendall)")
+    }
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val m = pairs.zipWithIndex.map { case ((a, b), i) =>
+      (a, b) -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+    }.toMap
+    val out = for { a <- cols; b <- cols } yield
+      (a, b, if (a == b) 1.0 else m.getOrElse((a, b), m((b, a))))
+    val spark = _df.sparkSession
+    import spark.implicits._
+    out.toDF("col_a", "col_b", "corr")
+  }
+
   // ---- misc -------------------------------------------------------------
 
   def persist(): SDF = { _df.persist(); this }

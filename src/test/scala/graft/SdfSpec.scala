@@ -149,4 +149,22 @@ class SdfSpec extends AnyFunSuite {
     assert(sdf.invalidRows(col("x") > 0).df.collect().map(_.getInt(0)).toSeq == Seq(-3))
     assert(SDF(Seq.empty[Int].toDF("x")).valid(col("x") > 0))
   }
+
+  test("corrMatrix: symmetric with unit diagonal; spearman path = RankStats") {
+    val df = (1 to 40).map { i =>
+      (i.toDouble, math.exp(i / 10.0), (41 - i).toDouble)
+    }.toDF("a", "b", "c")
+    val m = SDF(df).corrMatrix(Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 9)
+    assert(Seq("a", "b", "c").forall(x => m((x, x)) == 1.0))
+    assert(m(("a", "b")) == m(("b", "a")))
+    assert(math.abs(m(("a", "c")) + 1.0) < 1e-12, "a vs reversed a is exactly -1")
+    // spearman matrix entry equals the Series-level spearman
+    val sp = SDF(df).corrMatrix(Seq("a", "b"), method = "spearman")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val expect = graft.ops.RankStats.spearman(df, "a", "b")
+    assert(math.abs(sp(("a", "b")) - expect) < 1e-12)
+    assert(math.abs(sp(("a", "b")) - 1.0) < 1e-12, "monotone transform -> spearman 1")
+  }
 }
