@@ -455,6 +455,51 @@ object OpQueries {
         UNION ALL SELECT 'l_tax', 'l_tax', CAST(1.0 AS DOUBLE) FROM c)
       ORDER BY col_a, col_b"""))
 
+  /** pandas `qcut` (parity-plus §2.4): quartile binning of l_extendedprice —
+    * one exact-percentile aggregate for the 3 boundaries, then a codegen'd
+    * when-chain per row (no global sort window). Boundary determinism note:
+    * 2-decimal data + q=4 means every boundary is either an exact data value
+    * (interpolation f=0 — bit-identical in both engines) or ≥0.0025 away
+    * from every data value, so a 1-ulp engine difference can never flip a
+    * `x <= bound` comparison.
+    */
+  val q104_qcut: Q = Q(
+    fn = (s, dir) => {
+      val li = SDF(table(s, dir, "lineitem"))
+      li.df.select(col("l_orderkey"), col("l_linenumber"),
+          li("l_extendedprice").qcut(4).as("bucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS q FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_extendedprice <= q[1] THEN 0
+                  WHEN l_extendedprice <= q[2] THEN 1
+                  WHEN l_extendedprice <= q[3] THEN 2
+                  ELSE 3 END AS bucket
+      FROM lineitem, b
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** pandas `get_dummies` (parity-plus §2.4): one-hot indicators for the
+    * 5-value market segment — vocabulary from one distinct pass, indicators
+    * as a single projection.
+    */
+  val q105_get_dummies: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+        .getDummies("c_mktsegment", prefix = Some("seg"))
+        .df.drop("c_mktsegment")
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_AUTOMOBILE,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_BUILDING,
+             CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_FURNITURE,
+             CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS seg_HOUSEHOLD,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_MACHINERY
+      FROM customer
+      ORDER BY c_custkey"""))
+
   /** §2.5 window family (parity-plus; blocked in bears
     * `ScalableDataFrame.py:1374-1397`): cumsum + shift + diff per supplier in
     * one window spec — single shuffle, three frame computations.
@@ -616,6 +661,8 @@ object OpQueries {
     "q100_kendall_tau" -> q100_kendall_tau,
     "q99_ewm_mean" -> q99_ewm_mean,
     "q103_corr_matrix" -> q103_corr_matrix,
+    "q104_qcut" -> q104_qcut,
+    "q105_get_dummies" -> q105_get_dummies,
     "q84_groupby_dropna" -> q84_groupby_dropna,
     "q92_group_quantiles" -> q92_group_quantiles,
     "q97_group_moments" -> q97_group_moments,

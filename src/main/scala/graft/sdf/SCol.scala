@@ -75,6 +75,38 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def quantileApprox(q: Double, accuracy: Int = 10000): Double =
     scalar[Double](percentile_approx(col, lit(q), lit(accuracy)))
 
+  /** pandas `qcut(q)` — quantile binning to bucket ids 0..q-1, scale-safe:
+    * ONE exact-percentile aggregate computes the q−1 inner boundaries
+    * (driver holds q scalars), then assignment is a codegen'd when-chain —
+    * no global sort window (`ntile` would funnel the whole column through
+    * rank order). Right-inclusive intervals like pandas: bucket i is
+    * `(b_{i-1}, b_i]`.
+    */
+  def qcut(q: Int): Column = {
+    require(q >= 2, s"qcut needs q >= 2, got $q")
+    val ps = (1 until q).map(_.toDouble / q)
+    val row = df.agg(expr(s"percentile($name, array(${ps.mkString(",")}))")).head()
+    val bounds = row.getSeq[Double](0)
+    cutByBounds(bounds)
+  }
+
+  /** pandas `cut(bins)` — fixed boundaries to bucket ids 0..len(bounds);
+    * values ≤ bounds(0) → 0, … , > bounds(last) → len(bounds). Pure Column
+    * arithmetic, no aggregate pass.
+    */
+  def cut(bounds: Seq[Double]): Column = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, "cut bounds must be sorted, non-empty")
+    cutByBounds(bounds)
+  }
+
+  private def cutByBounds(bounds: Seq[Double]): Column = {
+    val x = col.cast("double")
+    val chain = bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((b, i), rest) => when(x <= b, i).otherwise(rest)
+    }
+    when(x.isNull, lit(null)).otherwise(chain)
+  }
+
   /** Mean absolute deviation (`ScalableSeries.py:912-914`) — two-pass. */
   def mad: Double = {
     val m = mean

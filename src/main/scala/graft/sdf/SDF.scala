@@ -335,6 +335,23 @@ final class SDF private (private var _df: DataFrame) {
     out.toDF("col_a", "col_b", "corr")
   }
 
+  /** pandas `get_dummies` — one 0/1 indicator column per distinct value of
+    * `colName`, appended as `{prefix}_{value}` in sorted value order. The
+    * category vocabulary is collected to the driver (bounded by cardinality —
+    * the same bound pandas' output width imposes); the indicators themselves
+    * are one codegen'd projection, no shuffle. Nulls get no indicator row
+    * (all-zero), matching pandas `dummy_na=False`.
+    */
+  def getDummies(colName: String, prefix: Option[String] = None): SDF = {
+    val p = prefix.getOrElse(colName)
+    val values = _df.select(col(colName).cast("string"))
+      .filter(col(colName).isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted
+    val indicators = values.map(v =>
+      when(col(colName).cast("string") === v, 1).otherwise(0).as(s"${p}_$v"))
+    SDF(_df.select(_df.columns.map(col).toSeq ++ indicators: _*))
+  }
+
   // ---- misc -------------------------------------------------------------
 
   def persist(): SDF = { _df.persist(); this }

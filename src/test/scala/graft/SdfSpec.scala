@@ -150,6 +150,28 @@ class SdfSpec extends AnyFunSuite {
     assert(SDF(Seq.empty[Int].toDF("x")).valid(col("x") > 0))
   }
 
+  test("qcut/cut bucket assignment; getDummies one-hot columns") {
+    // 8 values -> quartiles split evenly; right-inclusive like pandas
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+    val s = SDF(df)
+    val buckets = df.select(col("x"), s("x").qcut(4).as("b"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(buckets(1.0) == 0 && buckets(2.0) == 0)
+    assert(buckets(3.0) == 1 && buckets(4.0) == 1)
+    assert(buckets(5.0) == 2 && buckets(6.0) == 2)
+    assert(buckets(7.0) == 3 && buckets(8.0) == 3)
+    // fixed bounds; null passes through
+    val withNull = Seq(Some(1.0), Some(5.0), None, Some(10.0)).toDF("x")
+    val cutRes = withNull.select(SDF(withNull)("x").cut(Seq(2.0, 6.0)).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(cutRes.toSeq == Seq(Some(0), Some(1), None, Some(2)))
+    // get_dummies: sorted value order, all-zero for null, original cols kept
+    val cat = Seq((1, "b"), (2, "a"), (3, null)).toDF("id", "c")
+    val dum = SDF(cat).getDummies("c").df.orderBy("id").collect()
+    assert(dum.head.schema.fieldNames.toSeq == Seq("id", "c", "c_a", "c_b"))
+    assert(dum.map(r => (r.getInt(2), r.getInt(3))).toSeq == Seq((0, 1), (1, 0), (0, 0)))
+  }
+
   test("corrMatrix: symmetric with unit diagonal; spearman path = RankStats") {
     val df = (1 to 40).map { i =>
       (i.toDouble, math.exp(i / 10.0), (41 - i).toDouble)
