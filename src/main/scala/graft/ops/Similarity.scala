@@ -11,13 +11,24 @@ import TextAnalysis.hash60
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays — `zip_with` dot product +
-    * `aggregate` norms, one codegen'd expression, no UDF.
+  /** Cosine similarity of two double arrays — native codegen'd dot kernel,
+    * no UDF. Inside joins, precompute [[l2norm]] per side first.
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
+  /** Dot product — [[graft.functions.DotProduct]], a native Catalyst
+    * expression: one fused loop in whole-stage codegen instead of the
+    * HOF spelling's materialized product array + interpreted fold
+    * ([[dotHof]], kept as the differential-testing reference).
+    */
   def dot(x: Column, y: Column): Column =
+    graft.functions.DotProduct.dot_product(x, y)
+
+  /** The HOF spelling of [[dot]] — semantically identical; exists so specs
+    * can differential-test the native kernel against built-in machinery.
+    */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm — precompute this per vector BEFORE any pair join: cosine
