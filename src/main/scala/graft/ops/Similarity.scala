@@ -57,14 +57,19 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane sign: plane p dotted with v,
     * where plane components are ±1 derived from the portable hash of
     * (plane, index). sign bits concatenate into the LSH bucket key.
+    *
+    * Each plane is a LITERAL ±1 array fed to the native dot kernel — one
+    * constant-size expression per plane at ANY dim (the per-component
+    * `element_at(v,i)·sign` chain this replaces was `planes × dim` inlined
+    * terms: the same Janino method-limit blowup the IVF path had at real
+    * nlist×dim). Left-to-right summation keeps the bucket bits identical to
+    * the old spelling and the SQL oracle's re-derivation.
     */
   def hyperplaneBucket(vecCol: Column, planes: Int, dim: Int): Column = {
     val v = vecCol.cast("array<double>")
     val bits = (0 until planes).map { p =>
-      val dotp = (0 until dim).map { i =>
-        val sign = if (planeSign(p, i)) 1.0 else -1.0
-        element_at(v, i + 1) * sign
-      }.reduce(_ + _)
+      val plane = typedLit((0 until dim).map(i => if (planeSign(p, i)) 1.0 else -1.0))
+      val dotp = graft.functions.DotProduct.dot_product(v, plane)
       when(dotp >= 0, lit(1L) * (1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
