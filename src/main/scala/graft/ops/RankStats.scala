@@ -53,6 +53,27 @@ object RankStats {
     * materialized). Beyond that, estimate on a [[Sampling]] subset: tau is
     * an average over pairs, so a uniform sample is unbiased.
     */
+  /** [[kendall]] on a deterministic hash sample capped at ~`maxRows` rows —
+    * the 100 TB path: tau is an average over pairs, so a uniform row sample
+    * gives an unbiased estimate with s.e. ~ 1/√pairs; `maxRows`=10^5 keeps
+    * the pair join at ≤5·10^9 streamed comparisons. Sampling uses the
+    * engine's portable hash on a caller-supplied key column, so the estimate
+    * is reproducible on any cluster layout.
+    */
+  def kendallSampled(df: DataFrame, a: String, b: String, keyCol: String,
+      maxRows: Long = 100000L): Double = {
+    val n = df.count()
+    val base =
+      if (n <= maxRows) df
+      else {
+        val pct = math.max(1L, maxRows * 100L / n)
+        df.filter(
+          org.apache.spark.sql.functions.pmod(
+            graft.ops.TextAnalysis.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
+      }
+    kendall(base, a, b)
+  }
+
   def kendall(df: DataFrame, a: String, b: String): Double = {
     val d = df.select(col(a).cast("double").as("x"), col(b).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)

@@ -405,6 +405,10 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(RankStats.kendall(inv, "a", "b") + 1.0) < 1e-12)
     val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("a", "b")
     assert(RankStats.kendall(const, "a", "b").isNaN)
+    // sampled path: a strict monotone relation keeps tau = 1 on any subset,
+    // and the hash sample actually shrinks the input
+    val big = (1 to 2000).map(i => (i.toLong, i.toDouble, i * 2.0)).toDF("id", "a", "b")
+    assert(math.abs(RankStats.kendallSampled(big, "a", "b", "id", maxRows = 200) - 1.0) < 1e-12)
   }
 
   test("WindowStats.ewmMean matches pandas ewm recursion (both adjust modes)") {
