@@ -36,6 +36,13 @@ object Bench {
     val results = names.map(n => n -> run(n, sfDir))
     val total = results.map(_._2).sum
 
+    // the 9 queries BENCH_r01 timed — their subtotal makes the
+    // round-over-round ratio directly readable as the bench list grows
+    val r1Shared = Set("q01_agg_pricing_summary", "q03_join_topk_revenue",
+      "q07_window_rank", "q38_tfidf", "q51_exact_dedup", "q53_minhash_lsh_jaccard",
+      "q55_cosine_topk", "q64_asof_join", "q95_corpus_clean")
+    val sharedTotal = results.collect { case (k, v) if r1Shared(k) && v > 0 => v }.sum
+
     // Second scale point (sf0.01 sibling dir, if distinct and present) → a
     // two-point scale curve in the same JSON line; extra keys are
     // backward-compatible with the driver's {"value","queries","sf"} read.
@@ -46,7 +53,7 @@ object Bench {
         s""","sf_small":"sf0.01","queries_small":${fmt(small)}"""
       } else ""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"$curve}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","r1_shared_total":$sharedTotal$curve}""")
     spark.stop()
   }
 }
