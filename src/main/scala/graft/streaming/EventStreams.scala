@@ -139,4 +139,24 @@ object EventStreams {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** File-sink variant of [[runToCompletion]]: drives the stream through
+    * `foreachBatch` with each micro-batch written as parquet under `outDir`
+    * (overwrite for `complete` mode, append otherwise) — the shape that
+    * connects these plans to a lakehouse sink at scale. The checkpoint
+    * location carries source offsets + state; batch-id-keyed writes are the
+    * exactly-once hook (idempotent re-write on replay).
+    */
+  def runToParquet(df: DataFrame, mode: String, outDir: String): DataFrame = {
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val q = df.writeStream.outputMode(mode)
+      .option("checkpointLocation", outDir + "_chk")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(writeMode).parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.read.parquet(outDir)
+  }
 }

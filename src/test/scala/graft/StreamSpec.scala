@@ -162,4 +162,21 @@ class StreamSpec extends AnyFunSuite {
     assert(BatchStream.splitNames("x", Seq(3, 3, 1)) ==
       Seq("x-part-0001-rows-1-3", "x-part-0002-rows-4-6", "x-part-0003-rows-7-7"))
   }
+
+  test("streaming parquet sink round-trips the same result as the memory sink") {
+    import graft.streaming.EventStreams
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString + "/tumbling"
+    def counts(df: org.apache.spark.sql.DataFrame): Seq[(Any, String, Long)] =
+      df.select(col("w_start"), col("event_type"), col("n"))
+        .collect().map(r => (r.get(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._1.toString, t._2))
+    val viaMemory = counts(EventStreams.runToCompletion(
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, dir), "5 minutes", "1 minute"),
+      "complete"))
+    val viaParquet = counts(EventStreams.runToParquet(
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, dir), "5 minutes", "1 minute"),
+      "complete", out))
+    assert(viaParquet.nonEmpty && viaParquet == viaMemory)
+  }
 }
