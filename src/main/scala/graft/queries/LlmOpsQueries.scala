@@ -694,6 +694,57 @@ object LlmOpsQueries {
       FROM lf l JOIN tops t USING (doc_id)
       ORDER BY l.doc_id"""))
 
+  /** The corpus-to-training-batches composition (flagship pipeline shape):
+    * exact dedup (digest groupBy — text never shuffles) → staged token
+    * counts + length gate → shard-parallel sequence packing → deterministic
+    * train/val/test split. THREE shuffles end to end at any corpus size
+    * (digest groupBy, keeper semi-join, per-shard packing window — the split
+    * is map-side) plus the presentation sort; every stage is the
+    * independently-oracled operator (q51/q50/q90/q94), composed here so the
+    * whole pipeline is hash-verified as one plan.
+    */
+  val q106_training_pipeline: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val deduped = Dedup.exactDedupRows(docs, col("text"), col("doc_id"))
+      val gated = deduped
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .filter(col("n_tok") >= 10)
+      val packed = graft.ops.Packing.packByTokenBudget(
+        gated, id = col("doc_id"), tokens = col("n_tok"), budget = 1000L, shards = 4)
+      graft.ops.Sampling.split(packed, id = col("doc_id"),
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("n_tok"), col("shard"), col("bin"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH fp AS (
+        SELECT doc_id, text,
+               ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS f
+        FROM documents),
+      keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      ded AS (SELECT fp.doc_id, fp.text FROM fp JOIN keep USING (doc_id)),
+      toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                               x -> length(x) >= 1)) AS n_tok
+        FROM ded),
+      gated AS (SELECT doc_id, n_tok FROM toks WHERE n_tok >= 10),
+      sh AS (SELECT doc_id, n_tok, ${h60("CAST(doc_id AS VARCHAR)")} % 4 AS shard FROM gated),
+      packed AS (
+        SELECT doc_id, n_tok, shard,
+               CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    // 1000 AS BIGINT) AS bin
+        FROM sh)
+      SELECT doc_id, n_tok, shard, bin,
+             CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+                  WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM packed
+      ORDER BY doc_id"""),
+    bench = true)
+
   /** Deterministic train/val/test split: hash-range bucketing, identical
     * assignment on any engine/partitioning.
     */
@@ -817,6 +868,7 @@ object LlmOpsQueries {
     "q90_sequence_packing" -> q90_sequence_packing,
     "q91_dedup_clusters" -> q91_dedup_clusters,
     "q102_repetition" -> q102_repetition,
+    "q106_training_pipeline" -> q106_training_pipeline,
     "q93_mean_pool" -> q93_mean_pool,
     "q94_train_val_test" -> q94_train_val_test,
     "q95_corpus_clean" -> q95_corpus_clean,
