@@ -58,6 +58,46 @@ object PipelineConfig {
   def fromFile(path: String): PipelineConfig =
     fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Config WRITER (reference `writer/config/YamlWriter.py`/`JsonWriter.py`):
+    * serialize back to the same YAML shape [[fromYaml]] parses — fromYaml ∘
+    * toYaml is identity (round-trip spec'd).
+    */
+  def toYaml(config: PipelineConfig): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    mapper.writeValueAsString(asJava(config))
+  }
+
+  /** JSON form of the same config (`JsonWriter.py` counterpart). */
+  def toJson(config: PipelineConfig): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(asJava(config))
+
+  def save(config: PipelineConfig, path: String): Unit = {
+    val text = if (path.endsWith(".json")) toJson(config) else toYaml(config)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def asJava(config: PipelineConfig): java.util.Map[String, Any] = {
+    val root = new java.util.LinkedHashMap[String, Any]()
+    root.put("pipeline", config.steps.map { s =>
+      val m = new java.util.LinkedHashMap[String, Any]()
+      m.put("input", s.input.asJava)
+      m.put("transformer", s.transformer)
+      if (s.params.nonEmpty) m.put("params", s.params.asJava)
+      m.put("output", s.output)
+      m
+    }.asJava)
+    if (config.writers.nonEmpty)
+      root.put("writers", config.writers.map { w =>
+        val m = new java.util.LinkedHashMap[String, Any]()
+        m.put("input", w.input.asJava)
+        m.put("path", w.path)
+        m
+      }.asJava)
+    root
+  }
 }
 
 /** When to persist intermediate frames — reference `PersistLevel`

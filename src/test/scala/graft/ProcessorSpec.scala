@@ -170,6 +170,28 @@ class ProcessorSpec extends AnyFunSuite {
     assert(out2.select("cat_enc", "up").collect().toSeq == out.select("cat_enc", "up").collect().toSeq)
   }
 
+  test("config writer: fromYaml(toYaml) and fromYaml(toJson) are identity") {
+    val yaml =
+      """pipeline:
+        |  - input: [categorical]
+        |    transformer: LabelEncoding
+        |    output: "{col_name}_enc"
+        |  - input: ["t.*t"]
+        |    transformer: CaseTransformation
+        |    params: {case: upper}
+        |    output: "up"
+        |writers:
+        |  - input: ["up"]
+        |    path: /tmp/out.csv
+        |""".stripMargin
+    val cfg = PipelineConfig.fromYaml(yaml)
+    assert(PipelineConfig.fromYaml(PipelineConfig.toYaml(cfg)) == cfg)
+    assert(PipelineConfig.fromYaml(PipelineConfig.toJson(cfg)) == cfg, "Jackson-YAML parses JSON too")
+    val tmp = java.nio.file.Files.createTempFile("graft_cfg", ".yaml").toString
+    PipelineConfig.save(cfg, tmp)
+    assert(PipelineConfig.fromFile(tmp) == cfg)
+  }
+
   test("transformLocal: LocalRelation path collects without a Spark job") {
     val yaml =
       """pipeline:
