@@ -24,6 +24,11 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def *(other: Column): Column = col * other
   def /(other: Column): Column = col / other
   def %(other: Column): Column = col % other
+  def **(other: Column): Column = pow(col, other)
+  /** pandas `//` — floor division (floor of the true quotient, like Python). */
+  def floorDiv(other: Column): Column = floor(col / other).cast("long")
+  /** pandas `hasnans`. */
+  def hasnans: Boolean = scalar[Boolean](count(when(col.isNull, 1)) > 0)
 
   def abs_ : Column = abs(col)
 

@@ -352,6 +352,17 @@ final class SDF private (private var _df: DataFrame) {
     SDF(_df.select(_df.columns.map(col).toSeq ++ indicators: _*))
   }
 
+  /** pandas `empty`. */
+  def isEmpty: Boolean = _df.isEmpty
+
+  /** pandas `DataFrame.equals(other)` — same columns (order-sensitive, like
+    * pandas), same multiset of rows. Distributed: two except-all probes, no
+    * driver materialization.
+    */
+  def equalsFrame(other: SDF): Boolean =
+    columns == other.columns &&
+      _df.exceptAll(other.df).isEmpty && other.df.exceptAll(_df).isEmpty
+
   // ---- misc -------------------------------------------------------------
 
   def persist(): SDF = { _df.persist(); this }

@@ -172,6 +172,23 @@ class SdfSpec extends AnyFunSuite {
     assert(dum.map(r => (r.getInt(2), r.getInt(3))).toSeq == Seq((0, 1), (1, 0), (0, 0)))
   }
 
+  test("pow/floorDiv dunders, hasnans, empty, frame equals") {
+    val df = Seq((2.0, 3.0), (7.0, -2.0)).toDF("a", "b")
+    val s = SDF(df)
+    val out = df.select(s("a").**(col("b")).as("p"), s("a").floorDiv(col("b")).as("fd"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out.map(_._2) == Seq(0L, -4L), "floorDiv floors toward -inf like Python //")
+    assert(out.head._1 == 8.0 && math.abs(out(1)._1 - 1.0 / 49) < 1e-15)
+    assert(!s("a").hasnans)
+    assert(SDF(Seq(Some(1.0), None).toDF("x"))("x").hasnans)
+    assert(!s.isEmpty && SDF(Seq.empty[Double].toDF("x")).isEmpty)
+    // equals: multiset of rows, column order sensitive
+    val same = SDF(Seq((7.0, -2.0), (2.0, 3.0)).toDF("a", "b"))
+    assert(s.equalsFrame(same), "row order must not matter")
+    assert(!s.equalsFrame(SDF(df.select(col("b"), col("a")))), "column order matters")
+    assert(!s.equalsFrame(SDF(Seq((2.0, 3.0), (2.0, 3.0)).toDF("a", "b"))), "multiset, not set")
+  }
+
   test("corrMatrix: symmetric with unit diagonal; spearman path = RankStats") {
     val df = (1 to 40).map { i =>
       (i.toDouble, math.exp(i / 10.0), (41 - i).toDouble)
