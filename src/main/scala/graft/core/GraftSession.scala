@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // 100 TB knobs, as relevant locally as on a cluster: AQE converts
+      // oversized SMJ partitions into skew splits, and the runtime bloom
+      // filter semi-prunes the probe side of selective joins BEFORE the
+      // shuffle (row-group level on parquet) — both free correctness-wise
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
