@@ -86,16 +86,22 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: Column, idCol: Column,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,
       maxBucketSize: Option[Long] = None): DataFrame = {
+    // ALWAYS persist the banded signatures: the candidate self-join reads
+    // this frame on both sides, and uncached each side would recompute the
+    // whole tokenize→shingle→minhash pipeline (measured ~2× on the q91
+    // profile). The cached rows are (id, band, band_hash) — three scalars,
+    // orders of magnitude smaller than the corpus text; MEMORY_AND_DISK
+    // spills gracefully at extreme |docs|×bands.
     val withBands = df
       .select(idCol.as("id"), shingles(textCol, k).as("__sh__"))
       .select(col("id"), minhashFromShingles(col("__sh__"), numHashes).as("__sig__"))
       .select(col("id"), explode(lshBands(col("__sig__"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .persist()
     val pruned = maxBucketSize match {
       case None => withBands
       case Some(cap) =>
-        val staged = withBands.persist() // signatures compute once, not per branch
-        val hot = staged.groupBy(col("band"), col("band_hash"))
+        val hot = withBands.groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("__bsz__"))
           .filter(col("__bsz__") > cap)
           .persist()
@@ -104,7 +110,7 @@ object Dedup {
           org.apache.log4j.Logger.getLogger(getClass)
             .warn(s"minhashCandidates: dropping $nHot LSH bucket(s) over cap=$cap " +
               "(pathological duplicate mass — run exactDedup first)")
-        staged.join(hot.select(col("band"), col("band_hash")),
+        withBands.join(hot.select(col("band"), col("band_hash")),
           Seq("band", "band_hash"), "left_anti")
     }
     val l = pruned.as("l")
