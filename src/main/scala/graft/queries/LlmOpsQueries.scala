@@ -102,9 +102,11 @@ object LlmOpsQueries {
       val corpus = docs.unionByName(near)
       val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
         k = 3, numHashes = 4, bands = 2)
-      // distinct shingle sets computed once per doc, BEFORE the pair join
+      // distinct shingle sets computed once per doc, BEFORE the pair join —
+      // and persisted: the verify stage joins sh on BOTH pair sides
       val sh = corpus.select(col("doc_id"),
         array_distinct(graft.ops.TextAnalysis.shingles(col("text"), 3)).as("sh"))
+        .persist()
       cands
         .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -577,6 +579,7 @@ object LlmOpsQueries {
         k = 3, numHashes = 4, bands = 2)
       val sh = corpus.select(col("doc_id"),
         array_distinct(graft.ops.TextAnalysis.shingles(col("text"), 3)).as("sh"))
+        .persist() // joined on both pair sides
       val pairs = cands
         .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
