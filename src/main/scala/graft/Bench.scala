@@ -24,7 +24,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Isolate timed queries from each other: drop every cached plan AND every
+    // still-persisted RDD (localCheckpoint blocks are not catalog-tracked)
+    // so one query's residue can't occupy BlockManager memory when the next
+    // one runs. Done BEFORE each run so the run's own time includes none of
+    // the cleanup.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     def run(name: String, dir: String): Double = {
+      isolate()
       val t0 = System.nanoTime()
       try QueryCorpus.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }

@@ -78,4 +78,97 @@ object AsOfJoin {
           leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
           rightPayload.values.map(to => col("__c__").getField(to).as(to)): _*)
   }
+
+  /** [[backward]] for SKEWED keys — the §2.3 skew-cliff closer. `backward`
+    * runs one window per key, so a key holding 90% of the rows serializes
+    * 90% of the table through one task. Here each key's timeline is split
+    * into `salts` coarse time ranges (balanced via approximate quantiles of
+    * the combined time column — ANY assignment is correct, quantiles just
+    * balance task sizes), the same union+`last(struct)` window runs
+    * partitioned by (key, range), and each range is seeded with a carry-in
+    * row: the last right payload from all EARLIER ranges, computed by a
+    * per-(key, range) aggregate (≤ `salts` rows per key) plus one tiny
+    * prefix-scan window. Three extra narrow-ish steps, all O(|keys|·salts);
+    * the heavy window becomes `salts`-way parallel per key.
+    *
+    * Equal timestamps land in the same range (bucketing is a function of
+    * time), so carry-in rows are strictly earlier than every row in their
+    * range and both `strict` modes behave exactly as in [[backward]].
+    * Result == [[backward]] row-for-row (ties between equal-time right rows
+    * are resolved arbitrarily in both, as in pandas).
+    */
+  def backwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Map[String, String],
+      strict: Boolean = false,
+      salts: Int = 32): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val leftCols = left.columns.toSeq
+    val sideOrder = if (strict) Seq(col("__t__"), col("__side__").desc) else Seq(col("__t__"), col("__side__"))
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t__"), lit(0).as("__side__")) ++
+        rightPayload.map { case (from, to) => col(from).as(s"__p_$to") }: _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t__"), lit(1).as("__side__")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    // time-range bucketing: boundaries from approx quantiles of the combined
+    // time axis; a when-chain of <= salts-1 comparisons assigns the bucket
+    // (same t => same bucket, so ranges strictly order across buckets)
+    val probs = (1 until salts).map(_.toDouble / salts).toArray
+    val bounds =
+      if (salts == 1) Array.empty[Double]
+      else unioned.select(col("__t__").cast("double").as("__td__"))
+        .stat.approxQuantile("__td__", probs, 0.001).distinct.sorted
+    val tD = col("__t__").cast("double")
+    val saltExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), rest) => when(tD <= b, i).otherwise(rest)
+    }
+    val salted = unioned.withColumn("__salt__", saltExpr)
+
+    val payloadStruct = struct(
+      rightPayload.values.toSeq.map(to => col(s"__p_$to").as(to)): _*)
+
+    // last right payload per (key, range): the candidate carry-OUT of each
+    // range — max_by over time picks the latest right row atomically
+    val grpCols = keys.map(col) :+ col("__salt__")
+    val rangeLast = salted.filter(col("__side__") === 0)
+      .groupBy(grpCols: _*)
+      .agg(max_by(payloadStruct, col("__t__")).as("__rl__"))
+    // carry-IN per (key, range) = last non-null carry-out over earlier
+    // ranges; the scan window sees <= salts rows per key — never skewed
+    val keyRanges = salted.select(grpCols: _*).distinct()
+    val wScan = Window.partitionBy(keys.map(col): _*).orderBy(col("__salt__"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = keyRanges.join(rangeLast, keys :+ "__salt__", "left")
+      .withColumn("__seed__", last(col("__rl__"), ignoreNulls = true).over(wScan))
+      .filter(col("__seed__").isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col("__salt__"),
+          lit(null).cast(unioned.schema("__t__").dataType).as("__t__"), // nulls-first: sorts before every real row in the range
+          lit(-1).as("__side__")) ++
+          rightPayload.values.toSeq.map(to => col("__seed__").getField(to).as(s"__p_$to")): _*)
+
+    val withSeeds = salted.unionByName(seeds, allowMissingColumns = true)
+    val w = Window.partitionBy(grpCols: _*).orderBy(sideOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = withSeeds.withColumn("__c__",
+      last(when(col("__side__") <= 0, payloadStruct), ignoreNulls = true).over(w))
+
+    carried.filter(col("__side__") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__t__").as(leftTime)) ++
+          leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
+          rightPayload.values.map(to => col("__c__").getField(to).as(to)): _*)
+  }
 }

@@ -31,18 +31,27 @@ object Components {
   val CheckpointEvery = 3
 
   /** @param edges two-column frame of undirected edges (ids)
+    * @param checkpointDir when set, lineage truncation uses RELIABLE
+    *        `checkpoint()` into this directory (HDFS/S3/posix path via
+    *        `setCheckpointDir`) instead of `localCheckpoint`. On a real
+    *        cluster this is the 100 TB-safe default: `localCheckpoint`
+    *        blocks die with their executor, so a long iterative job would
+    *        restart from round zero on any executor loss; a reliable
+    *        checkpoint survives and the job resumes from the last cut.
+    *        Locally `None` (the default) keeps the zero-IO fast path.
     * @return (id, component) — component = min node id reachable.
     *         Logs a warning when `maxIter` is hit before convergence
     *         (labels then under-merge); use [[connectedComponentsWithStatus]]
     *         to branch on it programmatically.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10): DataFrame =
-    connectedComponentsWithStatus(edges, aCol, bCol, maxIter)._1
+      maxIter: Int = 10, checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithStatus(edges, aCol, bCol, maxIter, checkpointDir)._1
 
   /** [[connectedComponents]] plus an explicit converged flag. */
   def connectedComponentsWithStatus(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10): (DataFrame, Boolean) = {
+      maxIter: Int = 10, checkpointDir: Option[String] = None): (DataFrame, Boolean) = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // symmetrize once; self-edges make isolated candidate nodes carry through
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -90,9 +99,12 @@ object Components {
           (jumped, Some(nm))
         }
       val checkpointed = (iter + 1) % CheckpointEvery == 0
-      // eager localCheckpoint truncates plan+DAG; otherwise cache lazily (the
-      // labelSum job below materializes it)
-      val next = if (checkpointed) propagated.localCheckpoint(true) else propagated.persist()
+      // eager (local or reliable) checkpoint truncates plan+DAG; otherwise
+      // cache lazily (the labelSum job below materializes it)
+      val next =
+        if (!checkpointed) propagated.persist()
+        else if (checkpointDir.isDefined) propagated.checkpoint(true)
+        else propagated.localCheckpoint(true)
       val nextSum = labelSum(next)
       roundScratch.foreach(_.unpersist())
       // a checkpointed frame's blocks ARE its data (lineage is gone) — never
@@ -105,11 +117,23 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    // if the last round ended on a plain cache (not a checkpoint), cut the
+    // result free and release the cache — otherwise the block would outlive
+    // the call (the persist-without-unpersist leak class)
+    val result = prevCached match {
+      case Some(cached) =>
+        val cut =
+          if (checkpointDir.isDefined) labels.checkpoint(true)
+          else labels.localCheckpoint(true)
+        cached.unpersist(false)
+        cut
+      case None => labels
+    }
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"connectedComponents hit maxIter=$maxIter before convergence: " +
           "labels are under-merged (raise maxIter for high-diameter graphs)")
-    (labels, converged)
+    (result, converged)
   }
 
   /** End-to-end near-dup dedup: candidates → components → per-component

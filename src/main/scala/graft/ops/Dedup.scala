@@ -76,30 +76,95 @@ object Dedup {
     * bucket keys; bucket skew is bounded by band width — EXCEPT on
     * pathological corpora (thousands of byte-identical documents land every
     * band in one bucket, and the within-bucket self-join is quadratic).
-    * `maxBucketSize` is that cliff's guard: buckets above the cap are
-    * dropped with a logged count before the pair join, bounding work to
-    * `buckets × cap²` pairs. Exact duplicates belong to [[exactDedup]]
-    * (linear) anyway — LSH is for the NEAR-dup tail, so a cap around
-    * 50–500 loses nothing real at 100 TB. Off by default: the oracle query
-    * replays the uncapped join.
+    * Two guards, composable:
+    *   - `exactPrepass`: collapse byte-identical texts to one representative
+    *     per content digest BEFORE the LSH (one linear digest groupBy; the
+    *     text itself never shuffles — only (id, digest) pairs and the
+    *     semi-join keeper ids move). Exact-duplicate groups re-enter the
+    *     output as LINEAR (representative, member) chains — enough for
+    *     connected components to merge the cluster without the m² pair
+    *     blowup. With the prepass on, the LSH sees at most one doc per
+    *     distinct content, so duplicate mass can never flood a bucket.
+    *   - `maxBucketSize`: buckets above the cap are dropped with a logged
+    *     count before the pair join, bounding work to `buckets × cap²`
+    *     pairs. With `exactPrepass` the cap only ever fires on genuinely
+    *     adversarial NEAR-dup mass (e.g. one template with per-doc noise).
+    * Both off by default: the oracle query replays the uncapped join.
+    *
+    * Lifecycle: the banded-signature (and prepass digest) frames are
+    * persisted only for the duration of the call — the candidate id pairs
+    * (two longs per row, orders of magnitude smaller than the corpus) are
+    * eagerly materialized via `localCheckpoint` and every input cache is
+    * released before returning, so repeated calls on a long-lived session
+    * cannot leak BlockManager memory.
     */
   def minhashCandidates(df: DataFrame, textCol: Column, idCol: Column,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      maxBucketSize: Option[Long] = None): DataFrame = {
-    // ALWAYS persist the banded signatures: the candidate self-join reads
-    // this frame on both sides, and uncached each side would recompute the
-    // whole tokenize→shingle→minhash pipeline (measured ~2× on the q91
-    // profile). The cached rows are (id, band, band_hash) — three scalars,
-    // orders of magnitude smaller than the corpus text; MEMORY_AND_DISK
-    // spills gracefully at extreme |docs|×bands.
-    val withBands = df
-      .select(idCol.as("id"), shingles(textCol, k).as("__sh__"))
+      maxBucketSize: Option[Long] = None,
+      exactPrepass: Boolean = false): DataFrame = {
+    val (plan, release) =
+      candidatePlan(df, textCol, idCol, k, numHashes, bands, maxBucketSize, exactPrepass)
+    materialize(plan, release)
+  }
+
+  /** Lazy candidate-pair plan plus the caches to release once it has been
+    * materialized — shared by [[minhashCandidates]] (materializes the pairs)
+    * and [[verifiedNearDupPairs]] (materializes only once, after the
+    * Jaccard-verify stage, saving an intermediate checkpoint round-trip).
+    */
+  private def candidatePlan(df: DataFrame, textCol: Column, idCol: Column,
+      k: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Option[Long],
+      exactPrepass: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val docs = df.select(idCol.as("id"), textCol.as("__text__"))
+    if (!exactPrepass) lshPairPlan(docs, k, numHashes, bands, maxBucketSize)
+    else {
+      val digests = docs
+        .select(col("id"), TextAnalysis.fingerprint(col("__text__")).as("__digest__"))
+        .persist()
+      // rep = min id per digest; groups frame is (digest, rep_id) only
+      val groups = digests.groupBy(col("__digest__"))
+        .agg(min(col("id")).as("rep_id"))
+        .persist()
+      val reps = docs.join(groups.select(col("rep_id")),
+        docs("id") === col("rep_id"), "left_semi")
+      val (repPairs, release) = lshPairPlan(reps, k, numHashes, bands, maxBucketSize)
+      // rep_id is the group minimum, so (rep_id, id) is already (lo, hi)
+      val memberPairs = digests.join(groups, "__digest__")
+        .filter(col("id") =!= col("rep_id"))
+        .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+      (repPairs.unionByName(memberPairs).distinct(),
+        release ++ Seq(digests, groups))
+    }
+  }
+
+  /** Eagerly compute `plan` (cutting its lineage), then release the caches
+    * it was built from — the persist-without-unpersist fix: inputs are only
+    * cached for the duration of the building job.
+    */
+  private def materialize(plan: DataFrame, release: Seq[DataFrame]): DataFrame = {
+    val out = plan.localCheckpoint(true)
+    release.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Lazy candidate-pair plan over `(id, __text__)` docs plus the frames the
+    * caller must unpersist once the plan has been materialized.
+    */
+  private def lshPairPlan(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Option[Long]): (DataFrame, Seq[DataFrame]) = {
+    // persist the banded signatures: the candidate self-join reads this
+    // frame on both sides, and uncached each side would recompute the whole
+    // tokenize→shingle→minhash pipeline (measured ~2× on the q91 profile).
+    // The cached rows are (id, band, band_hash) — three scalars.
+    val withBands = docs
+      .select(col("id"), shingles(col("__text__"), k).as("__sh__"))
       .select(col("id"), minhashFromShingles(col("__sh__"), numHashes).as("__sig__"))
       .select(col("id"), explode(lshBands(col("__sig__"), numHashes, bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
       .persist()
-    val pruned = maxBucketSize match {
-      case None => withBands
+    val (pruned, scratch) = maxBucketSize match {
+      case None => (withBands, Seq.empty[DataFrame])
       case Some(cap) =>
         val hot = withBands.groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("__bsz__"))
@@ -110,15 +175,41 @@ object Dedup {
           org.apache.log4j.Logger.getLogger(getClass)
             .warn(s"minhashCandidates: dropping $nHot LSH bucket(s) over cap=$cap " +
               "(pathological duplicate mass — run exactDedup first)")
-        withBands.join(hot.select(col("band"), col("band_hash")),
-          Seq("band", "band_hash"), "left_anti")
+        (withBands.join(hot.select(col("band"), col("band_hash")),
+          Seq("band", "band_hash"), "left_anti"), Seq(hot))
     }
     val l = pruned.as("l")
     val r = pruned.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
-      col("l.id") < col("r.id"))
+    val pairs = l.join(r,
+      col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    (pairs, withBands +: scratch)
+  }
+
+  /** Full near-dup pipeline: LSH candidate pairs verified by exact n-gram
+    * Jaccard ≥ `threshold`. Returns (id_a, id_b, jac) with jac rounded to 4
+    * (the oracle-portable quantum). The per-doc distinct-shingle frame is
+    * computed once, persisted across BOTH sides of the pair join, and
+    * released after the verified pairs are eagerly materialized — callers
+    * get a small lineage-free pair frame and no lingering cache blocks.
+    */
+  def verifiedNearDupPairs(df: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Option[Long] = None,
+      exactPrepass: Boolean = false): DataFrame = {
+    val (cands, release) =
+      candidatePlan(df, textCol, idCol, k, numHashes, bands, maxBucketSize, exactPrepass)
+    val sh = df.select(idCol.as("doc_id"),
+      array_distinct(shingles(textCol, k)).as("sh")).persist()
+    val verified = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", round(jaccardShingles(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+    materialize(verified, release :+ sh)
   }
 
   /** Exact n-gram Jaccard similarity of two texts (the verification stage

@@ -159,10 +159,12 @@ object Multimodal {
       durationSec = frames / 16000.0, checksum = checksum)
   }
 
-  /** Resize stub: metadata-level transform (a real kernel would rescale
-    * pixels per partition); keeps the fixed-width output contract.
+  /** Relabel the TARGET dimensions on decoded-image metadata — no pixel
+    * work (named so it cannot be mistaken for a resize: [[resizeImages]] is
+    * the real decode→rescale→re-encode kernel). Useful for planning a batch
+    * whose downstream consumer does the actual scaling.
     */
-  def resize(decoded: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] = {
+  def withTargetDims(decoded: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] = {
     implicit val enc: org.apache.spark.sql.Encoder[DecodedImage] = Encoders.product[DecodedImage]
     decoded.map(d => d.copy(width = w, height = h))
   }

@@ -61,17 +61,27 @@ object RankStats {
     * is reproducible on any cluster layout.
     */
   def kendallSampled(df: DataFrame, a: String, b: String, keyCol: String,
-      maxRows: Long = 100000L): Double = {
+      maxRows: Long = 100000L): Double =
+    kendall(hashSample(df, keyCol, maxRows), a, b)
+
+  /** Deterministic hash sample of ~`maxRows` rows at parts-per-BILLION
+    * granularity: keep rows where `hash60(key) mod 1e9 < maxRows/n * 1e9`.
+    * (The previous integer-percent threshold floored at 1% — at n = 10^9
+    * with maxRows = 10^5 it kept 100× the cap, defeating the whole point of
+    * sampling; ppb granularity keeps the expected sample within rounding of
+    * `maxRows` until n exceeds 10^9·maxRows.) Map-side filter, no shuffle;
+    * reproducible on any cluster layout because the hash is content-based.
+    */
+  def hashSample(df: DataFrame, keyCol: String, maxRows: Long): DataFrame = {
     val n = df.count()
-    val base =
-      if (n <= maxRows) df
-      else {
-        val pct = math.max(1L, maxRows * 100L / n)
-        df.filter(
-          org.apache.spark.sql.functions.pmod(
-            graft.ops.TextAnalysis.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
-      }
-    kendall(base, a, b)
+    if (n <= maxRows) df
+    else {
+      val ppb = math.max(1L, math.round(maxRows.toDouble / n * 1e9))
+      df.filter(
+        org.apache.spark.sql.functions.pmod(
+          graft.ops.TextAnalysis.hash60(col(keyCol).cast("string")),
+          lit(1000000000L)) < ppb)
+    }
   }
 
   def kendall(df: DataFrame, a: String, b: String): Double = {

@@ -100,19 +100,11 @@ object LlmOpsQueries {
         .withColumn("doc_id", col("doc_id") + 1000000)
         .withColumn("text", concat(col("text"), lit(" appended")))
       val corpus = docs.unionByName(near)
-      val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
-        k = 3, numHashes = 4, bands = 2)
-      // distinct shingle sets computed once per doc, BEFORE the pair join —
-      // and persisted: the verify stage joins sh on BOTH pair sides
-      val sh = corpus.select(col("doc_id"),
-        array_distinct(graft.ops.TextAnalysis.shingles(col("text"), 3)).as("sh"))
-        .persist()
-      cands
-        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jac", round(Dedup.jaccardShingles(col("sh_a"), col("sh_b")), 4))
-        .filter(col("jac") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("jac"))
+      // candidates + Jaccard verification with cache lifecycle handled by the
+      // operator (shingle frame persisted across both pair sides, released
+      // after the verified pairs materialize)
+      Dedup.verifiedNearDupPairs(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
     oracle = Some(s"""
@@ -575,15 +567,8 @@ object LlmOpsQueries {
         .withColumn("doc_id", col("doc_id") + 1000000)
         .withColumn("text", concat(col("text"), lit(" appended")))
       val corpus = docs.unionByName(near)
-      val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
-        k = 3, numHashes = 4, bands = 2)
-      val sh = corpus.select(col("doc_id"),
-        array_distinct(graft.ops.TextAnalysis.shingles(col("text"), 3)).as("sh"))
-        .persist() // joined on both pair sides
-      val pairs = cands
-        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .filter(round(Dedup.jaccardShingles(col("sh_a"), col("sh_b")), 4) >= 0.5)
+      val pairs = Dedup.verifiedNearDupPairs(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       val comps = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")

@@ -44,6 +44,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(!hitCap, "maxIter=2 on a diameter-100 chain must report non-convergence")
   }
 
+  test("reliable checkpoint dir: same labels, checkpoint files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+        .toDF("id_a", "id_b")
+      val (labels, converged) = Components.connectedComponentsWithStatus(
+        edges, "id_a", "id_b", maxIter = 15, checkpointDir = Some(dir.getAbsolutePath))
+      assert(converged)
+      val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 7L).forall(comps(_) == 1L))
+      // the chain needs >= CheckpointEvery rounds, so at least one reliable
+      // checkpoint must have been materialized on disk
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(dir).nonEmpty, "no reliable checkpoint files written")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("dedupByCandidates keeps representatives + untouched rows") {
     val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "t")
     val cands = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -56,6 +56,38 @@ class OpsSpec extends AnyFunSuite {
     assert(full.contains((1L, 2L)) && full.contains((201L, 202L)))
   }
 
+  test("exactPrepass: cap-independent candidates on a duplicate-heavy corpus") {
+    // 4 distinct prototypes x 15 byte-identical copies (>50% duplicate mass):
+    // without the prepass every clone bucket holds 15 docs and a cap of 10
+    // drops them all; WITH the prepass the LSH sees one representative per
+    // distinct content, so buckets stay size ~1 and the cap never fires —
+    // cap-drops become purely adversarial, duplicates survive as linear
+    // (representative, member) chains.
+    val protos = Seq(
+      "alpha bravo charlie delta echo foxtrot",
+      "golf hotel india juliet kilo lima",
+      "mike november oscar papa quebec romeo",
+      "sierra tango uniform victor whiskey xray")
+    val clones = protos.zipWithIndex.flatMap { case (t, g) =>
+      (0 until 15).map(j => ((g * 100 + j).toLong, t))
+    }
+    val df = clones.toDF("id", "t")
+    def cands(cap: Option[Long]): Set[(Long, Long)] =
+      Dedup.minhashCandidates(df, col("t"), col("id"), maxBucketSize = cap,
+        exactPrepass = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = cands(None)
+    val capped = cands(Some(10L))
+    assert(uncapped == capped, "prepass must make the candidate set cap-independent")
+    // every clone chains to its group representative (the min id), linearly
+    for (g <- 0 until 4; j <- 1 until 15)
+      assert(uncapped.contains(((g * 100).toLong, (g * 100 + j).toLong)),
+        s"missing member chain for group $g member $j")
+    // and no quadratic within-group pair blowup: only the 14 chains per group
+    val withinGroup = uncapped.count { case (a, b) => a / 100 == b / 100 }
+    assert(withinGroup == 4 * 14, s"expected linear chains only, got $withinGroup")
+  }
+
   test("jaccard bounds and self-similarity") {
     val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("l", "r")
       .withColumn("j", Dedup.jaccard(col("l"), col("r"), 2))
@@ -75,8 +107,8 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b, "decode must not depend on partitioning")
     assert(a.head.width == 11 && a.head.channels == 3)
     assert(a.forall(_.checksum != 0L))
-    // resize keeps identity except shape
-    val resized = Multimodal.resize(Multimodal.decodeImages(
+    // withTargetDims keeps identity except shape (metadata-only by design)
+    val resized = Multimodal.withTargetDims(Multimodal.decodeImages(
       docs.select(col("id"), Multimodal.assetStruct(concat(lit("d"), col("id")),
         encode(col("t"), "UTF-8"), map()).as("asset")), "asset"), 224, 224).collect()
     assert(resized.forall(d => d.width == 224 && d.height == 224))
@@ -319,6 +351,29 @@ class OpsSpec extends AnyFunSuite {
       "null in the matched row must not fall back to an older right row")
   }
 
+  test("asof backwardSalted == backward on a 90%-hot-key workload, both strict modes") {
+    import graft.ops.AsOfJoin
+    // one key holds 90% of the rows — exactly the workload where backward's
+    // single per-key window serializes; salting must not change the answer.
+    // Distinct right timestamps per key (ties between equal-time right rows
+    // are arbitrary in BOTH variants, like pandas).
+    val hotLeft = (0 until 900).map(i => (1L, (i * 7 + 3).toLong, s"L$i"))
+    val coldLeft = (0 until 100).map(i => (2L, (i * 11 + 5).toLong, s"l$i"))
+    val left = (hotLeft ++ coldLeft).toDF("k", "t", "lv")
+    val hotRight = (0 until 300).map(i => (1L, (i * 23).toLong, i.toDouble))
+    val coldRight = (0 until 40).map(i => (2L, (i * 31).toLong, -i.toDouble))
+    val right = (hotRight ++ coldRight).toDF("k", "t", "rv")
+    for (strict <- Seq(false, true); salts <- Seq(1, 8)) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("k", "t", "lv").collect().map(_.toSeq).toSeq
+      val plain = canon(AsOfJoin.backward(left, right, Seq("k"), "t", "t",
+        Map("rv" -> "rv_m"), strict = strict))
+      val salted = canon(AsOfJoin.backwardSalted(left, right, Seq("k"), "t", "t",
+        Map("rv" -> "rv_m"), strict = strict, salts = salts))
+      assert(salted == plain, s"strict=$strict salts=$salts diverged")
+    }
+  }
+
   test("frameSampleExpr strides synthetic frame indices") {
     val df = Seq(("x" * 3000)).toDF("t")
       .withColumn("frames", Multimodal.frameSampleExpr(encode(col("t"), "UTF-8"), 2))
@@ -409,6 +464,19 @@ class OpsSpec extends AnyFunSuite {
     // and the hash sample actually shrinks the input
     val big = (1 to 2000).map(i => (i.toLong, i.toDouble, i * 2.0)).toDF("id", "a", "b")
     assert(math.abs(RankStats.kendallSampled(big, "a", "b", "id", maxRows = 200) - 1.0) < 1e-12)
+  }
+
+  test("RankStats.hashSample: ppb granularity holds the cap when n >> 100*maxRows") {
+    import graft.ops.RankStats
+    // n = 400 * maxRows: the old integer-percent threshold floored at 1% and
+    // would keep ~200 rows (4x the cap); ppb granularity keeps ~maxRows
+    val n = 20000
+    val df = spark.range(n).selectExpr("cast(id as string) as k")
+    val kept = RankStats.hashSample(df, "k", maxRows = 50L).count()
+    assert(kept >= 25 && kept <= 100,
+      s"expected ~50 +- binomial noise, got $kept (percent-floor bug would give ~200)")
+    // under the cap the frame passes through untouched
+    assert(RankStats.hashSample(df.limit(40), "k", maxRows = 50L).count() == 40L)
   }
 
   test("WindowStats.ewmMean matches pandas ewm recursion (both adjust modes)") {
