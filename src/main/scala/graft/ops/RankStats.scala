@@ -17,6 +17,35 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object RankStats {
 
+  /** Exact quantiles with linear interpolation (pandas/NumPy type-7,
+    * matching DuckDB `quantile_cont`) via distributed range sort +
+    * `zipWithIndex` + a targeted index lookup — the scale-safe exact path.
+    * Spark's built-in exact `percentile` merges per-partition value→count
+    * maps onto a single reducer: memory grows with distinct-value
+    * cardinality and it OOMs on high-cardinality columns at cluster scale
+    * (it is also ~3× slower at sf0.1). Here the column is range-sorted in
+    * parallel, only the ≤ 2·|ps| boundary values are collected, and the
+    * sort's shuffle files are reused across the two lightweight jobs.
+    */
+  def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
+    require(ps.forall(p => p >= 0 && p <= 1), "quantile probs must be in [0,1]")
+    if (ps.isEmpty) return Seq.empty
+    val vals = df.select(col(c).cast("double").as("__v__")).filter(col("__v__").isNotNull)
+    val n = vals.count()
+    if (n == 0) return ps.map(_ => Double.NaN)
+    // h = (n-1)p; the boundary interpolates v[floor(h)] .. v[ceil(h)]
+    val hs = ps.map(p => (n - 1) * p)
+    val wanted = hs.flatMap(h => Seq(h.floor.toLong, h.ceil.toLong)).toSet
+    val picked = vals.orderBy(col("__v__")).rdd.map(_.getDouble(0))
+      .zipWithIndex()
+      .collect { case (v, i) if wanted.contains(i) => (i, v) }
+      .collect().toMap
+    hs.map { h =>
+      val lo = picked(h.floor.toLong); val hi = picked(h.ceil.toLong)
+      lo + (hi - lo) * (h - h.floor)
+    }
+  }
+
   /** Append fractional (average) rank of `c` as `out`: for a tie-group of
     * size k starting at 1-based sorted position p, every member ranks
     * p + (k-1)/2 — pandas `rank(method="average")`. Null values rank null.

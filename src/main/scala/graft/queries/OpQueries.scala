@@ -414,7 +414,8 @@ object OpQueries {
                i -> floor(list_reduce(xs[1:i], (acc, x) -> 0.3 * x + 0.7 * acc)
                           * 1e4 + 0.5) / 1e4)) AS ewm
       FROM g
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey"""),
+    bench = true) // regression-watch the groupBy+fold window path
 
   /** §2.4 `DataFrame.corr()` (pandas matrix contract,
     * `ScalableDataFrame.py` corr forwarding): all pairwise pearson
@@ -478,7 +479,8 @@ object OpQueries {
                   WHEN l_extendedprice <= q[3] THEN 2
                   ELSE 3 END AS bucket
       FROM lineitem, b
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber"""),
+    bench = true) // regression-watch the percentile-agg binning path
 
   /** pandas `get_dummies` (parity-plus §2.4): one-hot indicators for the
     * 5-value market segment — vocabulary from one distinct pass, indicators

@@ -69,30 +69,32 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def std: Double = scalar[Double](stddev_samp(col))
   def variance: Double = scalar[Double](var_samp(col))
   def count_ : Long = scalar[Long](count(col))
-  def median: Double = scalar[Double](median_expr)
-  private def median_expr = expr(s"median($name)")
+  def median: Double = quantile(0.5)
 
-  /** Exact quantile with linear interpolation (`ScalableSeries.py:944-946`).
-    * Exact `percentile` is a full-sort aggregate; prefer [[quantileApprox]]
-    * beyond ~10^9 rows per group.
+  /** Exact quantile with linear interpolation (`ScalableSeries.py:944-946`)
+    * via [[graft.ops.RankStats.exactQuantiles]] (parallel range sort +
+    * targeted index lookup) — exact at any scale; Spark's built-in exact
+    * `percentile` funnels a value→count map through one reducer and OOMs on
+    * high-cardinality columns. [[quantileApprox]] remains the cheapest
+    * option when rank error is tolerable.
     */
-  def quantile(q: Double): Double = scalar[Double](expr(s"percentile($name, $q)"))
+  def quantile(q: Double): Double =
+    graft.ops.RankStats.exactQuantiles(df, name, Seq(q)).head
   def quantileApprox(q: Double, accuracy: Int = 10000): Double =
     scalar[Double](percentile_approx(col, lit(q), lit(accuracy)))
 
   /** pandas `qcut(q)` — quantile binning to bucket ids 0..q-1, scale-safe:
-    * ONE exact-percentile aggregate computes the q−1 inner boundaries
-    * (driver holds q scalars), then assignment is a codegen'd when-chain —
-    * no global sort window (`ntile` would funnel the whole column through
-    * rank order). Right-inclusive intervals like pandas: bucket i is
-    * `(b_{i-1}, b_i]`.
+    * the q−1 inner boundaries come from one parallel range-sort
+    * ([[graft.ops.RankStats.exactQuantiles]]; driver holds q scalars),
+    * then assignment is a codegen'd when-chain — no global sort window
+    * (`ntile` would funnel the whole column through rank order) and no
+    * single-reducer value-count map (built-in exact `percentile`).
+    * Right-inclusive intervals like pandas: bucket i is `(b_{i-1}, b_i]`.
     */
   def qcut(q: Int): Column = {
     require(q >= 2, s"qcut needs q >= 2, got $q")
     val ps = (1 until q).map(_.toDouble / q)
-    val row = df.agg(expr(s"percentile($name, array(${ps.mkString(",")}))")).head()
-    val bounds = row.getSeq[Double](0)
-    cutByBounds(bounds)
+    cutByBounds(graft.ops.RankStats.exactQuantiles(df, name, ps))
   }
 
   /** pandas `cut(bins)` — fixed boundaries to bucket ids 0..len(bounds);
