@@ -37,6 +37,33 @@ object Dedup {
     df.join(keepers, idCol === col("keep_id"), "left_semi")
   }
 
+  /** Distinct content digests of a corpus — the state to persist between
+    * pipeline runs for [[exactDedupIncremental]] (8 bytes per distinct doc,
+    * parquet-friendly).
+    */
+  def contentDigests(df: DataFrame, textCol: Column): DataFrame =
+    df.select(TextAnalysis.fingerprint(textCol).as("digest")).distinct()
+
+  /** Incremental exact dedup — the snapshot-over-snapshot shape of a real
+    * crawl pipeline: keep rows of `newDf` whose content digest is (a) absent
+    * from `existingDigests` (a one-column frame from [[contentDigests]],
+    * e.g. the previous snapshots' state) and (b) the min-id row within the
+    * new batch. Two digest-keyed shuffles (anti-join + groupBy) over 8-byte
+    * digests plus one id semi-join — the documents themselves never shuffle.
+    */
+  def exactDedupIncremental(newDf: DataFrame, textCol: Column, idCol: Column,
+      existingDigests: DataFrame): DataFrame = {
+    val seen = existingDigests.select(
+      col(existingDigests.columns.head).as("__digest__"))
+    val keepers = newDf
+      .select(idCol.as("__id__"), TextAnalysis.fingerprint(textCol).as("__digest__"))
+      .join(seen, Seq("__digest__"), "left_anti")
+      .groupBy(col("__digest__"))
+      .agg(min(col("__id__")).as("keep_id"))
+      .select(col("keep_id"))
+    newDf.join(keepers, idCol === col("keep_id"), "left_semi")
+  }
+
   /** MinHash signature: H independent hash functions simulated by salting
     * the shingle hash with the function index — `min_j over shingles of
     * hash60(j || ':' || shingle)`. Pure expression, one pass per row.

@@ -36,6 +36,37 @@ object Sampling {
     df.filter(pmod(TextAnalysis.hash60(id.cast("string")), lit(10000L)) < threshold)
   }
 
+  /** Downsample to a TARGET domain mixture (the DoReMi / Pile-style
+    * source-weighting step): given target proportions `weights` (domain →
+    * share of the output), keep the maximum possible total N = min_d(n_d /
+    * w_d) by sampling each domain at `fraction_d = w_d · N / n_d` via
+    * [[stratifiedByHash]]. One tiny counts aggregate (|domains| rows to the
+    * driver) plans the thresholds; selection itself stays a map-side
+    * deterministic hash filter — reproducible on any partitioning/engine.
+    * Domains absent from `weights` are dropped; weighted domains absent
+    * from the data are ignored (their share is unattainable anyway).
+    *
+    * Oracle-portability note: fractions are IEEE-double expressions
+    * `(w * min_e(n_e / w_e)) / n_d` evaluated in exactly that op order —
+    * an engine replaying the same ops gets bit-identical thresholds.
+    */
+  def toMixture(df: DataFrame, stratum: Column, id: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val counts = df.filter(stratum.isin(weights.keys.toSeq: _*))
+      .groupBy(stratum.as("__s__")).agg(count(lit(1)).as("__n__"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (d, _) => counts.getOrElse(d, 0L) > 0L }
+    require(present.nonEmpty, s"no weighted domain present in the data: $weights")
+    val maxTotal = present.map { case (d, w) => counts(d).toDouble / w }.min
+    val fractions = present.map { case (d, w) =>
+      d -> math.min(1.0, (w * maxTotal) / counts(d))
+    }
+    stratifiedByHash(df.filter(stratum.isin(present.keys.toSeq: _*)),
+      stratum, id, fractions, default = 0.0)
+  }
+
   /** Exact-n deterministic sample: the n rows with the smallest id-hash —
     * pandas `sample(n=...)` with engine-portable selection. Plans as
     * TakeOrderedAndProject (per-partition top-n, tiny merge), never a global

@@ -111,6 +111,37 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Benchmark decontamination — ids of docs sharing ANY k-gram with a
+    * benchmark corpus (the test-set-overlap removal every serious training
+    * pipeline runs before training). Scale shape: the benchmark's distinct
+    * gram hashes are tiny next to the corpus (benchmarks are thousands of
+    * docs, the corpus is billions), so they BROADCAST and the corpus side is
+    * a map-side semi-join over its exploded grams — the full text never
+    * shuffles; only the matched ids do (for the distinct).
+    */
+  def contaminatedIds(docs: org.apache.spark.sql.DataFrame, textCol: Column, idCol: Column,
+      bench: org.apache.spark.sql.DataFrame, benchText: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(benchText, k)).as("__g__"))
+      .select(hash60(col("__g__")).as("__gh__"))
+      .distinct()
+    docs.select(idCol.as("id"), explode(shingles(textCol, k)).as("__g__"))
+      .select(col("id"), hash60(col("__g__")).as("__gh__"))
+      .join(broadcast(benchGrams), Seq("__gh__"), "left_semi")
+      .select(col("id"))
+      .distinct()
+  }
+
+  /** Rows of `docs` that share no k-gram with the benchmark — the surviving
+    * training corpus ([[contaminatedIds]] complement, one anti-join).
+    */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame, textCol: Column, idCol: Column,
+      bench: org.apache.spark.sql.DataFrame, benchText: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val cont = contaminatedIds(docs, textCol, idCol, bench, benchText, k)
+      .withColumnRenamed("id", "__cid__")
+    docs.join(cont, idCol === col("__cid__"), "left_anti")
+  }
+
   /** Overlapping fixed-width character chunks (context-window splitting for
     * LLM corpora): chunk k covers `[k·(size−overlap), … + size)`. Pure HOF
     * expression — narrow, codegen'd, rows expand in place when exploded.

@@ -849,7 +849,118 @@ object LlmOpsQueries {
       GROUP BY label, pos
       ORDER BY label, dim"""))
 
+  /** Benchmark decontamination: flag every doc sharing any 5-gram with a
+    * "benchmark" slice of the corpus (test-set overlap removal). The
+    * benchmark's distinct gram hashes broadcast; the corpus side is a
+    * map-side semi-join over exploded grams — the text never shuffles.
+    */
+  val q107_decontamination: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+      val cont = TextAnalysis
+        .contaminatedIds(docs, col("text"), col("doc_id"), bench, col("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("contaminated", lit(true))
+      docs.select(col("doc_id"))
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')) END AS gs
+        FROM toks),
+      bg AS (
+        SELECT DISTINCT ${h60("u.g")} AS gh
+        FROM sh, UNNEST(gs) u(g) WHERE doc_id % 7 = 0),
+      cont AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s, UNNEST(s.gs) u(g)
+        WHERE ${h60("u.g")} IN (SELECT gh FROM bg))
+      SELECT t.doc_id, t.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+      FROM toks t
+      ORDER BY t.doc_id"""))
+
+  /** Incremental (snapshot-over-snapshot) exact dedup: new batch vs the
+    * digest state of an existing corpus — survivors are unseen-content,
+    * min-id-within-batch rows. Within-batch dupes synthesized under shifted
+    * ids; the 200-249 overlap with the "existing" slice must vanish.
+    */
+  val q108_incremental_dedup: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val existing = Dedup.contentDigests(docs.filter(col("doc_id") < 250), col("text"))
+      val batch = docs.filter(col("doc_id") >= 200)
+      val withDupes = batch.unionByName(
+        batch.filter(col("doc_id") % 3 === 0).withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exactDedupIncremental(withDupes, col("text"), col("doc_id"), existing)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH existing AS (
+        SELECT DISTINCT ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS digest
+        FROM documents WHERE doc_id < 250),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 200
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id >= 200 AND doc_id % 3 = 0),
+      keepers AS (
+        SELECT min(doc_id) AS keep_id
+        FROM batch
+        WHERE ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}
+              NOT IN (SELECT digest FROM existing)
+        GROUP BY ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")})
+      SELECT keep_id AS doc_id FROM keepers
+      ORDER BY doc_id"""))
+
+  /** Target-mixture downsampling (DoReMi / Pile source weighting): resample
+    * three sources to a 50/30/20 output mixture keeping the max possible
+    * rows. The oracle replays the fraction arithmetic in the same IEEE
+    * op order, so thresholds are bit-identical.
+    */
+  val q109_mixture_sampling: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.toMixture(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        stratum = col("source"), id = col("doc_id"),
+        weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH w(src, wt) AS (VALUES
+        ('src1', CAST(0.5 AS DOUBLE)),
+        ('src2', CAST(0.3 AS DOUBLE)),
+        ('src3', CAST(0.2 AS DOUBLE))),
+      counts AS (
+        SELECT source AS src, count(*) AS n FROM documents
+        WHERE source IN (SELECT src FROM w) GROUP BY source),
+      mx AS (
+        SELECT min(CAST(n AS DOUBLE) / wt) AS mn
+        FROM counts JOIN w USING (src)),
+      thr AS (
+        SELECT src,
+               CAST(floor(least(CAST(1 AS DOUBLE),
+                                (wt * mn) / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS t
+        FROM counts JOIN w USING (src) CROSS JOIN mx)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN thr ON d.source = thr.src
+      WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 10000 < thr.t
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q107_decontamination" -> q107_decontamination,
+    "q108_incremental_dedup" -> q108_incremental_dedup,
+    "q109_mixture_sampling" -> q109_mixture_sampling,
     "q82_stratified_sample" -> q82_stratified_sample,
     "q88_text_chunks" -> q88_text_chunks,
     "q89_pii_scrub" -> q89_pii_scrub,

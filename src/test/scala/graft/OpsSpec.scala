@@ -88,6 +88,82 @@ class OpsSpec extends AnyFunSuite {
     assert(withinGroup == 4 * 14, s"expected linear chains only, got $withinGroup")
   }
 
+  test("dedup operators release every cache they create (no persist leaks)") {
+    // the round-3 regression class: persisted frames outliving their call
+    // poison later queries' BlockManager memory. After the pipeline runs,
+    // the only storage-holding RDDs may be the returned (checkpointed)
+    // frames themselves — never the internal shingle/band/digest caches.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val docs = (1L to 80L).map(i => (i, s"some document body $i with shared words")) ++
+      Seq((900L, "alpha beta gamma delta epsilon"), (901L, "alpha beta gamma delta zeta"))
+    val df = docs.toDF("id", "t")
+    val pairs = Dedup.verifiedNearDupPairs(df, col("t"), col("id"), threshold = 0.3)
+    pairs.count()
+    val leaked = sc.getPersistentRDDs.size
+    // verifiedNearDupPairs materializes exactly one checkpointed result
+    assert(leaked <= 1, s"$leaked persisted RDDs after verifiedNearDupPairs (inputs not released)")
+    val cands = Dedup.minhashCandidates(df, col("t"), col("id"), exactPrepass = true)
+    cands.count()
+    assert(sc.getPersistentRDDs.size <= 2,
+      s"${sc.getPersistentRDDs.size} persisted RDDs after minhashCandidates (prepass caches not released)")
+  }
+
+  test("decontaminate removes exactly the docs sharing a k-gram with the benchmark") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely unrelated sentence about databases"),
+      (3L, "quick brown fox jumps high today"), // shares 3-gram "quick brown fox"
+      (4L, "another clean document with original content")).toDF("id", "t")
+    val bench = Seq((100L, "the quick brown fox runs")).toDF("id", "t")
+    val cont = TextAnalysis.contaminatedIds(docs, col("t"), col("id"), bench, col("t"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(cont == Set(1L, 3L), s"got $cont")
+    val clean = TextAnalysis.decontaminate(docs, col("t"), col("id"), bench, col("t"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 4L))
+  }
+
+  test("exactDedupIncremental: unseen content only, min-id within batch") {
+    val existingDocs = Seq((1L, "doc alpha"), (2L, "doc beta")).toDF("id", "t")
+    val existing = Dedup.contentDigests(existingDocs, col("t"))
+    val batch = Seq(
+      (10L, "doc alpha"),      // seen in existing -> dropped
+      (11L, "doc gamma"),      // new -> kept
+      (12L, "doc gamma"),      // within-batch dup of 11 -> dropped
+      (13L, "DOC   beta"),     // normalizes to seen "doc beta" -> dropped
+      (14L, "doc delta")).toDF("id", "t")
+    val out = Dedup.exactDedupIncremental(batch, col("t"), col("id"), existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 14L), s"got $out")
+  }
+
+  test("toMixture hits the target domain mixture at max attainable volume") {
+    import graft.ops.Sampling
+    val rows = (1 to 2000).map(i => (i.toLong, "web")) ++
+      (2001 to 3000).map(i => (i.toLong, "code")) ++
+      (3001 to 7000).map(i => (i.toLong, "books")) ++
+      (7001 to 7100).map(i => (i.toLong, "ignored"))
+    val df = rows.toDF("id", "d")
+    // n/w: web 2000/.5=4000 (binding), code 1000/.3=3333 (binding min),
+    // books 4000/.2=20000 -> N=3333: web ~1666, code 1000 (all), books ~666
+    val out = Sampling.toMixture(df, col("d"), col("id"),
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+    val byDomain = out.groupBy("d").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byDomain.contains("ignored"), "unweighted domains must be dropped")
+    assert(byDomain("code") == 1000L, "the binding domain keeps everything")
+    assert(math.abs(byDomain("web") - 1666.0) < 150, s"web=${byDomain("web")}")
+    assert(math.abs(byDomain("books") - 666.0) < 100, s"books=${byDomain("books")}")
+    // deterministic: same selection on a different partitioning
+    val again = Sampling.toMixture(df.repartition(7), col("d"), col("id"),
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("jaccard bounds and self-similarity") {
     val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("l", "r")
       .withColumn("j", Dedup.jaccard(col("l"), col("r"), 2))
