@@ -111,6 +111,48 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Corpus-wide top-N k-grams by occurrence count (stopword/boilerplate
+    * discovery, tokenizer vocab seeding). One explode → gram-keyed partial
+    * aggregate → TakeOrderedAndProject(topN): the shuffle carries (gram,
+    * partial count) pairs after map-side combine, and only topN rows reach
+    * the driver side of the sort. Deterministic tie-break: count desc, gram
+    * asc.
+    */
+  def topGrams(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      k: Int, topN: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(shingles(textCol, k)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(topN)
+
+  /** Boilerplate-line removal (the CCNet/Common-Crawl cleaning step): drop
+    * every line that appears in at least `minDocFreq` distinct documents
+    * (nav menus, cookie banners, copyright footers), preserving the order
+    * of surviving lines. Frequencies come from one line-hash-keyed
+    * aggregate over per-doc DISTINCT lines; the resulting boilerplate set
+    * is tiny by construction (a line must recur across `minDocFreq` docs to
+    * qualify), so it collects to the driver (capped) and the removal itself
+    * is a map-side HOF filter — document text never shuffles.
+    */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      idCol: Column, minDocFreq: Long, out: String = "text_clean",
+      maxBoilerplateLines: Int = 100000): org.apache.spark.sql.DataFrame = {
+    val lines = split(textCol, "\n")
+    val hot = df
+      .select(idCol.as("__id__"), explode(array_distinct(lines)).as("__l__"))
+      .groupBy(hash60(col("__l__")).as("__lh__"))
+      .agg(count(lit(1)).as("__df__")) // per-doc distinct => count == doc freq
+      .filter(col("__df__") >= minDocFreq)
+      .select(col("__lh__"))
+      .limit(maxBoilerplateLines + 1)
+      .collect().map(_.getLong(0))
+    require(hot.length <= maxBoilerplateLines,
+      s"boilerplate set exceeds $maxBoilerplateLines lines; raise minDocFreq")
+    val hotSet = typedLit(hot.sorted.toSeq)
+    val kept = filter(lines, l => !array_contains(hotSet, hash60(l)))
+    df.withColumn(out, concat_ws("\n", kept))
+  }
+
   /** Benchmark decontamination — ids of docs sharing ANY k-gram with a
     * benchmark corpus (the test-set-overlap removal every serious training
     * pipeline runs before training). Scale shape: the benchmark's distinct

@@ -957,7 +957,72 @@ object LlmOpsQueries {
       WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 10000 < thr.t
       ORDER BY d.doc_id"""))
 
+  /** Corpus-wide top-30 bigrams (stopword/boilerplate discovery): explode →
+    * map-side-combined count → TakeOrderedAndProject. Deterministic
+    * tie-break (freq desc, gram asc) keeps the cut line engine-portable.
+    */
+  val q110_top_grams: Q = Q(
+    fn = (s, dir) =>
+      TextAnalysis.topGrams(table(s, dir, "documents"), col("text"), k = 2, topN = 30),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+1], ' ')) END AS gs
+        FROM toks)
+      SELECT u.g AS gram, count(*) AS freq
+      FROM sh, UNNEST(gs) u(g)
+      GROUP BY u.g
+      ORDER BY freq DESC, gram
+      LIMIT 30"""))
+
+  /** Boilerplate-line removal: every doc gets a shared footer (and every
+    * third doc a second shared line); lines recurring in >= 40 docs are
+    * stripped, original line order preserved. The boilerplate hash set
+    * collects to the driver (tiny by construction) and removal is a
+    * map-side HOF filter — document text never shuffles.
+    */
+  val q111_boilerplate: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nall rights reserved contact support"),
+          when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+            .otherwise(lit(""))).as("page"))
+      TextAnalysis.stripBoilerplate(docs, col("page"), col("doc_id"),
+          minDocFreq = 40L, out = "clean")
+        .select(col("doc_id"), col("clean"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               text || chr(10) || 'all rights reserved contact support' ||
+               CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter'
+                    ELSE '' END AS page
+        FROM documents),
+      perdoc AS (
+        SELECT doc_id, u.l
+        FROM docs, UNNEST(list_distinct(string_split(page, chr(10)))) u(l)),
+      bp AS (
+        SELECT ${h60("l")} AS lh
+        FROM perdoc GROUP BY ${h60("l")} HAVING count(*) >= 40),
+      bps AS (SELECT coalesce(list(lh), []) AS hs FROM bp)
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(page, chr(10)),
+                           l -> NOT list_contains(hs, ${h60("l")})),
+               chr(10)) AS clean
+      FROM docs CROSS JOIN bps
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q110_top_grams" -> q110_top_grams,
+    "q111_boilerplate" -> q111_boilerplate,
     "q107_decontamination" -> q107_decontamination,
     "q108_incremental_dedup" -> q108_incremental_dedup,
     "q109_mixture_sampling" -> q109_mixture_sampling,

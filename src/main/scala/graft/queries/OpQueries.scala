@@ -646,7 +646,39 @@ object OpQueries {
       WHERE pos >= start1 AND pos < end1
       ORDER BY o_orderkey"""))
 
+  /** Bucketized range join ([[graft.ops.RangeJoin]]): orders matched to
+    * overlapping price bands as an equi-join on bucket ids + exact
+    * refinement — never a BroadcastNestedLoopJoin/cartesian (the plan a
+    * bare inequality join would get). 40 bands of span 20k every 12k, so
+    * many orders match two bands.
+    */
+  val q112_range_join: Q = Q(
+    fn = (s, dir) => {
+      val points = table(s, dir, "orders")
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bands = s.range(40).select(col("id").as("band_id"),
+        (col("id") * 12000).cast("double").as("lo"),
+        (col("id") * 12000 + 20000).cast("double").as("hi"))
+      graft.ops.RangeJoin.pointInInterval(points, bands,
+          "o_totalprice", "lo", "hi", bucketWidth = 15000L)
+        .select(col("o_orderkey"), col("band_id"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    },
+    oracle = Some("""
+      WITH bands AS (
+        SELECT r.range AS band_id,
+               CAST(r.range * 12000 AS DOUBLE) AS lo,
+               CAST(r.range * 12000 + 20000 AS DOUBLE) AS hi
+        FROM range(40) r)
+      SELECT o.o_orderkey, b.band_id
+      FROM orders o JOIN bands b
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      WHERE o.o_orderkey < 5000
+      ORDER BY o.o_orderkey, b.band_id"""))
+
   val all: Map[String, Q] = Map(
+    "q112_range_join" -> q112_range_join,
     "q41_stream_shard" -> q41_stream_shard,
     "q13_merge_suffixes" -> q13_merge_suffixes,
     "q14_merge_indicator" -> q14_merge_indicator,

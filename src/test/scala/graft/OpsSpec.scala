@@ -164,6 +164,42 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("RangeJoin.pointInInterval == naive inequality join; plan avoids nested-loop") {
+    import graft.ops.RangeJoin
+    val points = (1 to 500).map(i => (i.toLong, i * 7.3)).toDF("pid", "v")
+    val ivs = (0 to 50).map(i => (i.toLong, i * 60.0, i * 60.0 + 100.0)).toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(points, ivs, "v", "lo", "hi", bucketWidth = 64L)
+    val got = fast.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(ivs).filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, "bucketized result must equal the naive inequality join")
+    assert(got.nonEmpty && got.size > 500, "overlapping bands must multi-match") // spans overlap 100 > 60 step
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join must plan as an equi-join, got:\n${plan.take(800)}")
+  }
+
+  test("stripBoilerplate drops frequent lines, keeps order, empties all-boilerplate docs") {
+    import graft.ops.TextAnalysis
+    val docs = (1L to 10L).map(i => (i, s"unique line $i\ncommon footer\nsecond unique $i")) :+
+      ((11L, "common footer"))
+    val out = TextAnalysis.stripBoilerplate(docs.toDF("id", "t"), col("t"), col("id"),
+        minDocFreq = 5L)
+      .select(col("id"), col("text_clean")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) == "unique line 3\nsecond unique 3", s"got '${out(3L)}'")
+    assert(out(11L) == "", "a doc that is pure boilerplate must come back empty")
+  }
+
+  test("topGrams ranks corpus bigrams with deterministic tie-break") {
+    import graft.ops.TextAnalysis
+    val df = Seq("a b a b c", "a b x", "z z").toDF("t")
+    // bigrams: "a b"x3; "b a","b c","b x","z z" x1 -> tie broken gram-asc
+    val top = TextAnalysis.topGrams(df, col("t"), k = 2, topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L)), s"got $top")
+  }
+
   test("jaccard bounds and self-similarity") {
     val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("l", "r")
       .withColumn("j", Dedup.jaccard(col("l"), col("r"), 2))
