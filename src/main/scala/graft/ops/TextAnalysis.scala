@@ -111,6 +111,31 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Unigram-LM quality score — the CCNet-style perplexity proxy without an
+    * external model: per-doc mean negative log-probability of its tokens
+    * under the CORPUS unigram distribution. High nll = rare-token gibberish,
+    * low nll = stopword soup; the middle band is "normal" prose (CCNet keeps
+    * the head/middle of the perplexity distribution). Two passes, both
+    * hash-parallel: (1) token frequencies (explode → map-side-combined
+    * count), (2) token-keyed join + per-doc fold. The per-doc sum folds over
+    * tokens in SORTED order so the result is bit-deterministic on any
+    * partitioning (and replayable by another engine folding in the same
+    * order).
+    */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      idCol: Column, out: String = "nll"): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt"))).head().getLong(0)
+    toks.join(freqs, "tok")
+      .withColumn("__logp__", log(col("cnt") / lit(total.toDouble)))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("__logp__").as("lp")))).as("__xs__"))
+      .select(col("id"),
+        (-aggregate(col("__xs__"), lit(0.0), (a, x) => a + x.getField("lp"))
+          / size(col("__xs__"))).as(out))
+  }
+
   /** Corpus-wide top-N k-grams by occurrence count (stopword/boilerplate
     * discovery, tokenizer vocab seeding). One explode → gram-keyed partial
     * aggregate → TakeOrderedAndProject(topN): the shuffle carries (gram,

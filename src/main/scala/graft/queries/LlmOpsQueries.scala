@@ -1020,7 +1020,35 @@ object LlmOpsQueries {
       FROM docs CROSS JOIN bps
       ORDER BY doc_id"""))
 
+  /** Unigram-LM quality (CCNet perplexity proxy): per-doc mean −ln p(token)
+    * under the corpus unigram distribution. The per-doc fold runs in sorted
+    * token order on BOTH engines, and the final score is quantized with the
+    * tie-stable floor(x·1e4 + 0.5)/1e4 — bit-identical doubles end to end.
+    */
+  val q113_unigram_quality: Q = Q(
+    fn = (s, dir) =>
+      TextAnalysis.unigramNll(table(s, dir, "documents"), col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), (floor(col("nll") * 1e4 + 0.5) / 1e4).as("nll"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, u.t
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                         x -> length(x) >= 1) AS ts
+              FROM documents), UNNEST(ts) u(t)),
+      freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+      tot AS (SELECT count(*) AS n FROM toks),
+      j AS (
+        SELECT doc_id, toks.t, ln(cnt / CAST(n AS DOUBLE)) AS logp
+        FROM toks JOIN freq USING (t) CROSS JOIN tot),
+      g AS (SELECT doc_id, list(logp ORDER BY t) AS xs FROM j GROUP BY doc_id)
+      SELECT doc_id,
+             floor(-list_reduce(xs, (a, b) -> a + b) / len(xs) * 1e4 + 0.5) / 1e4 AS nll
+      FROM g
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q113_unigram_quality" -> q113_unigram_quality,
     "q110_top_grams" -> q110_top_grams,
     "q111_boilerplate" -> q111_boilerplate,
     "q107_decontamination" -> q107_decontamination,

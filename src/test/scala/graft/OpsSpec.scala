@@ -191,6 +191,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(11L) == "", "a doc that is pure boilerplate must come back empty")
   }
 
+  test("unigramNll: rare-token docs score higher; partition-invariant") {
+    import graft.ops.TextAnalysis
+    val docs = (1L to 20L).map(i => (i, "the common words appear here")) :+
+      ((99L, "zyzzyva qwerty xylophone"))
+    def run(parts: Int) =
+      TextAnalysis.unigramNll(docs.toDF("id", "t").repartition(parts), col("t"), col("id"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m = run(1)
+    assert(m(99L) > m(1L), "rare tokens must yield higher mean -ln p")
+    assert(m(1L) == m(2L), "identical docs score identically")
+    assert(run(5) == m, "sorted-order fold must be partition-invariant")
+  }
+
   test("topGrams ranks corpus bigrams with deterministic tie-break") {
     import graft.ops.TextAnalysis
     val df = Seq("a b a b c", "a b x", "z z").toDF("t")
