@@ -1047,7 +1047,52 @@ object LlmOpsQueries {
       FROM g
       ORDER BY doc_id"""))
 
+  /** Packed training sequences — the trainer-facing output of [[q90]]'s
+    * binning: per (shard, bin), documents concatenated in id order with an
+    * EOS separator plus doc/token tallies. The concat orders inside the
+    * aggregate (sorted struct list), so the text is deterministic on any
+    * partitioning.
+    */
+  val q114_packed_sequences: Q = Q(
+    fn = (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      graft.ops.Packing.packByTokenBudget(toks, col("doc_id"), col("n_tok"),
+          budget = 1000L, shards = 4)
+        .groupBy(col("shard"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          array_join(
+            transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+              e => e.getField("text")),
+            "<eos>").as("seq"))
+        .orderBy(col("shard"), col("bin"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                               x -> length(x) >= 1)) AS n_tok,
+               ${h60("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+        FROM documents),
+      binned AS (
+        SELECT doc_id, text, n_tok, shard,
+               CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    // 1000 AS BIGINT) AS bin
+        FROM toks)
+      SELECT shard, bin,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             string_agg(text, '<eos>' ORDER BY doc_id) AS seq
+      FROM binned
+      GROUP BY shard, bin
+      ORDER BY shard, bin"""))
+
   val all: Map[String, Q] = Map(
+    "q114_packed_sequences" -> q114_packed_sequences,
     "q113_unigram_quality" -> q113_unigram_quality,
     "q110_top_grams" -> q110_top_grams,
     "q111_boilerplate" -> q111_boilerplate,
