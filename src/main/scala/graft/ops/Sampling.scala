@@ -55,7 +55,7 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val counts = df.filter(stratum.isin(weights.keys.toSeq: _*))
-      .groupBy(stratum.as("__s__")).agg(count(lit(1)).as("__n__"))
+      .groupBy(stratum.cast("string").as("__s__")).agg(count(lit(1)).as("__n__"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (d, _) => counts.getOrElse(d, 0L) > 0L }
     require(present.nonEmpty, s"no weighted domain present in the data: $weights")

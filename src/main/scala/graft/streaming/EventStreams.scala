@@ -65,6 +65,28 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(Seq("event_id"))
 
+  /** Stream-static incremental dedup — the streaming counterpart of
+    * [[graft.ops.Dedup.exactDedupIncremental]]: drop stream rows whose
+    * content digest already exists in a STATIC digest state (the persisted
+    * [[graft.ops.Dedup.contentDigests]] of earlier snapshots), then
+    * watermark-dedup repeats arriving within the stream itself. Stream-
+    * static left-anti joins are stateless on the stream side (the static
+    * frame broadcasts or re-scans per micro-batch), so the only state held
+    * is the watermark-bounded digest set of in-stream repeats — O(horizon),
+    * not O(history).
+    */
+  def dedupAgainstState(stream: DataFrame, contentCol: org.apache.spark.sql.Column,
+      staticDigests: DataFrame, watermark: String): DataFrame = {
+    val seen = staticDigests.select(
+      col(staticDigests.columns.head).as("__digest__"))
+    stream
+      .withColumn("__digest__", graft.ops.TextAnalysis.fingerprint(contentCol))
+      .join(seen, Seq("__digest__"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicates(Seq("__digest__"))
+      .drop("__digest__")
+  }
+
   /** Per-user session windows with an inactivity gap: session end = last
     * event + gap (Spark `session_window` semantics).
     */

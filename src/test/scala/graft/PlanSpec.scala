@@ -69,4 +69,16 @@ class PlanSpec extends AnyFunSuite {
       "l_extendedprice", "l_discount", "l_shipdate"),
       s"scan reads unexpected columns: $read")
   }
+
+  test("q112 range join: equi-join on buckets, never nested-loop/cartesian") {
+    val p = plan("q112_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"inequality join degraded to a pair-at-a-time plan:\n$p")
+  }
+
+  test("q107 decontamination: benchmark gram set joins as broadcast") {
+    val p = plan("q107_decontamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark grams must broadcast (corpus side stays map-side):\n$p")
+  }
 }

@@ -163,6 +163,38 @@ class StreamSpec extends AnyFunSuite {
       Seq("x-part-0001-rows-1-3", "x-part-0002-rows-4-6", "x-part-0003-rows-7-7"))
   }
 
+  test("stream-static incremental dedup == batch anti-join + digest dedup") {
+    import graft.streaming.EventStreams
+    import graft.core.GraftSession
+    import graft.ops.{Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = GraftSession.table(spark, dir, "events")
+    // "existing state": digests of props seen for user 0 (49 of the 100
+    // distinct props values — the other 51 must flow through as unseen)
+    val state = Dedup.contentDigests(
+      batchEvents.filter(col("user_id") === 0), col("props"))
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.dedupAgainstState(
+        EventStreams.readEvents(spark, dir), col("props"), state, "10 minutes"),
+      "append")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    // batch equivalent: anti-join on digest, then first-event-per-digest
+    val withD = batchEvents.withColumn("__d__", TextAnalysis.fingerprint(col("props")))
+    val batch = withD
+      .join(state.withColumnRenamed("digest", "__d__"), Seq("__d__"), "left_anti")
+      .orderBy(col("ts"), col("event_id"))
+      .dropDuplicates(Seq("__d__"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty, "some unseen-digest events must survive")
+    // same digest SET survives (which representative event survives an
+    // in-stream repeat is arrival-order-defined in both engines)
+    def digestsOf(ids: Set[Long]) = withD
+      .filter(col("event_id").isin(ids.toSeq: _*))
+      .select(col("__d__")).collect().map(_.getLong(0)).toSet
+    assert(digestsOf(streamed) == digestsOf(batch))
+    assert(streamed.size == batch.size)
+  }
+
   test("streaming parquet sink round-trips the same result as the memory sink") {
     import graft.streaming.EventStreams
     val dir = "/root/testdata/sf0.001"
