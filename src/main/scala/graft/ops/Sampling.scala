@@ -75,6 +75,24 @@ object Sampling {
   def nByHash(df: DataFrame, id: Column, n: Int): DataFrame =
     df.orderBy(TextAnalysis.hash60(id.cast("string"))).limit(n)
 
+  /** Per-stratum exact-n cap: the n rows with the smallest id-hash within
+    * each stratum (balanced class caps, per-domain quotas). One window per
+    * stratum ordered by (hash, id) — deterministic under hash ties,
+    * parallel across strata, no global sort. A stratum with a huge row
+    * count still funnels through one task's window; pre-filter with
+    * [[stratifiedByHash]] at a generous fraction first when strata are
+    * pathologically large.
+    */
+  def nByHashPerGroup(df: DataFrame, stratum: Column, id: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(TextAnalysis.hash60(id.cast("string")), id)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= n)
+      .drop("__rn__")
+  }
+
   /** Deterministic train/val/test split: id-hash bucketed into consecutive
     * fraction ranges, appended as a label column. Map-side, reproducible on
     * any partitioning — the same row lands in the same split on every

@@ -1091,7 +1091,27 @@ object LlmOpsQueries {
       GROUP BY shard, bin
       ORDER BY shard, bin"""))
 
+  /** Per-source exact-n cap (balanced domain quotas): the 20 smallest-
+    * id-hash docs per source — deterministic window per stratum, replayed
+    * by the oracle with the same (hash, id) tie-break.
+    */
+  val q115_per_group_cap: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.nByHashPerGroup(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        stratum = col("source"), id = col("doc_id"), n = 20)
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 20
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q115_per_group_cap" -> q115_per_group_cap,
     "q114_packed_sequences" -> q114_packed_sequences,
     "q113_unigram_quality" -> q113_unigram_quality,
     "q110_top_grams" -> q110_top_grams,

@@ -67,6 +67,12 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("empty edge frame: converges immediately with empty labels") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (labels, converged) = Components.connectedComponentsWithStatus(edges, "id_a", "id_b")
+    assert(converged && labels.count() == 0)
+  }
+
   test("dedupByCandidates keeps representatives + untouched rows") {
     val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "t")
     val cands = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

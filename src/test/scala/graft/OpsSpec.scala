@@ -140,6 +140,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(11L, 14L), s"got $out")
   }
 
+  test("nByHashPerGroup caps each stratum at n, deterministically across partitionings") {
+    import graft.ops.Sampling
+    val rows = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")) :+ ((9999L, "c"))
+    def run(parts: Int) = Sampling.nByHashPerGroup(
+      rows.toDF("id", "g").repartition(parts), col("g"), col("id"), n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out = run(1)
+    val perGroup = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perGroup("a") == 10 && perGroup("b") == 10)
+    assert(perGroup("c") == 1, "undersized strata keep everything")
+    assert(run(8) == out, "selection must be partition-invariant")
+  }
+
   test("toMixture hits the target domain mixture at max attainable volume") {
     import graft.ops.Sampling
     val rows = (1 to 2000).map(i => (i.toLong, "web")) ++
