@@ -95,7 +95,12 @@ object AsOfJoin {
     * time), so carry-in rows are strictly earlier than every row in their
     * range and both `strict` modes behave exactly as in [[backward]].
     * Result == [[backward]] row-for-row (ties between equal-time right rows
-    * are resolved arbitrarily in both, as in pandas).
+    * are resolved arbitrarily in both, as in pandas). Null event times land
+    * in the first range, mirroring backward's nulls-first sort; the one
+    * residual divergence is a range whose ONLY right rows have null times —
+    * its carry-out is empty here while backward would propagate the null-time
+    * row's payload (pandas merge_asof rejects null keys outright, so this
+    * corner is outside the reference contract).
     */
   def backwardSalted(
       left: DataFrame,
@@ -129,9 +134,14 @@ object AsOfJoin {
       else unioned.select(col("__t__").cast("double").as("__td__"))
         .stat.approxQuantile("__td__", probs, 0.001).distinct.sorted
     val tD = col("__t__").cast("double")
-    val saltExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((b, i), rest) => when(tD <= b, i).otherwise(rest)
-    }
+    // null times -> bucket 0: backward's window sorts nulls FIRST, so a
+    // null-time row must live in the first range (falling through the
+    // when-chain would silently park it in the LAST bucket, where it would
+    // see every earlier range's carry-in — a wrong, non-null match)
+    val saltExpr = when(tD.isNull, 0).otherwise(
+      bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+        case ((b, i), rest) => when(tD <= b, i).otherwise(rest)
+      })
     val salted = unioned.withColumn("__salt__", saltExpr)
 
     val payloadStruct = struct(

@@ -39,6 +39,13 @@ object Components {
     *        restart from round zero on any executor loss; a reliable
     *        checkpoint survives and the job resumes from the last cut.
     *        Locally `None` (the default) keeps the zero-IO fast path.
+    *        Two Spark realities to plan for: `setCheckpointDir` is
+    *        application-GLOBAL (this call re-points any later
+    *        `checkpoint()` in the app — use one dir per app), and
+    *        checkpoint files outlive the job unless
+    *        `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set,
+    *        so long-running pipelines should enable that conf or clean the
+    *        directory between runs.
     * @return (id, component) — component = min node id reachable.
     *         Logs a warning when `maxIter` is hit before convergence
     *         (labels then under-merge); use [[connectedComponentsWithStatus]]

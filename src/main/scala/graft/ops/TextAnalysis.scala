@@ -125,8 +125,12 @@ object TextAnalysis {
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, out: String = "nll"): org.apache.spark.sql.DataFrame = {
     val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("tok"))
+    // corpus token total from a NARROW per-doc pass (sum of per-row token
+    // counts) — no shuffle, no cached frame to leak; the frequency table
+    // itself is computed lazily exactly once, inside the final scoring plan
+    val totalRow = df.select(sum(size(tokens(textCol))).cast("long").as("n")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = freqs.agg(sum(col("cnt"))).head().getLong(0)
     toks.join(freqs, "tok")
       .withColumn("__logp__", log(col("cnt") / lit(total.toDouble)))
       .groupBy(col("id"))
@@ -160,11 +164,11 @@ object TextAnalysis {
     * is a map-side HOF filter — document text never shuffles.
     */
   def stripBoilerplate(df: org.apache.spark.sql.DataFrame, textCol: Column,
-      idCol: Column, minDocFreq: Long, out: String = "text_clean",
+      minDocFreq: Long, out: String = "text_clean",
       maxBoilerplateLines: Int = 100000): org.apache.spark.sql.DataFrame = {
     val lines = split(textCol, "\n")
     val hot = df
-      .select(idCol.as("__id__"), explode(array_distinct(lines)).as("__l__"))
+      .select(explode(array_distinct(lines)).as("__l__"))
       .groupBy(hash60(col("__l__")).as("__lh__"))
       .agg(count(lit(1)).as("__df__")) // per-doc distinct => count == doc freq
       .filter(col("__df__") >= minDocFreq)
@@ -173,7 +177,7 @@ object TextAnalysis {
       .collect().map(_.getLong(0))
     require(hot.length <= maxBoilerplateLines,
       s"boilerplate set exceeds $maxBoilerplateLines lines; raise minDocFreq")
-    val hotSet = typedLit(hot.sorted.toSeq)
+    val hotSet = typedLit(hot.toSeq)
     val kept = filter(lines, l => !array_contains(hotSet, hash60(l)))
     df.withColumn(out, concat_ws("\n", kept))
   }

@@ -993,8 +993,7 @@ object LlmOpsQueries {
         concat(col("text"), lit("\nall rights reserved contact support"),
           when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
             .otherwise(lit(""))).as("page"))
-      TextAnalysis.stripBoilerplate(docs, col("page"), col("doc_id"),
-          minDocFreq = 40L, out = "clean")
+      TextAnalysis.stripBoilerplate(docs, col("page"), minDocFreq = 40L, out = "clean")
         .select(col("doc_id"), col("clean"))
         .orderBy(col("doc_id"))
     },

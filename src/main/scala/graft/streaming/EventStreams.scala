@@ -83,7 +83,11 @@ object EventStreams {
       .withColumn("__digest__", graft.ops.TextAnalysis.fingerprint(contentCol))
       .join(seen, Seq("__digest__"), "left_anti")
       .withWatermark("ts", watermark)
-      .dropDuplicates(Seq("__digest__"))
+      // NOT dropDuplicates(key): without the event-time column among the
+      // keys Spark never evicts that state, so it would grow with every
+      // distinct digest ever seen. WithinWatermark keys state eviction to
+      // the watermark — the O(horizon) contract.
+      .dropDuplicatesWithinWatermark(Seq("__digest__"))
       .drop("__digest__")
   }
 

@@ -190,14 +190,35 @@ class OpsSpec extends AnyFunSuite {
     val plan = fast.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       s"range join must plan as an equi-join, got:\n${plan.take(800)}")
+    // inverted intervals match nothing instead of exploding a descending sequence
+    val inverted = (0 to 5).map(i => (i.toLong, 100.0, 50.0)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, inverted, "v", "lo", "hi", 64L).count() == 0)
+    // a sentinel open-ended interval fails loudly, not with an OOM-sized sequence
+    val openEnded = Seq((1L, 0.0, 1e15)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, openEnded, "v", "lo", "hi", 64L).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("asof backwardSalted routes null times like backward's nulls-first sort") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, Some(100L), "at100"), (1L, Option.empty[Long], "atnull"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 50L, "r50"), (1L, 90L, "r90")).toDF("k", "t", "rv")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(left, right).collect().map(r => r.getAs[String]("lv") -> r.getAs[String]("rv_m")).toMap
+    val plain = run(AsOfJoin.backward(_, _, Seq("k"), "t", "t", Map("rv" -> "rv_m")))
+    val salted = run(AsOfJoin.backwardSalted(_, _, Seq("k"), "t", "t", Map("rv" -> "rv_m"), salts = 4))
+    assert(plain("atnull") == null, "null-time left row matches nothing in backward")
+    assert(salted == plain, s"salted=$salted plain=$plain")
   }
 
   test("stripBoilerplate drops frequent lines, keeps order, empties all-boilerplate docs") {
     import graft.ops.TextAnalysis
     val docs = (1L to 10L).map(i => (i, s"unique line $i\ncommon footer\nsecond unique $i")) :+
       ((11L, "common footer"))
-    val out = TextAnalysis.stripBoilerplate(docs.toDF("id", "t"), col("t"), col("id"),
-        minDocFreq = 5L)
+    val out = TextAnalysis.stripBoilerplate(docs.toDF("id", "t"), col("t"), minDocFreq = 5L)
       .select(col("id"), col("text_clean")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(3L) == "unique line 3\nsecond unique 3", s"got '${out(3L)}'")
