@@ -85,6 +85,27 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) & 1L) == 0L
   }
 
+  /** Deterministic Johnson-Lindenstrauss random projection:
+    * `out_j = (1/√outDim) · Σ_i v_i · s_{j,i}` with signs `s_{j,i} = ±1`
+    * derived from the engine-portable hash ([[planeSign]] — the same
+    * driver/executor/oracle parity as hyperplane bucketing). Compresses
+    * embeddings before ANN/storage with JL-bounded distance distortion;
+    * reproducible on any engine because the "random" matrix is pure hash.
+    * The sign matrix ships as ONE literal 2-D array — constant expression
+    * size at any dim×outDim (the IVF-centroid lesson) — and the fold runs
+    * ascending i, so doubles are bit-identical everywhere.
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int): Column = {
+    require(dim > 0 && outDim > 0, "dims must be positive")
+    val signs = typedLit(Seq.tabulate(outDim)(j => Seq.tabulate(dim)(i =>
+      if (planeSign(j, i)) 1.0 else -1.0)))
+    val scale = lit(1.0) / sqrt(lit(outDim.toDouble))
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(vec, i + 1).cast("double") *
+          element_at(element_at(signs, j + 1), i + 1)) * scale)
+  }
+
   /** Brute-force cosine top-k: queries × corpus cross join, per-query heap
     * via window rank. Exact; use for ≤10^5-row query sets or as the
     * verification stage. Corpus side broadcasts when small.

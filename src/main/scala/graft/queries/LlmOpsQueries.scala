@@ -1109,7 +1109,35 @@ object LlmOpsQueries {
       WHERE rn <= 20
       ORDER BY doc_id"""))
 
+  /** Deterministic JL random projection 64→16 dims: the hash-derived sign
+    * matrix means another engine can rebuild the exact same "random"
+    * projection — the oracle replays sign, fold order, and scaling
+    * bit-identically.
+    */
+  val q116_random_projection: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), dim = 64, outDim = 16).as("p"))
+        .select(col("vec_id"), posexplode(col("p")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          (floor(col("v") * 1e4 + 0.5) / 1e4).as("v"))
+        .orderBy(col("vec_id"), col("j")),
+    oracle = Some(s"""
+      SELECT vec_id, j, floor(v * 1e4 + 0.5) / 1e4 AS v FROM (
+        SELECT vec_id, u.j,
+               list_reduce(
+                 list_transform(generate_series(1, 64), i ->
+                   embedding[i]::DOUBLE *
+                   (CASE WHEN ${h60("CAST(u.j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 0
+                         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+                 (a, b) -> a + b)
+               * (CAST(1 AS DOUBLE) / sqrt(CAST(16 AS DOUBLE))) AS v
+        FROM embeddings, UNNEST(generate_series(0, 15)) u(j))
+      ORDER BY vec_id, j"""))
+
   val all: Map[String, Q] = Map(
+    "q116_random_projection" -> q116_random_projection,
     "q115_per_group_cap" -> q115_per_group_cap,
     "q114_packed_sequences" -> q114_packed_sequences,
     "q113_unigram_quality" -> q113_unigram_quality,

@@ -382,6 +382,24 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(sd(3) - math.sqrt(adj(3))) < 1e-12)
   }
 
+  test("randomProject: deterministic, linear, and roughly norm-preserving") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)))
+    def run(parts: Int) = vecs.toDF("id", "v").repartition(parts)
+      .select(col("id"), Similarity.randomProject(col("v"), 64, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val m = run(1)
+    assert(m.values.forall(_.length == 16))
+    assert(run(4) == m, "projection must be partition-invariant")
+    // JL: squared norms are preserved in expectation; with 16 dims the
+    // per-vector distortion should stay well within a loose 3x band
+    def norm2(xs: Seq[Double]) = xs.map(x => x * x).sum
+    vecs.foreach { case (i, v) =>
+      val in = norm2(v.map(_.toDouble).toSeq); val out = norm2(m(i))
+      assert(out > in / 3 && out < in * 3, s"vec $i distorted: $in -> $out")
+    }
+  }
+
   test("bucketed ANN results are a subset of brute-force rankings' candidates") {
     val vecs = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j).toFloat)))
