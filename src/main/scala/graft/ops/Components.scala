@@ -51,14 +51,38 @@ object Components {
     *         (labels then under-merge); use [[connectedComponentsWithStatus]]
     *         to branch on it programmatically.
     */
+  /** Edge-count threshold below which the graph is solved with ONE
+    * driver-side union-find instead of the iterative join loop — the
+    * broadcast-join principle applied to graphs: near-dup candidate graphs
+    * are routinely tiny relative to the corpus (pairs survive banding AND
+    * Jaccard), and a 10^5-edge union-find runs in milliseconds where each
+    * distributed round costs whole jobs. Above the threshold (or for
+    * non-integral id types) the scale path runs unchanged.
+    */
+  val SmallGraphMaxEdges = 100000L
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10, checkpointDir: Option[String] = None): DataFrame =
-    connectedComponentsWithStatus(edges, aCol, bCol, maxIter, checkpointDir)._1
+      maxIter: Int = 10, checkpointDir: Option[String] = None,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame =
+    connectedComponentsWithStatus(edges, aCol, bCol, maxIter, checkpointDir,
+      smallGraphMaxEdges)._1
 
   /** [[connectedComponents]] plus an explicit converged flag. */
   def connectedComponentsWithStatus(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10, checkpointDir: Option[String] = None): (DataFrame, Boolean) = {
+      maxIter: Int = 10, checkpointDir: Option[String] = None,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): (DataFrame, Boolean) = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val integralIds = Seq(aCol, bCol).forall(c => edges.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    })
+    if (integralIds && smallGraphMaxEdges > 0 && smallGraphMaxEdges < Int.MaxValue) {
+      // cheap upper-bound probe: limit+1 never scans past the threshold
+      val sample = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .limit((smallGraphMaxEdges + 1).toInt).collect()
+      if (sample.length <= smallGraphMaxEdges)
+        return (unionFind(edges.sparkSession, sample.map(r => (r.getLong(0), r.getLong(1)))), true)
+    }
     // symmetrize once; self-edges make isolated candidate nodes carry through
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -141,6 +165,34 @@ object Components {
         .warn(s"connectedComponents hit maxIter=$maxIter before convergence: " +
           "labels are under-merged (raise maxIter for high-diameter graphs)")
     (result, converged)
+  }
+
+  /** Driver-side union-find with path compression for sub-threshold graphs;
+    * labels every node (both edge endpoints) with the minimum id reachable —
+    * exactly the iterative path's fixed point.
+    */
+  private def unionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val labels = byRoot.toSeq.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(n => (n, m))
+    }
+    import spark.implicits._
+    labels.toDF("id", "component")
   }
 
   /** End-to-end near-dup dedup: candidates → components → per-component
