@@ -175,6 +175,42 @@ object Dedup {
     out
   }
 
+  /** Banded LSH signatures `(id, band, band_hash)` — the persistable
+    * near-dup STATE for incremental pipelines: write this frame to parquet
+    * after each run and feed it to [[minhashCandidatesAgainst]] on the next
+    * snapshot (8+4+8 bytes per band-row; the text never leaves the run that
+    * signed it).
+    */
+  def minhashBands(df: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame =
+    bandedSignatures(df.select(idCol.as("id"), textCol.as("__text__")), k, numHashes, bands)
+
+  /** Cross-snapshot near-dup candidates: NEW docs against an EXISTING
+    * banded-signature state (from [[minhashBands]]) — the incremental form
+    * of [[minhashCandidates]]. Only the new batch is tokenized and signed;
+    * the join shuffles band keys, never text, and there is no self-join —
+    * fully lazy, nothing persisted. Returns distinct (new_id, old_id).
+    */
+  def minhashCandidatesAgainst(newDf: DataFrame, textCol: Column, idCol: Column,
+      stateBands: DataFrame, k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val newBands = bandedSignatures(
+      newDf.select(idCol.as("id"), textCol.as("__text__")), k, numHashes, bands)
+    val old = stateBands.select(
+      col(stateBands.columns.head).as("old_id"), col("band"), col("band_hash"))
+    newBands.join(old, Seq("band", "band_hash"))
+      .filter(col("id") =!= col("old_id"))
+      .select(col("id").as("new_id"), col("old_id"))
+      .distinct()
+  }
+
+  private def bandedSignatures(docs: DataFrame, k: Int, numHashes: Int,
+      bands: Int): DataFrame =
+    docs
+      .select(col("id"), shingles(col("__text__"), k).as("__sh__"))
+      .select(col("id"), minhashFromShingles(col("__sh__"), numHashes).as("__sig__"))
+      .select(col("id"), explode(lshBands(col("__sig__"), numHashes, bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+
   /** Lazy candidate-pair plan over `(id, __text__)` docs plus the frames the
     * caller must unpersist once the plan has been materialized.
     */
@@ -184,12 +220,7 @@ object Dedup {
     // frame on both sides, and uncached each side would recompute the whole
     // tokenize→shingle→minhash pipeline (measured ~2× on the q91 profile).
     // The cached rows are (id, band, band_hash) — three scalars.
-    val withBands = docs
-      .select(col("id"), shingles(col("__text__"), k).as("__sh__"))
-      .select(col("id"), minhashFromShingles(col("__sh__"), numHashes).as("__sig__"))
-      .select(col("id"), explode(lshBands(col("__sig__"), numHashes, bands)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-      .persist()
+    val withBands = bandedSignatures(docs, k, numHashes, bands).persist()
     val (pruned, scratch) = maxBucketSize match {
       case None => (withBands, Seq.empty[DataFrame])
       case Some(cap) =>

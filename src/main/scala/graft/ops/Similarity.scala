@@ -85,6 +85,21 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) & 1L) == 0L
   }
 
+  /** Symmetric int8 quantization of an embedding (4× storage cut for ANN
+    * corpora): per-vector `scale = max|v|/127`, `q_i = round(v_i/scale)`
+    * (half-up via `floor(x+0.5)` — the engine-portable rounding), so every
+    * code lands in [-127, 127] with no clamp. Dequantize as `q_i · scale`.
+    * Pure column algebra — narrow, no UDF; zero vectors quantize to zeros
+    * with scale 1.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / lit(127.0))
+    struct(
+      scale.as("scale"),
+      transform(vec, x => floor(x.cast("double") / scale + lit(0.5)).cast("int")).as("q"))
+  }
+
   /** Deterministic Johnson-Lindenstrauss random projection:
     * `out_j = (1/√outDim) · Σ_i v_i · s_{j,i}` with signs `s_{j,i} = ±1`
     * derived from the engine-portable hash ([[planeSign]] — the same

@@ -1136,7 +1136,90 @@ object LlmOpsQueries {
         FROM embeddings, UNNEST(generate_series(0, 15)) u(j))
       ORDER BY vec_id, j"""))
 
+  /** Symmetric int8 embedding quantization: per-vector max-abs scale +
+    * half-up rounded codes — the 4× storage cut for ANN corpora, replayed
+    * bit-exactly by the oracle (division + floor are IEEE-identical).
+    */
+  val q117_int8_quantization: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        // per-dim rows: the compare harness hashes scalar columns only
+        .select(col("vec_id"),
+          (floor(col("qz.scale") * 1e6 + 0.5) / 1e6).as("scale"),
+          posexplode(col("qz.q")).as(Seq("j", "q")))
+        .select(col("vec_id"), col("scale"), col("j").cast("long").as("j"), col("q"))
+        .orderBy(col("vec_id"), col("j")),
+    oracle = Some("""
+      SELECT vec_id,
+             floor((CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE) ELSE mx / 127.0 END) * 1e6 + 0.5) / 1e6 AS scale,
+             u.j - 1 AS j,
+             CAST(floor(embedding[u.j]::DOUBLE /
+               (CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE) ELSE mx / 127.0 END) + 0.5) AS INT) AS q
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        FROM embeddings),
+        UNNEST(generate_series(1, len(embedding))) u(j)
+      ORDER BY vec_id, j"""))
+
+  /** Cross-snapshot near-dup candidates: a new batch (shifted ids, half
+    * with an appended word) against the banded-signature STATE of the
+    * existing corpus — only the new batch is signed; the state never
+    * re-tokenizes. The oracle recomputes both band sets and replays the
+    * band-bucket join.
+    */
+  val q118_incremental_minhash: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val state = Dedup.minhashBands(docs.filter(col("doc_id") < 250),
+        col("text"), col("doc_id"), k = 3, numHashes = 4, bands = 2)
+      val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" appended")))
+            .otherwise(col("text")))
+      Dedup.minhashCandidatesAgainst(batch, col("text"), col("doc_id"), state,
+          k = 3, numHashes = 4, bands = 2)
+        .orderBy(col("new_id"), col("old_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text, 'old' AS side FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT doc_id + 1000000,
+               CASE WHEN (doc_id + 1000000) % 2 = 1 THEN text || ' appended' ELSE text END,
+               'new'
+        FROM documents WHERE doc_id >= 200 AND doc_id < 300),
+      toks AS (
+        SELECT doc_id, side, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                         x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id, side,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, side, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, side, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, side, r.h),
+      band AS (
+        SELECT doc_id, side, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM sig
+        GROUP BY doc_id, side, h // 2)
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM band n JOIN band o
+        ON n.band = o.band AND n.band_hash = o.band_hash
+       AND n.side = 'new' AND o.side = 'old' AND n.doc_id != o.doc_id
+      ORDER BY new_id, old_id"""))
+
   val all: Map[String, Q] = Map(
+    "q117_int8_quantization" -> q117_int8_quantization,
+    "q118_incremental_minhash" -> q118_incremental_minhash,
     "q116_random_projection" -> q116_random_projection,
     "q115_per_group_cap" -> q115_per_group_cap,
     "q114_packed_sequences" -> q114_packed_sequences,

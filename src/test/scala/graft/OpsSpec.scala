@@ -382,6 +382,39 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(sd(3) - math.sqrt(adj(3))) < 1e-12)
   }
 
+  test("quantizeInt8: codes bounded, dequantization error within half-scale") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 1, codes 0
+      (3L, Array(100.0f, -100.0f, 3.3f, -0.1f)))
+    val out = vecs.toDF("id", "v")
+      .select(col("id"), Similarity.quantizeInt8(col("v")).as("qz"))
+      .select(col("id"), col("qz.scale").as("s"), col("qz.q").as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(out(2L) == ((1.0, Seq(0, 0, 0, 0))))
+    vecs.foreach { case (i, v) =>
+      val (s, q) = out(i)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $i codes out of range: $q")
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * s - x) <= s / 2 + 1e-9, s"vec $i dequant error > scale/2")
+      }
+    }
+  }
+
+  test("minhashCandidatesAgainst finds identical and near-dup texts in the state") {
+    val old = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "totally different words here"))
+      .toDF("id", "t")
+    val state = Dedup.minhashBands(old, col("t"), col("id"), k = 3, numHashes = 4, bands = 2)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (11L, "unrelated novel content entirely")).toDF("id", "t")
+    val pairs = Dedup.minhashCandidatesAgainst(batch, col("t"), col("id"), state,
+        k = 3, numHashes = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), "identical text must collide with the state")
+    assert(!pairs.exists(_._1 == 11L), "novel content must not match")
+  }
+
   test("randomProject: deterministic, linear, and roughly norm-preserving") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)))
