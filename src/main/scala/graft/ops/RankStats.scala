@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -59,6 +59,38 @@ object RankStats {
       vals.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) }, posSchema)
     val ranks = positions.groupBy("__val__").agg(avg("__pos__").as(out))
     df.join(ranks, df(c) === ranks("__val__"), "left").drop("__val__")
+  }
+
+  /** All five pandas `groupby(part)[c].rank(method=…)` variants in one
+    * window pass: min (competition rank), max, dense, first (order of
+    * `tieBreak` within ties — pandas uses input order; a deterministic
+    * engine needs an explicit tie-break column), and average
+    * (= (min+max)/2). One shuffle; every rank is integer math except
+    * average's exact .5 halves — no fp drift anywhere.
+    */
+  def groupRanks(df: DataFrame, partCol: String, valCol: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(valCol))
+    val tieCnt = count(lit(1)).over(Window.partitionBy(col(partCol), col(valCol)))
+    val rMin = rank().over(w).cast("long")
+    val rMax = rMin + tieCnt - 1L
+    df.withColumn("rank_min", rMin)
+      .withColumn("rank_max", rMax)
+      .withColumn("rank_dense", dense_rank().over(w).cast("long"))
+      .withColumn("rank_first", row_number().over(
+        Window.partitionBy(col(partCol)).orderBy(col(valCol), col(tieBreak))).cast("long"))
+      .withColumn("rank_avg", (col("rank_min") + col("rank_max")) / lit(2.0))
+  }
+
+  /** Winsorize: clip a column at its exact [pLo, pHi] quantiles
+    * (type-7 interpolation via [[exactQuantiles]] — the range-sort scale
+    * path, not the single-reducer builtin). Two lightweight jobs to find the
+    * boundaries, then a map-side clip.
+    */
+  def winsorize(df: DataFrame, c: String, pLo: Double, pHi: Double): Column = {
+    val Seq(lo, hi) = exactQuantiles(df, c, Seq(pLo, pHi))
+    greatest(least(col(c).cast("double"), lit(hi)), lit(lo))
   }
 
   /** Spearman rank correlation of two columns, pairwise-complete (rows where

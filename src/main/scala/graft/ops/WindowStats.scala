@@ -124,4 +124,75 @@ object WindowStats {
       bias: Boolean = false, out: String = "ewm_std"): DataFrame =
     ewmVar(df, keys, orderCol, valueCol, alpha, adjust, bias, out)
       .withColumn(out, sqrt(col(out)))
+
+  /** pandas `interpolate(method="linear")` per key group along the order
+    * columns: interior nulls become the linear blend of the surrounding
+    * non-null values (weighted by row position, like pandas' default
+    * index-free interpolation), trailing nulls carry the last valid value,
+    * leading nulls stay null.
+    *
+    * One shuffle (the window partition); the forward- and backward-looking
+    * frames both ride the same sort. No collect, no UDF — scale-safe at any
+    * group count, memory bound = one partition's window buffer.
+    */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      valueCol: String, out: String = "interp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol).cast("double")
+    val pos = col("__pos__")
+    val staged = df
+      .withColumn("__pos__", row_number().over(w))
+      .withColumn("__pv__", last(v, ignoreNulls = true).over(back))
+      .withColumn("__pp__", last(when(v.isNotNull, pos), ignoreNulls = true).over(back))
+      .withColumn("__nv__", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("__np__", first(when(v.isNotNull, pos), ignoreNulls = true).over(fwd))
+    // op order mirrors the SQL oracle exactly: pv + (nv-pv)*(pos-pp)/(np-pp)
+    staged
+      .withColumn(out,
+        when(v.isNotNull, v)
+          .when(col("__pv__").isNull, lit(null).cast("double"))
+          .when(col("__nv__").isNull, col("__pv__"))
+          .otherwise(col("__pv__") + (col("__nv__") - col("__pv__")) *
+            (pos - col("__pp__")) / (col("__np__") - col("__pp__"))))
+      .drop("__pos__", "__pv__", "__pp__", "__nv__", "__np__")
+  }
+
+  /** pandas `rolling(n).corr(other)` over a keyed window: Pearson correlation
+    * of the last `n` rows, null until the frame holds `n` rows
+    * (min_periods = n, the pandas default). Spelled from the naive sum
+    * formula — `(n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))` —
+    * so any SQL engine reproduces it term for term; sample vs population
+    * scaling cancels in the ratio. One shuffle, five frame aggregates over
+    * one sort.
+    */
+  def rollingCorr(x: Column, y: Column, n: Int,
+      over: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val w = over.rowsBetween(-(n - 1), 0)
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val cnt = count(when(xd.isNotNull && yd.isNotNull, 1)).over(w)
+    val sx = sum(xd).over(w); val sy = sum(yd).over(w)
+    val sxy = sum(xd * yd).over(w)
+    val sx2 = sum(xd * xd).over(w); val sy2 = sum(yd * yd).over(w)
+    val nL = lit(n.toDouble)
+    when(cnt === n,
+      (nL * sxy - sx * sy) /
+        (sqrt(nL * sx2 - sx * sx) * sqrt(nL * sy2 - sy * sy)))
+  }
+
+  /** pandas `rolling(n).cov(other)` — sample covariance of the last `n`
+    * rows: `(Σxy − Σx·Σy/n) / (n−1)`; null until the frame is full.
+    */
+  def rollingCov(x: Column, y: Column, n: Int,
+      over: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val w = over.rowsBetween(-(n - 1), 0)
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val cnt = count(when(xd.isNotNull && yd.isNotNull, 1)).over(w)
+    val nL = lit(n.toDouble)
+    when(cnt === n,
+      (sum(xd * yd).over(w) - sum(xd).over(w) * sum(yd).over(w) / nL) /
+        lit((n - 1).toDouble))
+  }
 }

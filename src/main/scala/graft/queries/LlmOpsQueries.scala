@@ -1217,7 +1217,50 @@ object LlmOpsQueries {
        AND n.side = 'new' AND o.side = 'old' AND n.doc_id != o.doc_id
       ORDER BY new_id, old_id"""))
 
+  /** Asymmetric int8-quantized ANN: full-precision queries scored against
+    * the int8-stored corpus (the 4×-smaller storage path for 100 TB ANN).
+    * The oracle replays quantize → dequantize → cosine with the identical
+    * op order (int·scale products are exact; only the half-scale rounding
+    * differs from q55's fp scores).
+    */
+  val q119_quantized_ann: Q = Q(
+    fn = (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.quantizedTopK(queries, corpus, "q_id", "q_vec", "c_id", "c_vec", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+      cz AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS ev,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        FROM embeddings),
+      c AS (
+        SELECT c_id,
+               list_transform(ev, x -> CAST(floor(x /
+                   (CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE) ELSE mx / 127.0 END) + 0.5) AS INT)
+                 * (CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE) ELSE mx / 127.0 END)) AS cv
+        FROM cz),
+      scored AS (
+        SELECT q_id, c_id,
+               list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) /
+               sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) AS cos
+        FROM q CROSS JOIN c
+        WHERE q_id <> c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        FROM scored)
+      SELECT q_id, c_id, round(cos, 4) AS cos, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY q_id, rank"""))
+
   val all: Map[String, Q] = Map(
+    "q119_quantized_ann" -> q119_quantized_ann,
     "q117_int8_quantization" -> q117_int8_quantization,
     "q118_incremental_minhash" -> q118_incremental_minhash,
     "q116_random_projection" -> q116_random_projection,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession.table
+import graft.ops.{RankStats, WindowStats}
 import graft.sdf.SDF
 
 /** Operator-surface corpus: each query drives the pandas-flavored
@@ -677,7 +678,168 @@ object OpQueries {
       WHERE o.o_orderkey < 5000
       ORDER BY o.o_orderkey, b.band_id"""))
 
+  /** §2.5 pandas `interpolate(method="linear")` per user along event time:
+    * interior nulls blend the surrounding non-nulls by row position,
+    * trailing nulls carry the last value, leading nulls stay null. The
+    * oracle mirrors the exact `pv + (nv-pv)·(pos-pp)/(np-pp)` op order.
+    */
+  val q120_interpolate: Q = Q(
+    fn = (s, dir) => {
+      val e = table(s, dir, "events")
+        .withColumn("v", when(col("value") < 50, lit(null)).otherwise(col("value")))
+      WindowStats.interpolateLinear(e, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "v", out = "v_interp")
+        // tie-stable quantize: blended values land on .xxxx5 often enough
+        // that round() half-up vs DuckDB's tie handling diverges
+        .select(col("event_id"), col("user_id"),
+          (floor(col("v_interp") * 1e4 + 0.5) / 1e4).as("v_interp"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value < 50 THEN NULL ELSE value END AS v
+        FROM events),
+      p AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos FROM e),
+      f AS (SELECT event_id, user_id, v, pos,
+          last_value(v IGNORE NULLS) OVER wb AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS pp,
+          first_value(v IGNORE NULLS) OVER wf AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+        FROM p
+        WINDOW wb AS (PARTITION BY user_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id,
+             floor((CASE WHEN v IS NOT NULL THEN v
+                         WHEN pv IS NULL THEN NULL
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END) * 1e4 + 0.5) / 1e4 AS v_interp
+      FROM f ORDER BY event_id"""))
+
+  /** §2.5 pandas `rolling(5).corr/cov(other)` per supplier: Pearson r and
+    * sample covariance of quantity vs extended price over the trailing-5
+    * frame, null until the frame is full (min_periods = n). Both sides
+    * spell the naive-sum formulas term for term.
+    */
+  val q121_rolling_corr: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      table(s, dir, "lineitem").filter(col("l_suppkey") <= 10)
+        .withColumn("r_corr",
+          round(WindowStats.rollingCorr(col("l_quantity"), col("l_extendedprice"), 5, w), 4))
+        .withColumn("r_cov",
+          round(WindowStats.rollingCov(col("l_quantity"), col("l_extendedprice"), 5, w), 4))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("r_corr"), col("r_cov"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               count(*) OVER w AS cnt,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+        FROM (SELECT *, l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+              FROM lineitem WHERE l_suppkey <= 10)
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(CASE WHEN cnt = 5 THEN
+               (CAST(5 AS DOUBLE) * sxy - sx * sy) /
+               (sqrt(CAST(5 AS DOUBLE) * sx2 - sx * sx) *
+                sqrt(CAST(5 AS DOUBLE) * sy2 - sy * sy)) END, 4) AS r_corr,
+             round(CASE WHEN cnt = 5 THEN
+               (sxy - sx * sy / CAST(5 AS DOUBLE)) / CAST(4 AS DOUBLE) END, 4) AS r_cov
+      FROM f
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** §2.4 winsorize: clip at the exact [0.05, 0.95] type-7 quantiles. The
+    * boundaries come from the parallel range sort (exactQuantiles); the
+    * oracle replays the same `v_lo + (v_hi−v_lo)·frac` interpolation with
+    * the multiplication done in DOUBLE (not DuckDB DECIMAL) so the
+    * boundary doubles are bit-identical.
+    */
+  val q122_winsorize: Q = Q(
+    fn = (s, dir) => {
+      val li = SDF(table(s, dir, "lineitem"))
+      li.df.select(col("l_orderkey"), col("l_linenumber"),
+          round(li("l_extendedprice").winsorize(0.05, 0.95), 4).as("v_w"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      WITH s AS (SELECT l_extendedprice AS v,
+                        row_number() OVER (ORDER BY l_extendedprice) - 1 AS i
+                 FROM lineitem),
+      n AS (SELECT count(*) AS n FROM lineitem),
+      b AS (
+        SELECT
+          (SELECT v FROM s WHERE i = CAST(floor((n - 1) * CAST(0.05 AS DOUBLE)) AS BIGINT)) +
+            ((SELECT v FROM s WHERE i = CAST(ceil((n - 1) * CAST(0.05 AS DOUBLE)) AS BIGINT)) -
+             (SELECT v FROM s WHERE i = CAST(floor((n - 1) * CAST(0.05 AS DOUBLE)) AS BIGINT))) *
+            ((n - 1) * CAST(0.05 AS DOUBLE) - floor((n - 1) * CAST(0.05 AS DOUBLE))) AS lo,
+          (SELECT v FROM s WHERE i = CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT)) +
+            ((SELECT v FROM s WHERE i = CAST(ceil((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT)) -
+             (SELECT v FROM s WHERE i = CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT))) *
+            ((n - 1) * CAST(0.95 AS DOUBLE) - floor((n - 1) * CAST(0.95 AS DOUBLE))) AS hi
+        FROM n)
+      SELECT l_orderkey, l_linenumber,
+             round(greatest(least(l_extendedprice, hi), lo), 4) AS v_w
+      FROM lineitem, b
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** §2.4 the five pandas `rank(method=…)` variants per nation over account
+    * balance — all integer math (average is exact halves): no fp anywhere.
+    */
+  val q123_rank_methods: Q = Q(
+    fn = (s, dir) =>
+      RankStats.groupRanks(table(s, dir, "customer"), "c_nationkey", "c_acctbal", "c_custkey")
+        .select(col("c_custkey"), col("rank_min"), col("rank_max"),
+          col("rank_dense"), col("rank_first"), col("rank_avg"))
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      WITH r AS (
+        SELECT c_custkey,
+               CAST(rank() OVER w AS BIGINT) AS rank_min,
+               CAST(rank() OVER w + count(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1 AS BIGINT) AS rank_max,
+               CAST(dense_rank() OVER w AS BIGINT) AS rank_dense,
+               CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rank_first
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal))
+      SELECT c_custkey, rank_min, rank_max, rank_dense, rank_first,
+             (rank_min + rank_max) / CAST(2 AS DOUBLE) AS rank_avg
+      FROM r ORDER BY c_custkey"""))
+
+  /** §2.4 geometric + harmonic mean (scipy gmean/hmean surface) through the
+    * SCol eager scalars — log-sum and reciprocal-sum spellings, the only
+    * overflow-safe distributed forms.
+    */
+  val q124_geo_harmonic: Q = Q(
+    fn = (s, dir) => {
+      val qty = SDF(table(s, dir, "lineitem"))("l_quantity")
+      val rows = java.util.List.of(org.apache.spark.sql.Row(
+        BigDecimal(qty.geomean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(qty.harmonicMean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("geo_qty", "harm_qty").map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows, schema)
+    },
+    oracle = Some("""
+      SELECT round(exp(avg(ln(l_quantity::DOUBLE))), 4) AS geo_qty,
+             round(CAST(count(l_quantity) AS DOUBLE) /
+                   sum(CAST(1 AS DOUBLE) / l_quantity::DOUBLE), 4) AS harm_qty
+      FROM lineitem"""))
+
   val all: Map[String, Q] = Map(
+    "q120_interpolate" -> q120_interpolate,
+    "q121_rolling_corr" -> q121_rolling_corr,
+    "q122_winsorize" -> q122_winsorize,
+    "q123_rank_methods" -> q123_rank_methods,
+    "q124_geo_harmonic" -> q124_geo_harmonic,
     "q112_range_join" -> q112_range_join,
     "q41_stream_shard" -> q41_stream_shard,
     "q13_merge_suffixes" -> q13_merge_suffixes,

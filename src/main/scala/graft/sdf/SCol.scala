@@ -70,6 +70,22 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def variance: Double = scalar[Double](var_samp(col))
   def count_ : Long = scalar[Long](count(col))
   def median: Double = quantile(0.5)
+  /** Geometric mean via the log-sum identity `exp(mean(ln x))` — the only
+    * overflow-safe distributed spelling (a product of 10^9 values over- or
+    * underflows doubles immediately); positive values only, like
+    * `scipy.stats.gmean`.
+    */
+  def geomean: Double = scalar[Double](exp(avg(log(col.cast("double")))))
+  /** Harmonic mean `n / Σ(1/x)` (`scipy.stats.hmean`) — one partial-agg
+    * pass, map-side combined.
+    */
+  def harmonicMean: Double =
+    scalar[Double](count(col).cast("double") / sum(lit(1.0) / col.cast("double")))
+  /** Winsorize: clip at the exact [pLo, pHi] quantiles (type-7), boundaries
+    * from the parallel range sort ([[graft.ops.RankStats.winsorize]]).
+    */
+  def winsorize(pLo: Double, pHi: Double): Column =
+    graft.ops.RankStats.winsorize(df, name, pLo, pHi)
 
   /** Exact quantile with linear interpolation (`ScalableSeries.py:944-946`)
     * via [[graft.ops.RankStats.exactQuantiles]] (parallel range sort +

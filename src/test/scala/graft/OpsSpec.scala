@@ -415,6 +415,84 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 11L), "novel content must not match")
   }
 
+  test("interpolateLinear: interior blend, trailing carry, leading null") {
+    val df = Seq(
+      // group a: [null, 1, null, null, 4, null] -> [null, 1, 2, 3, 4, 4]
+      ("a", 1L, None: Option[Double]), ("a", 2L, Some(1.0)), ("a", 3L, None),
+      ("a", 4L, None), ("a", 5L, Some(4.0)), ("a", 6L, None),
+      // group b: all null stays all null
+      ("b", 1L, None), ("b", 2L, None)).toDF("g", "o", "v")
+    val out = graft.ops.WindowStats.interpolateLinear(df, Seq("g"), Seq(col("o")), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("a", 1L)).isEmpty, "leading null stays null")
+    assert(out(("a", 3L)).contains(2.0) && out(("a", 4L)).contains(3.0), "interior blend")
+    assert(out(("a", 6L)).contains(4.0), "trailing null carries last valid")
+    assert(out(("b", 1L)).isEmpty && out(("b", 2L)).isEmpty)
+  }
+
+  test("rollingCorr/rollingCov match direct computation; null before full frame") {
+    import org.apache.spark.sql.expressions.Window
+    val xs = Seq(1.0, 2.0, 4.0, 3.0, 7.0, 5.0, 8.0)
+    val ys = Seq(2.0, 1.0, 5.0, 4.0, 6.0, 7.0, 9.0)
+    val df = xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("i", "x", "y")
+    val w = Window.partitionBy(lit(1)).orderBy(col("i"))
+    val n = 3
+    val got = df
+      .withColumn("c", graft.ops.WindowStats.rollingCorr(col("x"), col("y"), n, w))
+      .withColumn("v", graft.ops.WindowStats.rollingCov(col("x"), col("y"), n, w))
+      .orderBy(col("i")).collect()
+    assert(got.take(n - 1).forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "null until the frame holds n rows")
+    for (i <- (n - 1) until xs.size) {
+      val fx = xs.slice(i - n + 1, i + 1); val fy = ys.slice(i - n + 1, i + 1)
+      val mx = fx.sum / n; val my = fy.sum / n
+      val cov = fx.zip(fy).map { case (a, b) => (a - mx) * (b - my) }.sum / (n - 1)
+      val corr = cov / math.sqrt(fx.map(a => (a - mx) * (a - mx)).sum / (n - 1)) /
+        math.sqrt(fy.map(b => (b - my) * (b - my)).sum / (n - 1))
+      assert(math.abs(got(i).getDouble(3) - corr) < 1e-9, s"corr at $i")
+      assert(math.abs(got(i).getDouble(4) - cov) < 1e-9, s"cov at $i")
+    }
+  }
+
+  test("groupRanks: all five pandas rank methods on a tied series") {
+    // values per group g: 10, 20, 20, 30 -> min 1,2,2,4; max 1,3,3,4;
+    // dense 1,2,2,3; first 1,2,3,4; avg 1,2.5,2.5,4
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0))
+      .map { case (id, v) => ("g", id, v) }.toDF("g", "id", "v")
+    val r = graft.ops.RankStats.groupRanks(df, "g", "v", "id")
+      .orderBy(col("id")).collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getDouble(7)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 1L, 1.0), (2L, 2L, 3L, 2L, 2L, 2.5),
+      (3L, 2L, 3L, 2L, 3L, 2.5), (4L, 4L, 4L, 3L, 4L, 4.0)))
+  }
+
+  test("winsorize clips exactly at the type-7 quantile boundaries") {
+    // 0..100: p05 = 5.0, p95 = 95.0 land exactly on data points
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val clipped = df.select(graft.ops.RankStats.winsorize(df, "v", 0.05, 0.95).as("w"))
+      .collect().map(_.getDouble(0))
+    assert(clipped.min == 5.0 && clipped.max == 95.0)
+    assert(clipped.count(_ == 5.0) == 6 && clipped.count(_ == 95.0) == 6)
+    assert(clipped.sorted.toSeq.slice(6, 95) == (6 to 94).map(_.toDouble))
+  }
+
+  test("quantizedTopK reproduces exact top-k ranks on well-separated vectors") {
+    val emb = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 37 + d * 3).toFloat)))
+      .toDF("id", "vec")
+    val q = emb.filter(col("id") < 2)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val c = emb.select(col("id").as("c_id"), col("vec").as("c_vec"))
+    val exact = Similarity.bruteForceTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", k = 3)
+      .select("q_id", "c_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quant = Similarity.quantizedTopK(q, c, "q_id", "q_vec", "c_id", "c_vec", k = 3)
+      .select("q_id", "c_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(quant == exact, "int8 rounding must not reorder well-separated neighbors")
+  }
+
   test("randomProject: deterministic, linear, and roughly norm-preserving") {
     val vecs = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat)))
