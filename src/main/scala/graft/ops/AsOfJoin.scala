@@ -79,6 +79,121 @@ object AsOfJoin {
           rightPayload.values.map(to => col("__c__").getField(to).as(to)): _*)
   }
 
+  /** pandas `merge_asof(direction="forward")`: for each left row, the
+    * EARLIEST right row with `rightTime >= leftTime` (strict: `>`). The
+    * mirror of [[backward]] — same single shuffle+sort union, the carry is
+    * `first(struct, ignoreNulls)` over the FOLLOWING frame. At equal times
+    * the inclusive mode sorts the left row first so the equal-time right row
+    * is inside its following frame; strict flips the order.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Map[String, String],
+      strict: Boolean = false): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // inclusive: left (side 1) sorts BEFORE equal-time right (side 0) so the
+    // right row is in the left row's following frame; strict: right first,
+    // excluding it from the frame.
+    val sideOrder =
+      if (strict) Seq(col("__t__"), col("__side__")) else Seq(col("__t__"), col("__side__").desc)
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t__"), lit(0).as("__side__")) ++
+        rightPayload.map { case (from, to) => col(from).as(s"__p_$to") }: _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t__"), lit(1).as("__side__")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(sideOrder: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val payloadStruct = struct(
+      rightPayload.values.toSeq.map(to => col(s"__p_$to").as(to)): _*)
+    val carried = unioned.withColumn("__c__",
+      first(when(col("__side__") === 0, payloadStruct), ignoreNulls = true).over(w))
+
+    carried.filter(col("__side__") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__t__").as(leftTime)) ++
+          leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
+          rightPayload.values.map(to => col("__c__").getField(to).as(to)): _*)
+  }
+
+  /** pandas `merge_asof(direction="nearest")`: the closer of the backward
+    * (inclusive) and strict-forward matches; equal distance → backward, as
+    * in pandas. ONE sort serves both directions: with right rows sorting
+    * before equal-time left rows, the backward carry is inclusive and the
+    * forward carry is strict — an equal-time right row is distance 0 via the
+    * backward side, so nothing is lost. Still a single shuffle; the two
+    * frames ride the same (key, time, side) sort.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Map[String, String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val sideOrder = Seq(col("__t__"), col("__side__"))
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t__"), lit(0).as("__side__")) ++
+        rightPayload.map { case (from, to) => col(from).as(s"__p_$to") }: _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t__"), lit(1).as("__side__")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(sideOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(sideOrder: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    // carry the matched right TIME alongside the payload: distance decides
+    val payloadStruct = struct(
+      (col("__t__").as("__rt__") +:
+        rightPayload.values.toSeq.map(to => col(s"__p_$to").as(to))): _*)
+    val rightOnly = when(col("__side__") === 0, payloadStruct)
+    val carried = unioned
+      .withColumn("__b__", last(rightOnly, ignoreNulls = true).over(wb))
+      .withColumn("__f__", first(rightOnly, ignoreNulls = true).over(wf))
+
+    // exact integer distances for timestamps (micros — a double's 2e-7 s
+    // rounding could disagree with the oracle's exact interval compare on
+    // near-symmetric matches); plain double for numeric time axes
+    val isTs = unioned.schema("__t__").dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def axis(c: Column): Column = if (isTs) unix_micros(c) else c.cast("double")
+    val tD = axis(col("__t__"))
+    val bD = axis(col("__b__").getField("__rt__"))
+    val fD = axis(col("__f__").getField("__rt__"))
+    val chosen = when(col("__b__").isNull, col("__f__"))
+      .when(col("__f__").isNull, col("__b__"))
+      .when(tD - bD <= fD - tD, col("__b__")) // tie -> backward (pandas)
+      .otherwise(col("__f__"))
+
+    carried.withColumn("__c__", chosen)
+      .filter(col("__side__") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__t__").as(leftTime)) ++
+          leftCols.filterNot(c => keys.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
+          rightPayload.values.map(to => col("__c__").getField(to).as(to)): _*)
+  }
+
   /** [[backward]] for SKEWED keys — the §2.3 skew-cliff closer. `backward`
     * runs one window per key, so a key holding 90% of the rows serializes
     * 90% of the table through one task. Here each key's timeline is split

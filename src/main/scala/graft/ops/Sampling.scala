@@ -93,6 +93,27 @@ object Sampling {
       .drop("__rn__")
   }
 
+  /** Weighted sampling WITHOUT replacement, exact n, deterministic
+    * (pandas `sample(n, weights=…)` with engine-portable selection):
+    * Efraimidis–Spirakis exponential race — each row draws the uniform
+    * `u = (hash60(id) mod 1e9 + 0.5)/1e9` and the n largest
+    * `score = ln(u)/w` win (equivalent to top-n by `u^(1/w)`; inclusion
+    * probability ∝ weight). Map-side score + TakeOrderedAndProject top-n:
+    * no shuffle of the full table, reproducible on any partitioning.
+    * `ln` differs between libm and the JVM by ≤1 ulp — selection flips only
+    * if the rank-n boundary pair is within that, which hash-random scores
+    * make vanishingly unlikely (ties on identical (u, w) still break by id).
+    */
+  def weightedNByHash(df: DataFrame, id: Column, weight: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (pmod(TextAnalysis.hash60(id.cast("string")), lit(1000000000L)).cast("double")
+      + lit(0.5)) / lit(1e9)
+    df.withColumn("__score__", log(u) / weight.cast("double"))
+      .orderBy(col("__score__").desc, id)
+      .limit(n)
+      .drop("__score__")
+  }
+
   /** Deterministic train/val/test split: id-hash bucketed into consecutive
     * fraction ranges, appended as a label column. Map-side, reproducible on
     * any partitioning — the same row lands in the same split on every

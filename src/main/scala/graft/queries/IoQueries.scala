@@ -156,6 +156,65 @@ object IoQueries {
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id"""))
 
+  /** pandas `merge_asof(direction="forward")`: for every event, the user's
+    * next signup at-or-after it — DuckDB's ASOF with the inequality flipped
+    * verifies the mirrored single-shuffle window plan.
+    */
+  val q125_asof_forward: Q = Q(
+    fn = (s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.forward(
+        left, signups,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Map("event_id" -> "next_signup_id"))
+        .select(col("event_id"), col("user_id"), col("next_signup_id"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT l.event_id, l.user_id, r.event_id AS next_signup_id
+      FROM events l
+      ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+      ORDER BY l.event_id"""))
+
+  /** pandas `merge_asof(direction="nearest")`: the closer of the inclusive-
+    * backward and strict-forward signups, equal distance → backward. The
+    * oracle replays the same choice from two native ASOF joins with exact
+    * interval distances.
+    */
+  val q126_asof_nearest: Q = Q(
+    fn = (s, dir) => {
+      val ev = table(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.nearest(
+        left, signups,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Map("event_id" -> "near_signup_id"))
+        .select(col("event_id"), col("user_id"), col("near_signup_id"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS bt, r.event_id AS bid
+        FROM events l
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts),
+      f AS (
+        SELECT l.event_id, r.ts AS ft, r.event_id AS fid
+        FROM events l
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
+          ON l.user_id = r.user_id AND l.ts < r.ts)
+      SELECT event_id, user_id,
+             CASE WHEN bid IS NULL THEN fid
+                  WHEN fid IS NULL THEN bid
+                  WHEN (ts - bt) <= (ft - ts) THEN bid
+                  ELSE fid END AS near_signup_id
+      FROM b JOIN f USING (event_id)
+      ORDER BY event_id"""))
+
   /** §2.8 scalar family through SCol: clip, astype (truncating cast), abs,
     * arithmetic, conditional bucketing.
     */
@@ -437,6 +496,8 @@ object IoQueries {
       SELECT path, page, ptext FROM pages ORDER BY path, page"""))
 
   val all: Map[String, Q] = Map(
+    "q125_asof_forward" -> q125_asof_forward,
+    "q126_asof_nearest" -> q126_asof_nearest,
     "q98_pdf_extract" -> q98_pdf_extract,
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,
     "q74_product_agg" -> q74_product_agg,

@@ -834,7 +834,64 @@ object OpQueries {
                    sum(CAST(1 AS DOUBLE) / l_quantity::DOUBLE), 4) AS harm_qty
       FROM lineitem"""))
 
+  /** §2.2 weighted sampling without replacement (pandas
+    * `sample(n, weights=…)`): 100 orders drawn ∝ total price via the
+    * deterministic Efraimidis–Spirakis race — the oracle replays the same
+    * hash-uniform, the same `ln(u)/w` score, and the same top-n.
+    */
+  val q127_weighted_sample: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.weightedNByHash(
+          table(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"), n = 100)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+      FROM (
+        SELECT * FROM (
+          SELECT *,
+                 ln((CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / 1e9)
+                   / CAST(o_totalprice AS DOUBLE) AS score
+          FROM orders)
+        ORDER BY score DESC, o_orderkey
+        LIMIT 100)
+      ORDER BY o_orderkey"""))
+
+  /** §2.5 cummax / cummin / cumcount per supplier along ship date — the
+    * remaining pandas cumulative family (cumsum/shift/diff live in q24).
+    */
+  val q128_cum_extrema: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val li = SDF(table(s, dir, "lineitem"))
+      val qty = li("l_quantity")
+      li.df
+        .withColumn("cum_max", round(qty.cummax(w), 4))
+        .withColumn("cum_min", round(qty.cummin(w), 4))
+        .withColumn("cum_n", qty.cumcount(w))
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("cum_max"), col("cum_min"), col("cum_n"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(max(l_quantity) OVER w, 4) AS cum_max,
+             round(min(l_quantity) OVER w, 4) AS cum_min,
+             CAST(row_number() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS BIGINT) AS cum_n
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
   val all: Map[String, Q] = Map(
+    "q127_weighted_sample" -> q127_weighted_sample,
+    "q128_cum_extrema" -> q128_cum_extrema,
     "q120_interpolate" -> q120_interpolate,
     "q121_rolling_corr" -> q121_rolling_corr,
     "q122_winsorize" -> q122_winsorize,

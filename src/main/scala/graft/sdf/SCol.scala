@@ -239,6 +239,17 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     (col - lag(col, 1).over(over)) / lag(col, 1).over(over)
   def rank_(over: org.apache.spark.sql.expressions.WindowSpec): Column =
     rank().over(over).cast("long")
+  def cummax(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    max(col).over(over.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow))
+  def cummin(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    min(col).over(over.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow))
+  /** pandas `groupby(...).cumcount()` — 0-based position within the group. */
+  def cumcount(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    row_number().over(over).cast("long") - 1L
   def rolling(n: Int, over: org.apache.spark.sql.expressions.WindowSpec): Column =
     avg(col).over(over.rowsBetween(-(n - 1), 0))
   /** `expanding()` family (pandas expanding.mean/sum/min/max/count —

@@ -153,6 +153,22 @@ class OpsSpec extends AnyFunSuite {
     assert(run(8) == out, "selection must be partition-invariant")
   }
 
+  test("weightedNByHash: exact n, partition-invariant, inclusion tracks weight") {
+    import graft.ops.Sampling
+    // 500 light rows (w=1) + 500 heavy rows (w=20): heavy rows should
+    // dominate the 200-row sample (expected ~190 heavy)
+    val rows = (1 to 500).map(i => (i.toLong, 1.0)) ++
+      (501 to 1000).map(i => (i.toLong, 20.0))
+    def run(parts: Int) = Sampling.weightedNByHash(
+      rows.toDF("id", "w").repartition(parts), col("id"), col("w"), n = 200)
+      .collect().map(_.getLong(0)).toSet
+    val out = run(1)
+    assert(out.size == 200, "exact n")
+    val heavy = out.count(_ > 500)
+    assert(heavy > 160, s"heavy rows must dominate ∝ weight, got $heavy/200")
+    assert(run(8) == out, "selection must be partition-invariant")
+  }
+
   test("toMixture hits the target domain mixture at max attainable volume") {
     import graft.ops.Sampling
     val rows = (1 to 2000).map(i => (i.toLong, "web")) ++
@@ -621,6 +637,30 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(run(strict = false) == "at", "inclusive picks the equal-time right row")
     assert(run(strict = true) == "before", "strict picks only earlier rows")
+  }
+
+  test("asof forward: earliest at-or-after; strict excludes equal time; nearest ties to backward") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 100L), (1L, 10L), (1L, 300L)).toDF("k", "t")
+    val right = Seq((1L, 100L, "at"), (1L, 150L, "after"), (1L, 90L, "before"))
+      .toDF("k", "t", "tag")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getAs[Long]("t") -> r.getAs[String]("matched")).toMap
+    val fwd = m(AsOfJoin.forward(left, right, Seq("k"), "t", "t", Map("tag" -> "matched")))
+    assert(fwd(100L) == "at", "inclusive forward takes the equal-time row")
+    assert(fwd(10L) == "before", "forward takes the earliest at-or-after")
+    assert(fwd(300L) == null, "no later right row -> null")
+    val fs = m(AsOfJoin.forward(left, right, Seq("k"), "t", "t", Map("tag" -> "matched"),
+      strict = true))
+    assert(fs(100L) == "after", "strict forward skips the equal-time row")
+    // nearest: t=100 matches `at` (distance 0); t=120 is 30 from `before`@90?
+    // no: 20 from `at`@100 vs 30 from `after`@150 -> `at`; exact tie prefers
+    // backward: t=125 is 25 from both `at` and `after` -> backward (`at`)
+    val left2 = Seq((1L, 120L), (1L, 125L), (1L, 10L), (1L, 300L)).toDF("k", "t")
+    val near = m(AsOfJoin.nearest(left2, right, Seq("k"), "t", "t", Map("tag" -> "matched")))
+    assert(near(120L) == "at" && near(125L) == "at")
+    assert(near(10L) == "before", "only-forward side still matches")
+    assert(near(300L) == "after", "only-backward side still matches")
   }
 
   test("asof carries the matched right row atomically, nulls included") {
