@@ -111,6 +111,37 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Per-doc duplicate-span fraction (RefinedWeb/Dolma-style memorization
+    * signal): the share of a document's distinct word k-grams that appear in
+    * at least one OTHER document. Three hash-parallel stages — per-doc
+    * distinct gram hashes (map-side `array_distinct`, the text never leaves
+    * its partition), gram → doc-count aggregate, hash-keyed join back +
+    * per-doc fraction. Only 8-byte gram hashes ever shuffle; at corpus scale
+    * the gram-count frame is the reusable index (persist it across audits).
+    */
+  def duplicateSpanFraction(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, k: Int = 5,
+      out: String = "dup_span_frac"): org.apache.spark.sql.DataFrame = {
+    // the gram frame feeds BOTH sides of the count join — persisted so the
+    // tokenize→shingle→hash pipeline runs once (Spark does not CSE across
+    // join inputs); the per-doc result is materialized eagerly and the
+    // cache released before returning (no persist leaks — the Dedup
+    // lifecycle discipline). Cached rows are two scalars (id, gram hash).
+    val grams = df.select(idCol.as("id"), textCol.as("__t__"))
+      .select(col("id"), explode(array_distinct(
+        transform(shingles(col("__t__"), k), s => hash60(s)))).as("__g__"))
+      .persist()
+    // grams are distinct per doc, so count(*) = number of docs holding it
+    val counts = grams.groupBy(col("__g__")).agg(count(lit(1)).as("__nd__"))
+    val result = grams.join(counts, "__g__")
+      .groupBy(col("id"))
+      .agg((sum(when(col("__nd__") > 1, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as(out))
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    result
+  }
+
   /** Unigram-LM quality score — the CCNet-style perplexity proxy without an
     * external model: per-doc mean negative log-probability of its tokens
     * under the CORPUS unigram distribution. High nll = rare-token gibberish,

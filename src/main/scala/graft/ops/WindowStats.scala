@@ -160,6 +160,29 @@ object WindowStats {
       .drop("__pos__", "__pv__", "__pp__", "__nv__", "__np__")
   }
 
+  /** Batch sessionization: gap-based session ids per key — a new session
+    * starts when the time since the previous row exceeds `gapMicros`
+    * (timestamps compare in exact integer microseconds; numeric axes in
+    * their own units). `session_id` is the running count of session starts:
+    * one keyed window, two frame computations, single shuffle. The batch
+    * complement of the streaming session windows in
+    * [[graft.streaming.EventStreams]].
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      timeCol: String, gapMicros: Long, out: String = "session_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val isTs = df.schema(timeCol).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val t = if (isTs) unix_micros(col(timeCol)) else col(timeCol).cast("long")
+    val prev = lag(t, 1).over(w)
+    val newSession = when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn("__ns__", newSession)
+      .withColumn(out, sum(col("__ns__")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__ns__")
+  }
+
   /** pandas `rolling(n).corr(other)` over a keyed window: Pearson correlation
     * of the last `n` rows, null until the frame holds `n` rows
     * (min_periods = n, the pandas default). Spelled from the naive sum

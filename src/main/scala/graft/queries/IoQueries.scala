@@ -465,6 +465,29 @@ object IoQueries {
       FROM part
       ORDER BY p_partkey"""))
 
+  /** pandas `str.extract` (regex capture groups) + `str.split().explode()`
+    * with positions — the two string ops q78 leaves out.
+    */
+  val q130_str_extract_split: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_last"),
+          posexplode(split(col("p_name"), " ")).as(Seq("word_pos", "word")))
+        .select(col("p_partkey"), col("brand_num"), col("type_last"),
+          col("word_pos").cast("long").as("word_pos"), col("word"))
+        .orderBy(col("p_partkey"), col("word_pos")),
+    oracle = Some("""
+      SELECT p_partkey,
+             regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+             regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last,
+             u.i - 1 AS word_pos,
+             w[u.i] AS word
+      FROM (SELECT *, string_split(p_name, ' ') AS w FROM part),
+           UNNEST(generate_series(1, len(w))) u(i)
+      ORDER BY p_partkey, word_pos"""))
+
   /** PDF Document pillar (reference `reader/document/pdf/FitzPdfReader.py`):
     * synthesize a 1–2 page PDF per document (FlateDecode content streams),
     * then recover the page text with the stream-walking extractor. The
@@ -497,6 +520,7 @@ object IoQueries {
 
   val all: Map[String, Q] = Map(
     "q125_asof_forward" -> q125_asof_forward,
+    "q130_str_extract_split" -> q130_str_extract_split,
     "q126_asof_nearest" -> q126_asof_nearest,
     "q98_pdf_extract" -> q98_pdf_extract,
     "q68_na_bfill_duplicated" -> q68_na_bfill_duplicated,

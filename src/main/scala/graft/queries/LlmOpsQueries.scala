@@ -1259,7 +1259,47 @@ object LlmOpsQueries {
       FROM ranked WHERE rank <= 5
       ORDER BY q_id, rank"""))
 
+  /** Per-doc duplicate-span fraction (RefinedWeb/Dolma memorization
+    * signal): share of each doc's distinct 5-gram hashes appearing in ≥1
+    * other doc. 50 exact copies are injected so the metric has known mass;
+    * the oracle replays shingling → distinct hashes → doc-count → fraction.
+    */
+  val q129_dup_spans: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      TextAnalysis.duplicateSpanFraction(aug, col("doc_id"), col("text"), k = 5)
+        .select(col("id").as("doc_id"),
+          (floor(col("dup_span_frac") * 1e4 + 0.5) / 1e4).as("dup_span_frac"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT DISTINCT doc_id, ${h60("u.s")} AS g FROM sh, UNNEST(shingles) u(s)),
+      cnt AS (SELECT g, count(*) AS nd FROM ex GROUP BY g)
+      SELECT doc_id,
+             floor(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                   CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_span_frac
+      FROM ex JOIN cnt USING (g)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q129_dup_spans" -> q129_dup_spans,
     "q119_quantized_ann" -> q119_quantized_ann,
     "q117_int8_quantization" -> q117_int8_quantization,
     "q118_incremental_minhash" -> q118_incremental_minhash,

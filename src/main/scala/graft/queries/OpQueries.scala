@@ -889,7 +889,68 @@ object OpQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
+  /** §2.4 per-group outlier detection (data-cleaning surface): IQR fences
+    * (Tukey 1.5×) — exact math on the integer-valued quantity column, so
+    * the boolean flag is engine-portable — plus the tie-stable-quantized
+    * z-score. Group stats come from one broadcastable aggregate.
+    */
+  val q131_outlier_flags: Q = Q(
+    fn = (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val stats = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.25)").as("__q1__"),
+        expr("percentile(l_quantity, 0.75)").as("__q3__"),
+        avg(col("l_quantity")).as("__mu__"),
+        stddev_samp(col("l_quantity")).as("__sd__"))
+      val iqr = col("__q3__") - col("__q1__")
+      li.join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_quantity") < col("__q1__") - lit(1.5) * iqr ||
+            col("l_quantity") > col("__q3__") + lit(1.5) * iqr).as("iqr_outlier"),
+          (floor((col("l_quantity") - col("__mu__")) / col("__sd__") * 1e4 + 0.5) / 1e4).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      WITH st AS (
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.75) AS q3,
+               avg(l_quantity) AS mu,
+               stddev_samp(l_quantity) AS sd
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             (l_quantity < q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) OR
+              l_quantity > q3 + CAST(1.5 AS DOUBLE) * (q3 - q1)) AS iqr_outlier,
+             floor((l_quantity - mu) / sd * 1e4 + 0.5) / 1e4 AS z
+      FROM lineitem JOIN st USING (l_returnflag)
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Batch sessionization: 30-minute-gap sessions per user over the event
+    * stream table — exact integer-microsecond gap compare on both sides.
+    */
+  val q132_sessionize: Q = Q(
+    fn = (s, dir) =>
+      WindowStats.sessionize(table(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "ts", gapMicros = 30L * 60 * 1000000)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      WITH d AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM d
+      ORDER BY event_id"""))
+
   val all: Map[String, Q] = Map(
+    "q132_sessionize" -> q132_sessionize,
+    "q131_outlier_flags" -> q131_outlier_flags,
     "q127_weighted_sample" -> q127_weighted_sample,
     "q128_cum_extrema" -> q128_cum_extrema,
     "q120_interpolate" -> q120_interpolate,

@@ -108,6 +108,10 @@ class OpsSpec extends AnyFunSuite {
     cands.count()
     assert(sc.getPersistentRDDs.size <= 2,
       s"${sc.getPersistentRDDs.size} persisted RDDs after minhashCandidates (prepass caches not released)")
+    val before = sc.getPersistentRDDs.size
+    TextAnalysis.duplicateSpanFraction(df, col("id"), col("t")).count()
+    assert(sc.getPersistentRDDs.size <= before + 1,
+      s"duplicateSpanFraction leaked its gram cache (${sc.getPersistentRDDs.size - before} extra RDDs)")
   }
 
   test("decontaminate removes exactly the docs sharing a k-gram with the benchmark") {
@@ -151,6 +155,21 @@ class OpsSpec extends AnyFunSuite {
     assert(perGroup("a") == 10 && perGroup("b") == 10)
     assert(perGroup("c") == 1, "undersized strata keep everything")
     assert(run(8) == out, "selection must be partition-invariant")
+  }
+
+  test("duplicateSpanFraction: copies score 1.0, unique docs 0.0, partial overlap between") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (3L, "one two three four five six seven eight nine"), // unique
+      // shares the leading 5-gram window with doc 1 only partially
+      (4L, "alpha beta gamma delta epsilon completely different tail here")
+    ).toDF("id", "t")
+    val out = TextAnalysis.duplicateSpanFraction(docs, col("id"), col("t"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0, "exact copies share every span")
+    assert(out(3L) == 0.0, "unique doc shares nothing")
+    assert(out(4L) > 0.0 && out(4L) < 1.0, s"partial overlap must land between, got ${out(4L)}")
   }
 
   test("weightedNByHash: exact n, partition-invariant, inclusion tracks weight") {
