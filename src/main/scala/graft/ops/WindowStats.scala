@@ -160,6 +160,23 @@ object WindowStats {
       .drop("__pos__", "__pv__", "__pp__", "__nv__", "__np__")
   }
 
+  /** pandas time-based `rolling("30min")`: aggregate over a trailing TIME
+    * window (not a row count) per key — a RANGE frame over the exact-µs
+    * time axis, both endpoints inclusive like pandas. One keyed window,
+    * single shuffle; rows with equal timestamps share a frame on any
+    * engine because the frame is value-based.
+    */
+  def rollingMeanByTime(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, windowMicros: Long, out: String = "roll_mean"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isTs = df.schema(timeCol).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    val t = if (isTs) unix_micros(col(timeCol)) else col(timeCol).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
+      .rangeBetween(-windowMicros, 0)
+    df.withColumn(out, avg(col(valueCol)).over(w))
+  }
+
   /** Batch sessionization: gap-based session ids per key — a new session
     * starts when the time since the previous row exceeds `gapMicros`
     * (timestamps compare in exact integer microseconds; numeric axes in

@@ -948,7 +948,64 @@ object OpQueries {
       FROM d
       ORDER BY event_id"""))
 
+  /** pandas time-based `rolling("30min").mean()` per user: RANGE frame over
+    * the µs axis (value-based, both ends inclusive) — the row-count rolling
+    * lives in q69. Quantized tie-stable.
+    */
+  val q133_rolling_time: Q = Q(
+    fn = (s, dir) =>
+      WindowStats.rollingMeanByTime(table(s, dir, "events"), Seq("user_id"),
+          "ts", "value", windowMicros = 30L * 60 * 1000000)
+        .select(col("event_id"), col("user_id"),
+          (floor(col("roll_mean") * 1e4 + 0.5) / 1e4).as("roll_mean"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id, user_id,
+             floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
+                   * 1e4 + 0.5) / 1e4 AS roll_mean
+      FROM events
+      ORDER BY event_id"""))
+
+  /** pandas `expanding().std()/var()` (closing the §2.5 expanding family)
+    * + `groupby().transform("mean"/"sum")` broadcast-back semantics — all
+    * per-supplier, one ordered window + one partition-only window, a single
+    * shuffle (same partitioning).
+    */
+  val q134_expanding_transform: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val wg = Window.partitionBy(col("l_suppkey"))
+      val li = SDF(table(s, dir, "lineitem"))
+      val qty = li("l_quantity")
+      li.df
+        .withColumn("exp_std", floor(qty.expandingStd(w) * 1e4 + 0.5) / 1e4)
+        .withColumn("exp_var", floor(qty.expandingVar(w) * 1e4 + 0.5) / 1e4)
+        .withColumn("grp_mean", floor(avg(col("l_quantity")).over(wg) * 1e4 + 0.5) / 1e4)
+        .withColumn("grp_sum", round(sum(col("l_quantity")).over(wg), 4))
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("exp_std"), col("exp_var"), col("grp_mean"), col("grp_sum"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             floor(stddev_samp(l_quantity) OVER we * 1e4 + 0.5) / 1e4 AS exp_std,
+             floor(var_samp(l_quantity) OVER we * 1e4 + 0.5) / 1e4 AS exp_var,
+             floor(avg(l_quantity) OVER wg * 1e4 + 0.5) / 1e4 AS grp_mean,
+             round(sum(l_quantity) OVER wg, 4) AS grp_sum
+      FROM lineitem
+      WHERE l_suppkey <= 5
+      WINDOW we AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wg AS (PARTITION BY l_suppkey)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
   val all: Map[String, Q] = Map(
+    "q133_rolling_time" -> q133_rolling_time,
+    "q134_expanding_transform" -> q134_expanding_transform,
     "q132_sessionize" -> q132_sessionize,
     "q131_outlier_flags" -> q131_outlier_flags,
     "q127_weighted_sample" -> q127_weighted_sample,

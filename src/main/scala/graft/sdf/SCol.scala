@@ -265,6 +265,10 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     max(col).over(expandingFrame(over))
   def expandingCount(over: org.apache.spark.sql.expressions.WindowSpec): Column =
     count(col).over(expandingFrame(over))
+  def expandingStd(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    stddev_samp(col).over(expandingFrame(over))
+  def expandingVar(over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    var_samp(col).over(expandingFrame(over))
   private def expandingFrame(over: org.apache.spark.sql.expressions.WindowSpec) =
     over.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -59,6 +59,30 @@ class PlanSpec extends AnyFunSuite {
       s"repetition signals must not hash-shuffle:\n$p")
   }
 
+  test("q126 asof nearest: both direction carries ride ONE key shuffle") {
+    val p = plan("q126_asof_nearest")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"nearest must shuffle once (the union window), got $hashExchanges:\n$p")
+  }
+
+  test("q120/q132/q133/q134: window families are single-shuffle") {
+    for (q <- Seq("q120_interpolate", "q132_sessionize", "q133_rolling_time",
+        "q134_expanding_transform")) {
+      val p = plan(q)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 1, s"$q should shuffle exactly once, got $hashExchanges:\n$p")
+    }
+  }
+
+  test("q121 rolling corr/cov: five frame aggregates share one Window node") {
+    val p = plan("q121_rolling_corr")
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).length
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"rolling corr must shuffle once:\n$p")
+    assert(windows <= 2, s"expected fused window evaluation, got $windows Window nodes:\n$p")
+  }
+
   test("scan prunes columns: q02 projection reads only selected columns") {
     val p = plan("q02_filter_project")
     val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
