@@ -273,6 +273,17 @@ object Dedup {
   /** Exact n-gram Jaccard similarity of two texts (the verification stage
     * after LSH candidates): |A∩B| / |A∪B| over distinct shingles.
     */
+  /** Jaccard ESTIMATE from minhash signatures: the fraction of agreeing
+    * signature components — E[estimate] = true Jaccard (the MinHash
+    * guarantee), s.e. ≈ √(J(1−J)/numHashes). At scale this verifies LSH
+    * candidates WITHOUT re-staging shingles: signatures are 8·numHashes
+    * bytes/doc vs the full shingle set, so the verify join shuffles ~100×
+    * less. Use [[jaccardShingles]] when the exact value is required.
+    */
+  def jaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / size(sigA).cast("double")
+
   def jaccard(a: Column, b: Column, k: Int): Column =
     jaccardShingles(array_distinct(shingles(a, k)), array_distinct(shingles(b, k)))
 

@@ -1298,7 +1298,71 @@ object LlmOpsQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Signature-based Jaccard ESTIMATE vs exact shingle Jaccard on
+    * (original, near-copy) pairs: the MinHash estimator verifies candidates
+    * from 8·numHashes-byte signatures alone — no shingle re-staging, ~100×
+    * less verify-join traffic at corpus scale. The oracle recomputes both
+    * values from scratch.
+    */
+  val q135_jaccard_estimate: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val near = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" tail words added")))
+      val corpus = docs.unionByName(near)
+      val sigs = corpus.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), k = 3, numHashes = 8).as("sig"),
+        TextAnalysis.shingles(col("text"), 3).as("sh"))
+      val a = sigs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+      val b = sigs.filter(col("doc_id") >= 1000000)
+        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a"), col("id_b"),
+          (floor(Dedup.jaccardEstimate(col("sig_a"), col("sig_b")) * 1e4 + 0.5) / 1e4).as("jac_est"),
+          (floor(Dedup.jaccardShingles(col("sh_a"), col("sh_b")) * 1e4 + 0.5) / 1e4).as("jac_true"))
+        .orderBy(col("id_a"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' tail words added' FROM documents WHERE doc_id < 20),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(8) r(h)
+        GROUP BY doc_id, r.h),
+      sigv AS (SELECT doc_id, list(sig ORDER BY h) AS sig FROM sig GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             floor(CAST(list_sum(list_transform(generate_series(1, 8),
+                     i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+                   / CAST(8 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS jac_est,
+             floor(len(list_intersect(list_distinct(ha.shingles), list_distinct(hb.shingles)))::DOUBLE /
+                   len(list_distinct(list_concat(list_distinct(ha.shingles), list_distinct(hb.shingles))))
+                   * 1e4 + 0.5) / 1e4 AS jac_true
+      FROM (SELECT doc_id FROM corpus WHERE doc_id < 20) a
+      JOIN (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) b
+        ON b.doc_id = a.doc_id + 1000000
+      JOIN sigv sa ON sa.doc_id = a.doc_id
+      JOIN sigv sb ON sb.doc_id = b.doc_id
+      JOIN sh ha ON ha.doc_id = a.doc_id
+      JOIN sh hb ON hb.doc_id = b.doc_id
+      ORDER BY id_a"""))
+
   val all: Map[String, Q] = Map(
+    "q135_jaccard_estimate" -> q135_jaccard_estimate,
     "q129_dup_spans" -> q129_dup_spans,
     "q119_quantized_ann" -> q119_quantized_ann,
     "q117_int8_quantization" -> q117_int8_quantization,

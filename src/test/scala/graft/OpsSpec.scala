@@ -157,6 +157,21 @@ class OpsSpec extends AnyFunSuite {
     assert(run(8) == out, "selection must be partition-invariant")
   }
 
+  test("jaccardEstimate: 1.0 on identical signatures, 0 on disjoint, unbiased-ish between") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("id", "t")
+      .select(col("id"), Dedup.minhashSignature(col("t"), k = 3, numHashes = 16).as("sig"))
+    val a = docs.select(col("id").as("ia"), col("sig").as("sa"))
+    val b = docs.select(col("id").as("ib"), col("sig").as("sb"))
+    val est = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), Dedup.jaccardEstimate(col("sa"), col("sb")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0, "identical docs agree on every component")
+    assert(est((1L, 3L)) == 0.0 && est((2L, 3L)) == 0.0, "disjoint shingle sets share none")
+  }
+
   test("duplicateSpanFraction: copies score 1.0, unique docs 0.0, partial overlap between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
