@@ -111,6 +111,23 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Per-doc character-distribution Shannon entropy (nats) — the classic
+    * gibberish/encoded-blob detector rounding out the quality suite: random
+    * base64 ≈ ln 64, natural prose ≈ 2.8–3.2, single-char spam → 0.
+    * Shuffle-free column algebra: probabilities fold in SORTED char order so
+    * the sum is bit-deterministic on any partitioning and replayable by the
+    * SQL oracle with the same op order (the q113 sorted-fold discipline).
+    * O(distinct·len) per doc — distinct chars are ≤ a few hundred.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(lower(text), ""), c => length(c) > 0)
+    val n = size(chars).cast("double")
+    val uniq = array_sort(array_distinct(chars))
+    val ps = transform(uniq, ch =>
+      size(filter(chars, x => x === ch)).cast("double") / n)
+    aggregate(ps, lit(0.0), (acc, p) => acc - p * log(p))
+  }
+
   /** Per-doc duplicate-span fraction (RefinedWeb/Dolma-style memorization
     * signal): the share of a document's distinct word k-grams that appear in
     * at least one OTHER document. Three hash-parallel stages — per-doc

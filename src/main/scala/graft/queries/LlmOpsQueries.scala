@@ -1361,7 +1361,39 @@ object LlmOpsQueries {
       JOIN sh hb ON hb.doc_id = b.doc_id
       ORDER BY id_a"""))
 
+  /** Character-entropy quality signal per doc — the oracle replays the
+    * identical sorted probability fold (`acc − p·ln p` ascending char
+    * order), so the doubles agree bit-for-bit before the tie-stable
+    * quantize.
+    */
+  val q136_char_entropy: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("ent", TextAnalysis.charEntropy(col("text")))
+        .select(col("doc_id"),
+          (floor(col("ent") * 1e4 + 0.5) / 1e4).as("char_entropy"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ''), x -> x != '') AS chars
+        FROM documents),
+      u AS (
+        SELECT doc_id, chars,
+               list_sort(list_distinct(chars)) AS uniq,
+               len(chars) AS n
+        FROM c)
+      SELECT doc_id,
+             floor(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(uniq, ch ->
+                   CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)),
+               (acc, p) -> acc - p * ln(p)) * 1e4 + 0.5) / 1e4 AS char_entropy
+      FROM u
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q136_char_entropy" -> q136_char_entropy,
     "q135_jaccard_estimate" -> q135_jaccard_estimate,
     "q129_dup_spans" -> q129_dup_spans,
     "q119_quantized_ann" -> q119_quantized_ann,

@@ -157,6 +157,17 @@ class OpsSpec extends AnyFunSuite {
     assert(run(8) == out, "selection must be partition-invariant")
   }
 
+  test("charEntropy: 0 for single-char spam, ln(k) for uniform, prose in band") {
+    val out = Seq(
+      (1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "The quick brown fox jumps over the lazy dog."))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.charEntropy(col("t")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(4.0)) < 1e-12, "uniform 4-char -> ln 4")
+    assert(out(3L) > 2.5 && out(3L) < 3.5, s"prose band, got ${out(3L)}")
+  }
+
   test("jaccardEstimate: 1.0 on identical signatures, 0 on disjoint, unbiased-ish between") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
