@@ -1003,7 +1003,61 @@ object OpQueries {
              wg AS (PARTITION BY l_suppkey)
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
+  /** pandas `df.compare(other)` (long form): cell-level diff of orders vs a
+    * perturbed copy — status flipped on multiples of 7, custkey shifted on
+    * multiples of 11. String-stable columns only (double→string formatting
+    * is not engine-portable).
+    */
+  val q137_frame_compare: Q = Q(
+    fn = (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      val m = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000).otherwise(col("o_custkey")).as("o_custkey"))
+      SDF(o).compareWith(SDF(m), keys = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("col_name"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+        FROM orders),
+      d AS (
+        SELECT o.o_orderkey, 'o_orderstatus' AS col_name,
+               o.o_orderstatus AS self, m.o_orderstatus AS other
+        FROM orders o JOIN m USING (o_orderkey)
+        WHERE o.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+        UNION ALL
+        SELECT o.o_orderkey, 'o_custkey',
+               CAST(o.o_custkey AS VARCHAR), CAST(m.o_custkey AS VARCHAR)
+        FROM orders o JOIN m USING (o_orderkey)
+        WHERE o.o_custkey IS DISTINCT FROM m.o_custkey)
+      SELECT o_orderkey, col_name, self, other FROM d
+      ORDER BY o_orderkey, col_name"""))
+
+  /** pandas `drop_duplicates(keep=False)`: drop EVERY member of a
+    * duplicated group (q09/q15 cover keep=first/last) — rows whose part
+    * appears exactly once for its supplier.
+    */
+  val q138_dropdup_keep_none: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .dropDuplicates(Seq("l_partkey", "l_suppkey"), keep = "none", orderBy = Seq.empty)
+        .df.orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      FROM lineitem
+      JOIN (SELECT l_partkey, l_suppkey FROM lineitem
+            GROUP BY l_partkey, l_suppkey HAVING count(*) = 1) s
+        USING (l_partkey, l_suppkey)
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Map[String, Q] = Map(
+    "q137_frame_compare" -> q137_frame_compare,
+    "q138_dropdup_keep_none" -> q138_dropdup_keep_none,
     "q133_rolling_time" -> q133_rolling_time,
     "q134_expanding_transform" -> q134_expanding_transform,
     "q132_sessionize" -> q132_sessionize,

@@ -176,12 +176,46 @@ final class SDF private (private var _df: DataFrame) {
     */
   def dropDuplicates(subset: Seq[String]): SDF = SDF(_df.dropDuplicates(subset))
   def dropDuplicates(subset: Seq[String], keep: String, orderBy: Seq[Column]): SDF = {
-    val ord = if (keep == "last") orderBy.map(_.desc) else orderBy
-    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
-    SDF(
-      _df.withColumn("__rn__", row_number().over(w))
-        .filter(col("__rn__") === 1)
-        .drop("__rn__"))
+    if (keep == "none") {
+      // pandas keep=False: drop EVERY member of a duplicated group — a
+      // partition-count window, no ordering needed
+      val w = Window.partitionBy(subset.map(col): _*)
+      SDF(
+        _df.withColumn("__cnt__", count(lit(1)).over(w))
+          .filter(col("__cnt__") === 1)
+          .drop("__cnt__"))
+    } else {
+      val ord = if (keep == "last") orderBy.map(_.desc) else orderBy
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+      SDF(
+        _df.withColumn("__rn__", row_number().over(w))
+          .filter(col("__rn__") === 1)
+          .drop("__rn__"))
+    }
+  }
+
+  /** pandas `df.compare(other)` in long form: one row per (key, column)
+    * whose values differ between the two frames (null-safe compare; a null
+    * vs value difference IS reported). Values are stringified so
+    * heterogeneous columns stack into one result. Inner join on the keys —
+    * rows present on only one side are a membership question
+    * ([[merge]] indicator / anti-join), not a cell diff.
+    */
+  def compareWith(other: SDF, keys: Seq[String]): DataFrame = {
+    val otherCols = other._df.columns.toSet
+    val common = _df.columns.filterNot(keys.contains).filter(otherCols.contains)
+    val joined = _df.as("l").join(other._df.as("r"), keys, "inner")
+    val entries = common.map { c =>
+      when(!(col(s"l.$c") <=> col(s"r.$c")),
+        struct(lit(c).as("col_name"),
+          col(s"l.$c").cast("string").as("self"),
+          col(s"r.$c").cast("string").as("other")))
+    }
+    joined
+      .select(keys.map(col) :+
+        explode(array_compact(array(entries: _*))).as("__d__"): _*)
+      .select(keys.map(col) ++ Seq(col("__d__.col_name").as("col_name"),
+        col("__d__.self").as("self"), col("__d__.other").as("other")): _*)
   }
 
   /** Boolean `duplicated` mask as an extra column (row-level mask has no

@@ -11,6 +11,28 @@ class SdfSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
+  test("compareWith reports differing cells null-safely, including null vs value") {
+    val l = SDF(Seq((1L, Option("a"), Option(10)), (2L, Option("b"), None),
+      (3L, Option("c"), Option(30))).toDF("k", "s", "n"))
+    val r = SDF(Seq((1L, Option("a"), Option(11)), (2L, Option("b"), Option(20)),
+      (3L, None: Option[String], Option(30))).toDF("k", "s", "n"))
+    val d = l.compareWith(r, keys = Seq("k"))
+      .collect().map(x => (x.getLong(0), x.getString(1),
+        Option(x.getString(2)), Option(x.getString(3)))).toSet
+    assert(d == Set(
+      (1L, "n", Some("10"), Some("11")),
+      (2L, "n", None, Some("20")),
+      (3L, "s", Some("c"), None)), s"got $d")
+  }
+
+  test("dropDuplicates keep=none drops every member of a duplicated group") {
+    val df = SDF(Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "c"))
+      .toDF("id", "g"))
+    val kept = df.dropDuplicates(Seq("g"), keep = "none", orderBy = Seq.empty)
+      .df.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"only the singleton group survives, got $kept")
+  }
+
   test("merge validate=1:1 rejects duplicate keys") {
     val l = SDF(Seq((1, "a"), (1, "b")).toDF("k", "v"))
     val r = SDF(Seq((1, "x")).toDF("k", "w"))
