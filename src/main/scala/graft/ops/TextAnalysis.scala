@@ -111,6 +111,20 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
+  /** Hashed bag-of-tokens feature vector (fastText/Vowpal hashing trick):
+    * token t increments bucket `hash60(t) mod dim` — a fixed-width integer
+    * feature vector with no vocabulary pass, the standard input for cheap
+    * quality/language classifiers over a corpus. Shuffle-free column
+    * algebra, O(dim·tokens) per doc; engine-portable because the bucket
+    * hash is the shared md5-based [[hash60]].
+    */
+  def hashedTokenFeatures(text: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    val buckets = transform(tokens(text), t => pmod(hash60(t), lit(dim.toLong)))
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      size(filter(buckets, b => b === j)).cast("long"))
+  }
+
   /** Per-doc character-distribution Shannon entropy (nats) — the classic
     * gibberish/encoded-blob detector rounding out the quality suite: random
     * base64 ≈ ln 64, natural prose ≈ 2.8–3.2, single-char spam → 0.

@@ -1392,7 +1392,34 @@ object LlmOpsQueries {
       FROM u
       ORDER BY doc_id"""))
 
+  /** Hashing-trick token features (fastText-style): 16-dim hashed
+    * bag-of-tokens per doc, zero vocabulary pass. Oracle replays the
+    * bucket hash and left-joins the zero dims back in.
+    */
+  val q139_hashed_features: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.hashedTokenFeatures(col("text"), dim = 16))
+            .as(Seq("j", "cnt")))
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("cnt"))
+        .orderBy(col("doc_id"), col("j")),
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.t
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                         x -> length(x) >= 1) AS t
+              FROM documents WHERE doc_id < 100) d, UNNEST(d.t) u(t)),
+      b AS (SELECT doc_id, ${h60("t")} % 16 AS j FROM toks),
+      g AS (SELECT doc_id, j, count(*) AS cnt FROM b GROUP BY doc_id, j)
+      SELECT d.doc_id, r.j, COALESCE(g.cnt, CAST(0 AS BIGINT)) AS cnt
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      CROSS JOIN range(16) r(j)
+      LEFT JOIN g ON g.doc_id = d.doc_id AND g.j = r.j
+      ORDER BY d.doc_id, r.j"""))
+
   val all: Map[String, Q] = Map(
+    "q139_hashed_features" -> q139_hashed_features,
     "q136_char_entropy" -> q136_char_entropy,
     "q135_jaccard_estimate" -> q135_jaccard_estimate,
     "q129_dup_spans" -> q129_dup_spans,

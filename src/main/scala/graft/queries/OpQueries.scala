@@ -1055,7 +1055,25 @@ object OpQueries {
         USING (l_partkey, l_suppkey)
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** pandas `value_counts(bins=10)`: fixed-width histogram of extended
+    * price — identical bin arithmetic on both sides (same doubles, same op
+    * order), counts exact.
+    */
+  val q140_histogram: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))("l_extendedprice").histogram(10)
+        .orderBy(col("bin")),
+    oracle = Some("""
+      WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+      SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / CAST(10 AS DOUBLE))),
+                        CAST(9 AS DOUBLE)) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM lineitem, s
+      GROUP BY bin
+      ORDER BY bin"""))
+
   val all: Map[String, Q] = Map(
+    "q140_histogram" -> q140_histogram,
     "q137_frame_compare" -> q137_frame_compare,
     "q138_dropdup_keep_none" -> q138_dropdup_keep_none,
     "q133_rolling_time" -> q133_rolling_time,

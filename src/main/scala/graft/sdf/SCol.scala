@@ -99,6 +99,24 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def quantileApprox(q: Double, accuracy: Int = 10000): Double =
     scalar[Double](percentile_approx(col, lit(q), lit(accuracy)))
 
+  /** pandas `value_counts(bins=n)` — fixed-width histogram: bin ids
+    * 0..bins-1 over [min, max] with the top edge inclusive, plus counts.
+    * One tiny min/max agg on the driver, then a map-side bin projection +
+    * one count shuffle of `bins` rows. Degenerate (min==max) data lands in
+    * bin 0.
+    */
+  def histogram(bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val r = df.agg(min(col.cast("double")), max(col.cast("double"))).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val w = (mx - mn) / bins
+    val bin =
+      if (w == 0) lit(0L)
+      else least(floor((col.cast("double") - lit(mn)) / lit(w)),
+        lit((bins - 1).toDouble)).cast("long")
+    df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
   /** pandas `qcut(q)` — quantile binning to bucket ids 0..q-1, scale-safe:
     * the q−1 inner boundaries come from one parallel range-sort
     * ([[graft.ops.RankStats.exactQuantiles]]; driver holds q scalars),
