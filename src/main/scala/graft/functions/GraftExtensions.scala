@@ -26,6 +26,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fnv_hash64" -> ((exprs: Seq[Expression]) => FnvHash64(exprs.head)),
     "dot_product" -> ((exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropy(exprs.head)),
     "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()))
 
   /** Install into an ALREADY-RUNNING session (extensions config only applies

@@ -1418,7 +1418,79 @@ object LlmOpsQueries {
       LEFT JOIN g ON g.doc_id = d.doc_id AND g.j = r.j
       ORDER BY d.doc_id, r.j"""))
 
+  /** Curation pipeline v2 — this round's new operators composed in ONE
+    * lazy plan: exact dedup (min-id per digest, only digests shuffle) →
+    * entropy-band + token-floor quality gates (map-side) → token-weighted
+    * Efraimidis–Spirakis sample of 200 → shard-parallel sequence packing.
+    * Three digest/id shuffles + one TakeOrdered + partition-local packing
+    * windows end-to-end; the oracle replays every stage.
+    */
+  val q141_curation_v2: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val corpus = docs.unionByName(dupes)
+      val keepers = Dedup.exactDedupRows(corpus, col("text"), col("doc_id"))
+      val gated = keepers
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("ent", TextAnalysis.charEntropy(col("text")))
+        .filter(col("ent") >= 2.0 && col("ent") <= 4.5 && col("n_tok") >= 20)
+      val sampled = graft.ops.Sampling.weightedNByHash(
+        gated.select(col("doc_id"), col("n_tok")), col("doc_id"), col("n_tok"), n = 200)
+      graft.ops.Packing.packByTokenBudget(
+          sampled, id = col("doc_id"), tokens = col("n_tok"), budget = 512L, shards = 4)
+        .select(col("doc_id"), col("n_tok"), col("shard"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+      keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM corpus
+        GROUP BY ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}),
+      kd AS (SELECT c.doc_id, c.text FROM corpus c JOIN keep USING (doc_id)),
+      ch AS (
+        SELECT doc_id, text,
+               list_filter(string_split(lower(text), ''), x -> x != '') AS chars
+        FROM kd),
+      feat AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                               x -> length(x) >= 1)) AS n_tok,
+               list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_sort(list_distinct(chars)), c ->
+                     CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))),
+                 (acc, p) -> acc - p * ln(p)) AS ent
+        FROM ch),
+      gated AS (
+        SELECT doc_id, n_tok FROM feat
+        WHERE ent >= 2.0 AND ent <= 4.5 AND n_tok >= 20),
+      sampled AS (
+        SELECT doc_id, n_tok FROM (
+          SELECT *,
+                 ln((CAST(${h60("CAST(doc_id AS VARCHAR)")} % 1000000000 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) / 1e9) / CAST(n_tok AS DOUBLE) AS score
+          FROM gated)
+        ORDER BY score DESC, doc_id
+        LIMIT 200),
+      packed AS (
+        SELECT doc_id, n_tok, ${h60("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+        FROM sampled)
+      SELECT doc_id, n_tok, shard,
+             CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  // 512 AS BIGINT) AS bin
+      FROM packed
+      ORDER BY doc_id"""),
+    bench = true) // regression-watch the composed new-op pipeline
+
   val all: Map[String, Q] = Map(
+    "q141_curation_v2" -> q141_curation_v2,
     "q139_hashed_features" -> q139_hashed_features,
     "q136_char_entropy" -> q136_char_entropy,
     "q135_jaccard_estimate" -> q135_jaccard_estimate,

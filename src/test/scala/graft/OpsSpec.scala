@@ -157,6 +157,23 @@ class OpsSpec extends AnyFunSuite {
     assert(run(8) == out, "selection must be partition-invariant")
   }
 
+  test("charEntropy native kernel == HOF spelling bit-for-bit, incl. multilingual") {
+    val texts = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog."),
+      (2L, "aaaaaaaa"), (3L, ""), (4L, "日本語のテキストと English mixed 123!"),
+      (5L, "x1!x1!x1!zzz   whitespace\ttabs\nnewlines"))
+    val out = texts.toDF("id", "t")
+      .select(col("id"),
+        TextAnalysis.charEntropy(col("t")).as("native"),
+        TextAnalysis.charEntropyHof(col("t")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
   test("charEntropy: 0 for single-char spam, ln(k) for uniform, prose in band") {
     val out = Seq(
       (1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "The quick brown fox jumps over the lazy dog."))
