@@ -81,6 +81,10 @@ object RankStats {
       .withColumn("rank_first", row_number().over(
         Window.partitionBy(col(partCol)).orderBy(col(valCol), col(tieBreak))).cast("long"))
       .withColumn("rank_avg", (col("rank_min") + col("rank_max")) / lit(2.0))
+      // pandas rank(pct=True): average rank over group size — exact halves
+      // over an exact count, still no fp drift beyond the one division
+      .withColumn("rank_pct", col("rank_avg") /
+        count(lit(1)).over(Window.partitionBy(col(partCol))).cast("double"))
   }
 
   /** Winsorize: clip a column at its exact [pLo, pHi] quantiles

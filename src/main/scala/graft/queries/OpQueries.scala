@@ -791,14 +791,16 @@ object OpQueries {
       FROM lineitem, b
       ORDER BY l_orderkey, l_linenumber"""))
 
-  /** §2.4 the five pandas `rank(method=…)` variants per nation over account
-    * balance — all integer math (average is exact halves): no fp anywhere.
+  /** §2.4 the six pandas `rank(method=…, pct=)` variants per nation over
+    * account balance — integer math except two IEEE divisions (avg = exact
+    * halves; pct = avg over an exact count) mirrored op-for-op in the oracle,
+    * so every double is bit-identical across engines.
     */
   val q123_rank_methods: Q = Q(
     fn = (s, dir) =>
       RankStats.groupRanks(table(s, dir, "customer"), "c_nationkey", "c_acctbal", "c_custkey")
         .select(col("c_custkey"), col("rank_min"), col("rank_max"),
-          col("rank_dense"), col("rank_first"), col("rank_avg"))
+          col("rank_dense"), col("rank_first"), col("rank_avg"), col("rank_pct"))
         .orderBy(col("c_custkey")),
     oracle = Some("""
       WITH r AS (
@@ -806,11 +808,13 @@ object OpQueries {
                CAST(rank() OVER w AS BIGINT) AS rank_min,
                CAST(rank() OVER w + count(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1 AS BIGINT) AS rank_max,
                CAST(dense_rank() OVER w AS BIGINT) AS rank_dense,
-               CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rank_first
+               CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rank_first,
+               CAST(count(*) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS grp_n
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal))
       SELECT c_custkey, rank_min, rank_max, rank_dense, rank_first,
-             (rank_min + rank_max) / CAST(2 AS DOUBLE) AS rank_avg
+             (rank_min + rank_max) / CAST(2 AS DOUBLE) AS rank_avg,
+             ((rank_min + rank_max) / CAST(2 AS DOUBLE)) / grp_n AS rank_pct
       FROM r ORDER BY c_custkey"""))
 
   /** §2.4 geometric + harmonic mean (scipy gmean/hmean surface) through the

@@ -541,10 +541,11 @@ class OpsSpec extends AnyFunSuite {
       .map { case (id, v) => ("g", id, v) }.toDF("g", "id", "v")
     val r = graft.ops.RankStats.groupRanks(df, "g", "v", "id")
       .orderBy(col("id")).collect()
-      .map(x => (x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getDouble(7)))
+      .map(x => (x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6),
+        x.getDouble(7), x.getDouble(8)))
     assert(r.toSeq == Seq(
-      (1L, 1L, 1L, 1L, 1L, 1.0), (2L, 2L, 3L, 2L, 2L, 2.5),
-      (3L, 2L, 3L, 2L, 3L, 2.5), (4L, 4L, 4L, 3L, 4L, 4.0)))
+      (1L, 1L, 1L, 1L, 1L, 1.0, 0.25), (2L, 2L, 3L, 2L, 2L, 2.5, 0.625),
+      (3L, 2L, 3L, 2L, 3L, 2.5, 0.625), (4L, 4L, 4L, 3L, 4L, 4.0, 1.0)))
   }
 
   test("winsorize clips exactly at the type-7 quantile boundaries") {

@@ -75,6 +75,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q141 curation pipeline: bounded shuffles, top-k as TakeOrdered") {
+    val p = plan("q141_curation_v2")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as TakeOrdered, not global sort:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // digest groupBy, keeper semi-join, packing shard window — the pipeline
+    // contract is <= 4 hash shuffles end-to-end (AQE may reuse one)
+    assert(hashExchanges <= 4,
+      s"curation pipeline grew to $hashExchanges hash shuffles:\n$p")
+  }
+
   test("q121 rolling corr/cov: five frame aggregates share one Window node") {
     val p = plan("q121_rolling_corr")
     val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).length
