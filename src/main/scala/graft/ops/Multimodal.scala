@@ -215,6 +215,127 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  final case class ImageHash(path: String, dhash: Long, real: Boolean)
+
+  /** 64-bit difference hash (dHash) — the standard perceptual fingerprint
+    * for image near-dup detection at corpus scale: decode → 9×8 grayscale
+    * box-downsample → bit (r·8+c) set iff cell(r,c) < cell(r,c+1).
+    * Re-encodes, mild crops and brightness shifts land within a few bits of
+    * hamming distance; unrelated images differ in ~32 of 64. REAL for
+    * PNG/JPEG via `javax.imageio`; non-image payloads fall back to the
+    * md5-derived 60-bit content hash (bit-identical to
+    * [[TextAnalysis.hash60]] of the bytes, so an external oracle can replay
+    * the fallback path) — `real` records which kernel ran. Same
+    * mapPartitions batch shape as [[decodeImages]]; fixed-width output, the
+    * payload never travels past this map.
+    */
+  def imageHashes(assets: DataFrame, assetCol: String): Dataset[ImageHash] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageHash] = Encoders.product[ImageHash]
+    assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val path = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          decodeForHash(bytes) match {
+            case Some(img) => ImageHash(path, dHash(img), real = true)
+            case None => ImageHash(path, md5Hash60(bytes), real = false)
+          }
+        }
+      }
+  }
+
+  private def decodeForHash(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 4) return None
+    val isPng = bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte
+    val isJpeg = bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte
+    if (!isPng && !isJpeg) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** dHash kernel: average luminance over a 9×8 grid of pixel blocks
+    * (box downsample — every source pixel contributes, so the hash is
+    * stable under resize), then 64 left<right comparisons.
+    */
+  private[ops] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = Array.ofDim[Double](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(r)(c) = if (n == 0) 0.0 else sum / n
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L; var i = 0
+    while (i < 64) {
+      val rr = i / 8; val cc = i % 8
+      if (cells(rr)(cc) < cells(rr)(cc + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Fallback hash = first 15 hex chars of md5 as a long — the exact JVM
+    * twin of the relational [[TextAnalysis.hash60]] (`conv(substring(
+    * md5(c),1,15),16,10)`), so the two paths agree bit-for-bit.
+    */
+  private[ops] def md5Hash60(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Near-dup image pairs at hamming ≤ `maxHamming` via band-bucketing (the
+    * simhash trick on the 64-bit dHash): split the hash into `bands` equal
+    * slices — two hashes within hamming ≤ bands−1 must share at least one
+    * identical slice (pigeonhole), so the self-join shuffles only
+    * `(band, slice)` keys, never all pairs. Choose `bands > maxHamming` for
+    * guaranteed recall; the exact `bit_count(xor)` filter removes band
+    * collisions. Input: any frame of (id, hash) — typically
+    * [[imageHashes]] output.
+    */
+  def nearDupImagePairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(bands > maxHamming,
+      s"recall guarantee needs bands > maxHamming ($bands <= $maxHamming)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), b * width).bitwiseAND(lit(mask)).as("slice"))): _*)).as("bs"))
+      .select(col("id"), col("h"), col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.slice") === col("r.slice") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.h").bitwiseXOR(col("r.h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   final case class ImageStats(
       path: String, width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
 

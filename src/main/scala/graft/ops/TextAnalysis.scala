@@ -294,6 +294,37 @@ object TextAnalysis {
     docs.join(cont, idCol === col("__cid__"), "left_anti")
   }
 
+  /** [[contaminatedIds]] through a broadcast Bloom pre-filter — the shape
+    * for benchmark suites too large to broadcast as an exact gram set
+    * (10^8–10^9 distinct grams): the corpus side probes a fixed-size bit
+    * array map-side (no UDF — [[Bloom.mightContain]] is codegen'd Column
+    * algebra), so only `matches + fp·n` gram rows reach the exact semi-join
+    * shuffle instead of every gram in the corpus. The result is EXACT —
+    * bloom false positives are eliminated by the verify join; no false
+    * negatives exist by construction. Identical output to
+    * [[contaminatedIds]], oracle-shared.
+    */
+  def contaminatedIdsBloom(docs: org.apache.spark.sql.DataFrame, textCol: Column, idCol: Column,
+      bench: org.apache.spark.sql.DataFrame, benchText: Column, k: Int,
+      bloomBits: Long = 1L << 22, bloomK: Int = 4): org.apache.spark.sql.DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(benchText, k)).as("__g__"))
+      .select(hash60(col("__g__")).as("__gh__"))
+      .distinct()
+      .persist() // read twice: bloom build (an action) + the verify join
+    val bloom = Bloom.build(benchGrams, "__gh__", bloomBits, bloomK)
+    val out = docs
+      .select(idCol.as("id"), explode(shingles(textCol, k)).as("__g__"))
+      .select(col("id"), hash60(col("__g__")).as("__gh__"))
+      .filter(Bloom.mightContain(col("__gh__"), bloom, bloomK))
+      .join(benchGrams, Seq("__gh__"), "left_semi")
+      .select(col("id"))
+      .distinct()
+      .localCheckpoint(true) // eager: small id frame, lineage-free
+    benchGrams.unpersist(false)
+    out
+  }
+
   /** Overlapping fixed-width character chunks (context-window splitting for
     * LLM corpora): chunk k covers `[k·(size−overlap), … + size)`. Pure HOF
     * expression — narrow, codegen'd, rows expand in place when exploded.

@@ -1489,7 +1489,81 @@ object LlmOpsQueries {
       ORDER BY doc_id"""),
     bench = true) // regression-watch the composed new-op pipeline
 
+  /** [[q107_decontamination]] through the broadcast Bloom pre-filter
+    * ([[TextAnalysis.contaminatedIdsBloom]]): the corpus grams probe a
+    * 512 KB bit array map-side before the exact verify semi-join — the
+    * shape for benchmark suites whose gram SET outgrows broadcast while the
+    * filter bits stay constant-size. Result is exact (no false negatives by
+    * construction; false positives die in the verify join), so the oracle
+    * is the same plain anti-join SQL — the bloom is invisible to semantics.
+    */
+  val q144_bloom_decontamination: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val cont = TextAnalysis
+        .contaminatedIdsBloom(docs, col("text"), col("doc_id"), bench, col("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("contaminated", lit(true))
+      docs.select(col("doc_id"))
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')) END AS gs
+        FROM toks),
+      bg AS (
+        SELECT DISTINCT ${h60("u.g")} AS gh
+        FROM sh, UNNEST(gs) u(g) WHERE doc_id % 5 = 0),
+      cont AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s, UNNEST(s.gs) u(g)
+        WHERE ${h60("u.g")} IN (SELECT gh FROM bg))
+      SELECT t.doc_id, t.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+      FROM toks t
+      ORDER BY t.doc_id"""))
+
+  /** Perceptual-hash image near-dup ([[Multimodal.imageHashes]] dHash +
+    * band-bucketed hamming pairs): the multimodal counterpart of MinHash
+    * dedup — 64-bit fingerprints band-join on (band, slice) keys, never all
+    * pairs; `bands(8) > maxHamming(3)` pigeonholes guaranteed recall. The
+    * corpus payloads here are text bytes, so the deterministic md5 fallback
+    * kernel runs (= hash60 of the bytes — the oracle replays it end to end
+    * with a brute-force `bit_count(xor)` pair scan, exactly equivalent
+    * given the recall guarantee); the REAL dHash kernel is golden-image
+    * spec-tested (OpsSpec).
+    */
+  val q145_image_neardup: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val assets = docs.select(
+        Multimodal.assetStruct(col("doc_id").cast("string"),
+          encode(col("text"), "UTF-8"), map(lit("src"), lit("doc"))).as("asset"))
+      val hashes = Multimodal.imageHashes(assets, "asset").toDF()
+        .select(col("path").cast("long").as("doc_id"), col("dhash"))
+      Multimodal.nearDupImagePairs(hashes, "doc_id", "dhash", maxHamming = 3, bands = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    oracle = Some(s"""
+      WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      ORDER BY id_a, id_b"""))
+
   val all: Map[String, Q] = Map(
+    "q144_bloom_decontamination" -> q144_bloom_decontamination,
+    "q145_image_neardup" -> q145_image_neardup,
     "q141_curation_v2" -> q141_curation_v2,
     "q139_hashed_features" -> q139_hashed_features,
     "q136_char_entropy" -> q136_char_entropy,

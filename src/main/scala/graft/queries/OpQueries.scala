@@ -1076,7 +1076,60 @@ object OpQueries {
       GROUP BY bin
       ORDER BY bin"""))
 
+  /** pandas `resample('15T', on='ts').agg(...)` over the sparse error
+    * stream: every 15-minute bucket between min and max materialized
+    * (≈2,880 buckets vs ≈2,000 events at sf0.01 — empty bins are the
+    * point), counts coalesced to 0 like pandas. One bucket-key shuffle;
+    * the skeleton is a `sequence()` explode off two scalar stats.
+    */
+  val q142_resample: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "events").filter(col("event_type") === "error"))
+        .resample("ts", "15 minutes", Seq(
+          count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v")))
+        .df
+        .select(col("ts"), coalesce(col("n"), lit(0L)).as("n"), col("sum_v"))
+        .orderBy(col("ts")),
+    oracle = Some("""
+      WITH e AS (SELECT ts, value FROM events WHERE event_type = 'error'),
+      b AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS ts,
+               count(*) AS n, round(sum(value), 4) AS sum_v
+        FROM e GROUP BY 1),
+      mm AS (
+        SELECT time_bucket(INTERVAL '15 minutes', min(ts)) AS lo,
+               time_bucket(INTERVAL '15 minutes', max(ts)) AS hi
+        FROM e),
+      skel AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS ts FROM mm)
+      SELECT skel.ts, coalesce(b.n, 0) AS n, b.sum_v
+      FROM skel LEFT JOIN b USING (ts)
+      ORDER BY ts"""))
+
+  /** pandas `pd.crosstab(status, priority)`: contingency counts with the
+    * column domain discovered from the data, zero-filled. Columns named by
+    * value — the oracle quotes the same aliases.
+    */
+  val q143_crosstab: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "orders"))
+        .crosstab("o_orderstatus", "o_orderpriority")
+        .df
+        .orderBy(col("o_orderstatus")),
+    oracle = Some("""
+      SELECT o_orderstatus,
+             count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+             count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+             count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+             count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+             count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val all: Map[String, Q] = Map(
+    "q142_resample" -> q142_resample,
+    "q143_crosstab" -> q143_crosstab,
     "q140_histogram" -> q140_histogram,
     "q137_frame_compare" -> q137_frame_compare,
     "q138_dropdup_keep_none" -> q138_dropdup_keep_none,

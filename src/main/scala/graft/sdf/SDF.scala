@@ -278,6 +278,105 @@ final class SDF private (private var _df: DataFrame) {
     SDF(_df.select(idVars.map(c) :+ gen: _*))
   }
 
+  /** pandas `df.resample(freq, on=ts).agg(...)` — fixed-width time-bucket
+    * aggregation WITH every bucket between min(ts) and max(ts) materialized
+    * (pandas emits empty bins; a plain `groupBy(window)` silently skips
+    * them). Aggregate columns must be pre-aliased; empty buckets carry null
+    * (coalesce to 0 for counts, as pandas does).
+    *
+    * Scale shape: ONE groupBy shuffle on the epoch-aligned bucket key
+    * (Spark's `window()` alignment). The gap-fill skeleton costs one
+    * min/max aggregate (answered from parquet footer stats when the scan
+    * allows) + a `sequence()` explode of bucket timestamps joined LEFT
+    * against the aggregated frame — skeleton size = bucket count, never
+    * data size. `every` must be a fixed-width interval ("15 minutes",
+    * "6 hours"): calendar-varying widths (months) don't epoch-align.
+    */
+  def resample(on: String, every: String, aggs: Seq[Column]): SDF = {
+    require(aggs.nonEmpty, "resample needs at least one aggregate")
+    val bucketed = _df
+      .groupBy(window(col(on), every).getField("start").as("__bucket__"))
+      .agg(aggs.head, aggs.tail: _*)
+    val mm = _df.select(min(col(on)).as("mn"), max(col(on)).as("mx")).head()
+    if (mm.isNullAt(0)) return SDF(bucketed.withColumnRenamed("__bucket__", on))
+    // align both ends to their bucket starts with the same window() math
+    // (one window() per projection — Spark rejects two in one select)
+    val spark = _df.sparkSession
+    def bucketStart(ts: java.sql.Timestamp): java.sql.Timestamp = spark.range(1)
+      .select(window(lit(ts), every).getField("start")).head().getTimestamp(0)
+    val skeleton = spark.range(1)
+      .select(explode(sequence(
+        lit(bucketStart(mm.getTimestamp(0))), lit(bucketStart(mm.getTimestamp(1))),
+        expr(s"INTERVAL $every"))).as("__bucket__"))
+    SDF(skeleton.join(bucketed, Seq("__bucket__"), "left")
+      .withColumnRenamed("__bucket__", on))
+  }
+
+  /** pandas `pd.crosstab(index, columns)` — contingency counts with the
+    * column domain discovered from the data (one distinct collect, bounded
+    * by `maxColumns` — same driver budget class as Spark's own pivot
+    * inference) and zero-filled like pandas. Columns are named by value,
+    * sorted; one groupBy shuffle, map-side partial counts.
+    */
+  def crosstab(rowCol: String, colCol: String, maxColumns: Int = 1000): SDF = {
+    val vals = _df.select(col(colCol).cast("string"))
+      .filter(col(colCol).isNotNull) // pandas drops null keys on both axes
+      .distinct().limit(maxColumns + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(vals.size <= maxColumns,
+      s"crosstab: $colCol exceeds $maxColumns distinct values")
+    SDF(_df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol))
+      .pivot(colCol, vals)
+      .agg(count(lit(1)))
+      .na.fill(0L, vals))
+  }
+
+  /** pandas `df.explode(column)`: one row per array element with the other
+    * columns repeated; the exploded column replaces the array in place.
+    * `explode_outer` so empty/null arrays keep their row with a null cell —
+    * pandas emits NaN there, plain `explode` would silently drop the row.
+    * Narrow op: rows expand in place, no shuffle.
+    */
+  def explodeCol(column: String): SDF =
+    SDF(_df.withColumn(column, explode_outer(col(column))))
+
+  /** pandas `df.combine_first(other)` keyed by `keys`: self's non-null
+    * cells win, `other` fills the gaps — including rows absent from self
+    * entirely and columns self lacks. One full-outer join on the keys
+    * (keys coalesce via the USING form); every shared column is a
+    * per-cell `coalesce`.
+    */
+  def combineFirst(other: SDF, keys: Seq[String]): SDF = {
+    val l = _df.as("__cf_l__")
+    val r = other.df.as("__cf_r__")
+    val lCols = _df.columns.filterNot(keys.contains)
+    val rCols = other.df.columns.filterNot(keys.contains)
+    val merged =
+      lCols.map { c =>
+        if (rCols.contains(c)) coalesce(col(s"__cf_l__.$c"), col(s"__cf_r__.$c")).as(c)
+        else col(s"__cf_l__.$c").as(c)
+      } ++ rCols.filterNot(lCols.contains).map(c => col(s"__cf_r__.$c").as(c))
+    SDF(l.join(r, keys, "full_outer").select(keys.map(col) ++ merged: _*))
+  }
+
+  /** pandas `df.where(cond, other)` on the listed columns: keep the cell
+    * where `cond` holds, substitute `other` elsewhere. [[maskCols]] is the
+    * pandas `mask` inverse. Pure projection — codegen'd, shuffle-free.
+    */
+  def whereCols(cond: Column, cols: Seq[String], other: Column): SDF =
+    SDF(cols.foldLeft(_df)((d, c) => d.withColumn(c, when(cond, col(c)).otherwise(other))))
+
+  def maskCols(cond: Column, cols: Seq[String], other: Column): SDF =
+    whereCols(!cond, cols, other)
+
+  /** pandas `df.query(expr)` — SQL-expression row filter; the predicate
+    * lands in Catalyst unchanged, so pushdown/pruning apply as if it were
+    * written with Columns.
+    */
+  def query(sqlExpr: String): SDF = SDF(_df.filter(expr(sqlExpr)))
+
   // ---- grouping & sorting (§2.4, §2.6) ----------------------------------
 
   def groupby(cols: String*): org.apache.spark.sql.RelationalGroupedDataset =

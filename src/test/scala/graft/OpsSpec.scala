@@ -885,4 +885,95 @@ class OpsSpec extends AnyFunSuite {
     val expected = Seq(1.0, 2.5 / 1.5, 4.25 / 1.75, 6.125 / 1.875)
     assert(adj.take(4).zip(expected).forall { case (a, e) => math.abs(a - e) < 1e-12 })
   }
+
+  test("Bloom: membership has no false negatives; prefiltered decontamination == exact") {
+    val bench = (1L to 300L).map(i => (i, s"benchmark snippet number $i with shared tokens")).toDF("id", "t")
+    val hashes = bench.select(TextAnalysis.hash60(col("t")).as("h"))
+    val bits = graft.ops.Bloom.build(hashes, "h", bits = 1L << 12, k = 4)
+    // every inserted hash must probe positive (no false negatives, ever)
+    val misses = hashes.filter(!graft.ops.Bloom.mightContain(col("h"), bits, 4)).count()
+    assert(misses == 0L, "bloom false negative")
+    // a disjoint value set mostly probes negative (the filter actually filters)
+    val others = (1L to 1000L).map(i => s"unrelated probe value $i").toDF("t")
+      .select(TextAnalysis.hash60(col("t")).as("h"))
+    val fp = others.filter(graft.ops.Bloom.mightContain(col("h"), bits, 4)).count()
+    assert(fp < 100L, s"false-positive rate implausibly high: $fp/1000")
+
+    // end-to-end: bloom-prefiltered contamination == exact broadcast-set path
+    val docs = (1L to 80L).map { i =>
+      val extra = if (i % 4 == 0) "shared leak phrase alpha beta gamma delta epsilon" else s"clean body $i"
+      (i, s"document $i $extra")
+    }.toDF("doc_id", "text")
+    val benchDocs = Seq((900L, "the shared leak phrase alpha beta gamma delta epsilon tail")).toDF("doc_id", "text")
+    val exact = TextAnalysis.contaminatedIds(docs, col("text"), col("doc_id"), benchDocs, col("text"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val viaBloom = TextAnalysis.contaminatedIdsBloom(docs, col("text"), col("doc_id"), benchDocs, col("text"), k = 5,
+      bloomBits = 1L << 12, bloomK = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact, s"bloom path diverged: ${viaBloom.diff(exact)} / ${exact.diff(viaBloom)}")
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+  }
+
+  test("dHash: stable under rescale/brightness, far for unrelated images; fallback = hash60") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def gradient(w: Int, h: Int, brightness: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = math.min(255, x * 255 / w + brightness) // clamp, don't wrap
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def checker(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, if (((x / 4) + (y / 4)) % 2 == 0) 0xFFFFFF else 0x000000)
+      img
+    }
+    val base = gradient(64, 48, 0)
+    val rescaled = { // same scene at a different resolution
+      val d = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = d.createGraphics(); g.drawImage(base, 0, 0, 32, 24, null); g.dispose(); d
+    }
+    val assets = Seq(
+      ("base", png(base)), ("rescaled", png(rescaled)),
+      ("bright", png(gradient(64, 48, 16))), ("checker", png(checker(64, 48))),
+      ("txt", "not an image at all".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+      .select(Multimodal.assetStruct(col("id"), col("payload"), map()).as("asset"))
+    val m = Multimodal.imageHashes(assets, "asset").collect().map(h => h.path -> h).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m("base").real && m("rescaled").real && !m("txt").real)
+    assert(ham(m("base").dhash, m("rescaled").dhash) <= 6,
+      s"rescale moved dhash ${ham(m("base").dhash, m("rescaled").dhash)} bits")
+    assert(ham(m("base").dhash, m("bright").dhash) <= 6, "brightness shift must be near")
+    assert(ham(m("base").dhash, m("checker").dhash) >= 16, "unrelated image must be far")
+    // fallback kernel == the relational hash60 of the same bytes
+    val expected = Seq("not an image at all").toDF("t")
+      .select(TextAnalysis.hash60(col("t"))).head().getLong(0)
+    assert(m("txt").dhash == expected, "md5 fallback must equal hash60")
+  }
+
+  test("nearDupImagePairs: band join finds exactly the <= maxHamming pairs") {
+    val rnd = new scala.util.Random(7)
+    val bases = (1L to 40L).map(i => i -> rnd.nextLong())
+    // derive near copies (flip 2 bits) and far entries
+    val rows = bases.flatMap { case (i, h) =>
+      Seq((i * 10, h), (i * 10 + 1, h ^ (1L << (i % 60)) ^ (1L << ((i + 17) % 60))))
+    }
+    val df = rows.toDF("id", "h")
+    val got = Multimodal.nearDupImagePairs(df, "id", "h", maxHamming = 3, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force expectation
+    val expect = (for {
+      (a, ha) <- rows; (b, hb) <- rows
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == expect, s"missing=${expect.diff(got)} extra=${got.diff(expect)}")
+    assert(expect.size >= 40, "fixture must contain the planted near pairs")
+  }
 }

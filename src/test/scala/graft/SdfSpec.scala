@@ -228,4 +228,34 @@ class SdfSpec extends AnyFunSuite {
     assert(math.abs(sp(("a", "b")) - expect) < 1e-12)
     assert(math.abs(sp(("a", "b")) - 1.0) < 1e-12, "monotone transform -> spearman 1")
   }
+
+  test("resample materializes empty buckets; counts coalesce to 0") {
+    val df = Seq(
+      ("2024-01-01 00:01:00", 1.0),
+      ("2024-01-01 00:04:00", 2.0),
+      // 00:05-00:10 empty
+      ("2024-01-01 00:12:00", 4.0)).toDF("t", "v")
+      .select(col("t").cast("timestamp").as("t"), col("v"))
+    val out = SDF(df).resample("t", "5 minutes",
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("s"))).df
+      .orderBy("t")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getAs[Any]("n"), r.getAs[Any]("s")))
+    assert(out.length == 3, s"expected 3 buckets, got ${out.toSeq}")
+    assert(out(0) == ("2024-01-01 00:00:00.0", 2L, 3.0))
+    assert(out(1) == ("2024-01-01 00:05:00.0", null, null), "empty bucket must appear with nulls")
+    assert(out(2) == ("2024-01-01 00:10:00.0", 1L, 4.0))
+  }
+
+  test("crosstab zero-fills missing cells and drops null keys like pandas") {
+    val df = Seq(
+      (Option("a"), Option("x")), (Option("a"), Option("x")), (Option("a"), Option("y")),
+      (Option("b"), Option("y")),
+      (None: Option[String], Option("x")), (Option("b"), None: Option[String]))
+      .toDF("r", "c")
+    val out = SDF(df).crosstab("r", "c").df.orderBy("r").collect()
+    val cols = SDF(df).crosstab("r", "c").df.columns.toSeq
+    assert(cols == Seq("r", "x", "y"))
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 1L), ("b", 0L, 1L)))
+  }
 }
