@@ -203,17 +203,7 @@ object Similarity {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nprobe: Int, centroids: Seq[Seq[Double]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nlist = centroids.size
-    val ctr = typedLit(centroids)
-    // per-cell squared-L2 ranks: (distance, cell) structs sorted asc — ties
-    // break toward the lower cell id (oracle mirrors with ORDER BY d, cell)
-    def cellRanks(vec: Column): Column = {
-      val dists = transform(ctr, c =>
-        aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v))
-      array_sort(zip_with(dists, sequence(lit(0), lit(nlist - 1)),
-        (d, i) => struct(d.as("d"), i.as("cell"))))
-    }
+    def cellRanks(vec: Column): Column = cellRanksExpr(centroids, vec)
 
     val cb = corpus.withColumn("__v__", col(cVec).cast("array<double>"))
       .withColumn("__cell__", cellRanks(col("__v__")).getItem(0).getField("cell"))
@@ -230,6 +220,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Per-cell squared-L2 ranks against a broadcast centroid table:
+    * (distance, cell) structs sorted ascending — ties break toward the
+    * lower cell id (oracles mirror with ORDER BY d, cell). The centroids
+    * ship as ONE `typedLit` literal; expression size is constant in
+    * nlist×dim (see [[ivfTopKWithCentroids]]'s Janino note).
+    */
+  private def cellRanksExpr(centroids: Seq[Seq[Double]], vec: Column): Column = {
+    val ctr = typedLit(centroids)
+    val dists = transform(ctr, c =>
+      aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    array_sort(zip_with(dists, sequence(lit(0), lit(centroids.size - 1)),
+      (d, i) => struct(d.as("d"), i.as("cell"))))
+  }
+
+  /** SemDeDup-shaped semantic dedup (cluster-then-near-dup, after
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", Abbas et al. 2023): every embedding is assigned to its
+    * nearest centroid (the IVF argmin kernel — one broadcast constant, no
+    * shuffle), and near-duplicates are sought only WITHIN a cell: a row is
+    * dropped when a LOWER-id row in the same cell has cosine ≥ `eps` with
+    * it. The all-pairs O(n²) cosine collapses to Σ_c O(n_c²) and the pair
+    * join shuffles on the cell key only — the 100 TB shape, with cell
+    * population bounded by the clustering granularity (raise nlist as the
+    * corpus grows). Deterministic given `centroids`: pass seed-row
+    * centroids for oracle replay, or a KMeans fit for the library path.
+    * Returns the surviving ids.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], eps: Double): DataFrame = {
+    val assigned = emb.select(col(idCol).as("__id__"),
+        col(vecCol).cast("array<double>").as("__v__"))
+      .withColumn("__cell__",
+        cellRanksExpr(centroids, col("__v__")).getItem(0).getField("cell"))
+      .withColumn("__n__", l2norm(col("__v__")))
+    val l = assigned.as("l"); val r = assigned.as("r")
+    val dropped = l.join(r,
+        col("l.__cell__") === col("r.__cell__") && col("l.__id__") < col("r.__id__"))
+      .filter(dot(col("l.__v__"), col("r.__v__")) / col("l.__n__") / col("r.__n__") >= eps)
+      .select(col("r.__id__").as("__drop__"))
+      .distinct()
+    assigned.join(dropped, col("__id__") === col("__drop__"), "left_anti")
+      .select(col("__id__").as(idCol))
   }
 
   /** Bucketed ANN top-k: both sides bucket by [[hyperplaneBucket]]; the join

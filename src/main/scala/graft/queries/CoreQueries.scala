@@ -284,7 +284,52 @@ object CoreQueries {
              round(quantile_cont(l_extendedprice, 0.25), 4) AS q25
       FROM lineitem"""))
 
+  /** TPC-H Q5-shaped local-supplier revenue: the classic 6-table join —
+    * the join-planning benchmark. Declarative plan; Catalyst broadcasts the
+    * tiny dims (nation/region hinted, AQE free to upgrade
+    * customer/supplier at small SF), pushes the date filter into the orders
+    * scan, and shuffles only the three fact-side equi-joins. The
+    * local-supplier condition (`c_nationkey = s_nationkey`) rides the
+    * supplier join as a residual — no extra shuffle. Benched: regression
+    * watch on multi-join planning.
+    */
+  val q146_tpch_q5: Q = Q(
+    fn = (s, dir) => {
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+      val lineitem = table(s, dir, "lineitem")
+      val supplier = table(s, dir, "supplier")
+      val nation = table(s, dir, "nation")
+      val region = table(s, dir, "region")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+    },
+    oracle = Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY r_name, n_name
+      ORDER BY revenue DESC, r_name, n_name"""),
+    bench = true)
+
   val all: Map[String, Q] = Map(
+    "q146_tpch_q5" -> q146_tpch_q5,
     "q01_agg_pricing_summary" -> q01_agg_pricing_summary,
     "q02_filter_project" -> q02_filter_project,
     "q03_join_topk_revenue" -> q03_join_topk_revenue,

@@ -1561,8 +1561,59 @@ object LlmOpsQueries {
       WHERE bit_count(xor(a.h, b.h)) <= 3
       ORDER BY id_a, id_b"""))
 
+  /** SemDeDup-shaped semantic dedup ([[Similarity.semanticDedup]]):
+    * embeddings cluster to deterministic seed-row centroids (the q76
+    * device — DuckDB replays assignment exactly), then near-duplicates are
+    * dropped within cells only (cosine ≥ 0.999 to a lower-id cellmate).
+    * Planted exact copies (vec_id % 7, shifted ids) are the duplicates; the
+    * max natural pairwise cosine in this corpus is ≈0.6 at every SF, so the
+    * threshold decision is never borderline.
+    */
+  val q147_semantic_dedup: Q = Q(
+    fn = (s, dir) => {
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 7 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      val corpus = emb.unionByName(planted)
+      val seedIds = Seq(7L, 61L, 113L, 167L, 211L, 263L, 317L, 373L)
+      // bounded driver collect: nlist seed rows, same budget as a KMeans model
+      val centroids = emb.filter(col("vec_id").isin(seedIds: _*))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids, eps = 0.999)
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 7 = 0),
+      ctr AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id IN (7, 61, 113, 167, 211, 263, 317, 373)),
+      dist AS (
+        SELECT vec_id, cell,
+               list_sum(list_transform(range(1, 65), i -> (vec[i] - cv[i]) * (vec[i] - cv[i]))) AS d
+        FROM corpus CROSS JOIN ctr),
+      assigned AS (
+        SELECT c.vec_id, c.vec, x.cell
+        FROM corpus c JOIN (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM dist) x ON x.vec_id = c.vec_id AND x.rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i])) /
+              sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i]))) /
+              sqrt(list_sum(list_transform(range(1, 65), i -> b.vec[i] * b.vec[i]))) >= 0.999)
+      SELECT vec_id FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""))
+
   val all: Map[String, Q] = Map(
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
+    "q147_semantic_dedup" -> q147_semantic_dedup,
     "q145_image_neardup" -> q145_image_neardup,
     "q141_curation_v2" -> q141_curation_v2,
     "q139_hashed_features" -> q139_hashed_features,

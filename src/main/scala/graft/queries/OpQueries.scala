@@ -1127,9 +1127,94 @@ object OpQueries {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** pandas `df.explode('tokens')`: the token array unnests in place with
+    * the id repeated — narrow, shuffle-free row expansion (`explode_outer`:
+    * a zero-token doc keeps its row with a null cell; the oracle mirrors
+    * with a `[NULL]` substitution).
+    */
+  val q148_explode: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokens(col("text")).as("tok")))
+        .explodeCol("tok").df
+        .orderBy(col("doc_id"), col("tok")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id, u.tok AS tok
+      FROM toks, UNNEST(CASE WHEN len(t) = 0 THEN [NULL] ELSE t END) u(tok)
+      ORDER BY doc_id, tok"""))
+
+  /** pandas `a.combine_first(b)` keyed on the customer key: a's non-null
+    * cells win, b fills gaps (nulled acctbals), contributes its extra rows
+    * (keys only in b) and its extra column (mktsegment). One full-outer
+    * join. Modular key slices keep the fixture SF-independent.
+    */
+  val q149_combine_first: Q = Q(
+    fn = (s, dir) => {
+      val cust = table(s, dir, "customer")
+      val a = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_name"))
+      val b = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      SDF(a).combineFirst(SDF(b), Seq("c_custkey")).df
+        .select(col("c_custkey"), round(col("c_acctbal"), 4).as("c_acctbal"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      WITH a AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+               c_name
+        FROM customer WHERE c_custkey % 2 = 0),
+      b AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0)
+      SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+             round(coalesce(a.c_acctbal, b.c_acctbal), 4) AS c_acctbal,
+             a.c_name AS c_name, b.c_mktsegment AS c_mktsegment
+      FROM a FULL JOIN b ON a.c_custkey = b.c_custkey
+      ORDER BY c_custkey"""))
+
+  /** pandas `where`/`mask` cell substitution + `df.query()` string filter:
+    * quantities below the threshold zero out (`where`), discounts cap at
+    * 0.05 (`mask`), and the row filter goes through the SQL-expression
+    * `query` path so the predicate still reaches the scan.
+    */
+  val q150_where_mask: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount")))
+        .query("l_orderkey <= 200")
+        .whereCols(col("l_quantity") > 10, Seq("l_quantity"), lit(0.0))
+        .maskCols(col("l_discount") > 0.05, Seq("l_discount"), lit(0.05))
+        .df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("l_quantity"),
+          round(col("l_discount"), 4).as("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(CASE WHEN l_quantity > 10 THEN l_quantity ELSE 0.0 END, 4) AS l_quantity,
+             round(CASE WHEN NOT (l_discount > 0.05) THEN l_discount ELSE 0.05 END, 4) AS l_discount
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Map[String, Q] = Map(
     "q142_resample" -> q142_resample,
     "q143_crosstab" -> q143_crosstab,
+    "q148_explode" -> q148_explode,
+    "q149_combine_first" -> q149_combine_first,
+    "q150_where_mask" -> q150_where_mask,
     "q140_histogram" -> q140_histogram,
     "q137_frame_compare" -> q137_frame_compare,
     "q138_dropdup_keep_none" -> q138_dropdup_keep_none,

@@ -976,4 +976,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect, s"missing=${expect.diff(got)} extra=${got.diff(expect)}")
     assert(expect.size >= 40, "fixture must contain the planted near pairs")
   }
+
+  test("semanticDedup drops only same-cell near-identical higher-id rows") {
+    // two well-separated centroids; four base vectors + one exact copy and
+    // one opposite-sign vector (cos = -1, same cell) that must survive
+    val c0 = Seq(10.0, 0.0, 0.0); val c1 = Seq(0.0, 10.0, 0.0)
+    val rows = Seq(
+      (1L, Seq(9.0, 0.1, 0.0)),   // cell 0
+      (2L, Seq(9.0, 0.1, 0.0)),   // exact copy of 1 -> dropped
+      (3L, Seq(-9.0, -0.1, 0.0)), // cell ? opposite direction: far from both, lands somewhere, cos(1,3) = -1 -> kept
+      (4L, Seq(0.2, 8.0, 0.0)),   // cell 1
+      (5L, Seq(0.2, 8.0, 0.0)))   // exact copy of 4 -> dropped
+      .toDF("id", "vec")
+    val kept = graft.ops.Similarity.semanticDedup(rows, "id", "vec", Seq(c0, c1), eps = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+  }
 }

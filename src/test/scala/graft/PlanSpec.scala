@@ -116,4 +116,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"benchmark grams must broadcast (corpus side stays map-side):\n$p")
   }
+
+  test("q146 tpch-q5: date filter pushed to orders scan, dims broadcast") {
+    val p = plan("q146_tpch_q5")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), s"expected orderdate pushdown in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tpch-q5 must stay equi-join only:\n$p")
+  }
 }

@@ -258,4 +258,35 @@ class SdfSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("a", 2L, 1L), ("b", 0L, 1L)))
   }
+
+  test("explodeCol keeps empty/null-array rows with a null cell (pandas explode)") {
+    val df = Seq(
+      (1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "xs")
+    val out = SDF(df).explodeCol("xs").df.orderBy("id", "xs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (1L, "b"), (2L, null), (3L, null)))
+  }
+
+  test("combineFirst: self cells win, other fills gaps/rows/columns") {
+    val a = SDF(Seq((1L, Option(10.0), "n1"), (2L, None: Option[Double], "n2")).toDF("k", "v", "name"))
+    val b = SDF(Seq((2L, Option(99.0), "s2"), (3L, Option(30.0), "s3")).toDF("k", "v", "seg"))
+    val out = a.combineFirst(b, Seq("k")).df.orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(out == Seq(
+      (1L, Some(10.0), Some("n1"), None),          // self-only row, b column null
+      (2L, Some(99.0), Some("n2"), Some("s2")),    // gap filled from b, self name kept
+      (3L, Some(30.0), None, Some("s3"))))         // b-only row
+  }
+
+  test("whereCols/maskCols substitute per-cell; query() filters via SQL expr") {
+    val df = SDF(Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("id", "v"))
+    val w = df.whereCols(col("v") > 10, Seq("v"), lit(-1.0)).df
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(w == Seq(-1.0, 15.0, 25.0))
+    val m = df.maskCols(col("v") > 10, Seq("v"), lit(-1.0)).df
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(m == Seq(5.0, -1.0, -1.0))
+    assert(df.query("v > 10 and id < 3").df.count() == 1)
+  }
 }
