@@ -325,6 +325,30 @@ object TextAnalysis {
     out
   }
 
+  /** Keyword tagging against a broadcast lexicon: the word-level matches of
+    * `keywords` in the document's token set, sorted. The lexicon ships as
+    * one `typedLit` array (constant expression size); the match is
+    * shuffle-free Column algebra — the corpus-scale shape for topic
+    * routing, policy lexicons and blocklists.
+    */
+  def matchedKeywords(textCol: Column, keywords: Seq[String]): Column =
+    array_sort(array_intersect(
+      array_distinct(tokens(textCol)), typedLit(keywords.map(_.toLowerCase))))
+
+  /** Phrase (substring) matches of `phrases` in the lowercased text, in
+    * lexicon order — catches multi-word and intra-word patterns the
+    * token-level [[matchedKeywords]] cannot.
+    */
+  def matchedPhrases(textCol: Column, phrases: Seq[String]): Column =
+    filter(typedLit(phrases.map(_.toLowerCase)), p => contains(lower(textCol), p))
+
+  /** Rows whose text matches NO blocklist phrase — the standard lexicon
+    * gate (NSFW/spam lists) as a map-side filter.
+    */
+  def blocklistFilter(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+      blocked: Seq[String]): org.apache.spark.sql.DataFrame =
+    docs.filter(size(matchedPhrases(textCol, blocked)) === 0)
+
   /** Overlapping fixed-width character chunks (context-window splitting for
     * LLM corpora): chunk k covers `[k·(size−overlap), … + size)`. Pure HOF
     * expression — narrow, codegen'd, rows expand in place when exploded.

@@ -1611,9 +1611,44 @@ object LlmOpsQueries {
       SELECT vec_id FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY vec_id"""))
 
+  /** Lexicon tagging + blocklist gate ([[TextAnalysis.matchedKeywords]] /
+    * [[matchedPhrases]]): word-level matches against a broadcast lexicon
+    * (sorted, distinct) and substring phrase matches in lexicon order;
+    * `blocked` is the phrase-gate verdict. Shuffle-free map-side Column
+    * algebra — the topic-routing / policy-filter shape.
+    */
+  val q152_keyword_tag: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.matchedKeywords(col("text"),
+            Seq("join", "merge", "window", "stream")).as("kwa"),
+          TextAnalysis.matchedPhrases(col("text"),
+            Seq("table scan", "batch batch")).as("pha"))
+        // arrays flattened to csv for the driver's value hash
+        .select(col("doc_id"), concat_ws(",", col("kwa")).as("kw"),
+          concat_ws(",", col("pha")).as("ph"), (size(col("pha")) > 0).as("blocked"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                           x -> length(x) >= 1) AS t
+        FROM documents)
+      SELECT doc_id,
+             coalesce(array_to_string(list_sort(list_filter(['join', 'merge', 'window', 'stream'],
+                                                            w -> list_contains(t, w))), ','), '') AS kw,
+             coalesce(array_to_string(list_filter(['table scan', 'batch batch'],
+                                                  p -> contains(lower(text), p)), ','), '') AS ph,
+             len(list_filter(['table scan', 'batch batch'],
+                             p -> contains(lower(text), p))) > 0 AS blocked
+      FROM toks
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
+    "q152_keyword_tag" -> q152_keyword_tag,
     "q145_image_neardup" -> q145_image_neardup,
     "q141_curation_v2" -> q141_curation_v2,
     "q139_hashed_features" -> q139_hashed_features,

@@ -1209,7 +1209,62 @@ object OpQueries {
       WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Fuzzy self-join at edit distance ≤ 1 ([[graft.ops.FuzzyJoin]]):
+    * deletion-neighborhood (SymSpell) blocking — candidates from ONE
+    * equi-join on 8-byte variant hashes, exact `levenshtein` verify. Exact
+    * recall by construction, so the oracle is the brute-force all-pairs
+    * scan. Customer names differing in one id digit are the planted-by-
+    * nature near matches.
+    */
+  val q151_fuzzy_join: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.FuzzyJoin.selfByEditDistance(
+        table(s, dir, "customer").filter(col("c_custkey") % 10 < 3),
+        "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some("""
+      WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 < 3)
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""))
+
+  /** `groupby(type).resample("1H")` — per-group time buckets with each
+    * group's own empty bins materialized ([[graft.sdf.SDF.resampleBy]]):
+    * group spans come from one keyed min/max aggregate (no driver scalars),
+    * skeletons explode per group.
+    */
+  val q153_grouped_resample: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "events"))
+        .resampleBy(Seq("event_type"), "ts", "1 hour", Seq(
+          count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v")))
+        .df
+        .select(col("event_type"), col("ts"),
+          coalesce(col("n"), lit(0L)).as("n"), col("sum_v"))
+        .orderBy(col("event_type"), col("ts")),
+    oracle = Some("""
+      WITH b AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ts,
+               count(*) AS n, round(sum(value), 4) AS sum_v
+        FROM events GROUP BY 1, 2),
+      mm AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+               time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+        FROM events GROUP BY 1),
+      skel AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS ts
+        FROM mm)
+      SELECT skel.event_type AS event_type, skel.ts AS ts,
+             coalesce(b.n, 0) AS n, b.sum_v
+      FROM skel LEFT JOIN b ON skel.event_type = b.event_type AND skel.ts = b.ts
+      ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
+    "q151_fuzzy_join" -> q151_fuzzy_join,
+    "q153_grouped_resample" -> q153_grouped_resample,
     "q142_resample" -> q142_resample,
     "q143_crosstab" -> q143_crosstab,
     "q148_explode" -> q148_explode,

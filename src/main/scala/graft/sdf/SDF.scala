@@ -312,6 +312,36 @@ final class SDF private (private var _df: DataFrame) {
       .withColumnRenamed("__bucket__", on))
   }
 
+  /** pandas `groupby(keys).resample(freq, on=ts)` — [[resample]] per group,
+    * with each group's empty buckets materialized between ITS OWN min and
+    * max (pandas semantics). Fully distributed: group spans come from one
+    * min/max aggregate keyed like the bucket aggregate (no driver scalars),
+    * and the per-group skeleton is a `sequence()` explode joined LEFT
+    * against the aggregated frame on (keys, bucket). Two aggregates + one
+    * join — all shuffles on the same group keys.
+    */
+  def resampleBy(groups: Seq[String], on: String, every: String,
+      aggs: Seq[Column]): SDF = {
+    require(groups.nonEmpty, "resampleBy needs group columns; use resample")
+    require(aggs.nonEmpty, "resampleBy needs at least one aggregate")
+    val bucket = window(col(on), every).getField("start")
+    val agged = _df
+      .groupBy(groups.map(col) :+ bucket.as("__bucket__"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val spans = _df.groupBy(groups.map(col): _*)
+      .agg(min(col(on)).as("__mn__"), max(col(on)).as("__mx__"))
+    // one window() per projection (Spark's multi-window restriction)
+    val lo = spans.select(groups.map(col) :+
+      window(col("__mn__"), every).getField("start").as("__lo__"): _*)
+    val hi = spans.select(groups.map(col) :+
+      window(col("__mx__"), every).getField("start").as("__hi__"): _*)
+    val skeleton = lo.join(hi, groups)
+      .select(groups.map(col) :+ explode(sequence(
+        col("__lo__"), col("__hi__"), expr(s"INTERVAL $every"))).as("__bucket__"): _*)
+    SDF(skeleton.join(agged, groups :+ "__bucket__", "left")
+      .withColumnRenamed("__bucket__", on))
+  }
+
   /** pandas `pd.crosstab(index, columns)` — contingency counts with the
     * column domain discovered from the data (one distinct collect, bounded
     * by `maxColumns` — same driver budget class as Spark's own pivot

@@ -992,4 +992,44 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L), s"got $kept")
   }
+
+  test("FuzzyJoin: deletion blocking == brute-force levenshtein at k=1 and k=2") {
+    val rnd = new scala.util.Random(11)
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val i = rnd.nextInt(math.max(1, cur.length))
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.take(i) + cur.drop(i + 1)              // delete
+          case 1 => cur.take(i) + ('a' + rnd.nextInt(26)).toChar + cur.drop(i) // insert
+          case _ if cur.nonEmpty =>
+            cur.take(i) + ('a' + rnd.nextInt(26)).toChar + cur.drop(i + 1)     // substitute
+          case _ => cur + "x"
+        }
+      }
+      cur
+    }
+    val base = (1 to 30).map(i => s"token$i${('a' + i % 26).toChar}valu")
+    val rows = base.zipWithIndex.flatMap { case (s0, i) =>
+      Seq((i * 10L, s0), (i * 10L + 1, mutate(s0, 1 + rnd.nextInt(2))))
+    }
+    val df = rows.toDF("id", "s")
+    def levenshteinRef(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(1, 2)) {
+      val got = graft.ops.FuzzyJoin.selfByEditDistance(df, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (for {
+        (a, sa) <- rows; (b, sb) <- rows
+        if a < b; d = levenshteinRef(sa, sb) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      assert(got == expect, s"k=$k missing=${expect.diff(got)} extra=${got.diff(expect)}")
+      assert(expect.nonEmpty, s"k=$k fixture must contain pairs")
+    }
+  }
 }

@@ -289,4 +289,22 @@ class SdfSpec extends AnyFunSuite {
     assert(m == Seq(5.0, -1.0, -1.0))
     assert(df.query("v > 10 and id < 3").df.count() == 1)
   }
+
+  test("resampleBy fills gaps per group over each group's own span") {
+    val df = Seq(
+      ("a", "2024-01-01 00:01:00", 1.0),
+      ("a", "2024-01-01 00:11:00", 2.0), // a: 00:05 bucket empty
+      ("b", "2024-01-01 01:02:00", 3.0)) // b: single bucket, different hour
+      .toDF("g", "t", "v")
+      .select(col("g"), col("t").cast("timestamp").as("t"), col("v"))
+    val out = SDF(df).resampleBy(Seq("g"), "t", "5 minutes",
+        Seq(count(lit(1)).as("n"))).df
+      .orderBy("g", "t")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01 00:00:00.0", Some(1L)),
+      ("a", "2024-01-01 00:05:00.0", None),
+      ("a", "2024-01-01 00:10:00.0", Some(1L)),
+      ("b", "2024-01-01 01:00:00.0", Some(1L))), s"got $out")
+  }
 }
