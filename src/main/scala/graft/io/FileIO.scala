@@ -173,4 +173,21 @@ object Writers {
   }
 
   def write(df: DataFrame, path: String): Unit = write(df, FileMetadata.of(path))
+
+  /** Range-partitioned, sorted parquet layout: `repartitionByRange` on the
+    * sort key + `sortWithinPartitions` before the write gives every output
+    * file a DISJOINT key range and monotone row groups, so parquet min/max
+    * footer stats prune whole files (and row groups) for range predicates —
+    * the data-layout lever that turns a 100 TB key-range scan into a
+    * few-file read. Complements hive `partitionBy` (directory pruning on
+    * low-cardinality columns); range-sort is the choice for high-cardinality
+    * ordered keys (ids, timestamps).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, numFiles: Int,
+      sortCols: Seq[String]): Unit = {
+    require(numFiles > 0 && sortCols.nonEmpty, "need files >= 1 and sort cols")
+    df.repartitionByRange(numFiles, sortCols.map(df.col): _*)
+      .sortWithinPartitions(sortCols.map(df.col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -263,6 +263,36 @@ object TextAnalysis {
     df.withColumn(out, concat_ws("\n", kept))
   }
 
+  /** Global exact line dedup with keep-first semantics (the RefinedWeb /
+    * Dolma cross-doc span dedup): a duplicated line survives only at its
+    * FIRST corpus occurrence — min id, then min position — and is removed
+    * everywhere else. One window shuffle keyed on the 60-bit line hash
+    * picks firsts (the window compares 8-byte hashes + (id, pos), never
+    * strings); one groupBy reassembles each doc's surviving lines in order
+    * via an in-aggregate sorted concat. Docs whose every line is a later
+    * duplicate come back as ''. The corpus text crosses the wire twice (by
+    * line hash, then by doc) — inherent to cross-doc span REWRITING; use
+    * [[stripBoilerplate]] when a doc-frequency threshold is enough.
+    * Returns `(id, out)`.
+    */
+  def dedupLinesGlobal(df: org.apache.spark.sql.DataFrame, textCol: Column, idCol: Column,
+      out: String = "text_dedup"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df.select(idCol.as("id"),
+        posexplode(split(textCol, "\n")).as(Seq("__pos__", "__l__")))
+      .withColumn("__lh__", hash60(col("__l__")))
+    val w = Window.partitionBy(col("__lh__")).orderBy(col("id"), col("__pos__"))
+    val rebuilt = exploded
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .groupBy(col("id"))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos__"), col("__l__")))),
+        _.getField("__l__"))).as(out))
+    df.select(idCol.as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col(out), lit("")).as(out))
+  }
+
   /** Benchmark decontamination — ids of docs sharing ANY k-gram with a
     * benchmark corpus (the test-set-overlap removal every serious training
     * pipeline runs before training). Scale shape: the benchmark's distinct

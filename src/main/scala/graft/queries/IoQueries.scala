@@ -518,7 +518,32 @@ object IoQueries {
         FROM documents WHERE length(text) > 120)
       SELECT path, page, ptext FROM pages ORDER BY path, page"""))
 
+  /** Range-partitioned sorted layout ([[Writers.writeRangeSorted]]): each
+    * parquet file holds a disjoint `l_orderkey` range with monotone row
+    * groups, so the read-back's range predicate prunes whole files from
+    * footer stats — the data-layout half of scan performance (IoSpec
+    * asserts the disjoint ranges; this query proves the round trip).
+    */
+  val q156_range_layout: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("lineitem_range")
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      Writers.writeRangeSorted(li, out, numFiles = 4, Seq("l_orderkey"))
+      s.read.parquet(out)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS l_quantity
+      FROM lineitem
+      WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Map[String, Q] = Map(
+    "q156_range_layout" -> q156_range_layout,
     "q125_asof_forward" -> q125_asof_forward,
     "q130_str_extract_split" -> q130_str_extract_split,
     "q126_asof_nearest" -> q126_asof_nearest,

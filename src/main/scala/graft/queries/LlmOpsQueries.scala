@@ -1645,10 +1645,49 @@ object LlmOpsQueries {
       FROM toks
       ORDER BY doc_id"""))
 
+  /** Global keep-first line dedup ([[TextAnalysis.dedupLinesGlobal]], the
+    * RefinedWeb/Dolma cross-doc span rewrite): a shared header survives
+    * only in the first doc; the `% 4` promo line only at doc 0; byte-identical
+    * document bodies (the corpus has exact dupes) vanish from every doc but
+    * their first. Window on line hashes + ordered in-aggregate reassembly.
+    */
+  val q154_line_dedup: Q = Q(
+    fn = (s, dir) => {
+      val pages = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared header line\n"), col("text"),
+          when(col("doc_id") % 4 === 0, lit("\ncommunity guidelines apply"))
+            .otherwise(concat(lit("\nfooter "), col("doc_id").cast("string")))).as("page"))
+      TextAnalysis.dedupLinesGlobal(pages, col("page"), col("doc_id"), out = "clean")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH pages AS (
+        SELECT doc_id,
+               'shared header line' || chr(10) || text ||
+               CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'community guidelines apply'
+                    ELSE chr(10) || 'footer ' || doc_id END AS page
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i - 1 AS pos, ls[i] AS l
+        FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+             UNNEST(generate_series(1, len(ls))) t(i)),
+      kept AS (
+        SELECT doc_id, pos, l,
+               row_number() OVER (PARTITION BY ${h60("l")} ORDER BY doc_id, pos) AS rn
+        FROM lines),
+      rebuilt AS (
+        SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS clean
+        FROM kept WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(r.clean, '') AS clean
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,
+    "q154_line_dedup" -> q154_line_dedup,
     "q145_image_neardup" -> q145_image_neardup,
     "q141_curation_v2" -> q141_curation_v2,
     "q139_hashed_features" -> q139_hashed_features,

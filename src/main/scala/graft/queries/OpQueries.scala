@@ -1262,7 +1262,47 @@ object OpQueries {
       FROM skel LEFT JOIN b ON skel.event_type = b.event_type AND skel.ts = b.ts
       ORDER BY 1, 2"""))
 
+  /** Incremental aggregation state ([[graft.ops.AggState]]): per-status
+    * price stats built on two disjoint snapshots (even/odd keys), merged
+    * algebraically — the pattern that reads the historical corpus once,
+    * ever. The oracle replays the same two-phase merge so the double
+    * arithmetic decomposes identically; derived mean/std read off the
+    * merged state.
+    */
+  val q155_incremental_agg: Q = Q(
+    fn = (s, dir) => {
+      import graft.ops.AggState
+      val orders = table(s, dir, "orders")
+      val state = AggState.build(
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderstatus"), col("o_totalprice"))
+      val delta = AggState.build(
+        orders.filter(col("o_orderkey") % 2 === 1), Seq("o_orderstatus"), col("o_totalprice"))
+      AggState.withStats(AggState.merge(state, delta, Seq("o_orderstatus")))
+        .select(col("o_orderstatus"), col("n"), round(col("sum"), 4).as("sum"),
+          round(col("mn"), 4).as("mn"), round(col("mx"), 4).as("mx"),
+          round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH halves AS (
+        SELECT o_orderstatus, o_orderkey % 2 AS half,
+               count(o_totalprice) AS n, sum(o_totalprice) AS s,
+               sum(o_totalprice * o_totalprice) AS sq,
+               min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders GROUP BY 1, 2),
+      merged AS (
+        SELECT o_orderstatus, sum(n) AS n, sum(s) AS s, sum(sq) AS sq,
+               min(mn) AS mn, max(mx) AS mx
+        FROM halves GROUP BY 1)
+      SELECT o_orderstatus, n, round(s, 4) AS sum,
+             round(mn, 4) AS mn, round(mx, 4) AS mx,
+             round(s / n, 4) AS mean,
+             round(sqrt(greatest((sq - n * (s / n) * (s / n)) / (n - 1), 0.0)), 4) AS std
+      FROM merged
+      ORDER BY o_orderstatus"""))
+
   val all: Map[String, Q] = Map(
+    "q155_incremental_agg" -> q155_incremental_agg,
     "q151_fuzzy_join" -> q151_fuzzy_join,
     "q153_grouped_resample" -> q153_grouped_resample,
     "q142_resample" -> q142_resample,

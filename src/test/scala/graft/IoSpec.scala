@@ -287,4 +287,22 @@ class IoSpec extends AnyFunSuite {
     assert(ObjectStore.delete(base))
     assert(!ObjectStore.exists(b))
   }
+
+  test("writeRangeSorted: per-file key ranges are disjoint (footer-stat prunable)") {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString + "/out"
+    val df = spark.range(1000).select((col("id") * 7919 % 1000).as("k"), col("id").as("v"))
+    graft.io.Writers.writeRangeSorted(df, dir, numFiles = 4, Seq("k"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap: $hi > $lo2 in ${ranges.toSeq}")
+    }
+    // round trip is lossless
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
 }

@@ -1032,4 +1032,43 @@ class OpsSpec extends AnyFunSuite {
       assert(expect.nonEmpty, s"k=$k fixture must contain pairs")
     }
   }
+
+  test("dedupLinesGlobal: keep-first across docs, in-doc order preserved, all-dup doc -> ''") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma\nalpha"), // 'shared' and 'alpha' already seen in doc 1
+      (3L, "shared\nalpha")).toDF("doc_id", "page") // everything seen -> ''
+    val out = graft.ops.TextAnalysis
+      .dedupLinesGlobal(docs, col("page"), col("doc_id"), out = "clean")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nshared\nbeta")
+    assert(out(2L) == "gamma")
+    assert(out(3L) == "")
+    // within-doc duplicate: first position wins
+    val one = Seq((9L, "x\ny\nx")).toDF("doc_id", "page")
+    val o1 = graft.ops.TextAnalysis
+      .dedupLinesGlobal(one, col("page"), col("doc_id"), out = "clean")
+      .collect().head.getString(1)
+    assert(o1 == "x\ny")
+  }
+
+  test("AggState: merge == direct build; stats match; null-heavy keys") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(5.0)), ("c", None)).toDF("k", "v")
+    val full = graft.ops.AggState.build(df, Seq("k"), col("v"))
+    val merged = graft.ops.AggState.merge(
+      graft.ops.AggState.build(df.filter(col("v").isNull || col("v") <= 2), Seq("k"), col("v")),
+      graft.ops.AggState.build(df.filter(col("v").isNotNull && col("v") > 2), Seq("k"), col("v")),
+      Seq("k"))
+    val f = full.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val m = merged.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(f.keySet == m.keySet)
+    f.keys.foreach(k => assert(f(k) == m(k), s"state mismatch at $k: ${f(k)} vs ${m(k)}"))
+    val stats = graft.ops.AggState.withStats(merged)
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    assert(stats("a")._1 == 2.0 && math.abs(stats("a")._2 - math.sqrt(2.0)) < 1e-12)
+    assert(stats("b")._2.isNaN, "single observation -> NaN std")
+    assert(stats("c")._1.isNaN, "all-null key -> NaN mean")
+  }
 }
