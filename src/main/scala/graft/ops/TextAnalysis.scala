@@ -125,6 +125,31 @@ object TextAnalysis {
       size(filter(buckets, b => b === j)).cast("long"))
   }
 
+  /** Linear classifier score over [[hashedTokenFeatures]] — the fastText /
+    * quality-classifier APPLY path (DSIR/FineWeb-Edu style gating): mean
+    * token-bucket features dot a broadcast weight vector + bias through a
+    * sigmoid. Weights ship as one `typedLit` array (a trained model's
+    * coefficients; any source). Pure Column algebra: index-aligned fold in
+    * ascending bucket order — bit-deterministic, shuffle-free, and
+    * SQL-replayable. Use with a threshold for binary gates or keep the
+    * probability as a mixing weight.
+    */
+  def linearScore(text: Column, weights: Seq[Double], bias: Double): Column = {
+    val feats = hashedTokenFeatures(text, weights.size)
+    val nTok = greatest(tokenCount(text), lit(1L)).cast("double")
+    val z = aggregate(
+      zip_with(feats, typedLit(weights), (f, w) => f.cast("double") / nTok * w),
+      lit(bias), (acc, v) => acc + v)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Sentence segmentation (regex heuristic): split on `.`/`!`/`?` runs
+    * followed by whitespace, trimmed, empties dropped. The unit for
+    * sentence-level dedup/packing when line boundaries don't exist.
+    */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+\\s+"), s => trim(s)), s => length(s) > 0)
+
   /** Per-doc character-distribution Shannon entropy (nats) — the classic
     * gibberish/encoded-blob detector rounding out the quality suite: random
     * base64 ≈ ln 64, natural prose ≈ 2.8–3.2, single-char spam → 0.

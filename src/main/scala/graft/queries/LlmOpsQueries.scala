@@ -1681,13 +1681,50 @@ object LlmOpsQueries {
         FROM kept WHERE rn = 1 GROUP BY doc_id)
       SELECT d.doc_id, coalesce(r.clean, '') AS clean
       FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""),
+    bench = true) // regression-watch the cross-doc text-shuffle workload
+
+  /** Quality-classifier APPLY ([[TextAnalysis.linearScore]], the
+    * fastText/FineWeb-Edu gate shape): sigmoid of broadcast weights dotted
+    * with mean hashed-token features + bias, thresholded to a keep flag.
+    * Deterministic rational weights so the oracle replays coefficient
+    * arithmetic exactly; shuffle-free map-side scoring.
+    */
+  val q157_quality_classifier: Q = Q(
+    fn = (s, dir) => {
+      val weights = (0 until 16).map(j => (j % 7 - 3) / 10.0)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.linearScore(col("text"), weights, bias = 0.1), 4).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id, list_transform(t, x -> ${h60("x")} % 16) AS bk,
+               greatest(len(t), 1) AS n
+        FROM toks),
+      z AS (
+        SELECT doc_id,
+               0.1 + list_sum(list_transform(generate_series(0, 15), j ->
+                 len(list_filter(bk, q -> q = j))::DOUBLE / n *
+                 ((j % 7 - 3) / 10.0))) AS z
+        FROM b)
+      SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+             round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+      FROM z
+      ORDER BY doc_id"""))
 
   val all: Map[String, Q] = Map(
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,
     "q154_line_dedup" -> q154_line_dedup,
+    "q157_quality_classifier" -> q157_quality_classifier,
     "q145_image_neardup" -> q145_image_neardup,
     "q141_curation_v2" -> q141_curation_v2,
     "q139_hashed_features" -> q139_hashed_features,

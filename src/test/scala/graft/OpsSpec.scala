@@ -1071,4 +1071,20 @@ class OpsSpec extends AnyFunSuite {
     assert(stats("b")._2.isNaN, "single observation -> NaN std")
     assert(stats("c")._1.isNaN, "all-null key -> NaN mean")
   }
+
+  test("linearScore: zero weights -> sigmoid(bias); sentences() segments and trims") {
+    val df = Seq((1L, "alpha beta gamma")).toDF("id", "t")
+    val half = df.select(graft.ops.TextAnalysis.linearScore(col("t"), Seq.fill(4)(0.0), bias = 0.0))
+      .head().getDouble(0)
+    assert(math.abs(half - 0.5) < 1e-12, "zero model must score 0.5")
+    // hand check: dim=1 puts every token in bucket 0 -> z = bias + 1.0 * w0
+    val one = df.select(graft.ops.TextAnalysis.linearScore(col("t"), Seq(2.0), bias = -1.0))
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12)
+    val sents = Seq(("First one. Second!  Third thing? ", "x"))
+      .toDF("t", "d")
+      .select(graft.ops.TextAnalysis.sentences(col("t")))
+      .head().getSeq[String](0)
+    assert(sents == Seq("First one", "Second", "Third thing"), s"got $sents")
+  }
 }
