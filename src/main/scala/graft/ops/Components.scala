@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by iterative min-label propagation —
@@ -206,6 +206,29 @@ object Components {
     val inGraph = comps.select(col("id").as(idCol))
     // rows never in any candidate pair survive untouched; graph rows survive
     // iff they are their component's representative
+    df.join(inGraph, Seq(idCol), "left_anti")
+      .unionByName(df.join(keepers, Seq(idCol), "left_semi"))
+  }
+
+  /** [[dedupByCandidates]] with a quality policy: per component keep the row
+    * maximizing `scoreCol` (tie → min id) instead of the min-id survivor —
+    * the RefinedWeb/FineWeb practice of retaining the best-quality member of
+    * each near-dup cluster. Only 8-byte ids + the score ride the component
+    * join (payloads never shuffle); the argmax is one `max_by` over a
+    * lexicographic (score, −id) struct, so selection is deterministic on any
+    * partitioning.
+    */
+  def dedupByCandidatesCanonical(df: DataFrame, idCol: String, scoreCol: Column,
+      candidates: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(candidates, aCol, bCol)
+    val scored = comps.join(
+      df.select(col(idCol).as("id"), scoreCol.cast("double").as("__score__")),
+      Seq("id"))
+    val keepers = scored.groupBy(col("component"))
+      .agg(max_by(col("id"),
+        struct(col("__score__"), (-col("id")).as("__tie__"))).as("keep_id"))
+      .select(col("keep_id").as(idCol))
+    val inGraph = comps.select(col("id").as(idCol))
     df.join(inGraph, Seq(idCol), "left_anti")
       .unionByName(df.join(keepers, Seq(idCol), "left_semi"))
   }

@@ -57,4 +57,20 @@ object Scale {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Key-distribution skew profile — the diagnostic run BEFORE choosing a
+    * salting/broadcast strategy: the `topK` hottest keys with their counts
+    * and share of all rows. One map-side-combined count aggregate, a
+    * broadcast 1-row total (no driver round-trip), and a TakeOrdered top-k —
+    * nothing here scales with the key cardinality beyond the count shuffle.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total__"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("__total__"), 6))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("cnt"), col("share"))
+  }
 }

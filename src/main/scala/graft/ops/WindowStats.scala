@@ -235,4 +235,25 @@ object WindowStats {
       (sum(xd * yd).over(w) - sum(xd).over(w) * sum(yd).over(w) / nL) /
         lit((n - 1).toDouble))
   }
+
+  /** pandas `rolling(n).quantile(q, interpolation="linear")` — exact type-7
+    * quantile of the last `n` rows, null until the frame holds `n`
+    * (min_periods = n). Spark's exact `percentile` aggregate evaluates over
+    * the row frame with linear interpolation — the same arithmetic as
+    * DuckDB's `quantile_cont`, so results are SQL-reproducible. Cost note:
+    * a sliding ImperativeAggregate re-buffers per row (O(rows·n) per key) —
+    * the right trade for the small `n` rolling windows are used with; the
+    * shuffle count stays at one (the window's).
+    */
+  def rollingQuantile(x: Column, q: Double, n: Int,
+      over: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val w = over.rowsBetween(-(n - 1), 0)
+    val xd = x.cast("double")
+    when(count(xd).over(w) === n, percentile(xd, lit(q)).over(w))
+  }
+
+  /** pandas `rolling(n).median()` — [[rollingQuantile]] at q = 0.5. */
+  def rollingMedian(x: Column, n: Int,
+      over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    rollingQuantile(x, 0.5, n, over)
 }

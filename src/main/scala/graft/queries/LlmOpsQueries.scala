@@ -1719,7 +1719,84 @@ object LlmOpsQueries {
       FROM z
       ORDER BY doc_id"""))
 
+  /** Canonical-document near-dup dedup ([[graft.ops.Components
+    * .dedupByCandidatesCanonical]]): same clustered corpus as q91, but each
+    * cluster keeps its BEST member by quality score (here: text length, so
+    * the planted longer variant wins) instead of the min-id survivor — the
+    * RefinedWeb/FineWeb retention policy. Selection is one `max_by` over a
+    * (score, −id) struct; payload text never rides the component join.
+    */
+  val q158_canonical_dedup: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" appended")))
+      val corpus = docs.unionByName(near)
+      val pairs = Dedup.verifiedNearDupPairs(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Components.dedupByCandidatesCanonical(
+          corpus, "doc_id", length(col("text")), pairs)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' appended' FROM documents
+        WHERE doc_id < 200 AND doc_id % 2 = 0),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h),
+      band AS (
+        SELECT doc_id, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM sig
+        GROUP BY doc_id, h // 2),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(
+                len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                4) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS n, doc_id AS lbl FROM corpus
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n)
+      SELECT c.doc_id, CAST(length(co.text) AS BIGINT) AS len
+      FROM comp c
+      JOIN corpus co ON co.doc_id = c.doc_id
+      QUALIFY row_number() OVER (PARTITION BY c.component
+                                 ORDER BY length(co.text) DESC, c.doc_id) = 1
+      ORDER BY c.doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q158_canonical_dedup" -> q158_canonical_dedup,
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,

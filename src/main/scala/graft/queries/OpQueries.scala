@@ -1301,7 +1301,51 @@ object OpQueries {
       FROM merged
       ORDER BY o_orderstatus"""))
 
+  /** pandas `rolling(n).median()` / `.quantile(q)` ([[WindowStats
+    * .rollingQuantile]]): exact type-7 quantiles over a row frame —
+    * Spark's `percentile` window arithmetic is DuckDB's `quantile_cont`,
+    * replayed term for term. min_periods = n (null until the frame fills).
+    */
+  val q159_rolling_median: Q = Q(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(WindowStats.rollingMedian(col("o_totalprice"), 5, w), 4).as("med5"),
+          round(WindowStats.rollingQuantile(col("o_totalprice"), 0.25, 5, w), 4).as("p25"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey,
+             round(CASE WHEN count(o_totalprice) OVER w = 5
+                   THEN quantile_cont(o_totalprice, 0.5) OVER w END, 4) AS med5,
+             round(CASE WHEN count(o_totalprice) OVER w = 5
+                   THEN quantile_cont(o_totalprice, 0.25) OVER w END, 4) AS p25
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Key-skew profile ([[graft.ops.Scale.keyProfile]]): the hottest keys
+    * with counts and row share — the pre-salting diagnostic. Map-side
+    * combined count, broadcast scalar total, TakeOrdered top-k.
+    */
+  val q160_key_profile: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Scale.keyProfile(table(s, dir, "lineitem"), "l_suppkey", 20),
+    oracle = Some("""
+      WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+           t AS (SELECT sum(cnt) AS total FROM c)
+      SELECT key, CAST(cnt AS BIGINT) AS cnt, round(cnt / total, 6) AS share
+      FROM c, t
+      ORDER BY cnt DESC, key
+      LIMIT 20"""))
+
   val all: Map[String, Q] = Map(
+    "q159_rolling_median" -> q159_rolling_median,
+    "q160_key_profile" -> q160_key_profile,
     "q155_incremental_agg" -> q155_incremental_agg,
     "q151_fuzzy_join" -> q151_fuzzy_join,
     "q153_grouped_resample" -> q153_grouped_resample,

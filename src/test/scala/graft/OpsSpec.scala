@@ -1087,4 +1087,40 @@ class OpsSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(sents == Seq("First one", "Second", "Third thing"), s"got $sents")
   }
+
+  test("rollingQuantile: exact median with min_periods=n nulls; interpolated p25") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 90.0), (1, 4, 40.0))
+      .toDF("k", "i", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("i"))
+    val out = df
+      .select(col("i"),
+        graft.ops.WindowStats.rollingMedian(col("x"), 3, w).as("med"),
+        graft.ops.WindowStats.rollingQuantile(col("x"), 0.25, 3, w).as("p25"))
+      .orderBy(col("i")).collect()
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1), "frame not full -> null")
+    assert(out(2).getDouble(1) == 20.0, "median of 10,20,90")
+    assert(out(3).getDouble(1) == 40.0, "median of 20,90,40")
+    // type-7 p25 of {20,40,90}: pos=0.5 between 20 and 40 -> 30
+    assert(out(3).getDouble(2) == 30.0, s"p25 interpolation, got ${out(3).getDouble(2)}")
+  }
+
+  test("dedupByCandidatesCanonical keeps highest score (tie -> min id); non-graph rows survive") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (9L, 0.0))
+      .toDF("id", "score")
+    // component {1,2,3}: max score 9.0 tie between 2 and 3 -> keep 2; {4} alone via no edge; 9 never in graph
+    val cand = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Components
+      .dedupByCandidatesCanonical(df, "id", col("score"), cand)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L, 9L), s"got ${kept.toSeq}")
+  }
+
+  test("keyProfile: hottest keys first with exact shares") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val rows = graft.ops.Scale.keyProfile(df, "k", 2).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getLong(1) == 6L && rows(0).getDouble(2) == 0.6)
+    assert(rows(1).getLong(1) == 3L && rows(1).getDouble(2) == 0.3)
+  }
 }
