@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 import graft.core.MLSchema
 
 /** Storage backends — reference `src/bears/constants/_FileConstants.py:53-58`
@@ -188,6 +189,36 @@ object Writers {
     require(numFiles > 0 && sortCols.nonEmpty, "need files >= 1 and sort cols")
     df.repartitionByRange(numFiles, sortCols.map(df.col): _*)
       .sortWithinPartitions(sortCols.map(df.col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Bit-interleaved Z-value of two non-negative 32-bit keys (bit i of `x` →
+    * position 2i, of `y` → 2i+1): points close in (x, y) stay close in z.
+    * Unrolled constant-size bit algebra — bits land in DISJOINT positions,
+    * so OR ≡ +, which is how a plain-SQL engine replays it.
+    */
+  def zValue(x: Column, y: Column): Column = {
+    val xi = x.cast("long"); val yi = y.cast("long")
+    (0 until 32).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xi, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-ordered layout: [[writeRangeSorted]] on the interleaved [[zValue]] —
+    * every output file covers a compact (x, y) box, so parquet footer stats
+    * prune files for predicates on EITHER or BOTH columns; the
+    * two-dimensional complement of single-key range sorting. The z column is
+    * computed for layout only and not persisted.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      xCol: String, yCol: String): Unit = {
+    require(numFiles > 0, "need files >= 1")
+    df.withColumn("__z__", zValue(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z__"))
+      .sortWithinPartitions(col("__z__"))
+      .drop("__z__")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -38,4 +38,33 @@ object Packing {
       .withColumnRenamed("__pack_shard__", "shard")
       .drop("__pack_cum__")
   }
+
+  /** Length-bucketed batching — the padding-minimizing complement of budget
+    * packing: sequences group by log₂ length bucket, then fixed-size batches
+    * form inside each (bucket, shard) from length-sorted runs, so a batch's
+    * members have near-equal lengths and `max(len)·size − Σlen` padding
+    * waste stays small. Sharding keeps the window partition-local (a hot
+    * bucket never funnels into one task); batches never cross buckets.
+    * Adds `bucket`, `shard`, `batch`.
+    */
+  def bucketByLength(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      batchSize: Int,
+      shards: Int): DataFrame = {
+    require(batchSize > 0 && shards > 0, s"bad batching params ($batchSize, $shards)")
+    val len = greatest(tokens.cast("long"), lit(1L))
+    val shard = pmod(TextAnalysis.hash60(id.cast("string")), lit(shards.toLong))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__len__"), id)
+    df.withColumn("__len__", len)
+      // floor(log2) via binary-string length: exact integer math — float
+      // log2 returns 3.0000000000000004 at exact powers on some engines
+      .withColumn("bucket", (length(bin(col("__len__"))) - 1).cast("long"))
+      .withColumn("shard", shard)
+      .withColumn("batch",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .drop("__len__")
+  }
 }

@@ -125,6 +125,24 @@ object TextAnalysis {
       size(filter(buckets, b => b === j)).cast("long"))
   }
 
+  /** HTML → text (C4/CCNet ingest pillar): drop script/style blocks, strip
+    * tags, decode the common entities, collapse whitespace. Regexes stay in
+    * the RE2-compatible subset (no backreferences — script and style get
+    * separate lazy patterns) so any engine replays them; `&amp;` decodes
+    * LAST so escaped entities (`&amp;lt;`) surface as their literal text.
+    * Shuffle-free map-side Column algebra.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Linear classifier score over [[hashedTokenFeatures]] — the fastText /
     * quality-classifier APPLY path (DSIR/FineWeb-Edu style gating): mean
     * token-bucket features dot a broadcast weight vector + bias through a

@@ -542,7 +542,36 @@ object IoQueries {
       WHERE l_orderkey <= 100
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Z-ordered layout ([[Writers.writeZOrdered]]): files are sorted runs of
+    * the bit-interleaved (o_custkey, o_orderkey) [[Writers.zValue]], so a
+    * box predicate on EITHER key prunes files from footer stats — the 2-D
+    * complement of q156's single-key range layout. The oracle replays the
+    * interleave as a disjoint-bit SUM (OR ≡ + when bits never collide),
+    * proving the layout key is engine-portable, and the box filter proves
+    * the round trip.
+    */
+  val q161_zorder_layout: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("orders_zorder")
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Writers.writeZOrdered(o, out, numFiles = 4, "o_custkey", "o_orderkey")
+      s.read.parquet(out)
+        .filter(col("o_custkey") <= 50 && col("o_orderkey") <= 20000)
+        .withColumn("z", Writers.zValue(col("o_custkey"), col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               (((o_custkey >> i) & 1) << (2*i)) +
+               (((o_orderkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+      FROM orders
+      WHERE o_custkey <= 50 AND o_orderkey <= 20000
+      ORDER BY o_orderkey"""))
+
   val all: Map[String, Q] = Map(
+    "q161_zorder_layout" -> q161_zorder_layout,
     "q156_range_layout" -> q156_range_layout,
     "q125_asof_forward" -> q125_asof_forward,
     "q130_str_extract_split" -> q130_str_extract_split,

@@ -1795,8 +1795,88 @@ object LlmOpsQueries {
                                  ORDER BY length(co.text) DESC, c.doc_id) = 1
       ORDER BY c.doc_id"""))
 
+  /** HTML → text ingest ([[TextAnalysis.stripHtml]], the C4/CCNet first
+    * stage): script/style blocks die, tags strip, entities decode (`&amp;`
+    * last), whitespace collapses. The HTML wrapper is planted around the
+    * corpus text deterministically; patterns stay RE2-compatible (no
+    * backreferences) so the oracle replays them verbatim.
+    */
+  val q163_html_strip: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><head><style>p{color:red}</style></head><body><p class=\"x\">"),
+          col("text"),
+          lit("</p><script>var x = 1 &amp;&amp; 2;</script><br/>Done &amp; done</body></html>")))
+        .select(col("doc_id"), TextAnalysis.stripHtml(col("html")).as("clean"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><head><style>p{color:red}</style></head><body><p class="x">'
+               || text ||
+               '</p><script>var x = 1 &amp;&amp; 2;</script><br/>Done &amp; done</body></html>' AS html
+        FROM documents)
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+                     '<style[^>]*>.*?</style>', ' ', 'gis'),
+                   '<[^>]*>', ' ', 'gs'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean
+      FROM h
+      ORDER BY doc_id"""))
+
+  /** Length-bucketed batching ([[graft.ops.Packing.bucketByLength]]) — the
+    * padding-minimizing trainer layout: log₂-length buckets (exact
+    * binary-string math, no float log), fixed-size batches from
+    * length-sorted runs inside each (bucket, shard). Output: per-batch
+    * padding waste `max·n − Σlen`, the number the policy exists to shrink.
+    */
+  val q164_length_batches: Q = Q(
+    fn = (s, dir) => {
+      val withLen = table(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(TextAnalysis.tokenCount(col("text")), lit(1L)).as("n_tok"))
+      graft.ops.Packing
+        .bucketByLength(withLen, col("doc_id"), col("n_tok"), batchSize = 8, shards = 4)
+        .groupBy(col("bucket"), col("shard"), col("batch"))
+        .agg(count(lit(1)).as("n"), max(col("n_tok")).as("max_len"),
+          sum(col("n_tok")).as("sum_len"),
+          (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok"))).as("waste"))
+        .orderBy(col("bucket"), col("shard"), col("batch"))
+    },
+    oracle = Some(s"""
+      WITH lens AS (
+        SELECT doc_id,
+               greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                        x -> length(x) >= 1)), 1) AS n_tok
+        FROM documents),
+      assigned AS (
+        SELECT doc_id, n_tok,
+               length(bin(n_tok)) - 1 AS bucket,
+               ${h60("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+        FROM lens),
+      batched AS (
+        SELECT bucket, shard, n_tok,
+               (row_number() OVER (PARTITION BY bucket, shard
+                                   ORDER BY n_tok, doc_id) - 1) // 8 AS batch
+        FROM assigned)
+      SELECT bucket, shard, batch, count(*) AS n,
+             max(n_tok) AS max_len, CAST(sum(n_tok) AS BIGINT) AS sum_len,
+             CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS waste
+      FROM batched
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""))
+
   val all: Map[String, Q] = Map(
     "q158_canonical_dedup" -> q158_canonical_dedup,
+    "q163_html_strip" -> q163_html_strip,
+    "q164_length_batches" -> q164_length_batches,
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,

@@ -1343,7 +1343,42 @@ object OpQueries {
       ORDER BY cnt DESC, key
       LIMIT 20"""))
 
+  /** Schema-wide column profile ([[graft.ops.Profile.summary]]): n / nulls /
+    * distinct / mean for every column in ONE aggregate pass (never a job per
+    * column). The oracle replays each column's aggregates and unions them —
+    * exact distincts here; the library defaults to HyperLogLog at scale
+    * (spec'd within error against exact).
+    */
+  val q162_profile: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Profile.summary(table(s, dir, "orders"), exact = true)
+        .withColumnRenamed("column", "col_name")
+        .select(col("col_name"), col("n"), col("nulls"), col("n_distinct"), col("mean"))
+        .orderBy(col("col_name")),
+    oracle = Some("""
+      SELECT 'o_custkey' AS col_name, count(o_custkey) AS n,
+             count(*) - count(o_custkey) AS nulls,
+             count(DISTINCT o_custkey) AS n_distinct,
+             round(avg(o_custkey), 4) AS mean FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(o_orderdate), count(*) - count(o_orderdate),
+             count(DISTINCT o_orderdate), NULL FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(o_orderkey), count(*) - count(o_orderkey),
+             count(DISTINCT o_orderkey), round(avg(o_orderkey), 4) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(o_orderpriority), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority), NULL FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(o_orderstatus), count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus), NULL FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(o_totalprice), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice), round(avg(o_totalprice), 4) FROM orders
+      ORDER BY col_name"""))
+
   val all: Map[String, Q] = Map(
+    "q162_profile" -> q162_profile,
     "q159_rolling_median" -> q159_rolling_median,
     "q160_key_profile" -> q160_key_profile,
     "q155_incremental_agg" -> q155_incremental_agg,

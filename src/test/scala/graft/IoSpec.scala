@@ -305,4 +305,28 @@ class IoSpec extends AnyFunSuite {
     // round trip is lossless
     assert(spark.read.parquet(dir).count() == 1000)
   }
+
+  test("zValue interleaves bits; writeZOrdered files hold disjoint z ranges") {
+    import org.apache.spark.sql.functions.{col, min, max, lit}
+    // x=3 -> bits at 0,2 = 5; y=1 -> bit at 1 = 2; z = 7
+    val z = spark.range(1)
+      .select(graft.io.Writers.zValue(lit(3L), lit(1L))).head().getLong(0)
+    assert(z == 7L, s"zValue(3,1) must be 7, got $z")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/out"
+    val df = spark.range(1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    graft.io.Writers.writeZOrdered(df, dir, numFiles = 4, "x", "y")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    val ranges = files.map { f =>
+      val zc = graft.io.Writers.zValue(col("x"), col("y"))
+      val r = spark.read.parquet(f).agg(min(zc), max(zc)).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file z ranges overlap: $hi > $lo2 in ${ranges.toSeq}")
+    }
+    assert(spark.read.parquet(dir).count() == 1024)
+  }
 }

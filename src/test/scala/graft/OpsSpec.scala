@@ -1116,6 +1116,47 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2L, 4L, 9L), s"got ${kept.toSeq}")
   }
 
+  test("stripHtml: blocks die, tags strip, entities decode with &amp; last") {
+    val html = "<html><style>p{}</style><body>A &amp;lt; B<script>if(1<2){}</script>" +
+      "<p>x &gt; y &amp; z&nbsp;&#39;q&#39;</p></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).head().getString(0)
+    // &amp;lt; decodes to the literal text "&lt;" (amp decodes LAST)
+    assert(out == "A &lt; B x > y & z 'q'", s"got [$out]")
+  }
+
+  test("bucketByLength: same-bucket fixed-size batches, exact log2 buckets") {
+    val df = (1 to 40).map(i => (i.toLong, if (i <= 20) 5L else 300L))
+      .toDF("id", "n_tok")
+    val b = graft.ops.Packing.bucketByLength(df, col("id"), col("n_tok"),
+      batchSize = 4, shards = 2)
+    val rows = b.select("id", "n_tok", "bucket", "shard", "batch").collect()
+    rows.foreach { r =>
+      val expected = 63 - java.lang.Long.numberOfLeadingZeros(r.getLong(1))
+      assert(r.getLong(2) == expected, s"bucket of ${r.getLong(1)}")
+    }
+    val sizes = rows.groupBy(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(_._2.length)
+    assert(sizes.forall(_ <= 4), "no batch exceeds batchSize")
+    assert(sizes.exists(_ == 4), "full batches form")
+  }
+
+  test("Profile.summary: one-pass stats; HLL distinct near exact; arrays null min/max") {
+    val df = Seq(
+      (1L, Some("a"), Seq(1.0f)), (2L, None, Seq(2.0f)), (3L, Some("b"), Seq(3.0f)))
+      .toDF("id", "s", "vec")
+    val exact = graft.ops.Profile.summary(df, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact("id").getLong(1) == 3 && exact("id").getLong(2) == 0)
+    assert(exact("s").getLong(1) == 2 && exact("s").getLong(2) == 1)
+    assert(exact("s").getLong(3) == 2, "distinct non-null strings")
+    assert(exact("vec").isNullAt(4) && exact("vec").isNullAt(5), "array min/max null")
+    assert(exact("id").getDouble(6) == 2.0, "mean of ids")
+    val approx = graft.ops.Profile.summary(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(approx("id").getLong(3) - 3L) <= 1, "HLL within error at tiny n")
+  }
+
   test("keyProfile: hottest keys first with exact shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val rows = graft.ops.Scale.keyProfile(df, "k", 2).collect()
