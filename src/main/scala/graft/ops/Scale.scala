@@ -58,6 +58,31 @@ object Scale {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Skew-adaptive inner join — [[keyProfile]]'s findings applied
+    * automatically: keys whose left-side row count exceeds `hotThreshold`
+    * route through [[saltedJoin]] (hot key fans across `salts` tasks), the
+    * rest join plain; the union is the exact inner join. The hot-key set is
+    * tiny by construction (each member exceeds the threshold, so there are
+    * at most rows/threshold of them) and broadcasts to split both inputs
+    * without an extra shuffle. Use when one static skew plan must hold
+    * across engines/runs; inside one Spark session AQE's runtime skew
+    * handling covers the same ground.
+    */
+  def adaptiveJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int, hotThreshold: Long): DataFrame = {
+    require(salts > 0 && hotThreshold > 0, s"bad adaptiveJoin params ($salts, $hotThreshold)")
+    val hot = left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt__"))
+      .filter(col("__cnt__") > hotThreshold)
+      .drop("__cnt__")
+    val cold = left.join(broadcast(hot), keys, "left_anti")
+      .join(right.join(broadcast(hot), keys, "left_anti"), keys)
+    val salted = saltedJoin(
+      left.join(broadcast(hot), keys, "left_semi"),
+      right.join(broadcast(hot), keys, "left_semi"), keys, salts)
+    cold.unionByName(salted)
+  }
+
   /** Key-distribution skew profile — the diagnostic run BEFORE choosing a
     * salting/broadcast strategy: the `topK` hottest keys with their counts
     * and share of all rows. One map-side-combined count aggregate, a

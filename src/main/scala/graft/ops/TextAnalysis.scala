@@ -125,6 +125,30 @@ object TextAnalysis {
       size(filter(buckets, b => b === j)).cast("long"))
   }
 
+  /** Unicode-script profile (CCNet's routing signal next to [[langId]]):
+    * per-doc fraction of non-space characters in the basic Latin, Cyrillic,
+    * CJK, and Arabic ranges plus the dominant script. Explicit codepoint
+    * ranges (not `\p{script=}` classes) so the regexes run identically on
+    * Java regex and RE2-family engines. Shuffle-free map-side algebra.
+    */
+  def scriptProfile(c: Column): Column = {
+    val nonSpace = regexp_replace(c, "\\s", "")
+    val total = greatest(length(nonSpace), lit(1)).cast("double")
+    def frac(rangePat: String): Column =
+      round((length(nonSpace) -
+        length(regexp_replace(nonSpace, rangePat, ""))).cast("double") / total, 4)
+    val latin = frac("[a-zA-Z]")
+    val cyr = frac("[Ѐ-ӿ]")
+    val cjk = frac("[぀-ヿ一-鿿]")
+    val arabic = frac("[؀-ۿ]")
+    val dominant = when(latin >= cyr && latin >= cjk && latin >= arabic, "latin")
+      .when(cyr >= cjk && cyr >= arabic, "cyrillic")
+      .when(cjk >= arabic, "cjk")
+      .otherwise("arabic")
+    struct(latin.as("latin"), cyr.as("cyrillic"), cjk.as("cjk"),
+      arabic.as("arabic"), dominant.as("dominant"))
+  }
+
   /** HTML → text (C4/CCNet ingest pillar): drop script/style blocks, strip
     * tags, decode the common entities, collapse whitespace. Regexes stay in
     * the RE2-compatible subset (no backreferences — script and style get

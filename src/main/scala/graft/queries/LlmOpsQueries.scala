@@ -1873,10 +1873,103 @@ object LlmOpsQueries {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  /** BM25 corpus scoring against a fixed term set ([[graft.ops.Bm25]]) —
+    * retrieval-based selection (topic mining, rank-against-benchmark).
+    * Corpus stats reduce in one aggregate to a broadcast row; tf is a
+    * literal-term map-side projection; the score is a fixed-order fold the
+    * oracle replays factor for factor (k1+1 and 1−b spelled as the same
+    * IEEE expressions, not pre-folded constants).
+    */
+  val q165_bm25: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Bm25.score(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("text"), Seq("spark", "join", "vector"), "score")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      d AS (
+        SELECT doc_id, len(t)::DOUBLE AS dl,
+               len(list_filter(t, x -> x = 'spark'))::DOUBLE AS tf0,
+               len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf1,
+               len(list_filter(t, x -> x = 'vector'))::DOUBLE AS tf2
+        FROM toks),
+      s AS (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+               sum((tf0 > 0)::BIGINT)::DOUBLE AS df0,
+               sum((tf1 > 0)::BIGINT)::DOUBLE AS df1,
+               sum((tf2 > 0)::BIGINT)::DOUBLE AS df2
+        FROM d)
+      SELECT doc_id, round(
+          ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1) /
+            (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1) /
+            (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1) /
+            (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)), 4) AS score
+      FROM d, s
+      ORDER BY doc_id"""))
+
+  /** Unicode-script routing ([[TextAnalysis.scriptProfile]]): per-doc
+    * Latin/Cyrillic/CJK/Arabic character mass + dominant script, over text
+    * with planted non-Latin suffixes. Explicit codepoint ranges keep the
+    * regexes identical across Java regex and RE2.
+    */
+  val q166_script_detect: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("mixed", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" привет мир"))
+            .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+            .otherwise(lit(" hello"))))
+        .select(col("doc_id"), TextAnalysis.scriptProfile(col("mixed")).as("sp"))
+        .select(col("doc_id"), col("sp.latin").as("latin"),
+          col("sp.cyrillic").as("cyrillic"), col("sp.cjk").as("cjk"),
+          col("sp.arabic").as("arabic"), col("sp.dominant").as("dominant"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN ' привет мир'
+                            WHEN doc_id % 3 = 1 THEN ' 你好世界'
+                            ELSE ' hello' END AS mixed
+        FROM documents),
+      ns AS (
+        SELECT doc_id, regexp_replace(mixed, '\s', '', 'g') AS x
+        FROM m),
+      f AS (
+        SELECT doc_id,
+               greatest(length(x), 1)::DOUBLE AS total,
+               (length(x) - length(regexp_replace(x, '[a-zA-Z]', '', 'g')))::DOUBLE AS n_latin,
+               (length(x) - length(regexp_replace(x, '[Ѐ-ӿ]', '', 'g')))::DOUBLE AS n_cyr,
+               (length(x) - length(regexp_replace(x, '[぀-ヿ一-鿿]', '', 'g')))::DOUBLE AS n_cjk,
+               (length(x) - length(regexp_replace(x, '[؀-ۿ]', '', 'g')))::DOUBLE AS n_ar
+        FROM ns)
+      SELECT doc_id,
+             round(n_latin / total, 4) AS latin,
+             round(n_cyr / total, 4) AS cyrillic,
+             round(n_cjk / total, 4) AS cjk,
+             round(n_ar / total, 4) AS arabic,
+             CASE WHEN round(n_latin / total, 4) >= round(n_cyr / total, 4)
+                   AND round(n_latin / total, 4) >= round(n_cjk / total, 4)
+                   AND round(n_latin / total, 4) >= round(n_ar / total, 4) THEN 'latin'
+                  WHEN round(n_cyr / total, 4) >= round(n_cjk / total, 4)
+                   AND round(n_cyr / total, 4) >= round(n_ar / total, 4) THEN 'cyrillic'
+                  WHEN round(n_cjk / total, 4) >= round(n_ar / total, 4) THEN 'cjk'
+                  ELSE 'arabic' END AS dominant
+      FROM f
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
     "q164_length_batches" -> q164_length_batches,
+    "q165_bm25" -> q165_bm25,
+    "q166_script_detect" -> q166_script_detect,
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,

@@ -1377,8 +1377,33 @@ object OpQueries {
              count(DISTINCT o_totalprice), round(avg(o_totalprice), 4) FROM orders
       ORDER BY col_name"""))
 
+  /** Skew-adaptive join ([[graft.ops.Scale.adaptiveJoin]]): hot suppliers
+    * (left count > threshold) route through the salted path, cold ones join
+    * plain — the oracle is the PLAIN inner join, proving the split+union is
+    * exact. The threshold lands mid-distribution so both paths carry rows.
+    */
+  val q167_adaptive_join: Q = Q(
+    fn = (s, dir) => {
+      val left = table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+          col("l_linenumber"), round(col("l_quantity"), 4).as("qty"))
+      val right = table(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.ops.Scale.adaptiveJoin(left, right, Seq("suppkey"),
+          salts = 4, hotThreshold = 600)
+        .select(col("suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"), col("s_name"))
+        .orderBy(col("suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber,
+             round(l_quantity, 4) AS qty, s_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY suppkey, l_orderkey, l_linenumber"""))
+
   val all: Map[String, Q] = Map(
     "q162_profile" -> q162_profile,
+    "q167_adaptive_join" -> q167_adaptive_join,
     "q159_rolling_median" -> q159_rolling_median,
     "q160_key_profile" -> q160_key_profile,
     "q155_incremental_agg" -> q155_incremental_agg,

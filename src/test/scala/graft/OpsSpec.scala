@@ -1157,6 +1157,48 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx("id").getLong(3) - 3L) <= 1, "HLL within error at tiny n")
   }
 
+  test("Bm25.score: rarer term outranks common term; absent term scores 0") {
+    val docs = Seq(
+      (1L, "spark spark spark common"), (2L, "rare common"),
+      (3L, "common common"), (4L, "common filler words here"))
+      .toDF("id", "text")
+    val out = graft.ops.Bm25.score(docs, col("text"), Seq("spark", "rare"), "score")
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(3) == 0.0 && out(4) == 0.0, "docs without query terms score 0")
+    assert(out(1) > 0 && out(2) > 0)
+    // 'rare' (df=1) in doc2 must outscore one 'spark' occurrence would in the
+    // same doc — idf is monotone decreasing in df; doc2 has dl=2 like doc3
+    val idf1 = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    assert(out(2) > idf1 * 0.5, "sanity: rare-term score in the idf ballpark")
+  }
+
+  test("scriptProfile: dominant follows the planted script mass") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "привет мир да"), (3L, "你好世界呀 hi"))
+      .toDF("id", "t")
+    val rows = df.select(col("id"),
+        TextAnalysis.scriptProfile(col("t")).as("sp"))
+      .select(col("id"), col("sp.dominant"), col("sp.latin"), col("sp.cjk"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1).getString(1) == "latin" && rows(1).getDouble(2) == 1.0)
+    assert(rows(2).getString(1) == "cyrillic")
+    assert(rows(3).getString(1) == "cjk", s"got ${rows(3)}")
+    assert(rows(3).getDouble(3) > 0.5, "CJK mass dominates doc 3")
+  }
+
+  test("adaptiveJoin == plain join on 90%-hot-key data; both paths populated") {
+    val left = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => ((i % 10 + 2).toLong, i.toLong))).toDF("k", "v")
+    val right = (1L to 12L).map(k => (k, s"name_$k")).toDF("k", "nm")
+    val adaptive = graft.ops.Scale.adaptiveJoin(left, right, Seq("k"),
+      salts = 4, hotThreshold = 100)
+      .select("k", "v", "nm").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = left.join(right, Seq("k"))
+      .select("k", "v", "nm").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(adaptive.toSeq == plain.toSeq, "adaptive join must equal plain join")
+    assert(adaptive.count(_._1 == 1L) == 900, "hot key intact through salting")
+  }
+
   test("keyProfile: hottest keys first with exact shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val rows = graft.ops.Scale.keyProfile(df, "k", 2).collect()
