@@ -125,6 +125,33 @@ object TextAnalysis {
       size(filter(buckets, b => b === j)).cast("long"))
   }
 
+  /** Bigram-LM NLL with add-k smoothing — the context-aware step up from
+    * [[unigramNll]] (CCNet-style perplexity proxy): per-doc
+    * −mean log P(w_i | w_{i−1}) with P = (c(bigram)+k) / (c(context)+k·V),
+    * frequencies from the corpus itself. Shape at scale: ONE exploded gram
+    * frame feeds both frequency aggregates; scoring joins ride gram strings
+    * (doc text never re-shuffles); V is a single scalar count; the per-doc
+    * sum is a sorted fold — bit-deterministic on any partitioning.
+    */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      idCol: Column, k: Double = 1.0, out: String = "nll"): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(idCol.as("id"), explode(shingles(textCol, 2)).as("bg"))
+      .withColumn("ctx", element_at(split(col("bg"), " "), 1))
+    val vocabRow = df.select(explode(tokens(textCol)).as("t"))
+      .agg(count_distinct(col("t"))).head()
+    val vocab = if (vocabRow.isNullAt(0)) 0L else vocabRow.getLong(0)
+    val bgFreq = grams.groupBy(col("bg")).agg(count(lit(1)).as("__cbg__"))
+    val ctxFreq = grams.groupBy(col("ctx")).agg(count(lit(1)).as("__cctx__"))
+    grams.join(bgFreq, "bg").join(ctxFreq, "ctx")
+      .withColumn("__lp__",
+        log((col("__cbg__") + lit(k)) / (col("__cctx__") + lit(k) * lit(vocab.toDouble))))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("bg"), col("__lp__").as("lp")))).as("__xs__"))
+      .select(col("id"),
+        (-aggregate(col("__xs__"), lit(0.0), (a, x) => a + x.getField("lp"))
+          / size(col("__xs__"))).as(out))
+  }
+
   /** Unicode-script profile (CCNet's routing signal next to [[langId]]):
     * per-doc fraction of non-space characters in the basic Latin, Cyrillic,
     * CJK, and Arabic ranges plus the dominant script. Explicit codepoint

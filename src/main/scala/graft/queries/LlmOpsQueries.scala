@@ -1964,12 +1964,129 @@ object LlmOpsQueries {
       FROM f
       ORDER BY doc_id"""))
 
+  /** Bigram-LM quality scoring ([[TextAnalysis.bigramNll]], add-1
+    * smoothing): context-aware perplexity proxy over corpus-derived bigram
+    * and context frequencies. The oracle replays gram construction, both
+    * frequency tables, the vocab scalar, and the sorted `list_reduce` fold.
+    */
+  val q168_bigram_lm: Q = Q(
+    fn = (s, dir) =>
+      TextAnalysis.bigramNll(table(s, dir, "documents"), col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), (floor(col("nll") * 1e4 + 0.5) / 1e4).as("nll"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, u.bg,
+               string_split(u.bg, ' ')[1] AS ctx
+        FROM (SELECT doc_id,
+                     CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(generate_series(1, len(t) - 1),
+                                              i -> array_to_string(t[i:i+1], ' ')) END AS bgs
+              FROM toks), UNNEST(bgs) u(bg)),
+      vocab AS (SELECT count(DISTINCT u.tok) AS v
+                FROM toks, UNNEST(t) u(tok)),
+      bgf AS (SELECT bg, count(*) AS cbg FROM grams GROUP BY bg),
+      ctxf AS (SELECT ctx, count(*) AS cctx FROM grams GROUP BY ctx),
+      j AS (
+        SELECT doc_id, grams.bg,
+               ln((cbg + 1.0) / (cctx + 1.0 * v)) AS lp
+        FROM grams JOIN bgf USING (bg) JOIN ctxf USING (ctx) CROSS JOIN vocab),
+      g AS (SELECT doc_id, list(lp ORDER BY bg) AS xs FROM j GROUP BY doc_id)
+      SELECT doc_id,
+             floor(-list_reduce(xs, (a, b) -> a + b) / len(xs) * 1e4 + 0.5) / 1e4 AS nll
+      FROM g
+      ORDER BY doc_id"""))
+
+  /** Near-dup cluster-size histogram — dedup observability: how much mass
+    * each cluster size holds (the number that says whether dedup is
+    * removing boilerplate families or single twins). Rides the q91
+    * machinery: components → per-component size → size histogram.
+    */
+  val q169_cluster_sizes: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" appended")))
+      val corpus = docs.unionByName(near)
+      val pairs = Dedup.verifiedNearDupPairs(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val full = corpus.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      full.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"),
+          (col("sz") * count(lit(1))).as("n_docs"))
+        .orderBy(col("sz"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' appended' FROM documents
+        WHERE doc_id < 200 AND doc_id % 2 = 0),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h),
+      band AS (
+        SELECT doc_id, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM sig
+        GROUP BY doc_id, h // 2),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(
+                len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                4) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS n, doc_id AS lbl FROM corpus
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.n = e.a),
+      comp AS (SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n),
+      sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+      SELECT sz, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS n_docs
+      FROM sizes
+      GROUP BY sz
+      ORDER BY sz"""))
+
   val all: Map[String, Q] = Map(
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
     "q164_length_batches" -> q164_length_batches,
     "q165_bm25" -> q165_bm25,
     "q166_script_detect" -> q166_script_detect,
+    "q168_bigram_lm" -> q168_bigram_lm,
+    "q169_cluster_sizes" -> q169_cluster_sizes,
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,

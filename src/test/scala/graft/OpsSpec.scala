@@ -1157,6 +1157,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx("id").getLong(3) - 3L) <= 1, "HLL within error at tiny n")
   }
 
+  test("bigramNll: hand-checked add-1 smoothing on a two-doc corpus") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "t")
+    // grams: d1 = [a b, b a, a b], d2 = [a b, b c]; V = 3
+    // bigram counts: c(a b)=3, c(b a)=1, c(b c)=1
+    // context counts (grams starting with w): c(a)=3, c(b)=2
+    val cAB = 3.0; val cBA = 1.0; val cBC = 1.0; val ctxA = 3.0; val ctxB = 2.0; val v = 3.0
+    def p(cbg: Double, cctx: Double) = (cbg + 1.0) / (cctx + v)
+    val nll1 = -(math.log(p(cAB, ctxA)) * 2 + math.log(p(cBA, ctxB))) / 3
+    val nll2 = -(math.log(p(cAB, ctxA)) + math.log(p(cBC, ctxB))) / 2
+    val out = TextAnalysis.bigramNll(df, col("t"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - nll1) < 1e-12, s"doc1: ${out(1L)} vs $nll1")
+    assert(math.abs(out(2L) - nll2) < 1e-12, s"doc2: ${out(2L)} vs $nll2")
+  }
+
   test("Bm25.score: rarer term outranks common term; absent term scores 0") {
     val docs = Seq(
       (1L, "spark spark spark common"), (2L, "rare common"),
