@@ -125,4 +125,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"tpch-q5 must stay equi-join only:\n$p")
   }
+
+  test("q167 adaptive join: hot-key set broadcasts to split both inputs") {
+    val p = plan("q167_adaptive_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot set must broadcast (semi/anti splits stay map-side):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair-at-a-time plan:\n$p")
+  }
+
+  test("q165 bm25: corpus stats reach docs via broadcast, never a shuffle join") {
+    val p = plan("q165_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join degraded to SMJ:\n$p")
+  }
+
+  test("q164 length batching: exactly one exchange (the bucket/shard window)") {
+    val p = plan("q164_length_batches")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected window + final agg shuffles only, got $exchanges:\n$p")
+  }
+
+  test("q162 profile: single aggregate pass — no per-column jobs, one final row") {
+    val p = plan("q162_profile")
+    val aggregates = "HashAggregate".r.findAllIn(p).size +
+      "SortAggregate".r.findAllIn(p).size +
+      "ObjectHashAggregate".r.findAllIn(p).size
+    // one partial + one final pair per distinct-aggregate expand stage; the
+    // guard is that aggregate count stays O(1), not O(columns)
+    assert(aggregates <= 6, s"profile must stay a single pass, got $aggregates:\n$p")
+  }
 }
