@@ -154,6 +154,36 @@ object EventStreams {
       }
   }
 
+  /** The documents table as a streaming landing-directory source, with a
+    * deterministic ingest time derived from doc_id (a real deployment's
+    * Kafka/landing files carry arrival time; the fixture has none).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(s"$dir/documents*.parquet")
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+
+  /** Streaming corpus curation: the batch cleaning recipe (token floor +
+    * entropy floor + dedup) as ONE streaming plan. The stateless quality
+    * gates run map-side BEFORE the stateful dedup, so dedup state only ever
+    * holds gated survivors — gate placement is the state-size lever when
+    * the stream is raw crawl at 100 TB/day.
+    */
+  def curateDocuments(stream: DataFrame, textCol: org.apache.spark.sql.Column,
+      minTokens: Long, minEntropy: Double, staticDigests: DataFrame,
+      watermark: String): DataFrame =
+    dedupAgainstState(
+      stream.filter(
+        graft.ops.TextAnalysis.tokenCount(textCol) >= minTokens &&
+          graft.ops.TextAnalysis.charEntropy(textCol) >= minEntropy),
+      textCol, staticDigests, watermark)
+
   /** Drive a streaming frame to completion against the finite fixture and
     * return the materialized result (memory sink; `complete` for
     * aggregations so the final windows emit, `append` for row streams).

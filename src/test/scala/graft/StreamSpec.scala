@@ -195,6 +195,39 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.size == batch.size)
   }
 
+  test("streaming corpus curation == batch gates + anti-join + digest dedup") {
+    import graft.streaming.EventStreams
+    import graft.core.GraftSession
+    import graft.ops.{Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = GraftSession.table(spark, dir, "documents")
+    // "already ingested": digests of the first 50 docs
+    val state = Dedup.contentDigests(docs.filter(col("doc_id") < 50), col("text"))
+    val minTok = 30L; val minEnt = 2.0
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.curateDocuments(
+        EventStreams.readDocuments(spark, dir), col("text"),
+        minTok, minEnt, state, "10 minutes"),
+      "append")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val withD = docs
+      .filter(TextAnalysis.tokenCount(col("text")) >= minTok &&
+        TextAnalysis.charEntropy(col("text")) >= minEnt)
+      .withColumn("__d__", TextAnalysis.fingerprint(col("text")))
+    val batch = withD
+      .join(state.withColumnRenamed("digest", "__d__"), Seq("__d__"), "left_anti")
+      .orderBy(col("doc_id"))
+      .dropDuplicates(Seq("__d__"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty, "gated unseen docs must survive")
+    assert(streamed.forall(_ >= 50), "already-ingested digests must not re-emit")
+    def digestsOf(ids: Set[Long]) = withD
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("__d__")).collect().map(_.getLong(0)).toSet
+    assert(digestsOf(streamed) == digestsOf(batch))
+    assert(streamed.size == batch.size)
+  }
+
   test("streaming parquet sink round-trips the same result as the memory sink") {
     import graft.streaming.EventStreams
     val dir = "/root/testdata/sf0.001"
