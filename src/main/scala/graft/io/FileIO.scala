@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, shiftleft, shiftright}
 import graft.core.MLSchema
 
 /** Storage backends — reference `src/bears/constants/_FileConstants.py:53-58`
@@ -204,6 +204,36 @@ object Writers {
         .bitwiseOR(shiftleft(shiftright(xi, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
+
+  /** Parquet write + `_MANIFEST.json`: one JSON object per output file with
+    * row count and byte size, plus totals — the artifact a downstream
+    * trainer/auditor reads instead of re-listing and re-counting a
+    * million-file dataset. Rows-per-file comes from ONE distributed count
+    * over the written data (grouped by input_file_name), byte sizes from a
+    * single directory listing; nothing driver-side scales with row count.
+    */
+  def writeWithManifest(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .count()
+      .collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+      .toMap
+    val dir = new java.io.File(path)
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val entries = files.map { f =>
+      val rows = perFile.getOrElse(f.getAbsolutePath, 0L)
+      s"""{"file":"${f.getName}","rows":$rows,"bytes":${f.length()}}"""
+    }
+    val manifest =
+      s"""{"files":[${entries.mkString(",")}],""" +
+        s""""total_rows":${perFile.values.sum},"total_bytes":${files.map(_.length()).sum}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_MANIFEST.json"),
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Z-ordered layout: [[writeRangeSorted]] on the interleaved [[zValue]] —

@@ -130,4 +130,44 @@ object Sampling {
     }
     df.withColumn(out, labeled)
   }
+
+  /** Quality-ranked token-budget selection — "keep the best documents until
+    * the budget is spent": rows ordered by (score desc, id asc) survive
+    * while their EXCLUSIVE cumulative token count is under `budget`, so the
+    * selection fills the budget and only the last kept document may overflow
+    * it (the streaming-packing relaxation).
+    *
+    * The global quality order is NOT a single-task `Window.orderBy`:
+    * `repartitionByRange` on (−score, id) gives a sorted partitioning, each
+    * partition cumsums locally, and per-partition token totals (one tiny
+    * aggregate, ≤ one row per partition) stitch the global offsets — the
+    * same scheme `SCol.is_monotonic` uses. One range shuffle + one
+    * partition-local window at any scale.
+    */
+  def selectByTokenBudget(df: DataFrame, id: Column, score: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("__neg__", -score.cast("double"))
+      .withColumn("__sid__", id)
+      .withColumn("__tok__", tokens.cast("long"))
+      .repartitionByRange(col("__neg__"), col("__sid__"))
+      .sortWithinPartitions(col("__neg__"), col("__sid__"))
+      .withColumn("__pid__", spark_partition_id())
+    val offsets = ranked.groupBy(col("__pid__"))
+      .agg(sum(col("__tok__")).as("__ptot__"))
+      .withColumn("__off__",
+        coalesce(sum(col("__ptot__")).over(
+          Window.orderBy(col("__pid__"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid__"), col("__off__"))
+    val w = Window.partitionBy(col("__pid__"))
+      .orderBy(col("__neg__"), col("__sid__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(broadcast(offsets), Seq("__pid__"))
+      .withColumn("__cum__", col("__off__") + sum(col("__tok__")).over(w) - col("__tok__"))
+      .filter(col("__cum__") < budget)
+      .drop("__pid__", "__neg__", "__sid__", "__tok__", "__off__", "__cum__")
+  }
 }

@@ -125,6 +125,18 @@ object TextAnalysis {
       size(filter(buckets, b => b === j)).cast("long"))
   }
 
+  /** Unicode normalization, curation-pragmatic subset (the text-cleaning
+    * sibling of [[stripHtml]]): curly quotes/dashes/NBSP fold to ASCII via
+    * one `translate` (1:1, no regex engine), zero-width chars / soft hyphen /
+    * BOM strip, ellipsis expands to "...". Shuffle-free; every piece has an
+    * identical plain-SQL spelling.
+    */
+  def normalizeText(c: Column): Column = {
+    val folded = translate(c, "‘’“”–— ", "''\"\"-- ")
+    val stripped = regexp_replace(folded, "[​‌‍­﻿]", "")
+    trim(regexp_replace(stripped, "…", "..."))
+  }
+
   /** Bigram-LM NLL with add-k smoothing — the context-aware step up from
     * [[unigramNll]] (CCNet-style perplexity proxy): per-doc
     * −mean log P(w_i | w_{i−1}) with P = (c(bigram)+k) / (c(context)+k·V),

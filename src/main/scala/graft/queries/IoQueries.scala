@@ -570,8 +570,24 @@ object IoQueries {
       WHERE o_custkey <= 50 AND o_orderkey <= 20000
       ORDER BY o_orderkey"""))
 
+  /** Manifest-writing sink ([[Writers.writeWithManifest]]): parquet plus a
+    * `_MANIFEST.json` of per-file rows/bytes and totals — what a trainer
+    * reads instead of re-listing a million-file dataset. The query proves
+    * the data round trip; IoSpec checks the manifest against the files.
+    */
+  val q171_manifest_write: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("nation_manifest")
+      Writers.writeWithManifest(
+        table(s, dir, "nation").select(col("n_nationkey"), col("n_name")), out)
+      s.read.parquet(out).orderBy(col("n_nationkey"))
+    },
+    oracle = Some("""
+      SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
+
   val all: Map[String, Q] = Map(
     "q161_zorder_layout" -> q161_zorder_layout,
+    "q171_manifest_write" -> q171_manifest_write,
     "q156_range_layout" -> q156_range_layout,
     "q125_asof_forward" -> q125_asof_forward,
     "q130_str_extract_split" -> q130_str_extract_split,

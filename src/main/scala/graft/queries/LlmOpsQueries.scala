@@ -2079,6 +2079,62 @@ object LlmOpsQueries {
       GROUP BY sz
       ORDER BY sz"""))
 
+  /** Token-budget corpus selection ([[graft.ops.Sampling
+    * .selectByTokenBudget]]): keep the best documents (by n_chars, tie →
+    * doc_id) until the token budget fills. The implementation stitches
+    * per-partition cumsums over a range partitioning (never a single-task
+    * global window); the oracle is the equivalent single global window.
+    */
+  val q170_token_budget_select: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.ops.Sampling.selectByTokenBudget(
+          docs, col("doc_id"), col("n_chars"), col("n_tok"), budget = 1000L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH lens AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                               x -> length(x) >= 1)) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_chars,
+               sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok AS cum
+        FROM lens)
+      SELECT doc_id, n_chars FROM c WHERE cum < 1000
+      ORDER BY doc_id"""))
+
+  /** Unicode normalization ([[TextAnalysis.normalizeText]]): curly
+    * quotes/dashes/NBSP fold via one `translate`, zero-width chars strip,
+    * ellipsis expands — over text with planted unicode junk.
+    */
+  val q172_normalize_text: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("messy", concat(col("text"),
+          lit(" “quoted” – it’s… zero​width end")))
+        .select(col("doc_id"), TextAnalysis.normalizeText(col("messy")).as("clean"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id,
+               text || ' “quoted” – it’s… zero​width end' AS messy
+        FROM documents)
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 translate(messy, '‘’“”–— ', e'''''""-- '),
+                 '[​‌‍­﻿]', '', 'g'),
+               '…', '...', 'g')) AS clean
+      FROM m
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
@@ -2087,6 +2143,8 @@ object LlmOpsQueries {
     "q166_script_detect" -> q166_script_detect,
     "q168_bigram_lm" -> q168_bigram_lm,
     "q169_cluster_sizes" -> q169_cluster_sizes,
+    "q170_token_budget_select" -> q170_token_budget_select,
+    "q172_normalize_text" -> q172_normalize_text,
     "q144_bloom_decontamination" -> q144_bloom_decontamination,
     "q147_semantic_dedup" -> q147_semantic_dedup,
     "q152_keyword_tag" -> q152_keyword_tag,

@@ -306,6 +306,30 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("writeWithManifest: per-file rows/bytes agree with the files on disk") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString + "/out"
+    val df = spark.range(500).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(3)
+    graft.io.Writers.writeWithManifest(df, dir)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+    val totalRows = """"total_rows":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toLong
+    assert(totalRows == 500, s"manifest total_rows: $manifest")
+    val fileEntries = """"file":"([^"]+)","rows":(\d+),"bytes":(\d+)""".r
+      .findAllMatchIn(manifest).toSeq
+    assert(fileEntries.size == 3, s"expected 3 file entries in $manifest")
+    fileEntries.foreach { m =>
+      val f = new java.io.File(dir, m.group(1))
+      assert(f.exists, s"manifest names a missing file: ${m.group(1)}")
+      assert(f.length() == m.group(3).toLong, "byte size mismatch")
+      val rows = spark.read.parquet(f.toString).count()
+      assert(rows == m.group(2).toLong, s"row count mismatch for ${m.group(1)}")
+    }
+    // the manifest does not break a plain directory read
+    assert(spark.read.parquet(dir).count() == 500)
+  }
+
   test("zValue interleaves bits; writeZOrdered files hold disjoint z ranges") {
     import org.apache.spark.sql.functions.{col, min, max, lit}
     // x=3 -> bits at 0,2 = 5; y=1 -> bit at 1 = 2; z = 7

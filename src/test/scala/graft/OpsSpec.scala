@@ -1157,6 +1157,27 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx("id").getLong(3) - 3L) <= 1, "HLL within error at tiny n")
   }
 
+  test("selectByTokenBudget: best-first fill, last kept doc may overflow, partition-invariant") {
+    // scores 10..1, each doc 10 tokens, budget 35 -> keep scores 10,9,8,7
+    // (exclusive cumsums 0,10,20,30 < 35; the 4th overflows to 40 total)
+    val df = (1L to 10L).map(i => (i, (11 - i).toDouble, 10L)).toDF("id", "score", "n")
+    val kept = graft.ops.Sampling
+      .selectByTokenBudget(df, col("id"), col("score"), col("n"), budget = 35L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L), s"got $kept")
+    val kept1 = graft.ops.Sampling
+      .selectByTokenBudget(df.repartition(7), col("id"), col("score"), col("n"), budget = 35L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept1 == kept, "selection must not depend on input partitioning")
+  }
+
+  test("normalizeText folds quotes/dashes/NBSP, strips zero-widths, expands ellipsis") {
+    val messy = "“Hi” – it’s fine… a​b c"
+    val out = Seq(messy).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).head().getString(0)
+    assert(out == "\"Hi\" - it's fine... ab c", s"got [$out]")
+  }
+
   test("bigramNll: hand-checked add-1 smoothing on a two-doc corpus") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "t")
     // grams: d1 = [a b, b a, a b], d2 = [a b, b c]; V = 3
