@@ -296,6 +296,30 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** Asymmetric containment |A∩B| / |A| over precomputed distinct-shingle
+    * arrays — detects "document A is INSIDE document B" (wire-copy snippets,
+    * quote farms), which symmetric Jaccard under-scores when the container
+    * is much longer. Same staging discipline as [[jaccardShingles]]: arrays
+    * once per doc, never per pair.
+    */
+  def containmentShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val na = size(sa).cast("double")
+    when(na === 0, 0.0).otherwise(inter / na)
+  }
+
+  /** Duplicate-rate preview WITHOUT running dedup: digest per doc map-side,
+    * HyperLogLog distinct — zero shuffles of text, one partial-aggregable
+    * pass (the estimate you run on 100 TB before deciding the dedup budget).
+    * Returns one row: (n_docs, approx_distinct, dup_rate).
+    */
+  def dupRateEstimate(df: DataFrame, textCol: Column): DataFrame =
+    df.select(TextAnalysis.fingerprint(textCol).as("__d__"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("__d__")).as("approx_distinct"))
+      .select(col("n_docs"), col("approx_distinct"),
+        round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4).as("dup_rate"))
+
   /** SimHash over token hashes: bit k of the output is the sign of
     * `sum over tokens of (2*bit_k(hash(token)) - 1)`. Near-dups have small
     * hamming distance ([[hamming]]). `bits` ≤ 60.

@@ -125,6 +125,17 @@ object TextAnalysis {
       size(filter(buckets, b => b === j)).cast("long"))
   }
 
+  /** Within-doc line dedup — keep the FIRST occurrence of every line inside
+    * one document (navigation menus, repeated footers): line i survives iff
+    * its first index in the doc is i. Pure per-doc Column algebra —
+    * shuffle-free, O(lines²) string compares per doc (bounded by doc size) —
+    * the in-document complement of the global [[dedupLinesGlobal]].
+    */
+  def dedupLinesWithinDoc(c: Column): Column = {
+    val lines = split(c, "\n")
+    array_join(filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n")
+  }
+
   /** Unicode normalization, curation-pragmatic subset (the text-cleaning
     * sibling of [[stripHtml]]): curly quotes/dashes/NBSP fold to ASCII via
     * one `translate` (1:1, no regex engine), zero-width chars / soft hyphen /

@@ -2135,7 +2135,110 @@ object LlmOpsQueries {
       FROM m
       ORDER BY doc_id"""))
 
+  /** Asymmetric containment detection ([[Dedup.containmentShingles]]):
+    * |A∩B|/|A| over LSH candidates — "doc A lives inside doc B" (the
+    * planted `+" appended"` variants contain their originals at ≈1.0 while
+    * symmetric Jaccard under-scores them). Shingle arrays stage once per
+    * doc; only pairs that collide in a band are ever compared.
+    */
+  val q173_containment: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" appended")))
+      val corpus = docs.unionByName(near)
+      val cands = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2)
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.containmentShingles(col("sh_a"), col("sh_b")), 4).as("a_in_b"),
+          round(Dedup.containmentShingles(col("sh_b"), col("sh_a")), 4).as("b_in_a"))
+        .filter(col("a_in_b") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' appended' FROM documents
+        WHERE doc_id < 200 AND doc_id % 2 = 0),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, u.s FROM sh, UNNEST(shingles) u(s)),
+      sig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM ex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h),
+      band AS (
+        SELECT doc_id, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM sig
+        GROUP BY doc_id, h // 2),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM band l JOIN band r
+          ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+      scored AS (
+        SELECT id_a, id_b,
+               round(len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                     len(list_distinct(sa.shingles)), 4) AS a_in_b,
+               round(len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                     len(list_distinct(sb.shingles)), 4) AS b_in_a
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, a_in_b, b_in_a
+      FROM scored
+      WHERE a_in_b >= 0.9
+      ORDER BY id_a, id_b"""))
+
+  /** Within-doc line dedup ([[TextAnalysis.dedupLinesWithinDoc]]): first
+    * occurrence of each line survives — the in-document complement of
+    * q154's global pass, over docs synthesized with repeated lines.
+    * Shuffle-free per-doc algebra; the oracle replays the first-index test.
+    */
+  val q174_within_doc_lines: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("multi", concat_ws("\n", col("text"),
+          substring(col("text"), 1, 50), col("text"), substring(col("text"), 1, 50)))
+        .select(col("doc_id"),
+          TextAnalysis.dedupLinesWithinDoc(col("multi")).as("clean"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id,
+               [text, substr(text, 1, 50), text, substr(text, 1, 50)] AS ls
+        FROM documents)
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(
+                   list_transform(generate_series(1, len(ls)),
+                                  i -> {'i': i, 'x': ls[i]}),
+                   s -> list_position(ls, s.x) = s.i),
+                 s -> s.x),
+               chr(10)) AS clean
+      FROM m
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q173_containment" -> q173_containment,
+    "q174_within_doc_lines" -> q174_within_doc_lines,
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
     "q164_length_batches" -> q164_length_batches,

@@ -1157,6 +1157,39 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx("id").getLong(3) - 3L) <= 1, "HLL within error at tiny n")
   }
 
+  test("containmentShingles: substring doc scores 1.0 into container, Jaccard under-scores") {
+    val k = 3
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " plus lots of extra trailing context words here now"
+    val df = Seq((short, long)).toDF("a", "b")
+      .select(
+        array_distinct(TextAnalysis.shingles(col("a"), k)).as("sa"),
+        array_distinct(TextAnalysis.shingles(col("b"), k)).as("sb"))
+    val r = df.select(
+      Dedup.containmentShingles(col("sa"), col("sb")),
+      Dedup.jaccardShingles(col("sa"), col("sb"))).head()
+    assert(r.getDouble(0) == 1.0, s"contained doc must score 1.0, got ${r.getDouble(0)}")
+    assert(r.getDouble(1) < 0.5, s"Jaccard under-scores containment: ${r.getDouble(1)}")
+  }
+
+  test("dedupLinesWithinDoc keeps first occurrence of each line, order intact") {
+    val doc = Seq("menu", "body one", "menu", "body two", "body one", "footer")
+      .mkString("\n")
+    val out = Seq(doc).toDF("t")
+      .select(TextAnalysis.dedupLinesWithinDoc(col("t"))).head().getString(0)
+    assert(out == "menu\nbody one\nbody two\nfooter", s"got [$out]")
+  }
+
+  test("dupRateEstimate: HLL dup rate near exact without shuffling text") {
+    val docs = ((1 to 80).map(i => s"unique doc $i") ++ Seq.fill(20)("the duplicate"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val r = Dedup.dupRateEstimate(docs, col("text")).head()
+    assert(r.getLong(0) == 100)
+    // exact distinct = 81 -> dup rate 0.19; HLL error at n=81 is ~2%
+    assert(math.abs(r.getLong(1) - 81L) <= 3, s"approx distinct ${r.getLong(1)}")
+    assert(math.abs(r.getDouble(2) - 0.19) < 0.05, s"dup rate ${r.getDouble(2)}")
+  }
+
   test("selectByTokenBudget: best-first fill, last kept doc may overflow, partition-invariant") {
     // scores 10..1, each doc 10 tokens, budget 35 -> keep scores 10,9,8,7
     // (exclusive cumsums 0,10,20,30 < 35; the 4th overflows to 40 total)
