@@ -148,6 +148,11 @@ object Sampling {
       tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.expressions.Window
+    // ranked is read by THREE consumers (the range-partitioner's sampling
+    // pass, the offsets aggregate, the final join) — persist it for the
+    // duration of the call and release before returning (the Dedup
+    // materialize discipline), or each consumer re-runs the full upstream
+    // lineage
     val ranked = df
       .withColumn("__neg__", -score.cast("double"))
       .withColumn("__sid__", id)
@@ -155,6 +160,7 @@ object Sampling {
       .repartitionByRange(col("__neg__"), col("__sid__"))
       .sortWithinPartitions(col("__neg__"), col("__sid__"))
       .withColumn("__pid__", spark_partition_id())
+      .persist()
     val offsets = ranked.groupBy(col("__pid__"))
       .agg(sum(col("__tok__")).as("__ptot__"))
       .withColumn("__off__",
@@ -165,9 +171,12 @@ object Sampling {
     val w = Window.partitionBy(col("__pid__"))
       .orderBy(col("__neg__"), col("__sid__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked.join(broadcast(offsets), Seq("__pid__"))
+    val selected = ranked.join(broadcast(offsets), Seq("__pid__"))
       .withColumn("__cum__", col("__off__") + sum(col("__tok__")).over(w) - col("__tok__"))
       .filter(col("__cum__") < budget)
       .drop("__pid__", "__neg__", "__sid__", "__tok__", "__off__", "__cum__")
+    val out = selected.localCheckpoint(true)
+    ranked.unpersist(false)
+    out
   }
 }

@@ -227,11 +227,20 @@ object TextAnalysis {
     * probability as a mixing weight.
     */
   def linearScore(text: Column, weights: Seq[Double], bias: Double): Column = {
-    val feats = hashedTokenFeatures(text, weights.size)
-    val nTok = greatest(tokenCount(text), lit(1L)).cast("double")
-    val z = aggregate(
-      zip_with(feats, typedLit(weights), (f, w) => f.cast("double") / nTok * w),
-      lit(bias), (acc, v) => acc + v)
+    // fold in TOKEN order (z = bias + (Σ_t w[bucket(t)]) / n), hashing each
+    // token exactly once and keeping the lambda CLOSED over nothing but its
+    // own arguments: any outer expression referenced inside a HOF lambda is
+    // re-evaluated per element (a captured token-count expression turned the
+    // fold quadratic — re-tokenizing the doc once per token, benched 10×
+    // slower corpus-wide), and the per-dim count spelling re-hashes every
+    // token once per dim. Single division outside the fold.
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val wLit = typedLit(weights)
+    val z = lit(bias) + aggregate(
+      transform(toks, t => pmod(hash60(t), lit(weights.size.toLong))),
+      lit(0.0),
+      (acc, b) => acc + element_at(wLit, (b + 1).cast("int"))) / nTok
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 

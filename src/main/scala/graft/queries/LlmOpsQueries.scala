@@ -1706,13 +1706,14 @@ object LlmOpsQueries {
         FROM documents),
       b AS (
         SELECT doc_id, list_transform(t, x -> ${h60("x")} % 16) AS bk,
-               greatest(len(t), 1) AS n
+               greatest(len(t), 1)::DOUBLE AS n
         FROM toks),
       z AS (
         SELECT doc_id,
-               0.1 + list_sum(list_transform(generate_series(0, 15), j ->
-                 len(list_filter(bk, q -> q = j))::DOUBLE / n *
-                 ((j % 7 - 3) / 10.0))) AS z
+               0.1 + list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(bk, q -> (q % 7 - 3) / 10.0)),
+                 (a, v) -> a + v) / n AS z
         FROM b)
       SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
              round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
@@ -2236,9 +2237,100 @@ object LlmOpsQueries {
       FROM m
       ORDER BY doc_id"""))
 
+  /** Web-corpus pipeline v3 — the round's flagship end-to-end: raw HTML →
+    * [[TextAnalysis.stripHtml]] → token-floor + [[TextAnalysis.linearScore]]
+    * classifier gate → exact dedup ([[Dedup.exactDedupRows]]) →
+    * quality-ranked token-budget selection
+    * ([[graft.ops.Sampling.selectByTokenBudget]]), all ONE lazy plan. Every
+    * stage is individually oracle-verified elsewhere (q163/q157/q51/q170);
+    * this query hash-verifies their composition and the bench watches it.
+    * Shuffle census: digest groupBy + keeper semi-join + range partition +
+    * tiny offset stitch — text crosses the wire exactly once.
+    */
+  val q175_web_pipeline: Q = Q(
+    fn = (s, dir) => {
+      val weights = (0 until 16).map(j => (j % 5 - 2) / 10.0)
+      val cleaned = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>x()</script> Done &amp; done</body></html>")))
+        .withColumn("clean", TextAnalysis.stripHtml(col("html")))
+      val gated = cleaned
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("clean")))
+        .withColumn("score",
+          round(TextAnalysis.linearScore(col("clean"), weights, bias = 0.1), 4))
+        .filter(col("n_tok") >= 30 && col("score") >= 0.45)
+      // materialize the cleaned+gated intermediate once: exact dedup reads
+      // it twice (digest groupBy + keeper semi-join) and re-running the
+      // regex/scoring lineage per consumer doubles the CPU — at 100 TB this
+      // is the disk-backed staging dataset every multi-consumer pipeline
+      // writes between phases
+      val staged = gated
+        .select(col("doc_id"), col("clean"), col("n_tok"), col("score"))
+        .localCheckpoint(true)
+      val keepers = Dedup.exactDedupRows(staged, col("clean"), col("doc_id"))
+      graft.ops.Sampling.selectByTokenBudget(
+          keepers.select(col("doc_id"), col("n_tok"), col("score")),
+          col("doc_id"), col("score"), col("n_tok"), budget = 5000L)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><body><p>' || text ||
+               '</p><script>x()</script> Done &amp; done</body></html>' AS html
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+                       '<style[^>]*>.*?</style>', ' ', 'gis'),
+                     '<[^>]*>', ' ', 'gs'),
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                 '\\s+', ' ', 'g')) AS clean
+        FROM h),
+      t AS (
+        SELECT doc_id, clean,
+               list_filter(string_split_regex(lower(clean), '[^a-z0-9_]+'),
+                           x -> length(x) >= 1) AS tk
+        FROM c),
+      f AS (
+        SELECT doc_id, clean, len(tk) AS n_tok,
+               list_transform(tk, x -> ${h60("x")} % 16) AS bk,
+               greatest(len(tk), 1)::DOUBLE AS n
+        FROM t),
+      sc AS (
+        SELECT doc_id, clean, n_tok,
+               round(1.0 / (1.0 + exp(-(0.1 +
+                 list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(bk, q -> (q % 5 - 2) / 10.0)),
+                   (a, v) -> a + v) / n))), 4) AS score
+        FROM f),
+      g AS (SELECT * FROM sc WHERE n_tok >= 30 AND score >= 0.45),
+      keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM g
+        GROUP BY ${h60("trim(regexp_replace(lower(clean), '\\s+', ' ', 'g'))")}),
+      kd AS (SELECT g.doc_id, g.n_tok, g.score FROM g JOIN keep USING (doc_id)),
+      cum AS (
+        SELECT doc_id, n_tok, score,
+               sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tok AS cm
+        FROM kd)
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, score
+      FROM cum WHERE cm < 5000
+      ORDER BY doc_id"""),
+    bench = true) // regression-watch the composed ingest->select pipeline
+
   val all: Map[String, Q] = Map(
     "q173_containment" -> q173_containment,
     "q174_within_doc_lines" -> q174_within_doc_lines,
+    "q175_web_pipeline" -> q175_web_pipeline,
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
     "q164_length_batches" -> q164_length_batches,
