@@ -120,9 +120,14 @@ object TextAnalysis {
     */
   def hashedTokenFeatures(text: Column, dim: Int): Column = {
     require(dim > 0, "dim must be positive")
-    val buckets = transform(tokens(text), t => pmod(hash60(t), lit(dim.toLong)))
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      size(filter(buckets, b => b === j)).cast("long"))
+    // single-pass fold into a counts accumulator: the per-dim
+    // `size(filter(buckets, _ === j))` spelling captures the bucket
+    // transform in the lambda, re-evaluating the md5 hash of EVERY token
+    // once per dim (dim× the hashing); here each token hashes exactly once
+    aggregate(
+      transform(tokens(text), t => pmod(hash60(t), lit(dim.toLong)).cast("int")),
+      typedLit(Seq.fill(dim)(0L)),
+      (acc, b) => transform(acc, (v, i) => when(i === b, v + 1L).otherwise(v)))
   }
 
   /** Within-doc line dedup — keep the FIRST occurrence of every line inside
@@ -131,10 +136,17 @@ object TextAnalysis {
     * shuffle-free, O(lines²) string compares per doc (bounded by doc size) —
     * the in-document complement of the global [[dedupLinesGlobal]].
     */
-  def dedupLinesWithinDoc(c: Column): Column = {
-    val lines = split(c, "\n")
-    array_join(filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n")
-  }
+  def dedupLinesWithinDoc(c: Column): Column =
+    // seen-accumulator fold: the first-index spelling
+    // (`array_position(lines, l) === i + 1`) captures the split expression
+    // in the lambda and re-splits the whole document once per line
+    array_join(
+      aggregate(
+        split(c, "\n"),
+        typedLit(Seq.empty[String]),
+        (acc, l) => when(array_contains(acc, l), acc)
+          .otherwise(concat(acc, array(l)))),
+      "\n")
 
   /** Unicode normalization, curation-pragmatic subset (the text-cleaning
     * sibling of [[stripHtml]]): curly quotes/dashes/NBSP fold to ASCII via
