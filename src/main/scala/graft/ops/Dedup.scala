@@ -320,6 +320,26 @@ object Dedup {
       .select(col("n_docs"), col("approx_distinct"),
         round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4).as("dup_rate"))
 
+  /** Snapshot diff — incremental-pipeline observability: per-id status
+    * between two corpus snapshots (`added` / `removed` / `changed` /
+    * `unchanged`), where "changed" means the content [[TextAnalysis
+    * .fingerprint]] digests differ. One full-outer join carrying only ids +
+    * 8-byte digests; the documents themselves never shuffle.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      idCol: Column, textCol: Column): DataFrame = {
+    def digests(df: DataFrame) =
+      df.select(idCol.as("id"), TextAnalysis.fingerprint(textCol).as("d"))
+    val b = digests(before).withColumnRenamed("d", "__db__")
+    val a = digests(after).withColumnRenamed("d", "__da__")
+    b.join(a, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__db__").isNull, "added")
+          .when(col("__da__").isNull, "removed")
+          .when(col("__da__") === col("__db__"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** SimHash over token hashes: bit k of the output is the sign of
     * `sum over tokens of (2*bit_k(hash(token)) - 1)`. Near-dups have small
     * hamming distance ([[hamming]]). `bits` ≤ 60.

@@ -2327,10 +2327,48 @@ object LlmOpsQueries {
       ORDER BY doc_id"""),
     bench = true) // regression-watch the composed ingest->select pipeline
 
+  /** Corpus snapshot diff ([[Dedup.snapshotDiff]]): per-doc
+    * added/removed/changed/unchanged between two planted snapshots —
+    * incremental-crawl observability. One id+digest full-outer join; the
+    * oracle replays the digest compare with the same hash.
+    */
+  val q176_snapshot_diff: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val before = docs
+      val after = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+      Dedup.snapshotDiff(before, after, col("doc_id"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    },
+    oracle = Some(s"""
+      WITH before AS (SELECT doc_id, text FROM documents),
+      aft AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 10 != 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 2),
+      db AS (SELECT doc_id, ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS d FROM before),
+      da AS (SELECT doc_id, ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS d FROM aft),
+      st AS (
+        SELECT CASE WHEN db.doc_id IS NULL THEN 'added'
+                    WHEN da.doc_id IS NULL THEN 'removed'
+                    WHEN da.d = db.d THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM db FULL OUTER JOIN da ON db.doc_id = da.doc_id)
+      SELECT status, count(*) AS n FROM st GROUP BY status ORDER BY status"""))
+
   val all: Map[String, Q] = Map(
     "q173_containment" -> q173_containment,
     "q174_within_doc_lines" -> q174_within_doc_lines,
     "q175_web_pipeline" -> q175_web_pipeline,
+    "q176_snapshot_diff" -> q176_snapshot_diff,
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
     "q164_length_batches" -> q164_length_batches,

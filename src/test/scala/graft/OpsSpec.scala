@@ -1180,6 +1180,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out == "menu\nbody one\nbody two\nfooter", s"got [$out]")
   }
 
+  test("snapshotDiff: all four statuses on a hand-built pair of snapshots") {
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "t")
+    val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "t")
+    val st = Dedup.snapshotDiff(before, after, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("dupRateEstimate: HLL dup rate near exact without shuffling text") {
     val docs = ((1 to 80).map(i => s"unique doc $i") ++ Seq.fill(20)("the duplicate"))
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
