@@ -25,6 +25,7 @@ object GraftExtensions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fnv_hash64" -> ((exprs: Seq[Expression]) => FnvHash64(exprs.head)),
+    "md5_hash60" -> ((exprs: Seq[Expression]) => Md5Hash60(exprs.head)),
     "dot_product" -> ((exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
     "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropy(exprs.head)),
     "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()))

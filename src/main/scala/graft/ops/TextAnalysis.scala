@@ -25,9 +25,18 @@ object TextAnalysis {
 
   /** 60-bit content hash usable identically in any engine with md5:
     * first 15 hex chars of md5 as a non-negative long. The basis for
-    * fingerprints, MinHash and SimHash below.
+    * fingerprints, MinHash and SimHash below. Evaluated by the native
+    * [[graft.functions.Md5Hash60]] codegen Expression (digest bytes read
+    * directly — no hex/substring/re-parse string round-trips);
+    * [[hash60Reference]] keeps the built-in spelling for the differential
+    * spec and SQL replay documentation.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = graft.functions.Md5Hash60.md5_hash60(c)
+
+  /** The portable string spelling of [[hash60]] — what the DuckDB oracle
+    * executes; pinned bit-identical to the native kernel by FunctionsSpec.
+    */
+  def hash60Reference(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Document fingerprint: 60-bit hash of the whitespace-normalized,
