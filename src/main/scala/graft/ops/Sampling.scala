@@ -144,6 +144,32 @@ object Sampling {
     * same scheme `SCol.is_monotonic` uses. One range shuffle + one
     * partition-local window at any scale.
     */
+  /** Deterministic mixture-weighted source interleave — the training ORDER
+    * op: documents from different sources emerge evenly braided in
+    * proportion to `weights` (no long single-source runs, which bias
+    * gradient estimates), reproducibly on any partitioning/engine.
+    *
+    * Each row gets `pos = (rank within its source, by hash-shuffled order)
+    * / weight(source)`; ordering by (pos, id) yields the braid: a source
+    * with weight 2 emits two rows for every one row of a weight-1 source.
+    * One keyed window (rank per source) — no global state; the braid
+    * position is just a sort key, so downstream writers order by it or
+    * range-partition on it without ever materializing a global sequence.
+    * Adds `braid_pos`.
+    */
+  def interleaveBySource(df: DataFrame, sourceCol: Column, id: Column,
+      weights: Map[String, Double], default: Double = 1.0,
+      out: String = "braid_pos"): DataFrame = {
+    require(weights.values.forall(_ > 0) && default > 0, "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(TextAnalysis.hash60(id.cast("string")), id)
+    val weight = weights.toSeq.sortBy(_._1).foldRight(lit(default): Column) {
+      case ((name, wt), acc) => when(sourceCol === name, lit(wt)).otherwise(acc)
+    }
+    df.withColumn(out, row_number().over(w).cast("double") / weight)
+  }
+
   def selectByTokenBudget(df: DataFrame, id: Column, score: Column,
       tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

@@ -2364,11 +2364,44 @@ object LlmOpsQueries {
         FROM db FULL OUTER JOIN da ON db.doc_id = da.doc_id)
       SELECT status, count(*) AS n FROM st GROUP BY status ORDER BY status"""))
 
+  /** Mixture-weighted source interleave ([[graft.ops.Sampling
+    * .interleaveBySource]]): braid positions proportional to per-source
+    * weights over a hash-shuffled within-source order — the deterministic
+    * training-order op. The oracle replays rank/weight arithmetic; the
+    * first 200 braid rows also pin the ORDER itself.
+    */
+  val q177_source_interleave: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.interleaveBySource(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"),
+          Map("src0" -> 3.0, "src1" -> 2.0), default = 1.0)
+        .orderBy(col("braid_pos"), col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("source"), round(col("braid_pos"), 4).as("braid_pos")),
+    oracle = Some(s"""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+        FROM documents),
+      b AS (
+        SELECT doc_id, source,
+               rk::DOUBLE / (CASE source WHEN 'src0' THEN 3.0
+                                         WHEN 'src1' THEN 2.0
+                                         ELSE 1.0 END) AS braid_pos
+        FROM r)
+      SELECT doc_id, source, round(braid_pos, 4) AS braid_pos
+      FROM b
+      ORDER BY b.braid_pos, doc_id
+      LIMIT 200"""))
+
   val all: Map[String, Q] = Map(
     "q173_containment" -> q173_containment,
     "q174_within_doc_lines" -> q174_within_doc_lines,
     "q175_web_pipeline" -> q175_web_pipeline,
     "q176_snapshot_diff" -> q176_snapshot_diff,
+    "q177_source_interleave" -> q177_source_interleave,
     "q158_canonical_dedup" -> q158_canonical_dedup,
     "q163_html_strip" -> q163_html_strip,
     "q164_length_batches" -> q164_length_batches,

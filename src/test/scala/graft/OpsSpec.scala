@@ -1180,6 +1180,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == "menu\nbody one\nbody two\nfooter", s"got [$out]")
   }
 
+  test("interleaveBySource: braid prefix carries sources in weight proportion; partition-invariant") {
+    val rows = (1 to 300).map(i => (i.toLong, if (i <= 200) "heavy" else "light"))
+    val df = rows.toDF("id", "src")
+    val braided = graft.ops.Sampling.interleaveBySource(
+        df, col("src"), col("id"), Map("heavy" -> 2.0), default = 1.0)
+      .orderBy(col("braid_pos"), col("id"))
+    val prefix = braided.limit(120).select("src").as[String].collect()
+    val heavy = prefix.count(_ == "heavy")
+    // weight 2 vs 1 -> heavy should hold ~2/3 of any prefix (80 of 120)
+    assert(math.abs(heavy - 80) <= 2, s"heavy rows in prefix: $heavy")
+    val again = graft.ops.Sampling.interleaveBySource(
+        df.repartition(13), col("src"), col("id"), Map("heavy" -> 2.0), default = 1.0)
+      .orderBy(col("braid_pos"), col("id"))
+      .limit(120).select("src").as[String].collect()
+    assert(again.toSeq == prefix.toSeq, "braid order must not depend on partitioning")
+  }
+
   test("snapshotDiff: all four statuses on a hand-built pair of snapshots") {
     val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "t")
     val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "t")
