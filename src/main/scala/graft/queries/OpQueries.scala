@@ -1401,9 +1401,67 @@ object OpQueries {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       ORDER BY suppkey, l_orderkey, l_linenumber"""))
 
+  /** Ordered funnel ([[graft.ops.Behavior.funnel]]): view → click →
+    * purchase with a 7-day window anchored at the first view. Step-wise
+    * per-user MIN aggregates + user-key joins — no per-user event list;
+    * the oracle replays the same step chain.
+    */
+  val q178_funnel: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Behavior.funnel(table(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"), window = Some("7 days"))
+        .orderBy(col("step")),
+    oracle = Some("""
+      WITH a AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      b AS (
+        SELECT e.user_id, min(a.t1) AS t1, min(e.ts) AS tb
+        FROM events e JOIN a USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > a.t1
+          AND e.ts <= a.t1 + INTERVAL 7 DAY
+        GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS tc
+        FROM events e JOIN b USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > b.tb
+          AND e.ts <= b.t1 + INTERVAL 7 DAY
+        GROUP BY 1)
+      SELECT 1::BIGINT AS step, 'view' AS name, count(*) AS users FROM a
+      UNION ALL
+      SELECT 2::BIGINT, 'click', count(*) FROM b
+      UNION ALL
+      SELECT 3::BIGINT, 'purchase', count(*) FROM c
+      ORDER BY step"""))
+
+  /** Weekly cohort retention ([[graft.ops.Behavior.cohortRetention]]):
+    * users bucketed by first-activity week, counted per return week.
+    */
+  val q179_retention: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Behavior.cohortRetention(table(s, dir, "events"),
+          col("user_id"), col("ts"), "week", bucketDays = 7)
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("k"), col("users"))
+        .orderBy(col("cohort"), col("k")),
+    oracle = Some("""
+      WITH ev AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS b
+        FROM events),
+      coh AS (SELECT user_id, min(b) AS cohort FROM ev GROUP BY 1)
+      SELECT strftime(coh.cohort, '%Y-%m-%d') AS cohort,
+             CAST(date_diff('day', coh.cohort, b) // 7 AS BIGINT) AS k,
+             count(*) AS users
+      FROM ev JOIN coh USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
     "q162_profile" -> q162_profile,
     "q167_adaptive_join" -> q167_adaptive_join,
+    "q178_funnel" -> q178_funnel,
+    "q179_retention" -> q179_retention,
     "q159_rolling_median" -> q159_rolling_median,
     "q160_key_profile" -> q160_key_profile,
     "q155_incremental_agg" -> q155_incremental_agg,

@@ -1180,6 +1180,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out == "menu\nbody one\nbody two\nfooter", s"got [$out]")
   }
 
+  test("funnel: ordered steps, strict ordering, window cutoff") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(5), "click"), (1L, t(9), "buy"),   // full conversion
+      (2L, t(0), "view"), (2L, t(3), "click"),                      // stops at click
+      (3L, t(0), "click"), (3L, t(5), "view"),                      // click BEFORE view -> no step 2
+      (4L, t(0), "view"), (4L, t(500), "click")                     // click outside 1h window
+    ).toDF("u", "ts", "y")
+    val out = graft.ops.Behavior.funnel(ev, col("u"), col("ts"), col("y"),
+        Seq("view", "click", "buy"), window = Some("1 hour"))
+      .orderBy(col("step")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L),
+      s"got ${out.map(_.getLong(2)).toSeq}")
+  }
+
+  test("cohortRetention: first-week cohort counted in later weeks") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(1704067200000L + d * 86400000L) // 2024-01-01 Mon
+    val ev = Seq(
+      (1L, day(0)), (1L, day(7)), (1L, day(15)),   // weeks 0,1,2
+      (2L, day(1)), (2L, day(16)),                 // weeks 0,2
+      (3L, day(8))                                 // cohort week 1
+    ).toDF("u", "ts")
+    val out = graft.ops.Behavior.cohortRetention(ev, col("u"), col("ts"), "week", 7)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 2L),
+      ("2024-01-08", 0L, 1L)), s"got $out")
+  }
+
   test("interleaveBySource: braid prefix carries sources in weight proportion; partition-invariant") {
     val rows = (1 to 300).map(i => (i.toLong, if (i <= 200) "heavy" else "light"))
     val df = rows.toDF("id", "src")
