@@ -1457,11 +1457,55 @@ object OpQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** pandas `sort_values().groupby().head(n)` ([[graft.sdf.SDF.groupTopK]]):
+    * top-3 lineitems by extended price per supplier — one keyed window, no
+    * global sort.
+    */
+  val q180_group_topk: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))
+        .groupTopK(Seq(col("l_suppkey")), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), n = 3)
+        .df
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 4).as("price"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(l_extendedprice, 4) AS price
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC,
+                          l_orderkey * 10 + l_linenumber) AS rn
+        FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** Weighted mean, scalar ([[graft.sdf.SCol.wavg]]) and per-group:
+    * quantity-weighted average price — the np.average capability.
+    */
+  val q181_weighted_mean: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(
+          (sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+            .cast("double"), 4).as("wavg_price"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1"""))
+
   val all: Map[String, Q] = Map(
     "q162_profile" -> q162_profile,
     "q167_adaptive_join" -> q167_adaptive_join,
     "q178_funnel" -> q178_funnel,
     "q179_retention" -> q179_retention,
+    "q180_group_topk" -> q180_group_topk,
+    "q181_weighted_mean" -> q181_weighted_mean,
     "q159_rolling_median" -> q159_rolling_median,
     "q160_key_profile" -> q160_key_profile,
     "q155_incremental_agg" -> q155_incremental_agg,

@@ -320,6 +320,16 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   /** `dot` (`ScalableSeries.py:838-848`). */
   def dot(other: Column): Double = scalar[Double](sum(col * other))
 
+  /** Weighted mean `Σ(w·x)/Σw` over non-null pairs — the np.average
+    * capability (map-side partial aggregates, one reduce).
+    */
+  def wavg(weight: Column): Double = {
+    val both = when(col.isNotNull && weight.isNotNull, 1).otherwise(0)
+    scalar[Double](
+      sum(when(both === 1, col * weight)).cast("double") /
+        sum(when(both === 1, weight)).cast("double"))
+  }
+
   private val functions = org.apache.spark.sql.functions
 }
 

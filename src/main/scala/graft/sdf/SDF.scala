@@ -442,6 +442,18 @@ final class SDF private (private var _df: DataFrame) {
   def nlargest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by.map(_.desc): _*).limit(n))
   def nsmallest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by: _*).limit(n))
 
+  /** pandas `sort_values(by).groupby(keys).head(n)` — top-n rows per group
+    * by `order` (desc), ties broken by `tieBreak` for determinism. One
+    * keyed window shuffle; no global sort, no per-group collect.
+    */
+  def groupTopK(keys: Seq[Column], order: Column, tieBreak: Column, n: Int): SDF = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(order.desc, tieBreak)
+    SDF(_df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= n)
+      .drop("__rn__"))
+  }
+
   /** pandas-style `describe()` over numeric columns, long format
     * (stat, column, value) — count/mean/std/min/25%/50%/75%/max in ONE
     * aggregate pass (all statistics partial-aggregate or sketch).

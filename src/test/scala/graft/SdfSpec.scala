@@ -307,4 +307,15 @@ class SdfSpec extends AnyFunSuite {
       ("a", "2024-01-01 00:10:00.0", Some(1L)),
       ("b", "2024-01-01 01:00:00.0", Some(1L))), s"got $out")
   }
+
+  test("groupTopK keeps exactly top-n per group; wavg weights correctly") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0)).toDF("g", "id", "x")
+    val top = SDF(df).groupTopK(Seq(col("g")), col("x"), col("id"), n = 2)
+      .df.select("id").as[Long].collect().sorted.toSeq
+    assert(top == Seq(2L, 3L, 4L), s"got $top")
+    // wavg: (10*1 + 30*3)/(1+3) = 25
+    val w = Seq((10.0, 1.0), (30.0, 3.0)).toDF("x", "w")
+    assert(SDF(w)("x").wavg(col("w")) == 25.0)
+  }
 }
