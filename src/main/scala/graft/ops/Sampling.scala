@@ -187,6 +187,10 @@ object Sampling {
       .sortWithinPartitions(col("__neg__"), col("__sid__"))
       .withColumn("__pid__", spark_partition_id())
       .persist()
+    // warm the cache with one action: the two consumers below otherwise
+    // race to populate the same blocks (each computing the partition once —
+    // wasted work and "Block already exists" noise at scale)
+    ranked.count()
     val offsets = ranked.groupBy(col("__pid__"))
       .agg(sum(col("__tok__")).as("__ptot__"))
       .withColumn("__off__",
