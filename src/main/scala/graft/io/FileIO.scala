@@ -98,6 +98,14 @@ object Readers {
 
   def read(spark: SparkSession, path: String): DataFrame = read(spark, FileMetadata.of(path))
 
+  /** Schema-evolution parquet read: union the schemas of every file under
+    * `path` (Spark's `mergeSchema` — each footer contributes its columns,
+    * missing columns read as null). The default read takes one footer's
+    * schema for speed; use this when a dataset accreted columns over time.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Multi-path read (`DataFrameReader.py:234-296`'s parallel fan-out —
     * native in Spark).
     */

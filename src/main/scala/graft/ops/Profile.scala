@@ -56,4 +56,23 @@ object Profile {
     }
     wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (the pre-release
+    * privacy gate next to the PII scrub): a dataset is k-anonymous when
+    * every quasi-identifier combination is shared by ≥ k rows. One grouped
+    * count + one scalar aggregate — map-side combined, no row data moves
+    * beyond the quasi-identifier tuple. Returns a single row:
+    * `k_min` (the anonymity the data actually achieves), `groups_total`,
+    * `groups_below` and `rows_at_risk` (groups/rows with < k peers).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz__"))
+      .agg(min(col("__sz__")).as("k_min"),
+        count(lit(1)).as("groups_total"),
+        sum(when(col("__sz__") < k, 1L).otherwise(0L)).as("groups_below"),
+        coalesce(sum(when(col("__sz__") < k, col("__sz__"))), lit(0L)).as("rows_at_risk"))
+  }
 }

@@ -97,6 +97,37 @@ object RankStats {
     greatest(least(col(c).cast("double"), lit(hi)), lit(lo))
   }
 
+  /** Trimmed mean: mean of the values inside the exact [p, 1−p] quantile
+    * band (scipy `trim_mean` semantics at type-7 boundaries, inclusive).
+    * Two lightweight range-sort jobs for the boundaries ([[exactQuantiles]])
+    * + one map-side conditional average.
+    */
+  def trimmedMean(df: DataFrame, c: String, p: Double): Double = {
+    require(p >= 0 && p < 0.5, s"trim fraction must be in [0, 0.5): $p")
+    val Seq(lo, hi) = exactQuantiles(df, c, Seq(p, 1 - p))
+    val r = df.agg(avg(when(col(c).cast("double").between(lo, hi),
+      col(c).cast("double")))).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** Per-group trimmed mean: each group's [p, 1−p] band from the grouped
+    * exact `percentile` (partial-aggregated — the q92-verified path), then
+    * one conditional average per group. Two shuffles on the group keys,
+    * nothing global.
+    */
+  def trimmedMeanPerGroup(df: DataFrame, groupCols: Seq[String], c: String,
+      p: Double, out: String = "trimmed_mean"): DataFrame = {
+    require(p >= 0 && p < 0.5, s"trim fraction must be in [0, 0.5): $p")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(c).cast("double"), array(lit(p), lit(1 - p))).as("__b__"))
+      .select(groupCols.map(col) :+ element_at(col("__b__"), 1).as("__lo__")
+        :+ element_at(col("__b__"), 2).as("__hi__"): _*)
+    df.join(bounds, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(avg(when(col(c).cast("double").between(col("__lo__"), col("__hi__")),
+        col(c).cast("double"))).as(out))
+  }
+
   /** Spearman rank correlation of two columns, pairwise-complete (rows where
     * either side is null are dropped before ranking — pandas semantics).
     */

@@ -114,6 +114,39 @@ object Sampling {
       .drop("__score__")
   }
 
+  /** Weighted sampling without replacement from LOG-weights — the Gumbel
+    * top-k trick ([[weightedNByHash]]'s complement for weights that only
+    * exist in log space, e.g. DSIR importance scores, LM log-likelihoods,
+    * where `exp(logw)` would over/underflow): each row draws the
+    * deterministic uniform `u = (hash60(id:seed) mod 1e9 + 0.5)/1e9` and the
+    * n largest `key = logw + Gumbel(u) = logw − ln(−ln u)` win; inclusion
+    * probability ∝ exp(logw). Map-side key + TakeOrderedAndProject — no full
+    * shuffle, reproducible on any partitioning. The key is rounded to 6
+    * decimals with an id tie-break so 1-ulp `ln` differences between engines
+    * can never flip the selection boundary.
+    */
+  def gumbelTopK(df: DataFrame, id: Column, logWeight: Column, n: Int,
+      seed: Long = 0L): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (pmod(TextAnalysis.hash60(concat(id.cast("string"), lit(":"), lit(seed))),
+      lit(1000000000L)).cast("double") + lit(0.5)) / lit(1e9)
+    df.withColumn("__gk__", round(logWeight.cast("double") - log(-log(u)), 6))
+      .orderBy(col("__gk__").desc, id)
+      .limit(n)
+      .drop("__gk__")
+  }
+
+  /** Deterministic k-fold assignment (cross-validation folds): fold =
+    * `hash60(id) mod k`, appended as a column — map-side, engine-portable,
+    * the same row lands in the same fold on any cluster layout. Folds are
+    * hash-balanced (±√n noise), not exact-n; compose with [[nByHashPerGroup]]
+    * when exact per-fold counts matter.
+    */
+  def kFold(df: DataFrame, id: Column, k: Int, out: String = "fold"): DataFrame = {
+    require(k >= 2, s"need at least 2 folds: $k")
+    df.withColumn(out, pmod(TextAnalysis.hash60(id.cast("string")), lit(k.toLong)))
+  }
+
   /** Deterministic train/val/test split: id-hash bucketed into consecutive
     * fraction ranges, appended as a label column. Map-side, reproducible on
     * any partitioning — the same row lands in the same split on every

@@ -112,13 +112,17 @@ object TextAnalysis {
   /** Word k-shingles: contiguous k-grams joined by a space — the MinHash
     * input unit.
     */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
+  def shingles(c: Column, k: Int): Column = shinglesFromTokens(tokens(c), k)
+
+  /** [[shingles]] over an already-tokenized array column — callers that
+    * stage tokens as their own materialized column use this form so the
+    * tokenizer never re-evaluates inside the gram lambda.
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
 
   /** Hashed bag-of-tokens feature vector (fastText/Vowpal hashing trick):
     * token t increments bucket `hash60(t) mod dim` — a fixed-width integer
@@ -339,6 +343,67 @@ object TextAnalysis {
     result
   }
 
+  /** Duplicate-span REMOVAL — the rewrite counterpart of
+    * [[duplicateSpanFraction]] (which only audits): every token covered by a
+    * k-gram that occurs more than once in the corpus (any doc, including a
+    * second occurrence in the same doc) is dropped, and the document is
+    * rebuilt from the surviving tokens. This is the deduplicate-training-data
+    * "ExactSubstr" shape at k-token granularity: verbatim boilerplate and
+    * cross-doc copies vanish while unique prose survives.
+    *
+    * Output text is the canonical token stream (lowercased, single-space
+    * joined — the same normalization [[fingerprint]] uses); a fully
+    * duplicated document becomes the empty string, never a dropped row.
+    *
+    * Scale shape: everything is token/gram-level rows — text itself never
+    * shuffles. (1) gram hashes with start positions, (2) gram-keyed count
+    * (map-side combined), (3) covered positions = explode of the ≤k-wide
+    * window per duplicated gram, distinct, (4) token-level anti-join,
+    * (5) per-doc ordered rebuild. No per-doc quadratic HOF anywhere — a doc
+    * that is 100% duplicated costs O(tokens·k) row traffic, not O(tokens²)
+    * lambda work. Docs shorter than k tokens form one whole-doc gram (the
+    * [[shingles]] convention), so short exact copies still dedup.
+    */
+  def removeDuplicateSpans(df: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, k: Int = 5,
+      out: String = "clean_text"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
+    val base = df.select(idCol.as("id"), tokens(textCol).as("__t__"))
+      .persist() // feeds grams AND the token-position frame; tokenize once
+    // (id, gidx 1-based, gram hash); short docs: one gram covering all tokens
+    val grams = base.select(col("id"), size(col("__t__")).as("__n__"),
+        posexplode(transform(shinglesFromTokens(col("__t__"), k), s => hash60(s))))
+      .select(col("id"), col("__n__"), (col("pos") + 1).as("__gi__"), col("col").as("__g__"))
+    val dupGrams = grams.join(
+      grams.groupBy(col("__g__")).agg(count(lit(1)).as("__c__"))
+        .filter(col("__c__") > 1).select(col("__g__")),
+      "__g__")
+    // covered token positions (0-based), deduped; window width = min(k, doc len)
+    val covered = dupGrams
+      .select(col("id"),
+        explode(sequence(col("__gi__") - 1,
+          col("__gi__") - 2 + least(lit(k), col("__n__")))).as("__p__"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("__t__")))
+      .withColumnRenamed("pos", "__p__").withColumnRenamed("col", "__tok__")
+      .join(covered, Seq("id", "__p__"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__p__"), col("__tok__")))),
+        x => x.getField("__tok__")), " ").as(out),
+        count(lit(1)).as("n_kept"))
+    // docs whose every token was covered drop out of `kept` — restore as ""
+    val result = base.select(col("id"), size(col("__t__")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col(out), lit("")).as(out))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    result
+  }
+
   /** Unigram-LM quality score — the CCNet-style perplexity proxy without an
     * external model: per-doc mean negative log-probability of its tokens
     * under the CORPUS unigram distribution. High nll = rare-token gibberish,
@@ -366,6 +431,67 @@ object TextAnalysis {
       .select(col("id"),
         (-aggregate(col("__xs__"), lit(0.0), (a, x) => a + x.getField("lp"))
           / size(col("__xs__"))).as(out))
+  }
+
+  /** Flesch reading-ease estimate from portable regex counts — the classic
+    * readability quality signal (`206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`), with syllables approximated by vowel-group
+    * runs per word (the standard regex proxy) and sentences by terminal
+    * punctuation runs (min 1). Shuffle-free column algebra; every count is
+    * replayable in any engine with regex extraction.
+    */
+  def fleschReadingEase(c: Column): Column = {
+    val words = size(regexp_extract_all(c, lit("[A-Za-z]+"), lit(0))).cast("double")
+    val syllables = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0))).cast("double")
+    val sentences = greatest(size(regexp_extract_all(c, lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+    when(words === 0, lit(null).cast("double"))
+      .otherwise(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / words))
+  }
+
+  /** DSIR-style importance score (Data Selection via Importance Resampling):
+    * per-doc log importance weight of a TARGET distribution against the RAW
+    * corpus distribution, over hashed unigram features —
+    * `score(d) = Σ_{tok ∈ d} ln( p_target(bucket(tok)) / p_raw(bucket(tok)) )`
+    * with add-α smoothing on both hashed-bucket models. High scores mark raw
+    * docs that look like the target domain; feed the scores to
+    * [[Sampling.gumbelTopK]] (log-weights) to draw the selected subset.
+    *
+    * Scale shape: both bucket models are `dim`-row aggregates (map-side
+    * combined token counts — `dim` is fixed, e.g. 4096, regardless of corpus
+    * size), broadcast back onto the token stream; per-doc score is one more
+    * map-side-combined sum. Token totals are two scalar aggregates (bounded
+    * driver actions). No vocabulary pass, no text shuffle.
+    */
+  def dsirScores(raw: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
+      target: org.apache.spark.sql.DataFrame, targetTextCol: Column,
+      dim: Int = 4096, alpha: Double = 0.5,
+      out: String = "dsir_score"): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "dim must be positive")
+    def buckets(df: org.apache.spark.sql.DataFrame, text: Column, keep: Seq[Column]) =
+      df.select(keep :+ explode(tokens(text)).as("__tok__"): _*)
+        .withColumn("__b__", pmod(hash60(col("__tok__")), lit(dim.toLong)))
+    val rawToks = buckets(raw, textCol, Seq(idCol.as("id"))).persist()
+    val tgtToks = buckets(target, targetTextCol, Seq.empty)
+    val rawTotal = rawToks.count().toDouble // materializes the cache too
+    val tgtCounts = tgtToks.groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
+    val tgtTotalRow = tgtToks.agg(count(lit(1))).first()
+    val tgtTotal = tgtTotalRow.getLong(0).toDouble
+    // dim-row ratio table: ln(p_target/p_raw) per bucket, smoothed both sides
+    val rawCounts = rawToks.groupBy(col("__b__")).agg(count(lit(1)).as("__cr__"))
+    val ratios = rawCounts.join(tgtCounts, Seq("__b__"), "outer")
+      .select(col("__b__"),
+        (log((coalesce(col("__ct__"), lit(0L)).cast("double") + lit(alpha)) /
+             lit(tgtTotal + alpha * dim)) -
+         log((coalesce(col("__cr__"), lit(0L)).cast("double") + lit(alpha)) /
+             lit(rawTotal + alpha * dim))).as("__lr__"))
+    val result = rawToks
+      .join(broadcast(ratios), Seq("__b__"))
+      .groupBy(col("id"))
+      .agg(sum(col("__lr__")).as(out))
+      .localCheckpoint(true)
+    rawToks.unpersist(false)
+    result
   }
 
   /** Corpus-wide top-N k-grams by occurrence count (stopword/boilerplate

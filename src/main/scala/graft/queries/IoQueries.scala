@@ -35,6 +35,32 @@ object IoQueries {
       FROM nation
       ORDER BY n_nationkey"""))
 
+  /** Schema-evolution parquet read ([[Readers.readParquetMerged]]): two
+    * files written under one dataset dir with different column sets; the
+    * merged read unions the schemas, absent columns null-filled per file.
+    */
+  val q192_merge_schema: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("nation_evolved")
+      val nation = table(s, dir, "nation")
+      nation.select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(out + "/gen1")
+      nation.select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.mode("overwrite").parquet(out + "/gen2")
+      Readers.readParquetMerged(s, out + "/gen*")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"), col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+      FROM (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation)
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(n_regionkey AS BIGINT)
+      FROM nation
+      ORDER BY n_nationkey, n_name"""))
+
   /** JSON-lines sink → scan (`JsonLinesReader.py` / `JsonLinesWriter.py`). */
   val q71_jsonl_roundtrip: Q = Q(
     fn = (s, dir) => {
@@ -603,6 +629,7 @@ object IoQueries {
     "q87_melt" -> q87_melt,
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
     "q101_orc_roundtrip" -> q101_orc_roundtrip,
+    "q192_merge_schema" -> q192_merge_schema,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
     "q79_npz_roundtrip" -> q79_npz_roundtrip,

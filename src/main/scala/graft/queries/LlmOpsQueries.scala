@@ -2396,7 +2396,161 @@ object LlmOpsQueries {
       ORDER BY b.braid_pos, doc_id
       LIMIT 200"""))
 
+  /** Duplicate-span REMOVAL ([[TextAnalysis.removeDuplicateSpans]]) — the
+    * ExactSubstr-style rewrite: half the corpus gets a shared boilerplate
+    * sentence appended (its 5-grams recur corpus-wide → stripped from every
+    * doc), and the first 50 docs are fully copied under new ids (every gram
+    * duplicated → both copies rewritten to empty). The oracle replays
+    * gram-positions → duplicated grams → covered positions → token
+    * anti-join → ordered rebuild.
+    */
+  val q182_remove_dup_spans: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boiler = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" subscribe to our newsletter for free updates every day")))
+          .otherwise(col("text")))
+      val corpus = boiler.unionByName(
+        boiler.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      TextAnalysis.removeDuplicateSpans(corpus, col("doc_id"), col("text"), k = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || ' subscribe to our newsletter for free updates every day'
+                    ELSE text END AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || ' subscribe to our newsletter for free updates every day'
+                    ELSE text END
+        FROM documents WHERE doc_id < 50),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, len(t) AS n, gi,
+               ${h60("array_to_string(t[gi:CASE WHEN len(t) < 5 THEN len(t) ELSE gi + 4 END], ' ')")} AS g
+        FROM toks, UNNEST(generate_series(1,
+               CASE WHEN len(t) < 5 THEN 1 ELSE len(t) - 4 END)) u(gi)),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+      covered AS (
+        SELECT DISTINCT doc_id, p
+        FROM grams JOIN dup USING (g),
+             UNNEST(generate_series(gi - 1, gi - 2 + least(5, n))) c(p)),
+      tp AS (
+        SELECT doc_id, i - 1 AS p, t[i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(t))) u(i)),
+      kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+        WHERE c.p IS NULL),
+      res AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(r.clean_text, '') AS clean_text
+      FROM toks t LEFT JOIN res r USING (doc_id)
+      ORDER BY t.doc_id"""))
+
+  /** DSIR importance selection ([[TextAnalysis.dsirScores]] +
+    * [[graft.ops.Sampling.gumbelTopK]]): hashed-unigram log importance of
+    * the English subset (target) against the whole corpus (raw), then a
+    * deterministic Gumbel top-100 draw on the log-weights. The oracle
+    * replays both bucket LMs, the smoothed log-ratio sum, and the
+    * hash-seeded Gumbel race.
+    */
+  val q183_dsir_select: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scores = TextAnalysis.dsirScores(
+        docs, col("doc_id"), col("text"),
+        docs.filter(col("lang") === "en"), col("text"),
+        dim = 1024, alpha = 0.5)
+      graft.ops.Sampling.gumbelTopK(scores, col("id"), col("dsir_score"),
+          n = 100, seed = 7)
+        .select(col("id").as("doc_id"), round(col("dsir_score"), 4).as("dsir_score"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.tok
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                         x -> length(x) >= 1) AS t
+              FROM documents) d, UNNEST(d.t) u(tok)),
+      bt AS (SELECT doc_id, ${h60("tok")} % 1024 AS b FROM toks),
+      tgt AS (
+        SELECT b, count(*) AS ct
+        FROM bt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+      raw AS (SELECT b, count(*) AS cr FROM bt GROUP BY b),
+      tots AS (
+        SELECT (SELECT count(*) FROM bt JOIN documents USING (doc_id)
+                WHERE lang = 'en') AS tt,
+               (SELECT count(*) FROM bt) AS rt),
+      ratio AS (
+        SELECT r.b,
+               ln((coalesce(t.ct, 0) + CAST(0.5 AS DOUBLE)) / (tots.tt + CAST(0.5 AS DOUBLE) * 1024)) -
+               ln((r.cr + CAST(0.5 AS DOUBLE)) / (tots.rt + CAST(0.5 AS DOUBLE) * 1024)) AS lr
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots),
+      scores AS (
+        SELECT doc_id, sum(lr) AS s
+        FROM bt JOIN ratio USING (b) GROUP BY doc_id),
+      keyed AS (
+        SELECT doc_id, s,
+               round(s - ln(-ln((${h60("doc_id || ':7'")} % 1000000000 + CAST(0.5 AS DOUBLE)) / 1e9)), 6) AS gk
+        FROM scores)
+      SELECT doc_id, round(s, 4) AS dsir_score
+      FROM (SELECT doc_id, s FROM keyed ORDER BY gk DESC, doc_id LIMIT 100)
+      ORDER BY doc_id"""))
+
+  /** Deterministic k-fold assignment ([[graft.ops.Sampling.kFold]]):
+    * hash-mod folds, engine-replayable.
+    */
+  val q189_kfold: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Sampling.kFold(table(s, dir, "documents"), col("doc_id"), k = 5)
+        .select(col("doc_id"), col("fold"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      SELECT doc_id, ${h60("CAST(doc_id AS VARCHAR)")} % 5 AS fold
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Flesch reading-ease ([[TextAnalysis.fleschReadingEase]]): regex
+    * word/vowel-group/sentence counts, the classic readability gate.
+    */
+  val q190_readability: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.fleschReadingEase(col("text")), 4).as("flesch"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             CASE WHEN words = 0 THEN NULL
+                  ELSE round(206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words), 4)
+             END AS flesch
+      FROM (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sylls,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS sents
+        FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q189_kfold" -> q189_kfold,
+    "q190_readability" -> q190_readability,
+    "q182_remove_dup_spans" -> q182_remove_dup_spans,
+    "q183_dsir_select" -> q183_dsir_select,
     "q173_containment" -> q173_containment,
     "q174_within_doc_lines" -> q174_within_doc_lines,
     "q175_web_pipeline" -> q175_web_pipeline,

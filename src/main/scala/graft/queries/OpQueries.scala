@@ -1499,7 +1499,176 @@ object OpQueries {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** Damped PageRank ([[graft.ops.Graph.pageRank]]) over the bipartite
+    * customer↔supplier purchase graph (orders ⋈ lineitem, both directions →
+    * no dangling nodes, so the oracle's recursive CTE needs no dangling
+    * redistribution term; the dangling path is spec-verified separately).
+    * 10 fixed iterations, d = 0.85; ranks reported scaled by |V| (mean 1).
+    */
+  val q184_pagerank: Q = Q(
+    fn = (s, dir) => {
+      val pairs = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
+        iterations = 10, damping = 0.85)
+      val n = ranks.count() // ranks is checkpointed; count is a cache scan
+      ranks.select(col("node"),
+          round(col("rank") * lit(n.toDouble), 4).as("rank_scaled"))
+        .orderBy(col("node"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s, c FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      pr(iter, node, rank) AS (
+        SELECT 0, node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) FROM nodes
+        UNION ALL
+        SELECT p.iter + 1, e.dst,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                 + CAST(0.85 AS DOUBLE) * sum(p.rank / dg.d)
+        FROM pr p
+        JOIN deg dg ON p.node = dg.src
+        JOIN edges e ON p.node = e.src
+        WHERE p.iter < 10
+        GROUP BY p.iter, e.dst)
+      SELECT node, round(rank * (SELECT n FROM nn), 4) AS rank_scaled
+      FROM pr WHERE iter = 10
+      ORDER BY node"""))
+
+  /** Keyed upsert ([[graft.sdf.SDF.upsert]] — lakehouse MERGE semantics):
+    * every 10th customer's balance is overwritten wholesale and 50 new
+    * customers append; row-level replace, not cell-level fill.
+    */
+  val q185_upsert: Q = Q(
+    fn = (s, dir) => {
+      val base = SDF(table(s, dir, "customer"))
+      val bumped = base.df.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", lit(9999.99))
+      val fresh = base.df.filter(col("c_custkey") < 50)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      base.upsert(SDF(bumped.unionByName(fresh)), Seq("c_custkey")).df
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 4).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey, 9999.99 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey < 50)
+      SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+      FROM (
+        SELECT * FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates)
+      ORDER BY c_custkey"""))
+
+  /** Nested-struct flattening ([[graft.sdf.SDF.flattenStructs]] — pandas
+    * `json_normalize`): two levels of built structs plus a parsed JSON
+    * column all expand to flat `parent_child` columns in one projection.
+    */
+  val q186_flatten_structs: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "events")
+        .select(col("event_id"),
+          struct(col("event_type").as("type"),
+            struct(col("user_id").as("uid"), col("value").as("val")).as("who")).as("meta"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG")).as("props")))
+        .flattenStructs().df
+        .select(col("event_id"), col("meta_type"), col("meta_who_uid"),
+          round(col("meta_who_val"), 4).as("meta_who_val"), col("props_k"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id, event_type AS meta_type, user_id AS meta_who_uid,
+             round(value, 4) AS meta_who_val,
+             CAST(props->>'k' AS BIGINT) AS props_k
+      FROM events
+      ORDER BY event_id"""))
+
+  /** Per-group 10% trimmed mean ([[RankStats.trimmedMeanPerGroup]]):
+    * grouped exact type-7 quantile band + conditional average.
+    */
+  val q187_trimmed_mean: Q = Q(
+    fn = (s, dir) =>
+      RankStats.trimmedMeanPerGroup(table(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", p = 0.1)
+        .select(col("l_returnflag"), round(col("trimmed_mean"), 4).as("trimmed_mean"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.1) AS lo,
+               quantile_cont(l_extendedprice, 0.9) AS hi
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag,
+             round(avg(CASE WHEN l_extendedprice BETWEEN lo AND hi
+                            THEN l_extendedprice END), 4) AS trimmed_mean
+      FROM lineitem l JOIN b USING (l_returnflag)
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  /** k-anonymity audit ([[graft.ops.Profile.kAnonymity]]): minimum
+    * quasi-identifier group size + how many groups/rows fall under k=10.
+    */
+  val q188_k_anonymity: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Profile.kAnonymity(table(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10),
+    oracle = Some("""
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        FROM customer GROUP BY 1, 2)
+      SELECT CAST(min(sz) AS BIGINT) AS k_min,
+             CAST(count(*) AS BIGINT) AS groups_total,
+             CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+             CAST(coalesce(sum(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT) AS rows_at_risk
+      FROM g"""))
+
+  /** Multi-aggregate pivot (pandas `pivot_table(aggfunc=[sum, count])`):
+    * one pivot producing `<value>_<agg>` column pairs per pivot value.
+    */
+  val q191_pivot_multi: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4).as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F_qty,
+             CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O_qty,
+             CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = Map(
+    "q184_pagerank" -> q184_pagerank,
+    "q185_upsert" -> q185_upsert,
+    "q191_pivot_multi" -> q191_pivot_multi,
+    "q186_flatten_structs" -> q186_flatten_structs,
+    "q187_trimmed_mean" -> q187_trimmed_mean,
+    "q188_k_anonymity" -> q188_k_anonymity,
     "q162_profile" -> q162_profile,
     "q167_adaptive_join" -> q167_adaptive_join,
     "q178_funnel" -> q178_funnel,

@@ -391,6 +391,42 @@ final class SDF private (private var _df: DataFrame) {
     SDF(l.join(r, keys, "full_outer").select(keys.map(col) ++ merged: _*))
   }
 
+  /** Keyed upsert (lakehouse MERGE / pandas `update`+insert in one move):
+    * rows of `updates` REPLACE same-key rows of this frame wholesale, and
+    * new-key rows append. Schemas must match. Implemented as anti-join +
+    * union — at cluster scale this is one key-shuffle of the (smaller)
+    * updates side against the base; when both sides are bucketed on the
+    * keys the anti-join is co-located and shuffle-free. Unlike
+    * [[combineFirst]] (cell-level null-fill), upsert is row-level: an
+    * explicit null in an update row overwrites the base value.
+    */
+  def upsert(updates: SDF, keys: Seq[String]): SDF = {
+    require(_df.columns.sorted.sameElements(updates.df.columns.sorted),
+      s"upsert schemas differ: ${_df.columns.mkString(",")} vs ${updates.df.columns.mkString(",")}")
+    SDF(_df.join(updates.df.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.df.select(_df.columns.map(col): _*)))
+  }
+
+  /** pandas `json_normalize` for frames: recursively expand every
+    * StructType column into flat `parent<sep>child` columns (arrays and
+    * scalars pass through). Pure projection — the nested accessors compile
+    * to codegen'd field extraction, no shuffle; parquet column pruning
+    * still reaches the leaves because the projection is plain Catalyst
+    * `GetStructField` chains.
+    */
+  def flattenStructs(sep: String = "_"): SDF = {
+    def expand(prefix: String, field: org.apache.spark.sql.types.StructField,
+        path: Column): Seq[(String, Column)] = field.dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.toSeq.flatMap(f =>
+          expand(s"$prefix$sep${f.name}", f, path.getField(f.name)))
+      case _ => Seq(prefix -> path)
+    }
+    val cols = _df.schema.fields.toSeq.flatMap(f =>
+      expand(f.name, f, col(s"`${f.name}`")))
+    SDF(_df.select(cols.map { case (n, c) => c.as(n) }: _*))
+  }
+
   /** pandas `df.where(cond, other)` on the listed columns: keep the cell
     * where `cond` holds, substitute `other` elsewhere. [[maskCols]] is the
     * pandas `mask` inverse. Pure projection — codegen'd, shuffle-free.

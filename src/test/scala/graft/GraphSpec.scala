@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  /** Driver-side reference PageRank with the exact same semantics (damped,
+    * uniform teleport, dangling mass redistributed uniformly) — the
+    * differential oracle for the distributed implementation.
+    */
+  private def referencePageRank(edges: Seq[(String, String)], iterations: Int,
+      d: Double): Map[String, Double] = {
+    val dedup = edges.distinct
+    val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = dedup.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val incoming = dedup.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s).size }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (incoming.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the reference on a graph WITH dangling nodes") {
+    // 1→2→3→1 cycle plus 1→4 where 4 has no out-edges (dangling): its rank
+    // must recirculate uniformly, keeping Σr = 1
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "4"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 12, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referencePageRank(edges, 12, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1 (dangling mass conserved)")
+    // hub 1 receives from the cycle; sink 4 only via teleport+1's fan — strict order
+    assert(got("1") > got("4"))
+  }
+
+  test("pageRank: parallel edges collapse, star hub dominates, determinism") {
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"),
+      ("a", "h"), ("b", "h"), ("c", "h"), ("a", "h")) // duplicate a→h must not double-weight
+    val df = star.toDF("src", "dst")
+    val r1 = Graph.pageRank(df, "src", "dst", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referencePageRank(star, 10, 0.85)
+    for ((k, v) <- want) assert(math.abs(r1(k) - v) < 1e-9)
+    assert(r1("h") > r1("a") && r1("a") == r1("b") && r1("b") == r1("c"))
+    // repeated run is bit-identical (no rand(), no partition-order sums at
+    // this scale beyond the fixed join shape)
+    val r2 = Graph.pageRank(df, "src", "dst", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r1 == r2)
+  }
+
+  test("pageRank: empty edge list returns an empty frame; zero iterations is uniform") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, "src", "dst", iterations = 3).count() == 0)
+    val two = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val uniform = Graph.pageRank(two, "src", "dst", iterations = 0)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(uniform == Seq(0.5, 0.5))
+  }
+}

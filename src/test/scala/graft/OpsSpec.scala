@@ -1331,4 +1331,79 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) == 6L && rows(0).getDouble(2) == 0.6)
     assert(rows(1).getLong(1) == 3L && rows(1).getDouble(2) == 0.3)
   }
+
+  test("removeDuplicateSpans: full copies empty, shared boilerplate stripped, unique prose survives") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta SUBSCRIBE NOW AND SAVE MONEY TODAY"),
+      (2L, "one two three four five six seven eight SUBSCRIBE NOW AND SAVE MONEY TODAY"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta SUBSCRIBE NOW AND SAVE MONEY TODAY"), // copy of 1
+      (4L, "totally unique words nowhere else repeated anywhere certainly"),
+      (5L, "tiny doc"), (6L, "tiny doc") // < k tokens: whole-doc gram dedups
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1 and 3 are verbatim copies — every gram duplicated, both emptied
+    assert(out(1L) == ((14L, 0L, "")) && out(3L) == ((14L, 0L, "")))
+    // doc 2: its own prose unique, but the 7-token boilerplate tail recurs in
+    // docs 1/3 → the grams fully inside it are duplicated; tokens covered by
+    // them vanish, the unique head stays
+    assert(out(2L)._3 == "one two three four five six seven eight")
+    assert(out(2L)._1 == 14L && out(2L)._2 == 8L)
+    // doc 4: nothing duplicated anywhere — canonical token stream intact
+    assert(out(4L)._3 == "totally unique words nowhere else repeated anywhere certainly")
+    // short exact copies (< k tokens form one whole-doc gram) still dedup
+    assert(out(5L) == ((2L, 0L, "")) && out(6L) == ((2L, 0L, "")))
+  }
+
+  test("removeDuplicateSpans: within-doc gram repetition is removed too") {
+    val docs = Seq((1L, "spam spam spam spam spam spam spam spam ok unique tail here now")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+      .collect().head
+    // "spam spam spam" occurs 6 times within the doc — all spam tokens are
+    // covered; the unique tail's grams occur once each and survive
+    assert(out.getString(3) == "ok unique tail here now")
+  }
+
+  test("dsirScores: target == raw gives exactly zero scores; target shifts ranking") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "der schnelle braune fuchs springt"),
+      (3L, "the lazy dog sleeps")).toDF("doc_id", "text")
+    val zero = TextAnalysis.dsirScores(docs, col("doc_id"), col("text"),
+        docs, col("text"), dim = 64)
+      .collect().map(_.getDouble(1))
+    assert(zero.forall(_ == 0.0), "identical target and raw models must cancel exactly")
+    // English-only target: the German doc must score strictly lowest
+    val en = TextAnalysis.dsirScores(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") =!= 2L), col("text"), dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(en(2L) < en(1L) && en(2L) < en(3L))
+  }
+
+  test("fleschReadingEase: hand-computed sentence; empty text is null; kFold in range and stable") {
+    val df = Seq((1L, "The cat sat. The dog ran!"), (2L, "???")).toDF("id", "t")
+    val got = df.select(col("id"), TextAnalysis.fleschReadingEase(col("t")))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // words=6, vowel groups: e,a,a,e,o,a = 6, sentences=2:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(got(1L).get.asInstanceOf[Double] - 119.19) < 1e-9)
+    assert(got(2L).isEmpty, "no words -> null score")
+    val folds = graft.ops.Sampling.kFold((1L to 1000L).toDF("id"), col("id"), 5)
+      .groupBy("fold").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.keySet.subsetOf((0L until 5L).toSet) && folds.values.sum == 1000L)
+    assert(folds.values.forall(c => c > 120 && c < 280), s"folds badly unbalanced: $folds")
+  }
+
+  test("gumbelTopK: dominant log-weight always selected, n >= rows keeps all, seed-stable") {
+    val df = (1L to 50L).map(i => (i, if (i == 7L) 1000.0 else 0.0)).toDF("id", "lw")
+    val top = graft.ops.Sampling.gumbelTopK(df, col("id"), col("lw"), n = 1, seed = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(7L), "a log-weight 1000 nats above the field must win any draw")
+    assert(graft.ops.Sampling.gumbelTopK(df, col("id"), col("lw"), n = 100).count() == 50)
+    val a = graft.ops.Sampling.gumbelTopK(df, col("id"), col("lw"), n = 10, seed = 9)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling.gumbelTopK(df, col("id"), col("lw"), n = 10, seed = 9)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must select the same set")
+  }
 }

@@ -318,4 +318,53 @@ class SdfSpec extends AnyFunSuite {
     val w = Seq((10.0, 1.0), (30.0, 3.0)).toDF("x", "w")
     assert(SDF(w)("x").wavg(col("w")) == 25.0)
   }
+
+  test("upsert: row-level replace (explicit null overwrites), new keys append, schema guard") {
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+      .toDF("k", "s", "v")
+    val ups = Seq((2L, None: Option[String], 99.0), (9L, Some("z"), 1.0))
+      .toDF("k", "s", "v")
+    val out = SDF(base).upsert(SDF(ups), Seq("k")).df
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    // key 2's null s REPLACES "b" (row semantics, unlike combineFirst)
+    assert(out == Seq((1L, Some("a"), 10.0), (2L, None, 99.0),
+      (3L, Some("c"), 30.0), (9L, Some("z"), 1.0)), s"got $out")
+    val bad = Seq((1L, 2.0)).toDF("k", "other")
+    assertThrows[IllegalArgumentException](SDF(base).upsert(SDF(bad), Seq("k")))
+  }
+
+  test("flattenStructs: two nested levels expand; arrays and scalars pass through") {
+    val df = Seq((1L, ("x", (7L, 0.5)), Seq(1, 2)))
+      .toDF("id", "m", "arr")
+    // build named nesting explicitly (tuple encoder names are _1/_2)
+    val nested = df.select(col("id"),
+      struct(col("m._1").as("tag"),
+        struct(col("m._2._1").as("uid"), col("m._2._2").as("val")).as("inner")).as("meta"),
+      col("arr"))
+    val flat = SDF(nested).flattenStructs().df
+    assert(flat.columns.toSeq == Seq("id", "meta_tag", "meta_inner_uid", "meta_inner_val", "arr"))
+    val r = flat.head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "x" && r.getLong(2) == 7L
+      && r.getDouble(3) == 0.5 && r.getSeq[Int](4) == Seq(1, 2))
+  }
+
+  test("trimmedMean: outliers excluded; per-group bands independent; kAnonymity counts") {
+    val vals = (1 to 10).map(_.toDouble) :+ 1000.0 // p10..p90 band of 1..10,1000
+    val df = vals.toDF("x")
+    // n=11, h=(n-1)p: p=0.1 -> q10=2.0, p=0.9 -> q90=10.0 (type-7) ->
+    // mean of 2..10 = 6.0
+    assert(graft.ops.RankStats.trimmedMean(df, "x", 0.1) == 6.0)
+    val g = ((1 to 10).map(i => ("a", i.toDouble)) ++ Seq(("a", 1000.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0))).toDF("g", "x")
+    val tm = graft.ops.RankStats.trimmedMeanPerGroup(g, Seq("g"), "x", 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tm("a") == 6.0)
+    assert(math.abs(tm("b") - 2.0) < 1e-12) // band [1.2, 2.8] keeps only 2.0
+    val ka = graft.ops.Profile.kAnonymity(
+      (Seq.fill(12)(("US", "A")) ++ Seq.fill(3)(("US", "B")) ++ Seq(("DE", "A")))
+        .toDF("c1", "c2"), Seq("c1", "c2"), k = 10)
+      .head()
+    assert((ka.getLong(0), ka.getLong(1), ka.getLong(2), ka.getLong(3)) == ((1L, 3L, 2L, 4L)))
+  }
 }
