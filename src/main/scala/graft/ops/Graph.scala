@@ -76,24 +76,34 @@ object Graph {
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
 
-    var ranks = withDeg.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("rank"))
+    // One probe, not one per round: graphs with no dangling nodes (any
+    // symmetrized graph) skip the per-iteration dangling aggregate — a
+    // whole job per round at toy scale, a full pass over ranks at cluster
+    // scale.
+    val hasDangling = withDeg.filter(col("deg").isNull).limit(1).count() > 0
+
+    // `deg` rides inside the rank frame so each round is exactly ONE join
+    // (ranks ⋈ edges) + one dst-keyed sum + one null-fill join against the
+    // cached node list — no ranks⋈degrees re-join per round.
+    var ranks = withDeg.select(col("node"), col("deg"),
+      (lit(1.0) / lit(n.toDouble)).as("rank"))
     var prevCached: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
-      val cur = ranks.join(withDeg, Seq("node"))
-      val danglingRow = cur.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).first()
-      val dangling = danglingRow.getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks.filter(col("deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
       // contribution join: rank rows keyed by node fan out over their
       // out-edges
-      val fanned = cur.filter(col("deg").isNotNull)
+      val fanned = ranks.filter(col("deg").isNotNull)
         .join(e.withColumnRenamed("src", "node"), Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg").cast("double")).as("mass"))
       val base = (1.0 - damping) / n + damping * dangling / n
-      var next = withDeg.select(col("node"))
+      var next = withDeg
         .join(fanned, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
       i += 1
       if (i % checkpointEvery == 0 || i == iterations) {
@@ -107,7 +117,8 @@ object Graph {
     // is already an eagerly-materialized checkpoint; it stays cached as the
     // returned result (the Dedup/Components lifecycle pattern) while every
     // intermediate cache has been released
-    val out = if (prevCached.isDefined) ranks else snapshot(ranks)
+    val out = snapshot(ranks.select(col("node"), col("rank")))
+    prevCached.foreach(_.unpersist(false))
     e.unpersist(false)
     withDeg.unpersist(false)
     out

@@ -1662,10 +1662,89 @@ object OpQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** TPC-H Q3 (shipping-priority) adapted to this schema — the classic
+    * filter→broadcast→join→partial-agg→top-k plan shape, bench-watched so
+    * the planner keeps producing it: filtered dimension broadcasts, revenue
+    * partial-aggregates before the exchange, TakeOrdered caps the sort.
+    */
+  val q193_tpch_q3: Q = Q(
+    fn = (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("rev")), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some("""
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10"""),
+    bench = true)
+
+  /** TPC-H Q10 (returned-item reporting) adapted: quarter window on orders,
+    * return-flag filter, four-table join, revenue top-20.
+    */
+  val q194_tpch_q10: Q = Q(
+    fn = (s, dir) => {
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      table(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("rev")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1998-04-01'
+        AND l_returnflag = 'R'
+        AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20"""))
+
   val all: Map[String, Q] = Map(
     "q184_pagerank" -> q184_pagerank,
     "q185_upsert" -> q185_upsert,
     "q191_pivot_multi" -> q191_pivot_multi,
+    "q193_tpch_q3" -> q193_tpch_q3,
+    "q194_tpch_q10" -> q194_tpch_q10,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,

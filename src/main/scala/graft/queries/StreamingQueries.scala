@@ -136,7 +136,81 @@ object StreamingQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Stream-stream LEFT-OUTER interval join ([[EventStreams.intervalJoin]]
+    * with `leftOuter`): clicks with their within-30-min purchase, or null
+    * right columns when the watermark PROVES no purchase can still arrive.
+    *
+    * Outer rows only emit when left state is evicted, which happens in the
+    * micro-batch AFTER the watermark passes `l_ts + within` — so the replay
+    * stages the history as three deterministic micro-batches
+    * (`maxFilesPerTrigger = 1`, file order pinned by explicit modification
+    * times): (1) the real events, (2) a far-future sentinel click that
+    * advances the watermark past every real row, (3) a second sentinel
+    * whose batch runs WITH that advanced watermark and flushes every
+    * unmatched real click. Sentinels are excluded from the result by their
+    * timestamp. This is exactly the production shape: a quiet landing
+    * directory needs one more arrival (or a no-data trigger) before the
+    * final outer rows surface.
+    */
+  val q195_stream_outer_join: Q = Q(
+    fn = (s, dir) => {
+      val staged = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_scratch", "events_outer").toString
+      val stagedDir = new java.io.File(staged)
+      if (stagedDir.exists()) stagedDir.listFiles().foreach(f =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f))
+      stagedDir.mkdirs()
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = staged + "_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stagedDir, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.schema(EventStreams.rawSchema).parquet(s"$dir/events.parquet")
+      val t0 = 1600000000000L // fixed epoch-ms stamps: deterministic file order
+      writeOne(raw, "events_1.parquet", t0)
+      // one sentinel per JOIN BRANCH: the global watermark is the MIN over
+      // both sides' watermarks, and each side filters to its own event
+      // type — a click-only sentinel would advance the click branch while
+      // the purchase branch (never seeing it) pins the join watermark in
+      // the past and the tail of unmatched clicks never flushes
+      def sentinel(id: Long, isoDay: String) =
+        s.createDataFrame(s.sparkContext.parallelize(Seq("click", "purchase").map(t =>
+          org.apache.spark.sql.Row(id, 0L, -1L, t, 0.0, null: String)), 1),
+          EventStreams.rawSchema)
+          .withColumn("ts",
+            unix_timestamp(lit(isoDay).cast("timestamp")) * lit(1000000000L))
+          .select(EventStreams.rawSchema.fieldNames.map(col): _*)
+      writeOne(sentinel(-1L, "2030-01-01"), "events_2.parquet", t0 + 60000)
+      writeOne(sentinel(-2L, "2031-01-01"), "events_3.parquet", t0 + 120000)
+      val ev = EventStreams.readEvents(s, staged, maxFilesPerTrigger = Some(1))
+      val out = EventStreams.runToCompletion(
+        EventStreams.intervalJoin(ev, "click", "purchase",
+          watermark = "1 minute", within = "30 minutes", joinType = "leftOuter"),
+        mode = "append")
+      out.filter(col("l_ts") < lit("2028-01-01").cast("timestamp"))
+        .select(col("l_id"), col("r_id"), col("user_id"))
+        .orderBy(col("l_id"), col("r_id"))
+    },
+    oracle = Some("""
+      SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id
+      FROM events c
+      LEFT JOIN events p
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+      WHERE c.event_type = 'click'
+      ORDER BY l_id, r_id"""))
+
   val all: Map[String, Q] = Map(
+    "q195_stream_outer_join" -> q195_stream_outer_join,
     "q85_stream_interval_join" -> q85_stream_interval_join,
     "q86_stream_stateful_totals" -> q86_stream_stateful_totals,
     "q60_stream_tumbling" -> q60_stream_tumbling,

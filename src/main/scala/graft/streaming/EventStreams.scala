@@ -30,13 +30,24 @@ object EventStreams {
   /** Streaming source over the parquet fixture: one file = one micro-batch
     * replay of the full history.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir, maxFilesPerTrigger = None)
+
+  /** [[readEvents]] with a micro-batch size bound: `maxFilesPerTrigger`
+    * caps how many source files each trigger consumes — the lever that
+    * turns a multi-file landing directory into a deterministic sequence of
+    * micro-batches (file order = modification time, ties by path), which
+    * outer joins and state eviction need: watermark advances BETWEEN
+    * batches, never inside one.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob, not the bare file: the streaming source wants a directory-like
     // path to monitor (at scale this is the landing directory / Kafka topic)
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(s"$dir/events*.parquet")
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(s"$dir/events*.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
@@ -114,20 +125,36 @@ object EventStreams {
   def intervalJoin(
       events: DataFrame,
       leftType: String, rightType: String,
-      watermark: String, within: String): DataFrame = {
+      watermark: String, within: String): DataFrame =
+    intervalJoin(events, leftType, rightType, watermark, within, "inner")
+
+  /** Stream-stream interval join, inner or left-outer. The outer variant
+    * emits a left row with null right columns only once the watermark
+    * proves no match can still arrive (left state evicted) — so unmatched
+    * rows surface in the micro-batch AFTER the watermark passes
+    * `l_ts + within`, and a single-batch replay emits no outer rows at all.
+    * Feed multi-batch input (maxFilesPerTrigger) when outer results matter.
+    */
+  def intervalJoin(
+      events: DataFrame,
+      leftType: String, rightType: String,
+      watermark: String, within: String, joinType: String): DataFrame = {
     val l = events.filter(col("event_type") === leftType)
       .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
     val r = events.filter(col("event_type") === rightType)
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
       .withWatermark("r_ts", watermark)
-    l.join(
+    val joined = l.join(
       r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
-      "inner")
-      .select(col("l_id"), col("r_id"), col("user_id"))
+      joinType)
+    // outer rows carry l_ts so callers can separate real unmatched rows
+    // from watermark-driver sentinels; the inner shape stays as before
+    if (joinType == "inner") joined.select(col("l_id"), col("r_id"), col("user_id"))
+    else joined.select(col("l_id"), col("r_id"), col("user_id"), col("l_ts"))
   }
 
   /** Output row of [[statefulUserTotals]]. */
