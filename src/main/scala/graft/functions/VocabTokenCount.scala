@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match vocabulary token count as a native Catalyst
+  * `Expression` (preference-ladder tier (b), the
+  * [[FnvHash64]]/[[DotProduct]]/[[CharEntropy]] pattern): the
+  * tiktoken/WordPiece-style scan — at each position consume the LONGEST
+  * vocabulary entry that prefixes the remaining text, or one character when
+  * nothing matches — is inherently sequential per document and cannot be
+  * spelled with built-in Columns (each step's position depends on the
+  * previous match length). A Scala UDF could do it; a native expression
+  * does it inside whole-stage codegen with zero per-row closure overhead.
+  *
+  * The vocabulary is a plan-time constant (the broadcast-literal discipline
+  * of the IVF centroids / hyperplane planes): expression size stays O(1) in
+  * the plan regardless of vocab size, and the first-char index is built
+  * once per executor, not per row. Matching is by UTF-16 code unit — exact
+  * for the ASCII/BMP vocabularies BPE-style token budgeting uses.
+  *
+  * Replayable: the same greedy scan runs as a DuckDB recursive CTE
+  * (per-position LATERAL longest-match advance — q198's oracle) and as the
+  * independent driver-side reference in FunctionsSpec.
+  */
+case class VocabTokenCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+    "vocab must be non-empty strings")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vocab_token_count requires string input, got $other")
+    }
+
+  @transient private lazy val index: java.util.HashMap[Character, Array[String]] =
+    VocabTokenCount.buildIndex(vocab)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VocabTokenCount.count(input.asInstanceOf[UTF8String].toString, index)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = VocabTokenCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val idx = ctx.addReferenceObj("vocabIndex", index,
+      "java.util.HashMap<Character, String[]>")
+    defineCodeGen(ctx, ev, c => s"$obj.count($c.toString(), $idx)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VocabTokenCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "vocab_token_count"
+}
+
+object VocabTokenCount {
+
+  /** First-char index, candidates longest-first — greedy longest-match is
+    * then "first prefix hit wins" per position.
+    */
+  def buildIndex(vocab: Seq[String]): java.util.HashMap[Character, Array[String]] = {
+    val m = new java.util.HashMap[Character, Array[String]]()
+    vocab.distinct.groupBy(_.charAt(0)).foreach { case (c, vs) =>
+      m.put(c, vs.sortBy(v => (-v.length, v)).toArray)
+    }
+    m
+  }
+
+  /** Scalar kernel shared by interpreted eval and codegen: one forward scan,
+    * longest vocab prefix at each position or a single-char fallback.
+    */
+  def count(s: String, index: java.util.HashMap[Character, Array[String]]): Long = {
+    var p = 0
+    var n = 0L
+    val len = s.length
+    while (p < len) {
+      var advance = 1
+      val cands = index.get(s.charAt(p))
+      if (cands != null) {
+        var i = 0
+        var found = false
+        while (!found && i < cands.length) {
+          val c = cands(i)
+          if (c.length <= len - p && s.startsWith(c, p)) {
+            advance = c.length
+            found = true
+          }
+          i += 1
+        }
+      }
+      n += 1L
+      p += advance
+    }
+    n
+  }
+
+  /** Column-facing constructor (Spark 4 Column↔Expression bridge). */
+  def vocab_token_count(c: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(VocabTokenCount(ColumnBridge.expression(c), vocab))
+}

@@ -109,6 +109,39 @@ object TextAnalysis {
       round(score, 4).as("quality"))
   }
 
+  /** The Gopher document-quality rules not already covered by
+    * [[qualityStruct]] (word counts/lengths/stopwords) and
+    * [[repetitionSignals]] (dup lines/grams): fraction of words containing
+    * an alphabetic character, symbol-to-word ratio (# and …), fraction of
+    * lines starting with a bullet and ending with an ellipsis, plus the
+    * composite `gopher_pass` gate at the published thresholds (≥80% alpha
+    * words, symbol ratio ≤0.1, ≤90% bullet starts, ≤30% ellipsis ends).
+    * Shuffle-free column algebra over the raw text; every count is a
+    * portable regex.
+    */
+  def gopherFlags(c: Column): Column = {
+    val words = regexp_extract_all(c, lit("\\S+"), lit(0))
+    val nWords = greatest(size(words), lit(1)).cast("double")
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+    val symbols = (size(regexp_extract_all(c, lit("#"), lit(0))) +
+      size(regexp_extract_all(c, lit("\\.\\.\\.|…"), lit(0)))).cast("double")
+    val symbolRatio = symbols / nWords
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^([*•\\-]|[0-9]+[.)])\\s"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val pass = alphaFrac >= 0.8 && symbolRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3
+    struct(
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_line_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_line_frac"),
+      pass.as("gopher_pass"))
+  }
+
   /** Word k-shingles: contiguous k-grams joined by a space — the MinHash
     * input unit.
     */

@@ -2546,7 +2546,117 @@ object LlmOpsQueries {
         FROM documents)
       ORDER BY doc_id"""))
 
+  /** Remaining Gopher quality rules ([[TextAnalysis.gopherFlags]]):
+    * alpha-word fraction, symbol ratio, bullet/ellipsis line fractions and
+    * the composite gate, on a corpus salted with bullet lists and ellipsis
+    * endings so every rule fires somewhere.
+    */
+  val q196_gopher_flags: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n* bullet item\n* second bullet\n- third one")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\nto be continued...")))
+            .otherwise(col("text")))
+      docs.select(col("doc_id"), TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.alpha_word_frac").as("alpha_word_frac"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_line_frac").as("bullet_line_frac"),
+          col("g.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("g.gopher_pass").as("gopher_pass"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH corpus AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || '* bullet item' || chr(10) || '* second bullet' || chr(10) || '- third one'
+                ELSE text END) ||
+          (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END) AS text
+        FROM documents),
+      feats AS (
+        SELECT doc_id,
+          regexp_extract_all(text, '\S+') AS words,
+          list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+          CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) AS symbols
+        FROM corpus),
+      calc AS (
+        SELECT doc_id,
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+            / greatest(len(words), 1) AS af,
+          symbols / greatest(len(words), 1) AS sr,
+          CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([*•\-]|[0-9]+[.)])\s'))) AS DOUBLE)
+            / greatest(len(lines), 1) AS bf,
+          CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+            / greatest(len(lines), 1) AS ef
+        FROM feats)
+      SELECT doc_id,
+             round(af, 4) AS alpha_word_frac,
+             round(sr, 4) AS symbol_ratio,
+             round(bf, 4) AS bullet_line_frac,
+             round(ef, 4) AS ellipsis_line_frac,
+             (af >= 0.8 AND sr <= 0.1 AND bf <= 0.9 AND ef <= 0.3) AS gopher_pass
+      FROM calc
+      ORDER BY doc_id"""))
+
+  /** Plan-constant sample vocabulary for q198 (subwords + whole words from
+    * the corpus domain; single space so runs of prose tokenize densely).
+    * Declared BEFORE q198 — object-initialization order.
+    */
+  private val VocabSample: Seq[String] = Seq(
+    "the ", "scan", "join", "order", "batch ", "stream", "spark", "window",
+    "merge", "sort", "hash", "key", "table", "part", "an", "in", "er", "re",
+    "or", "st", " ")
+
+  /** Greedy longest-match vocab token budget
+    * ([[graft.functions.VocabTokenCount]] — native codegen Expression): the
+    * tiktoken/WordPiece-style scan the regex token counters (q50) only
+    * approximate. The oracle replays the EXACT sequential scan as a
+    * recursive CTE: per position, a LATERAL longest-prefix probe advances
+    * the cursor, single char on no match.
+    */
+  val q198_vocab_tokens: Q = Q(
+    fn = (s, dir) => {
+      val out = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.VocabTokenCount.vocab_token_count(
+            lower(col("text")), VocabSample).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+      out.select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          when(col("n_tokens") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_chars").cast("double") / col("n_tokens"), 4))
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE vocab(v) AS (
+        SELECT * FROM (VALUES ${VocabSample.map(v => s"('${v}')").mkString(", ")}) t(v)),
+      docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      step(doc_id, pos, n) AS (
+        SELECT doc_id, 1, 0 FROM docs
+        UNION ALL
+        SELECT s.doc_id, s.pos + CAST(coalesce(m.adv, 1) AS INTEGER), s.n + 1
+        FROM step s
+        JOIN docs d ON s.doc_id = d.doc_id
+        LEFT JOIN LATERAL (
+          SELECT max(len(v)) AS adv FROM vocab
+          WHERE v = substr(d.t, s.pos, len(v))) m ON true
+        WHERE s.pos <= len(d.t))
+      SELECT d.doc_id, CAST(max(s.n) AS BIGINT) AS n_tokens,
+             CAST(len(d.t) AS BIGINT) AS n_chars,
+             CASE WHEN max(s.n) = 0 THEN NULL
+                  ELSE round(CAST(len(d.t) AS DOUBLE) / max(s.n), 4) END AS chars_per_token
+      FROM step s JOIN docs d USING (doc_id)
+      GROUP BY d.doc_id, d.t
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q198_vocab_tokens" -> q198_vocab_tokens,
+    "q196_gopher_flags" -> q196_gopher_flags,
     "q189_kfold" -> q189_kfold,
     "q190_readability" -> q190_readability,
     "q182_remove_dup_spans" -> q182_remove_dup_spans,

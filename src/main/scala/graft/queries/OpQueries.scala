@@ -1739,12 +1739,31 @@ object OpQueries {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20"""))
 
+  /** Per-group mode ([[graft.sdf.SDF.modePerGroup]]): most frequent
+    * quantity per return flag, smallest-value tie-break.
+    */
+  val q197_group_mode: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))
+        .modePerGroup(Seq(col("l_returnflag")), col("l_quantity").cast("long"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag, CAST(v AS BIGINT) AS mode
+      FROM (
+        SELECT l_returnflag, v, row_number() OVER (
+                 PARTITION BY l_returnflag ORDER BY c DESC, v) AS rn
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+              FROM lineitem GROUP BY 1, 2))
+      WHERE rn = 1
+      ORDER BY l_returnflag"""))
+
   val all: Map[String, Q] = Map(
     "q184_pagerank" -> q184_pagerank,
     "q185_upsert" -> q185_upsert,
     "q191_pivot_multi" -> q191_pivot_multi,
     "q193_tpch_q3" -> q193_tpch_q3,
     "q194_tpch_q10" -> q194_tpch_q10,
+    "q197_group_mode" -> q197_group_mode,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,

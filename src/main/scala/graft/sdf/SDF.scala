@@ -490,6 +490,24 @@ final class SDF private (private var _df: DataFrame) {
       .drop("__rn__"))
   }
 
+  /** Per-group mode (pandas `groupby().agg(pd.Series.mode)` with a
+    * deterministic smallest-value tie-break): one grouped count + one keyed
+    * window over the (group, value) COUNTS — the window input is already
+    * aggregated, so a billion-row group costs its distinct-value count, not
+    * its row count.
+    */
+  def modePerGroup(keys: Seq[Column], value: Column, out: String = "mode"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = _df.groupBy(keys :+ value.as("__v__"): _*)
+      .agg(count(lit(1)).as("__c__"))
+    val keyNames = counts.columns.dropRight(2)
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("__c__").desc, col("__v__"))
+    counts.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .select(keyNames.map(col) :+ col("__v__").as(out): _*)
+  }
+
   /** pandas-style `describe()` over numeric columns, long format
     * (stat, column, value) — count/mean/std/min/25%/50%/75%/max in ONE
     * aggregate pass (all statistics partial-aggregate or sketch).

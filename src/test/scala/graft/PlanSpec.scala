@@ -126,6 +126,16 @@ class PlanSpec extends AnyFunSuite {
       s"tpch-q5 must stay equi-join only:\n$p")
   }
 
+  test("q193 tpch-q3: ship/order-date filters pushed, dims broadcast, top-k as TakeOrdered") {
+    val p = plan("q193_tpch_q3")
+    assert(p.contains("LessThan(o_orderdate") || p.contains("GreaterThan(l_shipdate"),
+      s"expected date pushdown in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"filtered customer/orders dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"limit-10 must plan as TakeOrdered, not global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tpch-q3 must stay equi-join only:\n$p")
+  }
+
   test("q167 adaptive join: hot-key set broadcasts to split both inputs") {
     val p = plan("q167_adaptive_join")
     assert(p.contains("BroadcastHashJoin"),
