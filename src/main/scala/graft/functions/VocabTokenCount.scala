@@ -104,7 +104,90 @@ object VocabTokenCount {
     n
   }
 
+  /** Scalar kernel for [[VocabTokenize]]: the same greedy scan, returning
+    * the pieces instead of their count.
+    */
+  def pieces(s: String, index: java.util.HashMap[Character, Array[String]]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = 0
+    val len = s.length
+    while (p < len) {
+      var piece: String = null
+      val cands = index.get(s.charAt(p))
+      if (cands != null) {
+        var i = 0
+        while (piece == null && i < cands.length) {
+          val c = cands(i)
+          if (c.length <= len - p && s.startsWith(c, p)) piece = c
+          i += 1
+        }
+      }
+      if (piece == null) piece = s.substring(p, p + 1)
+      out += piece
+      p += piece.length
+    }
+    out.toArray
+  }
+
   /** Column-facing constructor (Spark 4 Column↔Expression bridge). */
   def vocab_token_count(c: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(VocabTokenCount(ColumnBridge.expression(c), vocab))
+
+  def vocab_tokenize(c: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(VocabTokenize(ColumnBridge.expression(c), vocab))
+}
+
+/** [[VocabTokenCount]]'s piece-producing sibling: the same greedy
+  * longest-match scan, returning the matched pieces (vocab entries or
+  * single-char fallbacks) as `array<string>` — the form sequence packing
+  * and inspection need. Shares the per-executor first-char index.
+  */
+case class VocabTokenize(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+    "vocab must be non-empty strings")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vocab_tokenize requires string input, got $other")
+    }
+
+  @transient private lazy val index: java.util.HashMap[Character, Array[String]] =
+    VocabTokenCount.buildIndex(vocab)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ps = VocabTokenCount.pieces(input.asInstanceOf[UTF8String].toString, index)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ps.map(x => UTF8String.fromString(x): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = VocabTokenize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val idx = ctx.addReferenceObj("vocabIndex", index,
+      "java.util.HashMap<Character, String[]>")
+    defineCodeGen(ctx, ev, c => s"$obj.evalArray($c.toString(), $idx)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VocabTokenize =
+    copy(child = newChild)
+
+  override def prettyName: String = "vocab_tokenize"
+}
+
+object VocabTokenize {
+  /** Codegen entry point: scan + box into Catalyst array data. */
+  def evalArray(s: String,
+      index: java.util.HashMap[Character, Array[String]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ps = VocabTokenCount.pieces(s, index)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ps.map(x => UTF8String.fromString(x): Any))
+  }
 }

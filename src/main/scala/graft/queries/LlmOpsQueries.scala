@@ -2654,7 +2654,47 @@ object LlmOpsQueries {
       GROUP BY d.doc_id, d.t
       ORDER BY d.doc_id"""))
 
+  /** Piece-level vocab tokenization ([[graft.functions.VocabTokenize]]):
+    * the q198 scan returning the pieces themselves; the oracle's recursive
+    * CTE accumulates the piece string with a LATERAL longest-prefix probe
+    * (arg-max by length — two distinct same-length prefixes at one position
+    * are impossible, so the probe is deterministic).
+    */
+  val q200_vocab_pieces: Q = Q(
+    fn = (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.VocabTokenCount.vocab_tokenize(
+            lower(col("text")), VocabSample).as("p"))
+        .select(col("doc_id"), size(col("p")).cast("long").as("n_pieces"),
+          array_join(col("p"), "|").as("pieces_str"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE vocab(v) AS (
+        SELECT * FROM (VALUES ${VocabSample.map(v => s"('${v}')").mkString(", ")}) t(v)),
+      docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      step(doc_id, pos, n, acc) AS (
+        SELECT doc_id, 1, 0, '' FROM docs
+        UNION ALL
+        SELECT s.doc_id, s.pos + CAST(len(coalesce(m.piece, substr(d.t, s.pos, 1))) AS INTEGER),
+               s.n + 1,
+               s.acc || CASE WHEN s.acc = '' THEN '' ELSE '|' END ||
+                 coalesce(m.piece, substr(d.t, s.pos, 1))
+        FROM step s
+        JOIN docs d ON s.doc_id = d.doc_id
+        LEFT JOIN LATERAL (
+          SELECT v AS piece FROM vocab
+          WHERE v = substr(d.t, s.pos, len(v))
+          ORDER BY len(v) DESC LIMIT 1) m ON true
+        WHERE s.pos <= len(d.t))
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_pieces,
+             coalesce(max_by(acc, pos), '') AS pieces_str
+      FROM step
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q200_vocab_pieces" -> q200_vocab_pieces,
     "q198_vocab_tokens" -> q198_vocab_tokens,
     "q196_gopher_flags" -> q196_gopher_flags,
     "q189_kfold" -> q189_kfold,

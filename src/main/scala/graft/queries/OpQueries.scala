@@ -1739,6 +1739,58 @@ object OpQueries {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20"""))
 
+  /** SCD Type-2 history ([[graft.ops.History.scd2]]): three stacked
+    * snapshot versions (balance bump in v2, segment change in v3) collapse
+    * into validity intervals; null `effective_to` marks current state.
+    */
+  val q199_scd2: Q = Q(
+    fn = (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val bal2 = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal"))
+      val v1 = c.withColumn("v", lit(1L))
+      val v2 = c.withColumn("c_acctbal", bal2).withColumn("v", lit(2L))
+      val v3 = c.withColumn("c_acctbal", bal2)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 11 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+        .withColumn("v", lit(3L))
+      graft.ops.History.scd2(v1.unionByName(v2).unionByName(v3),
+          Seq("c_custkey"), "v", Seq("c_acctbal", "c_mktsegment"))
+        .select(col("c_custkey"), col("effective_from"), col("effective_to"),
+          round(col("c_acctbal"), 4).as("acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"), col("effective_from"))
+    },
+    oracle = Some("""
+      WITH snaps AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS v FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END,
+               c_mktsegment, 2 FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END,
+               CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED' ELSE c_mktsegment END,
+               3 FROM customer),
+      marked AS (
+        SELECT *,
+               (row_number() OVER w = 1
+                OR c_acctbal IS DISTINCT FROM lag(c_acctbal) OVER w
+                OR c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w) AS chg
+        FROM snaps
+        WINDOW w AS (PARTITION BY c_custkey ORDER BY v))
+      SELECT c_custkey,
+             CAST(effective_from AS BIGINT) AS effective_from,
+             CAST(effective_to AS BIGINT) AS effective_to,
+             round(c_acctbal, 4) AS acctbal, c_mktsegment
+      FROM (
+        SELECT c_custkey, v AS effective_from,
+               lead(v) OVER (PARTITION BY c_custkey ORDER BY v) AS effective_to,
+               c_acctbal, c_mktsegment
+        FROM marked WHERE chg)
+      ORDER BY c_custkey, effective_from"""))
+
   /** Per-group mode ([[graft.sdf.SDF.modePerGroup]]): most frequent
     * quantity per return flag, smallest-value tie-break.
     */
@@ -1764,6 +1816,7 @@ object OpQueries {
     "q193_tpch_q3" -> q193_tpch_q3,
     "q194_tpch_q10" -> q194_tpch_q10,
     "q197_group_mode" -> q197_group_mode,
+    "q199_scd2" -> q199_scd2,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,

@@ -319,6 +319,23 @@ class SdfSpec extends AnyFunSuite {
     assert(SDF(w)("x").wavg(col("w")) == 25.0)
   }
 
+  test("scd2: change runs open/close intervals; null transitions open new intervals") {
+    val snaps = Seq(
+      // key 1: stable at v1-v2, change at v3 (interval [1,3) then [3,null))
+      (1L, 1L, Some("a"), 10.0), (1L, 2L, Some("a"), 10.0), (1L, 3L, Some("b"), 10.0),
+      // key 2: value -> null at v2 (null-safe change), null -> value at v3
+      (2L, 1L, Some("x"), 1.0), (2L, 2L, None: Option[String], 1.0), (2L, 3L, Some("x"), 1.0))
+      .toDF("k", "v", "s", "x")
+    val out = graft.ops.History.scd2(snaps, Seq("k"), "v", Seq("s", "x"))
+      .orderBy("k", "effective_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, 1L, Some(3L), Some("a")), (1L, 3L, None, Some("b")),
+      (2L, 1L, Some(2L), Some("x")), (2L, 2L, Some(3L), None), (2L, 3L, None, Some("x"))),
+      s"got $out")
+  }
+
   test("upsert: row-level replace (explicit null overwrites), new keys append, schema guard") {
     val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
       .toDF("k", "s", "v")

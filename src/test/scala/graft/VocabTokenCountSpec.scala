@@ -51,6 +51,22 @@ class VocabTokenCountSpec extends AnyFunSuite {
       assert(VocabTokenCount.count(d, idx) == reference(d, vocab))
   }
 
+  test("pieces: concatenation rebuilds the input, length equals count, DF path agrees") {
+    val idx = VocabTokenCount.buildIndex(vocab)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "thabcde ing|z"
+    for (_ <- 1 to 200) {
+      val s = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val ps = VocabTokenCount.pieces(s, idx)
+      assert(ps.mkString("") == s, s"pieces must tile the input: '$s'")
+      assert(ps.length.toLong == VocabTokenCount.count(s, idx))
+    }
+    val viaDf = Seq("thee and the thing").toDF("t")
+      .select(VocabTokenCount.vocab_tokenize(col("t"), vocab))
+      .as[Seq[String]].head()
+    assert(viaDf == VocabTokenCount.pieces("thee and the thing", idx).toSeq)
+  }
+
   test("codegen (DataFrame path) == interpreted kernel") {
     val df = Seq("thee and the thing", "abcdabc", "", "zz the zz").toDF("t")
     val viaDf = df.select(VocabTokenCount.vocab_token_count(col("t"), vocab))
