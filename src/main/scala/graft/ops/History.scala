@@ -44,4 +44,23 @@ object History {
       .select((keys.map(col) :+ col("effective_from") :+ col("effective_to"))
         ++ trackedCols.map(col): _*)
   }
+
+  /** Point-in-time lookup against SCD2 history: each fact row gets the
+    * dimension attributes that were effective AT its timestamp.
+    *
+    * The naive spelling is an inequality join (`fact.ts >= from AND
+    * (fact.ts < to OR to IS NULL)`) — a range join that degenerates to
+    * per-key row expansion. Because SCD2 intervals tile the version axis,
+    * the interval containing a timestamp is exactly the LAST change at or
+    * before it — so this delegates to [[AsOfJoin.backward]]: one keyed
+    * sort-window shuffle, no range join, facts before the first version
+    * get nulls. `history` is `[[scd2]]` output (only `effective_from` is
+    * consulted; the tiling makes `effective_to` redundant for lookup).
+    */
+  def pointInTime(facts: DataFrame, factTime: String, history: DataFrame,
+      keys: Seq[String], attrCols: Seq[String]): DataFrame =
+    AsOfJoin.backward(facts, history.select((keys :+ "effective_from").map(col)
+        ++ attrCols.map(col): _*),
+      keys, factTime, "effective_from",
+      attrCols.map(c => c -> c).toMap)
 }

@@ -1791,6 +1791,64 @@ object OpQueries {
         FROM marked WHERE chg)
       ORDER BY c_custkey, effective_from"""))
 
+  /** Point-in-time dimension lookup ([[graft.ops.History.pointInTime]]):
+    * every order joined to the customer attributes effective AT its order
+    * date — spelled as an as-of join against the SCD2 change stream (one
+    * keyed window shuffle), NEVER an interval range join. Oracle uses
+    * DuckDB's native ASOF LEFT JOIN. Orders before the first snapshot get
+    * nulls.
+    */
+  val q201_point_in_time: Q = Q(
+    fn = (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val bal2 = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal"))
+      def snap(ts: String, bal: org.apache.spark.sql.Column, seg: org.apache.spark.sql.Column) =
+        c.withColumn("c_acctbal", bal).withColumn("c_mktsegment", seg)
+          .withColumn("v", lit(ts).cast("timestamp"))
+      val snaps = snap("1996-01-01", col("c_acctbal"), col("c_mktsegment"))
+        .unionByName(snap("1998-01-01", bal2, col("c_mktsegment")))
+        .unionByName(snap("2000-01-01", bal2,
+          when(col("c_custkey") % 11 === 0, lit("CHANGED")).otherwise(col("c_mktsegment"))))
+      val hist = graft.ops.History.scd2(snaps, Seq("c_custkey"), "v",
+        Seq("c_acctbal", "c_mktsegment"))
+      val facts = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_orderdate"))
+      graft.ops.History.pointInTime(facts, "o_orderdate", hist,
+          Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          round(col("c_acctbal"), 4).as("acctbal"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH snaps AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, TIMESTAMP '1996-01-01' AS v FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END,
+               c_mktsegment, TIMESTAMP '1998-01-01' FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END,
+               CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED' ELSE c_mktsegment END,
+               TIMESTAMP '2000-01-01' FROM customer),
+      marked AS (
+        SELECT *,
+               (row_number() OVER w = 1
+                OR c_acctbal IS DISTINCT FROM lag(c_acctbal) OVER w
+                OR c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w) AS chg
+        FROM snaps
+        WINDOW w AS (PARTITION BY c_custkey ORDER BY v)),
+      hist AS (SELECT c_custkey, v AS effective_from, c_acctbal, c_mktsegment
+               FROM marked WHERE chg)
+      SELECT o.o_orderkey, o.c_custkey,
+             round(h.c_acctbal, 4) AS acctbal, h.c_mktsegment
+      FROM (SELECT o_orderkey, o_custkey AS c_custkey, o_orderdate FROM orders) o
+      ASOF LEFT JOIN hist h
+        ON o.c_custkey = h.c_custkey AND o.o_orderdate >= h.effective_from
+      ORDER BY o.o_orderkey"""))
+
   /** Per-group mode ([[graft.sdf.SDF.modePerGroup]]): most frequent
     * quantity per return flag, smallest-value tie-break.
     */
@@ -1817,6 +1875,7 @@ object OpQueries {
     "q194_tpch_q10" -> q194_tpch_q10,
     "q197_group_mode" -> q197_group_mode,
     "q199_scd2" -> q199_scd2,
+    "q201_point_in_time" -> q201_point_in_time,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,
