@@ -221,6 +221,41 @@ object Writers {
     * over the written data (grouped by input_file_name), byte sizes from a
     * single directory listing; nothing driver-side scales with row count.
     */
+  /** Small-file compaction — the operational complement of the layout
+    * writers (range-sorted, Z-ordered): a landing directory accreted by
+    * many micro-batches/tasks ends up with thousands of KB-scale parquet
+    * files whose per-file open/footer cost dominates scans at 100 TB.
+    * Rewrite the dataset into `ceil(totalBytes / targetFileBytes)` files
+    * (size from a real listing, not a row-count guess — compressed bytes
+    * are what scans pay for), then swap directories.
+    *
+    * The swap is delete-then-rename: atomic enough for a maintenance
+    * window on HDFS/local (rename is metadata-only); on S3-like stores
+    * rename is a copy — run compaction against a new prefix and flip the
+    * table location instead (the manifest-sink pattern).
+    *
+    * @return number of files after compaction.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val files = ObjectStore.list(path).filter(_.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $path")
+    val totalBytes = files.map(ObjectStore.size(_)).sum
+    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    ObjectStore.delete(path)
+    val (fs, dst) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(conf), p)
+    }
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    numFiles
+  }
+
   def writeWithManifest(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession

@@ -35,6 +35,29 @@ object IoQueries {
       FROM nation
       ORDER BY n_nationkey"""))
 
+  /** Small-file compaction ([[Writers.compact]]): a 16-file dataset
+    * rewrites to size-targeted files (one, at the default 128 MB target);
+    * the roundtrip oracle proves content is untouched. IoSpec asserts the
+    * file-count mechanics.
+    */
+  val q202_compact: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("lineitem_compact")
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(out)
+      Writers.compact(s, out)
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber"""))
+
   /** Schema-evolution parquet read ([[Readers.readParquetMerged]]): two
     * files written under one dataset dir with different column sets; the
     * merged read unions the schemas, absent columns null-filled per file.
@@ -630,6 +653,7 @@ object IoQueries {
     "q70_csv_roundtrip" -> q70_csv_roundtrip,
     "q101_orc_roundtrip" -> q101_orc_roundtrip,
     "q192_merge_schema" -> q192_merge_schema,
+    "q202_compact" -> q202_compact,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
     "q79_npz_roundtrip" -> q79_npz_roundtrip,

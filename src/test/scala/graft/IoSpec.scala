@@ -353,4 +353,24 @@ class IoSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(dir).count() == 1024)
   }
+
+  test("compact: file count follows the byte target, content byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/data"
+    val df = (1L to 2000L).map(i => (i, s"row_$i")).toDF("id", "s")
+    df.repartition(8).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles.length == 8)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    // huge target -> exactly one file
+    val n1 = graft.io.Writers.compact(spark, dir)
+    assert(n1 == 1 && parquetFiles.length == 1, s"expected 1 file, got $n1/${parquetFiles.length}")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+    // target at ~half the total bytes -> two files
+    val total = parquetFiles.map(_.length()).sum
+    val n2 = graft.io.Writers.compact(spark, dir, targetFileBytes = total / 2 + 1)
+    assert(n2 == 2 && parquetFiles.length == 2, s"expected 2 files, got $n2/${parquetFiles.length}")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+  }
 }
