@@ -1849,6 +1849,57 @@ object OpQueries {
         ON o.c_custkey = h.c_custkey AND o.o_orderdate >= h.effective_from
       ORDER BY o.o_orderkey"""))
 
+  /** pandas `corrwith` ([[graft.sdf.SDF.corrWith]]): per-column Pearson
+    * correlation between key-aligned frames in one join + one aggregate —
+    * an exact −1 (reversed quantity) and a near-1 (discounted price) pair.
+    */
+  val q203_corrwith: Q = Q(
+    fn = (s, dir) => {
+      // orders: o_orderkey IS unique (lineitem's (orderkey, linenumber) is
+      // not in this synthetic data — a non-unique key would fan the
+      // alignment join out and dilute every correlation)
+      val a = SDF(table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey")))
+      val b = SDF(table(s, dir, "orders")
+        .select(col("o_orderkey"), (lit(0.0) - col("o_totalprice")).as("o_totalprice"),
+          (col("o_custkey") + col("o_orderkey") % 100).cast("double").as("o_custkey")))
+      a.corrWith(b, Seq("o_orderkey"))
+        .select(col("column"), round(col("corr"), 4).as("corr"))
+        .orderBy(col("column"))
+    },
+    oracle = Some("""
+      SELECT 'o_custkey' AS "column",
+             round(corr(CAST(o_custkey AS DOUBLE),
+                        CAST(o_custkey + o_orderkey % 100 AS DOUBLE)), 4) AS corr
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', round(corr(o_totalprice, 0.0 - o_totalprice), 4)
+      FROM orders
+      ORDER BY "column""""))
+
+  /** `resample().ohlc()` ([[graft.sdf.SDF.ohlcBy]]): hourly
+    * open/high/low/close of event values per type, deterministic open/close
+    * via the unique-timestamp tie key (never partition-order first/last).
+    */
+  val q204_ohlc: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "events"))
+        .ohlcBy(Seq("event_type"), "ts", "1 hour", col("value"), unix_micros(col("ts")))
+        .select(col("event_type"), col("w_start"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"))
+        .orderBy(col("event_type"), col("w_start")),
+    oracle = Some("""
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS w_start,
+             round(arg_min(value, epoch_us(ts)), 4) AS open,
+             round(max(value), 4) AS high,
+             round(min(value), 4) AS low,
+             round(arg_max(value, epoch_us(ts)), 4) AS close
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   /** Per-group mode ([[graft.sdf.SDF.modePerGroup]]): most frequent
     * quantity per return flag, smallest-value tie-break.
     */
@@ -1876,6 +1927,8 @@ object OpQueries {
     "q197_group_mode" -> q197_group_mode,
     "q199_scd2" -> q199_scd2,
     "q201_point_in_time" -> q201_point_in_time,
+    "q203_corrwith" -> q203_corrwith,
+    "q204_ohlc" -> q204_ohlc,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,

@@ -320,6 +320,43 @@ final class SDF private (private var _df: DataFrame) {
     * against the aggregated frame on (keys, bucket). Two aggregates + one
     * join — all shuffles on the same group keys.
     */
+  /** pandas `resample().ohlc()`: open/high/low/close of `value` per time
+    * bucket (and group). Open/close are `min_by`/`max_by` against an
+    * explicit `tieKey` — pass a per-row-unique ordering key (an event id,
+    * or the timestamp where timestamps are unique) so the result is
+    * deterministic on any partitioning; `first()`/`last()` in a groupBy
+    * are partition-order-dependent and never used here. One shuffle on
+    * (groups, bucket), all four stats partial-aggregated.
+    */
+  def ohlcBy(groups: Seq[String], on: String, every: String,
+      value: Column, tieKey: Column): DataFrame = {
+    val bucket = window(col(on), every).getField("start")
+    _df.groupBy(groups.map(col) :+ bucket.as("w_start"): _*)
+      .agg(min_by(value, tieKey).as("open"), max(value).as("high"),
+        min(value).as("low"), max_by(value, tieKey).as("close"))
+  }
+
+  /** pandas `df.corrwith(other)`: Pearson correlation of each shared
+    * numeric column between two key-aligned frames, long format
+    * (column, corr). ONE equi-join + ONE aggregate pass for all columns —
+    * never a per-column job.
+    */
+  def corrWith(other: SDF, keys: Seq[String], out: String = "corr"): DataFrame = {
+    def numericCols(df: DataFrame) = df.schema.fields
+      .filter(f => !keys.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSeq
+    val shared = numericCols(_df).filter(numericCols(other.df).contains)
+    require(shared.nonEmpty, "no shared numeric columns to correlate")
+    val l = _df.select(keys.map(col) ++ shared.map(c => col(c).as(s"__l_$c")): _*)
+    val r = other.df.select(keys.map(col) ++ shared.map(c => col(c).as(s"__r_$c")): _*)
+    val aggs = shared.map(c => corr(col(s"__l_$c"), col(s"__r_$c")).as(c))
+    val wide = l.join(r, keys).agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(shared.map(c =>
+        struct(lit(c).as("column"), col(c).as(out))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   def resampleBy(groups: Seq[String], on: String, every: String,
       aggs: Seq[Column]): SDF = {
     require(groups.nonEmpty, "resampleBy needs group columns; use resample")

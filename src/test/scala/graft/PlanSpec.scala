@@ -136,6 +136,18 @@ class PlanSpec extends AnyFunSuite {
       s"tpch-q3 must stay equi-join only:\n$p")
   }
 
+  test("scd2: change-detection and interval-closing windows share ONE hash exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snaps = (1L to 100L).flatMap(k => Seq((k, 1L, "a"), (k, 2L, "b")))
+      .toDF("k", "v", "s")
+    val plan = graft.ops.History.scd2(snaps, Seq("k"), "v", Seq("s"))
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"both scd2 windows must reuse one key shuffle, found $hashExchanges in:\n$plan")
+  }
+
   test("q167 adaptive join: hot-key set broadcasts to split both inputs") {
     val p = plan("q167_adaptive_join")
     assert(p.contains("BroadcastHashJoin"),

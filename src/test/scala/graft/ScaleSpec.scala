@@ -61,4 +61,33 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("removeDuplicateSpans and dsirScores are partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang")).limit(80)
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.removeDuplicateSpans(df, col("doc_id"), col("text"), k = 4)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(spans(docs.repartition(1)) == spans(docs.repartition(13)),
+      "span removal must not depend on the partition layout")
+    def dsir(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.dsirScores(df, col("doc_id"), col("text"),
+          df.filter(col("lang") === "en"), col("text"), dim = 128)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(dsir(docs.repartition(1)) == dsir(docs.repartition(7)),
+      "dsir scores must not depend on the partition layout")
+  }
+
+  test("approx percentile lands within its stated rank error at scale-ish cardinality") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100k distinct values; accuracy parameter 1000 -> rank error <= 1/1000
+    val df = (1 to 100000).toDF("x")
+    val approx = df.agg(percentile_approx(col("x"), lit(0.5), lit(1000))).head().getInt(0)
+    val trueRank = 50000
+    assert(math.abs(approx - trueRank) <= 100000 / 1000 + 1,
+      s"approx median $approx outside rank-error bound of true $trueRank")
+  }
 }
