@@ -48,9 +48,42 @@ object Graph {
     *                     `localCheckpoint` otherwise.
     * @return (node, rank) — ranks sum to 1 over all distinct nodes.
     */
+  /** In/out degree per node — the one-pass graph profile run before
+    * choosing iteration counts and skew mitigations (a power-law hub
+    * dominating `outdeg` is the salting signal for the contribution join).
+    */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    e.select(col("src").as("node"), lit(1L).as("out"), lit(0L).as("in"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("out"), lit(1L).as("in")))
+      .groupBy(col("node"))
+      .agg(sum(col("out")).as("out_degree"), sum(col("in")).as("in_degree"))
+  }
+
+  /** Personalized PageRank: teleportation lands on the `sources` node set
+    * (uniformly) instead of all nodes — rank becomes proximity TO the
+    * sources (seed-expansion for domain curation: "pages near these known-
+    * good hosts"). Same loop, shuffles and lifecycle as [[pageRank]]; the
+    * base term is per-node (source or not) and dangling mass returns to
+    * the sources. Implemented by generalizing the teleport vector.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[String], iterations: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 4): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
+      None, Some(sources))
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 4, checkpointDir: Option[String] = None): DataFrame = {
+      checkpointEvery: Int = 4, checkpointDir: Option[String] = None): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
+      checkpointDir, None)
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double,
+      checkpointEvery: Int, checkpointDir: Option[String],
+      teleportTo: Option[Seq[String]]): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
@@ -67,9 +100,19 @@ object Graph {
     if (n == 0) { e.unpersist(false); nodes.unpersist(false)
       return nodes.withColumn("rank", lit(0.0)) }
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // withDeg: every node with its out-degree (null deg = dangling) — the
-    // loop's join base, cached once for all rounds
-    val withDeg = nodes.join(deg, Seq("node"), "left").persist()
+    // teleport weight per node: uniform 1/N, or 1/|S| on the personalized
+    // source set (0 elsewhere)
+    val tele = teleportTo match {
+      case None => lit(1.0) / lit(n.toDouble)
+      case Some(srcs) =>
+        require(srcs.nonEmpty, "personalized PageRank needs at least one source")
+        when(col("node").isin(srcs: _*), lit(1.0) / lit(srcs.distinct.size.toDouble))
+          .otherwise(lit(0.0))
+    }
+    // withDeg: every node with its out-degree (null deg = dangling) and
+    // teleport weight — the loop's join base, cached once for all rounds
+    val withDeg = nodes.join(deg, Seq("node"), "left")
+      .withColumn("__t__", tele).persist()
     withDeg.count()
     nodes.unpersist(false)
 
@@ -85,8 +128,7 @@ object Graph {
     // `deg` rides inside the rank frame so each round is exactly ONE join
     // (ranks ⋈ edges) + one dst-keyed sum + one null-fill join against the
     // cached node list — no ranks⋈degrees re-join per round.
-    var ranks = withDeg.select(col("node"), col("deg"),
-      (lit(1.0) / lit(n.toDouble)).as("rank"))
+    var ranks = withDeg.select(col("node"), col("deg"), col("__t__").as("rank"))
     var prevCached: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
@@ -100,11 +142,14 @@ object Graph {
         .join(e.withColumnRenamed("src", "node"), Seq("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg").cast("double")).as("mass"))
-      val base = (1.0 - damping) / n + damping * dangling / n
+      // teleport-vector form: r' = (1−d)·t + d·(mass + dangling·t); the
+      // uniform case t = 1/N reduces to the classic (1−d)/N + d·dangling/N
       var next = withDeg
         .join(fanned, Seq("node"), "left")
         .select(col("node"), col("deg"),
-          (lit(base) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+          (lit(1.0 - damping) * col("__t__")
+            + lit(damping) * (coalesce(col("mass"), lit(0.0))
+              + lit(dangling) * col("__t__"))).as("rank"))
       i += 1
       if (i % checkpointEvery == 0 || i == iterations) {
         next = snapshot(next)

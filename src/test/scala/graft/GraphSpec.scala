@@ -14,18 +14,22 @@ class GraphSpec extends AnyFunSuite {
     * differential oracle for the distributed implementation.
     */
   private def referencePageRank(edges: Seq[(String, String)], iterations: Int,
-      d: Double): Map[String, Double] = {
+      d: Double, sources: Option[Seq[String]] = None): Map[String, Double] = {
     val dedup = edges.distinct
     val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
     val out = dedup.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    val t: String => Double = sources match {
+      case None => _ => 1.0 / n
+      case Some(ss) => v => if (ss.contains(v)) 1.0 / ss.distinct.size else 0.0
+    }
+    var r = nodes.map(v => v -> t(v)).toMap
     for (_ <- 1 to iterations) {
       val dangling = nodes.filterNot(out.contains).map(r).sum
       val incoming = dedup.groupBy(_._2).view.mapValues(
         _.map { case (s, _) => r(s) / out(s).size }.sum).toMap
       r = nodes.map(v =>
-        v -> ((1 - d) / n + d * (incoming.getOrElse(v, 0.0) + dangling / n))).toMap
+        v -> ((1 - d) * t(v) + d * (incoming.getOrElse(v, 0.0) + dangling * t(v)))).toMap
     }
     r
   }
@@ -59,6 +63,25 @@ class GraphSpec extends AnyFunSuite {
     val r2 = Graph.pageRank(df, "src", "dst", iterations = 10)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(r1 == r2)
+  }
+
+  test("personalized pageRank: proximity to the source set, matches reference; degrees profile") {
+    // chain a->b->c->d plus back-edges: personalization on {a} should rank
+    // nodes by proximity to a
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("b", "a"), ("c", "b"), ("d", "c"))
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        sources = Seq("a"), iterations = 15)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referencePageRank(edges, 15, 0.85, Some(Seq("a")))
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+    // NOT monotone in hop distance generally (a pours its whole mass into
+    // b, so b > a here); but nodes near the source beat far ones
+    assert(got("a") > got("c") && got("b") > got("c") && got("c") > got("d"),
+      s"near-source nodes must outrank far ones: $got")
+    val degs = Graph.degrees(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(degs("a") == ((1L, 1L)) && degs("b") == ((2L, 2L)) && degs("d") == ((1L, 1L)))
   }
 
   test("pageRank: empty edge list returns an empty frame; zero iterations is uniform") {
