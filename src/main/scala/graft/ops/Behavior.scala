@@ -50,6 +50,47 @@ object Behavior {
     * cohort bucket itself). `bucketDays` is the bucket length for the
     * offset arithmetic (7 for "week", 1 for "day").
     */
+  /** Top event-type transitions (the path-analysis bigram table): for each
+    * user's time-ordered event sequence, count consecutive (from → to)
+    * pairs corpus-wide and keep the top-N. One keyed window (lead over the
+    * user partition, tie-broken by a unique event id) + one map-side-
+    * combined count + TakeOrdered — no per-user sequence materialization.
+    */
+  def topTransitions(df: DataFrame, user: Column, ts: Column, typ: Column,
+      eventId: Column, topN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u__")).orderBy(col("__ts__"), col("__eid__"))
+    df.select(user.as("__u__"), ts.as("__ts__"), eventId.as("__eid__"),
+        typ.as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(topN)
+  }
+
+  /** Conversion-lag quantiles: for each user's FIRST `fromType` event, the
+    * latency to their first `toType` event at-or-after it; converted users
+    * aggregate to exact p50/p90 seconds. Two per-user min-aggregates (no
+    * event pair join) + one grouped percentile.
+    */
+  def conversionLag(df: DataFrame, user: Column, ts: Column, typ: Column,
+      fromType: String, toType: String): DataFrame = {
+    val firstFrom = df.filter(typ === fromType)
+      .groupBy(user.as("__u__")).agg(min(ts).as("__t0__"))
+    val toEvents = df.filter(typ === toType)
+      .select(user.as("__u__"), ts.as("__t1__"))
+    val lags = firstFrom.join(toEvents, Seq("__u__"))
+      .filter(col("__t1__") >= col("__t0__"))
+      .groupBy(col("__u__"))
+      .agg(min(unix_micros(col("__t1__")) - unix_micros(col("__t0__"))).as("__lag_us__"))
+    lags.agg(
+      count(lit(1)).as("converted_users"),
+      round(percentile(col("__lag_us__").cast("double") / lit(1e6), lit(0.5)), 4).as("p50_sec"),
+      round(percentile(col("__lag_us__").cast("double") / lit(1e6), lit(0.9)), 4).as("p90_sec"))
+  }
+
   def cohortRetention(df: DataFrame, user: Column, ts: Column,
       bucket: String, bucketDays: Int): DataFrame = {
     require(bucketDays > 0, "bucketDays must be positive")

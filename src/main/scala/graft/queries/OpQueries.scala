@@ -1900,6 +1900,47 @@ object OpQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Path analysis ([[graft.ops.Behavior.topTransitions]]): top event-type
+    * transition bigrams over per-user time-ordered sequences.
+    */
+  val q205_event_paths: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Behavior.topTransitions(table(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"), topN = 10)
+        .select(col("from_type"), col("to_type"), col("n")),
+    oracle = Some("""
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events)
+      WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+      ORDER BY n DESC, from_type, to_type
+      LIMIT 10"""))
+
+  /** Conversion-lag distribution ([[graft.ops.Behavior.conversionLag]]):
+    * first view → first subsequent purchase per user, exact p50/p90.
+    */
+  val q206_conversion_lag: Q = Q(
+    fn = (s, dir) =>
+      graft.ops.Behavior.conversionLag(table(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"), "view", "purchase"),
+    oracle = Some("""
+      WITH f AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      lags AS (
+        SELECT f.user_id,
+               min(epoch_us(e.ts) - epoch_us(f.t0)) AS lag_us
+        FROM f JOIN events e
+          ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.t0
+        GROUP BY f.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS converted_users,
+             round(quantile_cont(lag_us / 1e6, 0.5), 4) AS p50_sec,
+             round(quantile_cont(lag_us / 1e6, 0.9), 4) AS p90_sec
+      FROM lags"""))
+
   /** Per-group mode ([[graft.sdf.SDF.modePerGroup]]): most frequent
     * quantity per return flag, smallest-value tie-break.
     */
@@ -1929,6 +1970,8 @@ object OpQueries {
     "q201_point_in_time" -> q201_point_in_time,
     "q203_corrwith" -> q203_corrwith,
     "q204_ohlc" -> q204_ohlc,
+    "q205_event_paths" -> q205_event_paths,
+    "q206_conversion_lag" -> q206_conversion_lag,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,

@@ -1380,6 +1380,22 @@ class OpsSpec extends AnyFunSuite {
     assert(en(2L) < en(1L) && en(2L) < en(3L))
   }
 
+  test("conversionLag: pre-view purchases ignored, first-pair latency, non-converters dropped") {
+    val rows = Seq(
+      // user 1: purchase BEFORE first view (ignored), converts 60s after view
+      (1L, "2024-01-01 00:00:00", "purchase", 1L),
+      (1L, "2024-01-01 01:00:00", "view", 2L),
+      (1L, "2024-01-01 01:01:00", "purchase", 3L),
+      (1L, "2024-01-01 02:00:00", "purchase", 4L), // later purchase irrelevant
+      // user 2: views but never purchases -> not counted
+      (2L, "2024-01-01 00:00:00", "view", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = graft.ops.Behavior.conversionLag(rows, col("user_id"), col("ts"),
+      col("event_type"), "view", "purchase").head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 60.0 && r.getDouble(2) == 60.0, s"got $r")
+  }
+
   test("fleschReadingEase: hand-computed sentence; empty text is null; kFold in range and stable") {
     val df = Seq((1L, "The cat sat. The dog ran!"), (2L, "???")).toDF("id", "t")
     val got = df.select(col("id"), TextAnalysis.fleschReadingEase(col("t")))
