@@ -1900,6 +1900,26 @@ object OpQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Equi-depth deciles ([[graft.sdf.SDF.equiDepthBuckets]]): ntile(10)
+    * per return flag with per-bucket count/min/max.
+    */
+  val q207_equidepth: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))
+        .equiDepthBuckets(Seq(col("l_returnflag")), col("l_extendedprice"), n = 10)
+        .select(col("l_returnflag"), col("bucket").cast("long").as("bucket"),
+          col("n"), round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+        .orderBy(col("l_returnflag"), col("bucket")),
+    oracle = Some("""
+      SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS n,
+             round(min(p), 4) AS lo, round(max(p), 4) AS hi
+      FROM (
+        SELECT l_returnflag, l_extendedprice AS p,
+               ntile(10) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS bucket
+        FROM lineitem)
+      GROUP BY l_returnflag, bucket
+      ORDER BY l_returnflag, bucket"""))
+
   /** Path analysis ([[graft.ops.Behavior.topTransitions]]): top event-type
     * transition bigrams over per-user time-ordered sequences.
     */
@@ -1972,6 +1992,7 @@ object OpQueries {
     "q204_ohlc" -> q204_ohlc,
     "q205_event_paths" -> q205_event_paths,
     "q206_conversion_lag" -> q206_conversion_lag,
+    "q207_equidepth" -> q207_equidepth,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,

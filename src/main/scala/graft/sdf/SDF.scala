@@ -545,6 +545,21 @@ final class SDF private (private var _df: DataFrame) {
       .select(keyNames.map(col) :+ col("__v__").as(out): _*)
   }
 
+  /** Equi-depth bucket profile (pandas `qcut` summary / histogram with
+    * equal counts): `ntile(n)` per group, then per-bucket count/min/max.
+    * One keyed window + one grouped aggregate; because the output only
+    * aggregates the bucketed value itself, tie order inside the window is
+    * irrelevant (equal values are interchangeable across a boundary).
+    */
+  def equiDepthBuckets(keys: Seq[Column], value: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"need at least one bucket: $n")
+    val w = Window.partitionBy(keys: _*).orderBy(value)
+    _df.withColumn("__b__", ntile(n).over(w))
+      .groupBy(keys :+ col("__b__").as("bucket"): _*)
+      .agg(count(lit(1)).as("n"), min(value).as("lo"), max(value).as("hi"))
+  }
+
   /** pandas-style `describe()` over numeric columns, long format
     * (stat, column, value) — count/mean/std/min/25%/50%/75%/max in ONE
     * aggregate pass (all statistics partial-aggregate or sketch).
