@@ -28,7 +28,18 @@ object GraftExtensions {
     "md5_hash60" -> ((exprs: Seq[Expression]) => Md5Hash60(exprs.head)),
     "dot_product" -> ((exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
     "char_entropy" -> ((exprs: Seq[Expression]) => CharEntropy(exprs.head)),
+    // SQL form takes the vocabulary as trailing string literals:
+    //   vocab_token_count(text, 'the', 'ing', ...)
+    "vocab_token_count" -> ((exprs: Seq[Expression]) =>
+      VocabTokenCount(exprs.head, exprs.tail.map(literalString("vocab_token_count", _)))),
+    "vocab_tokenize" -> ((exprs: Seq[Expression]) =>
+      VocabTokenize(exprs.head, exprs.tail.map(literalString("vocab_tokenize", _)))),
     "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()))
+
+  private def literalString(fn: String, e: Expression): String = {
+    require(e.foldable, s"$fn vocabulary entries must be string literals, got $e")
+    String.valueOf(e.eval(null))
+  }
 
   /** Install into an ALREADY-RUNNING session (extensions config only applies
     * at session construction; `getOrCreate` on an active session ignores it).

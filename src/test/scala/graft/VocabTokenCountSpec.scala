@@ -67,6 +67,17 @@ class VocabTokenCountSpec extends AnyFunSuite {
     assert(viaDf == VocabTokenCount.pieces("thee and the thing", idx).toSeq)
   }
 
+  test("SQL registration: vocab as trailing string literals") {
+    graft.functions.GraftExtensions.installInto(spark)
+    val n = spark.sql("SELECT vocab_token_count('ththe and thee', 'the', 'thee', 'th', ' ')")
+      .head().getLong(0)
+    // th + the -> 2, ' ' -> 1, a,n,d -> 3, ' ' -> 1, thee -> 1
+    assert(n == 8L)
+    val ps = spark.sql("SELECT vocab_tokenize('thee', 'the', 'thee')")
+      .head().getSeq[String](0)
+    assert(ps == Seq("thee"))
+  }
+
   test("codegen (DataFrame path) == interpreted kernel") {
     val df = Seq("thee and the thing", "abcdabc", "", "zz the zz").toDF("t")
     val viaDf = df.select(VocabTokenCount.vocab_token_count(col("t"), vocab))
