@@ -2693,7 +2693,111 @@ object LlmOpsQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Curation pipeline v3 — THIS round's machinery composed end-to-end in
+    * one lazy plan: boilerplate-salted corpus → duplicate-span REMOVAL
+    * (q182) → minimum-surviving-length gate → DSIR importance scoring
+    * against the English subset (q183) → deterministic Gumbel top-150 →
+    * shard-parallel token-budget packing (q90). The oracle stitches the
+    * verified spellings of every stage; the DSIR token stream reuses the
+    * span-removal chain's kept-token rows directly (the canonical
+    * clean-text join/split roundtrip is token-exact).
+    */
+  val q208_curation_v3: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boiler = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" subscribe to our newsletter for free updates every day")))
+          .otherwise(col("text")))
+      val cleaned = TextAnalysis.removeDuplicateSpans(boiler, col("doc_id"), col("text"), k = 5)
+      val kept = cleaned.filter(col("n_kept") >= 20)
+      val withLang = kept.join(
+        table(s, dir, "documents").select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      val scores = TextAnalysis.dsirScores(
+        withLang, col("id"), col("clean_text"),
+        withLang.filter(col("lang") === "en"), col("clean_text"),
+        dim = 1024, alpha = 0.5)
+      val sel = graft.ops.Sampling.gumbelTopK(scores, col("id"), col("dsir_score"),
+        n = 150, seed = 11)
+      val packed = graft.ops.Packing.packByTokenBudget(
+        sel.join(kept.select(col("id"), col("n_kept")), Seq("id")),
+        id = col("id"), tokens = col("n_kept"), budget = 500L, shards = 4)
+      packed.select(col("id").as("doc_id"), col("n_kept"),
+          col("shard"), col("bin"), round(col("dsir_score"), 4).as("dsir_score"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || ' subscribe to our newsletter for free updates every day'
+                    ELSE text END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, len(t) AS n, gi,
+               ${h60("array_to_string(t[gi:CASE WHEN len(t) < 5 THEN len(t) ELSE gi + 4 END], ' ')")} AS g
+        FROM toks, UNNEST(generate_series(1,
+               CASE WHEN len(t) < 5 THEN 1 ELSE len(t) - 4 END)) u(gi)),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+      covered AS (
+        SELECT DISTINCT doc_id, p
+        FROM grams JOIN dup USING (g),
+             UNNEST(generate_series(gi - 1, gi - 2 + least(5, n))) c(p)),
+      tp AS (
+        SELECT doc_id, i - 1 AS p, t[i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(t))) u(i)),
+      ktoks AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+        WHERE c.p IS NULL),
+      keepers AS (
+        SELECT k.doc_id, count(*) AS n_kept
+        FROM ktoks k GROUP BY k.doc_id
+        HAVING count(*) >= 20),
+      bt AS (
+        SELECT k.doc_id, ${h60("k.tok")} % 1024 AS b
+        FROM ktoks k JOIN keepers USING (doc_id)),
+      tgt AS (
+        SELECT b, count(*) AS ct
+        FROM bt JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+      raw AS (SELECT b, count(*) AS cr FROM bt GROUP BY b),
+      tots AS (
+        SELECT (SELECT count(*) FROM bt JOIN documents USING (doc_id)
+                WHERE lang = 'en') AS tt,
+               (SELECT count(*) FROM bt) AS rt),
+      ratio AS (
+        SELECT r.b,
+               ln((coalesce(t.ct, 0) + CAST(0.5 AS DOUBLE)) / (tots.tt + CAST(0.5 AS DOUBLE) * 1024)) -
+               ln((r.cr + CAST(0.5 AS DOUBLE)) / (tots.rt + CAST(0.5 AS DOUBLE) * 1024)) AS lr
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots),
+      scores AS (
+        SELECT doc_id, sum(lr) AS s
+        FROM bt JOIN ratio USING (b) GROUP BY doc_id),
+      sel AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, s,
+                 round(s - ln(-ln((${h60("doc_id || ':11'")} % 1000000000 + CAST(0.5 AS DOUBLE)) / 1e9)), 6) AS gk
+          FROM scores)
+        ORDER BY gk DESC, doc_id LIMIT 150),
+      packed AS (
+        SELECT sel.doc_id, kp.n_kept, sel.s,
+               ${h60("CAST(sel.doc_id AS VARCHAR)")} % 4 AS shard
+        FROM sel JOIN keepers kp USING (doc_id))
+      SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, shard,
+             CAST((sum(n_kept) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_kept)
+                  // 500 AS BIGINT) AS bin,
+             round(s, 4) AS dsir_score
+      FROM packed
+      ORDER BY doc_id"""),
+    bench = true)
+
   val all: Map[String, Q] = Map(
+    "q208_curation_v3" -> q208_curation_v3,
     "q200_vocab_pieces" -> q200_vocab_pieces,
     "q198_vocab_tokens" -> q198_vocab_tokens,
     "q196_gopher_flags" -> q196_gopher_flags,
