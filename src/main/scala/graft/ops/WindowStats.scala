@@ -208,6 +208,25 @@ object WindowStats {
     * scaling cancels in the ratio. One shuffle, five frame aggregates over
     * one sort.
     */
+  /** pandas `Series.autocorr(lag)` per group: Pearson correlation of the
+    * series with its own lag-k shift, ordered by `orderCols` within each
+    * key. One keyed window (the lag) + one grouped corr — scale-parallel
+    * across groups; for a single global series pass a constant group and
+    * accept the one-partition window (the same small-series contract as
+    * exact kendall).
+    */
+  def autocorrPerGroup(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      value: Column, lag: Int = 1, out: String = "autocorr"): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1: $lag")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__x__", value.cast("double"))
+      .withColumn("__xl__", org.apache.spark.sql.functions.lag(col("__x__"), lag).over(w))
+      .filter(col("__xl__").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(corr(col("__x__"), col("__xl__")).as(out))
+  }
+
   def rollingCorr(x: Column, y: Column, n: Int,
       over: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val w = over.rowsBetween(-(n - 1), 0)

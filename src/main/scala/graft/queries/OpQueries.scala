@@ -1920,6 +1920,25 @@ object OpQueries {
       GROUP BY l_returnflag, bucket
       ORDER BY l_returnflag, bucket"""))
 
+  /** pandas `Series.autocorr` ([[WindowStats.autocorrPerGroup]]): lag-1
+    * self-correlation of event values per type, time-ordered.
+    */
+  val q209_autocorr: Q = Q(
+    fn = (s, dir) =>
+      WindowStats.autocorrPerGroup(table(s, dir, "events"),
+          Seq("event_type"), Seq(col("ts"), col("event_id")), col("value"), lag = 1)
+        .select(col("event_type"), round(col("autocorr"), 4).as("autocorr"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type, round(corr(value, lv), 4) AS autocorr
+      FROM (
+        SELECT event_type, value,
+               lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lv
+        FROM events)
+      WHERE lv IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** Path analysis ([[graft.ops.Behavior.topTransitions]]): top event-type
     * transition bigrams over per-user time-ordered sequences.
     */
@@ -1993,6 +2012,7 @@ object OpQueries {
     "q205_event_paths" -> q205_event_paths,
     "q206_conversion_lag" -> q206_conversion_lag,
     "q207_equidepth" -> q207_equidepth,
+    "q209_autocorr" -> q209_autocorr,
     "q186_flatten_structs" -> q186_flatten_structs,
     "q187_trimmed_mean" -> q187_trimmed_mean,
     "q188_k_anonymity" -> q188_k_anonymity,
