@@ -209,8 +209,34 @@ object StreamingQueries {
       WHERE c.event_type = 'click'
       ORDER BY l_id, r_id"""))
 
+  /** Streaming OHLC ([[EventStreams.tumblingOhlc]]): min_by/max_by inside
+    * a watermarked window aggregate, replayed against the batch
+    * arg_min/arg_max oracle.
+    */
+  val q210_stream_ohlc: Q = Q(
+    fn = (s, dir) => {
+      val out = EventStreams.runToCompletion(
+        EventStreams.tumblingOhlc(EventStreams.readEvents(s, dir),
+          "1 hour", watermark = "1 minute"),
+        mode = "complete")
+      out.select(col("w_start"), col("event_type"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+    oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+             round(arg_min(value, ts), 4) AS open,
+             round(max(value), 4) AS high,
+             round(min(value), 4) AS low,
+             round(arg_max(value, ts), 4) AS close
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Map[String, Q] = Map(
     "q195_stream_outer_join" -> q195_stream_outer_join,
+    "q210_stream_ohlc" -> q210_stream_ohlc,
     "q85_stream_interval_join" -> q85_stream_interval_join,
     "q86_stream_stateful_totals" -> q86_stream_stateful_totals,
     "q60_stream_tumbling" -> q60_stream_tumbling,

@@ -62,6 +62,23 @@ object EventStreams {
         col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming OHLC: per (window, type) open/high/low/close of `value` —
+    * open/close via `min_by`/`max_by` on the event timestamp (declarative
+    * aggregates, so they partial-merge across micro-batches like any
+    * watermarked windowed agg; deterministic because event ts is the
+    * fixture's unique key).
+    */
+  def tumblingOhlc(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"))
+
   /** Sliding-window event counts (width, slide). */
   def slidingCounts(events: DataFrame, width: String, slide: String, watermark: String): DataFrame =
     events

@@ -84,6 +84,16 @@ class GraphSpec extends AnyFunSuite {
     assert(degs("a") == ((1L, 1L)) && degs("b") == ((2L, 2L)) && degs("d") == ((1L, 1L)))
   }
 
+  test("pageRank: lineage truncates at checkpoints (plan does not grow with iterations)") {
+    val edges = (0L until 200L).map(i => (i.toString, ((i + 1) % 200).toString))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 12, checkpointEvery = 4)
+    def depth(r: org.apache.spark.rdd.RDD[_]): Int =
+      if (r.dependencies.isEmpty) 1 else 1 + r.dependencies.map(d => depth(d.rdd)).max
+    val d = depth(ranks.rdd)
+    assert(d < 30, s"RDD lineage depth $d — grew with iterations, checkpoint not truncating")
+  }
+
   test("pageRank: empty edge list returns an empty frame; zero iterations is uniform") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(Graph.pageRank(empty, "src", "dst", iterations = 3).count() == 0)
