@@ -40,6 +40,13 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
   /** term → (index, idf); index dense over sorted vocabulary. */
   private var vocab: Option[Seq[(String, (Int, Double))]] = None
 
+  /** Fitted vocabulary as (term, index, idf) — sklearn's
+    * `get_feature_names_out` + `idf_` surface; bounded by `max_features`.
+    */
+  def fittedVocabulary: Seq[(String, Int, Double)] =
+    vocab.getOrElse(notFitted("fittedVocabulary"))
+      .map { case (t, (i, f)) => (t, i, f) }
+
   private def tokenize(in: Column): Column =
     filter(split(lower(in), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 2)
 

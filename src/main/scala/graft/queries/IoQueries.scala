@@ -35,6 +35,26 @@ object IoQueries {
       FROM nation
       ORDER BY n_nationkey"""))
 
+  /** CSV dialect robustness: values with embedded commas, double quotes,
+    * and leading/trailing spaces survive the quote-escape write → inferred
+    * read roundtrip byte-exactly.
+    */
+  val q212_csv_dialect: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("nation_dialect")
+      val spiky = table(s, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit(""", "quoted" ,comma""")).as("spiky"))
+      Writers.write(spiky, FileMetadata.of(out + ".csv"))
+      Readers.read(s, out + ".csv")
+        .select(col("n_nationkey"), col("spiky"))
+        .orderBy(col("n_nationkey"))
+    },
+    oracle = Some("""
+      SELECT n_nationkey, n_name || ', "quoted" ,comma' AS spiky
+      FROM nation
+      ORDER BY n_nationkey"""))
+
   /** Small-file compaction ([[Writers.compact]]): a 16-file dataset
     * rewrites to size-targeted files (one, at the default 128 MB target);
     * the roundtrip oracle proves content is untouched. IoSpec asserts the
@@ -654,6 +674,7 @@ object IoQueries {
     "q101_orc_roundtrip" -> q101_orc_roundtrip,
     "q192_merge_schema" -> q192_merge_schema,
     "q202_compact" -> q202_compact,
+    "q212_csv_dialect" -> q212_csv_dialect,
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
     "q79_npz_roundtrip" -> q79_npz_roundtrip,

@@ -242,7 +242,60 @@ object ProcessorQueries {
       ORDER BY ent.doc_id, term_idx"""),
     bench = true)
 
+  /** Per-doc keyword extraction: top-3 TF-IDF terms
+    * ([[TfIdfVectorization.fittedVocabulary]] maps indices back to terms;
+    * ties break by vocabulary index, exact because equal (tf, df) pairs
+    * produce bit-identical weights in both engines).
+    */
+  val q211_keywords: Q = Q(
+    fn = (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tfidf = new TfIdfVectorization(Map("max_features" -> 20, "output_sparse" -> true))
+      tfidf.fit(docs, "text")
+      val entries = tfidf.transformStaged(docs, "text", "vec")
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("vec.indices"), col("vec.values"))).as(Seq("pos", "entry")))
+        .select(col("doc_id"), col("entry.indices").cast("long").as("term_idx"),
+          col("entry.values").as("w"))
+      val vocabDf = s.createDataFrame(
+        tfidf.fittedVocabulary.map { case (t, i, _) => (i.toLong, t) })
+        .toDF("term_idx", "term")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("w").desc, col("term_idx"))
+      entries.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .join(broadcast(vocabDf), Seq("term_idx"))
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), round(col("w"), 4).as("w"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, u.t
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                                x -> length(x) >= 2)) AS u(t)),
+      n AS (SELECT count(*) AS n FROM documents),
+      dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+      vocab AS (
+        SELECT t, df, row_number() OVER (ORDER BY t) - 1 AS idx
+        FROM (SELECT * FROM dfreq ORDER BY df DESC, t LIMIT 20)),
+      tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+      ent AS (
+        SELECT doc_id, t, idx, tf * (ln((1 + n.n) / (1 + vocab.df)) + 1) AS v
+        FROM tf JOIN vocab USING (t) CROSS JOIN n),
+      nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ent GROUP BY doc_id),
+      wtd AS (
+        SELECT ent.doc_id, ent.t AS term, ent.idx, v / nrm.nrm AS w,
+               row_number() OVER (PARTITION BY ent.doc_id
+                 ORDER BY v / nrm.nrm DESC, ent.idx) AS rank
+        FROM ent JOIN nrm ON ent.doc_id = nrm.doc_id)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(w, 4) AS w
+      FROM wtd WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   val all: Map[String, Q] = Map(
+    "q211_keywords" -> q211_keywords,
     "q30_text_cleaning" -> q30_text_cleaning,
     "q31_regex_removal" -> q31_regex_removal,
     "q32_text_concat" -> q32_text_concat,
