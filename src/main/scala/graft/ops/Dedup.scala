@@ -83,6 +83,26 @@ object Dedup {
     array(sigs: _*)
   }
 
+  /** LSH parameter advisor: choose `bands` for a signature of `numHashes`
+    * so the banding S-curve threshold `(1/b)^(1/r)` (the Jaccard value with
+    * ~50% candidate probability, r = numHashes/b) lands closest to the
+    * target similarity. Candidates are the divisors of `numHashes` (bands
+    * must tile the signature). Returns (bands, rowsPerBand, curveMidpoint).
+    * Pure driver math — the standard MMDS recipe, so callers stop
+    * hand-tuning (b, r) per corpus.
+    */
+  def lshPlan(threshold: Double, numHashes: Int): (Int, Int, Double) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1): $threshold")
+    require(numHashes >= 2, s"need at least 2 hashes: $numHashes")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    val best = candidates.minBy { b =>
+      val r = numHashes / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+    val r = numHashes / best
+    (best, r, math.pow(1.0 / best, 1.0 / r))
+  }
+
   /** LSH banding: split the signature into `bands` rows of
     * `numHashes/bands`, hash each band — docs sharing any band bucket are
     * candidate near-dups. Returns (bandId, bandHash) rows via posexplode;

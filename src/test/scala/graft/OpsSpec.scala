@@ -1380,6 +1380,21 @@ class OpsSpec extends AnyFunSuite {
     assert(en(2L) < en(1L) && en(2L) < en(3L))
   }
 
+  test("lshPlan: midpoint tracks the target threshold, bands divide the signature") {
+    for (h <- Seq(8, 16, 32, 64, 128); t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r, mid) = Dedup.lshPlan(t, h)
+      assert(b * r == h, s"bands must tile the signature: $b*$r != $h")
+      assert(math.abs(mid - t) < 0.25, s"midpoint $mid too far from target $t at h=$h")
+      // optimality: no other divisor gets closer
+      (1 to h).filter(h % _ == 0).foreach { b2 =>
+        val m2 = math.pow(1.0 / b2, 1.0 / (h / b2))
+        assert(math.abs(mid - t) <= math.abs(m2 - t) + 1e-12)
+      }
+    }
+    // high threshold -> few bands (strict); low threshold -> many (permissive)
+    assert(Dedup.lshPlan(0.9, 32)._1 < Dedup.lshPlan(0.3, 32)._1)
+  }
+
   test("conversionLag: pre-view purchases ignored, first-pair latency, non-converters dropped") {
     val rows = Seq(
       // user 1: purchase BEFORE first view (ignored), converts 60s after view
