@@ -952,6 +952,42 @@ object OpQueries {
       FROM d
       ORDER BY event_id"""))
 
+  /** Session-level rollup on q132's sessionization: duration, depth,
+    * value, bounce flag per (user, session) — the session table every
+    * event-analytics mart materializes. The session-id window and this
+    * rollup share one user-key shuffle.
+    */
+  val q213_session_stats: Q = Q(
+    fn = (s, dir) =>
+      WindowStats.sessionize(table(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "ts", gapMicros = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          round(sum(col("value")), 4).as("total_value"),
+          (count(lit(1)) === 1).as("bounce"))
+        .orderBy(col("user_id"), col("session_id")),
+    oracle = Some("""
+      WITH d AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM d)
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+             round(sum(value), 4) AS total_value,
+             (count(*) = 1) AS bounce
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
   /** pandas time-based `rolling("30min").mean()` per user: RANGE frame over
     * the µs axis (value-based, both ends inclusive) — the row-count rolling
     * lives in q69. Quantized tie-stable.
@@ -2038,6 +2074,7 @@ object OpQueries {
     "q133_rolling_time" -> q133_rolling_time,
     "q134_expanding_transform" -> q134_expanding_transform,
     "q132_sessionize" -> q132_sessionize,
+    "q213_session_stats" -> q213_session_stats,
     "q131_outlier_flags" -> q131_outlier_flags,
     "q127_weighted_sample" -> q127_weighted_sample,
     "q128_cum_extrema" -> q128_cum_extrema,
