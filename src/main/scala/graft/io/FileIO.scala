@@ -246,13 +246,25 @@ object Writers {
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     spark.read.parquet(path).repartition(numFiles)
       .write.mode("overwrite").parquet(tmp)
-    ObjectStore.delete(path)
+    // swap with the original renamed ASIDE first (never deleted before the
+    // new data is in place), and every rename result checked — a failed
+    // swap must throw with the data still recoverable at a visible path,
+    // not return success with the only copy hidden in the tmp dir
     val (fs, dst) = {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
       (p.getFileSystem(conf), p)
     }
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    if (fs.exists(old)) fs.delete(old, true) // debris from a prior failed swap
+    require(fs.rename(dst, old), s"compact: rename $dst -> $old failed; original intact")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.rename(tmpPath, dst)) {
+      fs.rename(old, dst) // restore; best-effort — original data still exists at `old` if this also fails
+      throw new java.io.IOException(
+        s"compact: rename $tmpPath -> $dst failed; original restored")
+    }
+    fs.delete(old, true)
     numFiles
   }
 

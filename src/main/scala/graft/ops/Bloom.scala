@@ -50,6 +50,9 @@ object Bloom {
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     val arr = new Array[Long]((bits / 64).toInt)
     hashes
+      // null hashes can never match a probe (SQL join semantics) and would
+      // otherwise produce a null probe group that NPEs on the driver
+      .filter(col(hashCol).isNotNull)
       .select(explode(array(probes(col(hashCol), bits, k): _*)).as("__p__"))
       .select((col("__p__") / 64).cast("int").as("__w__"),
         (col("__p__") % 64).cast("int").as("__b__"))
@@ -61,12 +64,21 @@ object Bloom {
     arr
   }
 
-  /** Membership probe as a codegen'd Column: the bit array ships as ONE
-    * `typedLit` array literal (a broadcast constant, not inline code — the
-    * same constant-expression-size pattern as the IVF centroids), each of
-    * the k probes tests `(word >> bit) & 1`.
+  /** Membership probe: a native codegen Expression
+    * ([[graft.functions.BloomMightContain]]) holding the bit array as ONE
+    * plan reference (rides the broadcast task binary once per executor) —
+    * k early-out probes on a primitive `long[]` per row. Bit-for-bit the
+    * same probe math as [[build]] and [[mightContainAlgebra]].
     */
-  def mightContain(h: Column, filterBits: Array[Long], k: Int = 4): Column = {
+  def mightContain(h: Column, filterBits: Array[Long], k: Int = 4): Column =
+    graft.functions.BloomMightContain.bloom_might_contain(h, filterBits, k)
+
+  /** The pure-Column spelling of [[mightContain]] (a `typedLit` long array
+    * probed with `element_at`): kept as the independent differential
+    * reference for the native expression — FunctionsSpec asserts they
+    * agree on hits, misses, and the full built-filter probe surface.
+    */
+  def mightContainAlgebra(h: Column, filterBits: Array[Long], k: Int = 4): Column = {
     require(filterBits.nonEmpty, "empty filter")
     val bits = filterBits.length * 64L
     val blit = typedLit(filterBits.toSeq)

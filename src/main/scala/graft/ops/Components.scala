@@ -97,8 +97,20 @@ object Components {
     // scalar agg per round instead of a next⋈prev join (which was a third
     // shuffle per round and dominated wall-clock on small graphs). decimal(38)
     // keeps the sum exact at any |V| (long would overflow at cluster scale).
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col(df.columns.last).cast("decimal(38,0)"))).first().getDecimal(0))
+    // String ids (which this operator supports — pageRank emits 'c123'-style
+    // nodes) have no numeric embedding that preserves lexicographic order,
+    // so their per-round probe sums xxhash64(label) instead: equality is
+    // then necessary but not sufficient, and the loop confirms a prospective
+    // fixed point with ONE exact next⋈prev join (once per call, not per
+    // round) before declaring convergence.
+    val numericIds = Seq(aCol, bCol).forall(c =>
+      edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val lbl = col(df.columns.last)
+      val probe = if (numericIds) lbl.cast("decimal(38,0)")
+        else xxhash64(lbl).cast("decimal(38,0)")
+      Option(df.agg(sum(probe)).first().getDecimal(0))
+    }
 
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("component"))
@@ -140,10 +152,17 @@ object Components {
       roundScratch.foreach(_.unpersist())
       // a checkpointed frame's blocks ARE its data (lineage is gone) — never
       // unpersist those; plain cached rounds are safe to drop
+      val prospective = nextSum == prevSum
+      converged =
+        if (prospective && !numericIds)
+          // hash-sum equality can collide-and-cancel; confirm exactly
+          next.join(labels.select(col("id"), col("component").as("__prev__")), "id")
+            .filter(!(col("next_label") <=> col("__prev__")))
+            .limit(1).count() == 0
+        else prospective
       prevCached.foreach(_.unpersist())
       prevCached = if (checkpointed) None else Some(next)
       labels = next.withColumnRenamed("next_label", "component")
-      converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
@@ -214,9 +233,12 @@ object Components {
     * maximizing `scoreCol` (tie → min id) instead of the min-id survivor —
     * the RefinedWeb/FineWeb practice of retaining the best-quality member of
     * each near-dup cluster. Only 8-byte ids + the score ride the component
-    * join (payloads never shuffle); the argmax is one `max_by` over a
-    * lexicographic (score, −id) struct, so selection is deterministic on any
-    * partitioning.
+    * join (payloads never shuffle); the argmax is one `min_by` over a
+    * lexicographic (−score, id) struct — the id keeps its OWN type in the
+    * tie position (numeric min for numeric ids, lexicographic min for the
+    * string ids connectedComponents equally supports; a negated-id spelling
+    * would implicitly cast strings to double and null the tie key), so
+    * selection is deterministic on any partitioning and any id type.
     */
   def dedupByCandidatesCanonical(df: DataFrame, idCol: String, scoreCol: Column,
       candidates: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
@@ -225,8 +247,8 @@ object Components {
       df.select(col(idCol).as("id"), scoreCol.cast("double").as("__score__")),
       Seq("id"))
     val keepers = scored.groupBy(col("component"))
-      .agg(max_by(col("id"),
-        struct(col("__score__"), (-col("id")).as("__tie__"))).as("keep_id"))
+      .agg(min_by(col("id"),
+        struct((-col("__score__")).as("__negs__"), col("id").as("__tie__"))).as("keep_id"))
       .select(col("keep_id").as(idCol))
     val inGraph = comps.select(col("id").as(idCol))
     df.join(inGraph, Seq(idCol), "left_anti")

@@ -132,10 +132,6 @@ object Graph {
     var prevCached: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
-      val dangling =
-        if (!hasDangling) 0.0
-        else ranks.filter(col("deg").isNull)
-          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
       // contribution join: rank rows keyed by node fan out over their
       // out-edges
       val fanned = ranks.filter(col("deg").isNotNull)
@@ -143,13 +139,21 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg").cast("double")).as("mass"))
       // teleport-vector form: r' = (1−d)·t + d·(mass + dangling·t); the
-      // uniform case t = 1/N reduces to the classic (1−d)/N + d·dangling/N
-      var next = withDeg
-        .join(fanned, Seq("node"), "left")
+      // uniform case t = 1/N reduces to the classic (1−d)/N + d·dangling/N.
+      // Dangling mass rides INSIDE the plan as a broadcast 1-row aggregate
+      // (the Scale.keyProfile broadcast-scalar pattern) — no driver-blocking
+      // job per round; a no-dangling graph skips the branch entirely.
+      val base = withDeg.join(fanned, Seq("node"), "left")
+      val withDangling =
+        if (!hasDangling) base.withColumn("__dm__", lit(0.0))
+        else base.crossJoin(broadcast(
+          ranks.filter(col("deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm__"))))
+      var next = withDangling
         .select(col("node"), col("deg"),
           (lit(1.0 - damping) * col("__t__")
             + lit(damping) * (coalesce(col("mass"), lit(0.0))
-              + lit(dangling) * col("__t__"))).as("rank"))
+              + col("__dm__") * col("__t__"))).as("rank"))
       i += 1
       if (i % checkpointEvery == 0 || i == iterations) {
         next = snapshot(next)

@@ -97,10 +97,14 @@ object RankStats {
     greatest(least(col(c).cast("double"), lit(hi)), lit(lo))
   }
 
-  /** Trimmed mean: mean of the values inside the exact [p, 1−p] quantile
-    * band (scipy `trim_mean` semantics at type-7 boundaries, inclusive).
-    * Two lightweight range-sort jobs for the boundaries ([[exactQuantiles]])
-    * + one map-side conditional average.
+  /** Quantile-band ("winsorized-band") trimmed mean: mean of the values
+    * inside the INCLUSIVE [p, 1−p] type-7 quantile band. NOT scipy
+    * `trim_mean`, which discards exactly `floor(p*n)` observations per
+    * tail — the two diverge when `p*n` is fractional or boundary values are
+    * tied/interpolated; this band form is chosen because it distributes as
+    * two lightweight range-sort jobs for the boundaries
+    * ([[exactQuantiles]]) + one map-side conditional average, with no
+    * per-group ordinal assignment pass.
     */
   def trimmedMean(df: DataFrame, c: String, p: Double): Double = {
     require(p >= 0 && p < 0.5, s"trim fraction must be in [0, 0.5): $p")

@@ -210,27 +210,30 @@ object TextAnalysis {
     * [[unigramNll]] (CCNet-style perplexity proxy): per-doc
     * −mean log P(w_i | w_{i−1}) with P = (c(bigram)+k) / (c(context)+k·V),
     * frequencies from the corpus itself. Shape at scale: ONE exploded gram
-    * frame feeds both frequency aggregates; scoring joins ride gram strings
-    * (doc text never re-shuffles); V is a single scalar count; the per-doc
-    * sum is a sorted fold — bit-deterministic on any partitioning.
+    * frame feeds both frequency aggregates; scoring joins ride 8-byte
+    * [[hash60]] keys (the dedup-family rule — gram STRINGS never shuffle);
+    * V is a single scalar count; the per-doc sum quantizes each log-prob
+    * to `decimal(28,14)` and sums exactly, so the score is bit-identical
+    * on any partitioning without a sorted fold.
     */
   def bigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, k: Double = 1.0, out: String = "nll"): org.apache.spark.sql.DataFrame = {
     val grams = df.select(idCol.as("id"), explode(shingles(textCol, 2)).as("bg"))
-      .withColumn("ctx", element_at(split(col("bg"), " "), 1))
+      .select(col("id"), hash60(col("bg")).as("__bgh__"),
+        hash60(element_at(split(col("bg"), " "), 1)).as("__ctxh__"))
     val vocabRow = df.select(explode(tokens(textCol)).as("t"))
       .agg(count_distinct(col("t"))).head()
     val vocab = if (vocabRow.isNullAt(0)) 0L else vocabRow.getLong(0)
-    val bgFreq = grams.groupBy(col("bg")).agg(count(lit(1)).as("__cbg__"))
-    val ctxFreq = grams.groupBy(col("ctx")).agg(count(lit(1)).as("__cctx__"))
-    grams.join(bgFreq, "bg").join(ctxFreq, "ctx")
+    val bgFreq = grams.groupBy(col("__bgh__")).agg(count(lit(1)).as("__cbg__"))
+    val ctxFreq = grams.groupBy(col("__ctxh__")).agg(count(lit(1)).as("__cctx__"))
+    grams.join(bgFreq, "__bgh__").join(ctxFreq, "__ctxh__")
       .withColumn("__lp__",
         log((col("__cbg__") + lit(k)) / (col("__cctx__") + lit(k) * lit(vocab.toDouble))))
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("bg"), col("__lp__").as("lp")))).as("__xs__"))
+      .agg(sum(col("__lp__").cast("decimal(28,14)")).as("__s__"),
+        count(lit(1)).as("__n__"))
       .select(col("id"),
-        (-aggregate(col("__xs__"), lit(0.0), (a, x) => a + x.getField("lp"))
-          / size(col("__xs__"))).as(out))
+        (-col("__s__").cast("double") / col("__n__")).as(out))
   }
 
   /** Unicode-script profile (CCNet's routing signal next to [[langId]]):
@@ -711,10 +714,23 @@ object TextAnalysis {
   }
 
   /** Gopher-style repetition signal #2: occurrences of the most frequent
-    * word n-gram over total n-grams. Computed per document without exploding:
-    * sort the gram array, then one linear `aggregate` fold tracks the longest
-    * equal-run (= max frequency). Takes the PRE-STAGED gram array — stage
-    * [[shingles]] in its own projection first (nested-HOF re-eval trap).
+    * word n-gram over total n-grams. Computed per document without
+    * exploding: one hash-count pass per doc inside whole-stage codegen
+    * ([[graft.functions.TopFreqFraction]]). Takes the PRE-STAGED gram
+    * array — stage [[shingles]] in its own projection first (nested-HOF
+    * re-eval trap).
+    */
+  def topNgramFraction(grams: Column): Column =
+    when(grams.isNull, lit(0.0))
+      .otherwise(graft.functions.TopFreqFraction.top_freq_fraction(grams))
+
+  /** The HOF spelling of [[topNgramFraction]] — a sorted linear fold
+    * tracking the longest equal-run. Kept as the independent differential
+    * reference for the native expression (the lambda evaluates interpreted
+    * per element, ~100 µs/gram — correct, but the fast path is
+    * [[graft.functions.TopFreqFraction]]'s one hash-count pass in codegen).
+    * Takes the PRE-STAGED gram array — stage [[shingles]] in its own
+    * projection first (nested-HOF re-eval trap).
     */
   def topNgramFractionStaged(grams: Column): Column = {
     val zero = struct(

@@ -637,8 +637,9 @@ object LlmOpsQueries {
     * fraction over a synthesized 3-line doc (the corpus text is single-line,
     * so the query injects a repeated 50-char prefix line deterministically on
     * both sides) and most-frequent-bigram fraction. Spark side is
-    * shuffle-free per-doc Column algebra — grams staged once, one linear
-    * sort+fold; the oracle re-derives the max frequency by exploding grams.
+    * shuffle-free per-doc Column algebra — grams staged once, one native
+    * hash-count pass in codegen ([[graft.functions.TopFreqFraction]]); the
+    * oracle re-derives the max frequency by exploding grams.
     */
   val q102_repetition: Q = Q(
     fn = (s, dir) =>
@@ -648,7 +649,7 @@ object LlmOpsQueries {
         .withColumn("grams", TextAnalysis.shingles(col("text"), 2))
         .select(col("doc_id"),
           round(TextAnalysis.duplicateLineFraction(col("multi")), 4).as("dup_line_frac"),
-          round(TextAnalysis.topNgramFractionStaged(col("grams")), 4).as("top_bigram_frac"))
+          round(TextAnalysis.topNgramFraction(col("grams")), 4).as("top_bigram_frac"))
         .orderBy(col("doc_id")),
     oracle = Some("""
       WITH lf AS (
@@ -680,7 +681,8 @@ object LlmOpsQueries {
                    4) AS dup_line_frac,
              t.top_bigram_frac
       FROM lf l JOIN tops t USING (doc_id)
-      ORDER BY l.doc_id"""))
+      ORDER BY l.doc_id"""),
+    bench = true)
 
   /** The corpus-to-training-batches composition (flagship pipeline shape):
     * exact dedup (digest groupBy — text never shuffles) → staged token
@@ -1530,7 +1532,8 @@ object LlmOpsQueries {
         WHERE ${h60("u.g")} IN (SELECT gh FROM bg))
       SELECT t.doc_id, t.doc_id IN (SELECT doc_id FROM cont) AS contaminated
       FROM toks t
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id"""),
+    bench = true)
 
   /** Perceptual-hash image near-dup ([[Multimodal.imageHashes]] dHash +
     * band-bucketed hamming pairs): the multimodal counterpart of MinHash
@@ -1968,7 +1971,9 @@ object LlmOpsQueries {
   /** Bigram-LM quality scoring ([[TextAnalysis.bigramNll]], add-1
     * smoothing): context-aware perplexity proxy over corpus-derived bigram
     * and context frequencies. The oracle replays gram construction, both
-    * frequency tables, the vocab scalar, and the sorted `list_reduce` fold.
+    * frequency tables, the vocab scalar, and the decimal(28,14)-quantized
+    * exact per-doc sum (order-independent in both engines, so the hash is
+    * deterministic without pinning a fold order).
     */
   val q168_bigram_lm: Q = Q(
     fn = (s, dir) =>
@@ -1996,11 +2001,13 @@ object LlmOpsQueries {
         SELECT doc_id, grams.bg,
                ln((cbg + 1.0) / (cctx + 1.0 * v)) AS lp
         FROM grams JOIN bgf USING (bg) JOIN ctxf USING (ctx) CROSS JOIN vocab),
-      g AS (SELECT doc_id, list(lp ORDER BY bg) AS xs FROM j GROUP BY doc_id)
+      g AS (SELECT doc_id, sum(CAST(lp AS DECIMAL(28,14))) AS s, count(*) AS n
+            FROM j GROUP BY doc_id)
       SELECT doc_id,
-             floor(-list_reduce(xs, (a, b) -> a + b) / len(xs) * 1e4 + 0.5) / 1e4 AS nll
+             floor(-CAST(s AS DOUBLE) / n * 1e4 + 0.5) / 1e4 AS nll
       FROM g
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** Near-dup cluster-size histogram — dedup observability: how much mass
     * each cluster size holds (the number that says whether dedup is

@@ -1301,9 +1301,10 @@ object OpQueries {
   /** Incremental aggregation state ([[graft.ops.AggState]]): per-status
     * price stats built on two disjoint snapshots (even/odd keys), merged
     * algebraically — the pattern that reads the historical corpus once,
-    * ever. The oracle replays the same two-phase merge so the double
-    * arithmetic decomposes identically; derived mean/std read off the
-    * merged state.
+    * ever. AggState quantizes to decimal(18,6) and carries exact decimal
+    * sums, so the merged state is identical no matter how either engine
+    * ordered its partial sums; the oracle replays the same quantization
+    * and the derived mean/std are computed from bit-identical doubles.
     */
   val q155_incremental_agg: Q = Q(
     fn = (s, dir) => {
@@ -1314,21 +1315,27 @@ object OpQueries {
       val delta = AggState.build(
         orders.filter(col("o_orderkey") % 2 === 1), Seq("o_orderstatus"), col("o_totalprice"))
       AggState.withStats(AggState.merge(state, delta, Seq("o_orderstatus")))
-        .select(col("o_orderstatus"), col("n"), round(col("sum"), 4).as("sum"),
-          round(col("mn"), 4).as("mn"), round(col("mx"), 4).as("mx"),
+        .select(col("o_orderstatus"), col("n"),
+          round(col("sum").cast("double"), 4).as("sum"),
+          round(col("mn").cast("double"), 4).as("mn"),
+          round(col("mx").cast("double"), 4).as("mx"),
           round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"))
         .orderBy(col("o_orderstatus"))
     },
     oracle = Some("""
-      WITH halves AS (
+      WITH q AS (
+        SELECT o_orderstatus, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(19,6)) AS v
+        FROM orders),
+      halves AS (
         SELECT o_orderstatus, o_orderkey % 2 AS half,
-               count(o_totalprice) AS n, sum(o_totalprice) AS s,
-               sum(o_totalprice * o_totalprice) AS sq,
-               min(o_totalprice) AS mn, max(o_totalprice) AS mx
-        FROM orders GROUP BY 1, 2),
+               count(v) AS n, sum(v) AS s, sum(v * v) AS sq,
+               min(v) AS mn, max(v) AS mx
+        FROM q GROUP BY 1, 2),
       merged AS (
-        SELECT o_orderstatus, sum(n) AS n, sum(s) AS s, sum(sq) AS sq,
-               min(mn) AS mn, max(mx) AS mx
+        SELECT o_orderstatus, sum(n) AS n,
+               CAST(sum(s) AS DOUBLE) AS s, CAST(sum(sq) AS DOUBLE) AS sq,
+               CAST(min(mn) AS DOUBLE) AS mn, CAST(max(mx) AS DOUBLE) AS mx
         FROM halves GROUP BY 1)
       SELECT o_orderstatus, n, round(s, 4) AS sum,
              round(mn, 4) AS mn, round(mx, 4) AS mx,
@@ -1582,7 +1589,8 @@ object OpQueries {
         GROUP BY p.iter, e.dst)
       SELECT node, round(rank * (SELECT n FROM nn), 4) AS rank_scaled
       FROM pr WHERE iter = 10
-      ORDER BY node"""))
+      ORDER BY node"""),
+    bench = true)
 
   /** Keyed upsert ([[graft.sdf.SDF.upsert]] — lakehouse MERGE semantics):
     * every 10th customer's balance is overwritten wholesale and 50 new

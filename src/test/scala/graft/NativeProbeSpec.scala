@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{BloomMightContain, TopFreqFraction}
+import graft.ops.{Bloom, TextAnalysis}
+
+/** Differential specs for the round-4 native expressions: each fast kernel
+  * is checked against its independent Column-algebra spelling (the code it
+  * replaced), on hand cases, pseudo-random grids, and real corpus text.
+  */
+class NativeProbeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- TopFreq
+
+  test("top_freq_fraction: hand cases (empty, uniform, ties, nulls group)") {
+    val rows = Seq(
+      (Seq.empty[String], 0.0),
+      (Seq("a"), 1.0),
+      (Seq("a", "b", "c", "d"), 0.25),
+      (Seq("a", "a", "b", "b"), 0.5), // tie — max frequency, either winner
+      (Seq("x", "x", "x"), 1.0),
+      (Seq(null, "a", null, null), 0.75)) // nulls count as one group (<=>)
+    val got = rows.map(_._1).toDF("g")
+      .select(TopFreqFraction.top_freq_fraction(col("g"))).as[Double].collect()
+    rows.map(_._2).zip(got).foreach { case (e, a) =>
+      assert(math.abs(e - a) < 1e-12, s"expected $e got $a")
+    }
+  }
+
+  test("top_freq_fraction native == staged HOF fold on a random grid and corpus bigrams") {
+    val rnd = new scala.util.Random(271)
+    val alphabet = Seq("aa", "bb", "cc", "dd", "ee", null)
+    val grid = (1 to 200).map { _ =>
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length)))
+    }
+    val df = grid.toDF("g")
+      .select(
+        TextAnalysis.topNgramFraction(col("g")).as("fast"),
+        TextAnalysis.topNgramFractionStaged(col("g")).as("ref"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"native ${r.getDouble(0)} != staged ${r.getDouble(1)}")
+    }
+    // real corpus text through the exact q102 staging (shingles projected first)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .withColumn("grams", TextAnalysis.shingles(col("text"), 2))
+      .select(
+        TextAnalysis.topNgramFraction(col("grams")).as("fast"),
+        TextAnalysis.topNgramFractionStaged(col("grams")).as("ref"))
+    docs.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("top_freq_fraction: null array stays null-safe through the q102 guard") {
+    val out = Seq((1, null: Seq[String]), (2, Seq("a", "a")))
+      .toDF("id", "g")
+      .select(TextAnalysis.topNgramFraction(col("g")).as("f"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(0.0, 1.0))
+  }
+
+  test("top_freq_fraction codegen == interpreted kernel") {
+    val arrs = Seq(Seq("a", "b", "a"), Seq.empty[String], Seq("z"))
+    val viaDf = arrs.toDF("g")
+      .select(TopFreqFraction.top_freq_fraction(col("g"))).as[Double].collect().toSeq
+    val direct = arrs.map { a =>
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        a.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      TopFreqFraction.topFraction(ad)
+    }
+    viaDf.zip(direct).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+  }
+
+  // ------------------------------------------------------------- BloomProbe
+
+  test("bloom_might_contain native == Column-algebra probe on the full built-filter surface") {
+    val vals = (1L to 500L).map(i => s"member value $i").toDF("t")
+      .select(TextAnalysis.hash60(col("t")).as("h"))
+    val bits = Bloom.build(vals, "h", bits = 1L << 13, k = 4)
+    val probes = (1L to 3000L).map(i => s"probe value $i").toDF("t")
+      .select(TextAnalysis.hash60(col("t")).as("h"))
+      .unionByName(vals)
+    val disagree = probes
+      .filter(Bloom.mightContain(col("h"), bits, 4) =!=
+        Bloom.mightContainAlgebra(col("h"), bits, 4))
+      .count()
+    assert(disagree == 0L, s"native and algebra probes disagree on $disagree rows")
+    // and the native probe preserves the no-false-negative contract
+    val misses = vals.filter(!Bloom.mightContain(col("h"), bits, 4)).count()
+    assert(misses == 0L, "bloom false negative through the native probe")
+  }
+
+  test("bloom_might_contain: negative hashes and k sweep match the scalar kernel") {
+    val bits = Array.fill(64)(0L)
+    // set the probe positions for one specific negative hash at k=3
+    val h = -987654321L
+    val m = bits.length * 64L
+    val h1 = h & ((1L << 30) - 1)
+    val h2 = (h >> 30) | 1L
+    (0 until 3).foreach { i =>
+      val p = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+      bits((p >>> 6).toInt) |= (1L << (p & 63L).toInt)
+    }
+    for (k <- 1 to 4) {
+      val expected = BloomMightContain.contains(h, bits, k)
+      val viaDf = Seq(h).toDF("h")
+        .select(Bloom.mightContain(col("h"), bits, k)).as[Boolean].head()
+      val viaAlg = Seq(h).toDF("h")
+        .select(Bloom.mightContainAlgebra(col("h"), bits, k)).as[Boolean].head()
+      assert(viaDf == expected && viaAlg == expected,
+        s"k=$k: native=$viaDf algebra=$viaAlg kernel=$expected")
+      assert(expected == (k <= 3)) // k=4 adds an unset probe -> miss
+    }
+  }
+
+  test("bloom probe plan: bit array is a plan reference, not an inline array literal") {
+    val bits = Array.fill(1 << 13)(0L) // 512 KB filter — the q144 regime
+    val plan = Seq(1L).toDF("h")
+      .filter(Bloom.mightContain(col("h"), bits, 4))
+      .queryExecution.executedPlan.toString
+    // the typedLit spelling embedded 65k literals into the plan string; the
+    // native expression must keep the plan O(1) regardless of filter width
+    assert(plan.length < 20000, s"plan blew up to ${plan.length} chars — literal leaked in")
+  }
+
+  // ------------------------------------------------- PageRank job accounting
+
+  test("pageRank with dangling nodes: no per-iteration driver action (fused dangling mass)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    // count driver-blocking ACTIONS (SQL executions), not AQE stage jobs —
+    // pre-fix every iteration ran its own dangling-mass first(), so the
+    // execution count scaled with iterations; post-fix it scales only with
+    // the snapshot cadence.
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    // star graph with a dangling center: 1..40 -> 0, node 0 has no out-edges
+    val edges = (1 to 40).map(i => (i.toString, "0")).toDF("src", "dst")
+    spark.sparkContext.addSparkListener(listener)
+    val ranks =
+      try graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 8)
+      finally {
+        // the listener bus is async — poll until the count stabilizes
+        var last = -1
+        var spins = 0
+        while (execs.get() != last && spins < 20) {
+          last = execs.get(); Thread.sleep(150); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    val total = ranks.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass not conserved: $total")
+    // setup actions (node count, withDeg count, dangling probe) + snapshots
+    // at i=4,8 + the final snapshot ≈ 6; pre-fix added 8 more (one per
+    // iteration). The bound fails if the per-iteration action returns.
+    assert(execs.get() <= 9,
+      s"pageRank ran ${execs.get()} SQL executions for 8 iterations — dangling mass is driver-blocking again")
+  }
+}

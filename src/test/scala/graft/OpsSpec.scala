@@ -1116,6 +1116,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2L, 4L, 9L), s"got ${kept.toSeq}")
   }
 
+  test("dedupByCandidatesCanonical: string ids tie-break to lexicographic min (no numeric cast)") {
+    // pageRank-style ids ('c123'/'s45') are non-numeric: a (−id) tie key
+    // would cast to double -> null and pick an arbitrary survivor
+    val df = Seq(("c1", 5.0), ("c2", 9.0), ("c10", 9.0), ("s7", 2.0))
+      .toDF("id", "score")
+    val cand = Seq(("c1", "c2"), ("c2", "c10")).toDF("id_a", "id_b")
+    val kept = graft.ops.Components
+      .dedupByCandidatesCanonical(df, "id", col("score"), cand)
+      .select("id").as[String].collect().sorted.toSeq
+    // max score 9.0 tie between c2 and c10 -> lexicographic min "c10"; s7 untouched
+    assert(kept == Seq("c10", "s7"), s"got $kept")
+  }
+
   test("stripHtml: blocks die, tags strip, entities decode with &amp; last") {
     val html = "<html><style>p{}</style><body>A &amp;lt; B<script>if(1<2){}</script>" +
       "<p>x &gt; y &amp; z&nbsp;&#39;q&#39;</p></body></html>"
