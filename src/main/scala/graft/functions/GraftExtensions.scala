@@ -34,11 +34,21 @@ object GraftExtensions {
       VocabTokenCount(exprs.head, exprs.tail.map(literalString("vocab_token_count", _)))),
     "vocab_tokenize" -> ((exprs: Seq[Expression]) =>
       VocabTokenize(exprs.head, exprs.tail.map(literalString("vocab_tokenize", _)))),
-    "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()))
+    "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()),
+    "word_tokens" -> ((exprs: Seq[Expression]) => WordTokens(exprs.head)),
+    // SQL form takes the shingle size as a trailing int literal:
+    //   shingles_from_tokens(word_tokens(text), 3)
+    "shingles_from_tokens" -> ((exprs: Seq[Expression]) =>
+      ShinglesFromTokens(exprs.head, literalInt("shingles_from_tokens", exprs(1)))))
 
   private def literalString(fn: String, e: Expression): String = {
     require(e.foldable, s"$fn vocabulary entries must be string literals, got $e")
     String.valueOf(e.eval(null))
+  }
+
+  private def literalInt(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn size argument must be an int literal, got $e")
+    e.eval(null).asInstanceOf[Number].intValue()
   }
 
   /** Install into an ALREADY-RUNNING session (extensions config only applies

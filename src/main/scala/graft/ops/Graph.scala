@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * [[Components.connectedComponents]].
   *
   * PageRank here is the standard damped power iteration expressed as
-  * DataFrame algebra — each round is ONE contribution join (edges ⋈ ranks,
-  * both pre-partitioned on the join key by the shuffle of the previous
-  * round) + one sum aggregate, with the same lineage discipline as
+  * DataFrame algebra — each round is ONE contribution join (edges ⋈ ranks;
+  * the edge list is shuffled onto the join key once and cached
+  * partitioned+sorted, so no round moves an edge) + one sum aggregate,
+  * with the same lineage discipline as
   * connectedComponents: `localCheckpoint` every few rounds (or reliable
   * `checkpoint()` when a dir is given) so a 50-round job neither re-executes
   * its history nor overflows the planner. Only (node, double) pairs ever
@@ -88,22 +89,48 @@ object Graph {
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
 
+    // Shuffle the deduped edge list ONCE onto its join key and keep each
+    // partition sorted: the per-round contribution join and the out-degree
+    // aggregate below then need no edge-side exchange or sort in any round
+    // (the cached plan's hash partitioning + ordering satisfy the join's
+    // requirement; only the small (node, rank) frame moves per iteration).
+    // This is the bucketed-join layout expressed via cache partitioning —
+    // at cluster scale it saves `iterations` full shuffles of the edge
+    // list. Explicit partition count so AQE never rewrites the cached
+    // layout into one the join can't reuse.
+    // One shuffle, not three: repartitioning on src FIRST lets the
+    // (src,dst) dedup run exchange-free (hash partitioning on src
+    // satisfies the wider clustering requirement) and the sort stays
+    // partition-local.
+    val shufflePartitions = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .distinct()
+      .repartition(shufflePartitions, col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions(col("src"))
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist()
-    val n = nodes.count() // also materializes the cache
-    if (n == 0) { e.unpersist(false); nodes.unpersist(false)
-      return nodes.withColumn("rank", lit(0.0)) }
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // teleport weight per node: uniform 1/N, or 1/|S| on the personalized
-    // source set (0 elsewhere)
+    // Node set + out-degrees in ONE aggregation pass (each edge emits its
+    // endpoints weighted 1/0; a node whose out-weight sums to zero is
+    // dangling) — replaces the nodes-distinct shuffle, the degree
+    // aggregate, and their join with a single shuffle, and leaves the
+    // frame hash-partitioned on `node` so round 1's join needs no
+    // rank-side exchange either.
+    val endpoints = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("__o__")),
+        struct(col("dst").as("node"), lit(0L).as("__o__")))).as("__ns__"))
+      .select(col("__ns__.node").as("node"), col("__ns__.__o__").as("__o__"))
+    val degreed = endpoints.groupBy(col("node"))
+      .agg(sum(col("__o__")).as("__od__"))
+      .withColumn("deg", when(col("__od__") > 0, col("__od__")))
+      .drop("__od__")
+    val preDeg = degreed.persist()
+    val n = preDeg.count() // materializes the cache
+    if (n == 0) { e.unpersist(false); preDeg.unpersist(false)
+      return preDeg.select(col("node")).withColumn("rank", lit(0.0)) }
+    // teleport weight per node: uniform 1/N (needs the just-counted n), or
+    // 1/|S| on the personalized source set (0 elsewhere)
     val tele = teleportTo match {
-      case None => lit(1.0) / lit(n.toDouble)
+      case None => lit(1.0 / n.toDouble)
       case Some(srcs) =>
         require(srcs.nonEmpty, "personalized PageRank needs at least one source")
         when(col("node").isin(srcs: _*), lit(1.0) / lit(srcs.distinct.size.toDouble))
@@ -111,10 +138,9 @@ object Graph {
     }
     // withDeg: every node with its out-degree (null deg = dangling) and
     // teleport weight — the loop's join base, cached once for all rounds
-    val withDeg = nodes.join(deg, Seq("node"), "left")
-      .withColumn("__t__", tele).persist()
+    val withDeg = preDeg.withColumn("__t__", tele).persist()
     withDeg.count()
-    nodes.unpersist(false)
+    preDeg.unpersist(false)
 
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
@@ -125,37 +151,55 @@ object Graph {
     // scale.
     val hasDangling = withDeg.filter(col("deg").isNull).limit(1).count() > 0
 
-    // `deg` rides inside the rank frame so each round is exactly ONE join
-    // (ranks ⋈ edges) + one dst-keyed sum + one null-fill join against the
-    // cached node list — no ranks⋈degrees re-join per round.
+    // Lineage-truncation cadence: the dangling branch references the rank
+    // frame twice per round, so the uncheckpointed plan DOUBLES per round
+    // and the window must stay tight; without it growth is linear (one
+    // reference) and a 3× wider window safely trades planner depth for
+    // fewer eager materialization jobs.
+    val window = if (hasDangling) checkpointEvery else checkpointEvery * 3
+
+    // `deg` and the teleport weight ride inside the aggregation stream, so
+    // each round is exactly ONE join (ranks ⋈ edges) + ONE node-keyed
+    // aggregate: every node contributes a zero-mass row carrying its
+    // (deg, __t__), which both completes the node set (no per-round
+    // null-fill join against the node list) and forwards the static
+    // columns through `max` (contribution rows carry nulls there).
+    val zeroRows = withDeg.select(col("node"), col("deg"), col("__t__"),
+      lit(0.0).as("__w__"))
     var ranks = withDeg.select(col("node"), col("deg"), col("__t__").as("rank"))
     var prevCached: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
       // contribution join: rank rows keyed by node fan out over their
       // out-edges
-      val fanned = ranks.filter(col("deg").isNotNull)
+      val contribs = ranks.filter(col("deg").isNotNull)
         .join(e.withColumnRenamed("src", "node"), Seq("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("deg").cast("double")).as("mass"))
+        .select(col("dst").as("node"),
+          lit(null).cast("long").as("deg"),
+          lit(null).cast("double").as("__t__"),
+          (col("rank") / col("deg").cast("double")).as("__w__"))
+      val gathered = contribs.unionByName(zeroRows)
+        .groupBy(col("node"))
+        .agg(sum(col("__w__")).as("mass"),
+          max(col("deg")).as("deg"),
+          max(col("__t__")).as("__t__"))
       // teleport-vector form: r' = (1−d)·t + d·(mass + dangling·t); the
       // uniform case t = 1/N reduces to the classic (1−d)/N + d·dangling/N.
       // Dangling mass rides INSIDE the plan as a broadcast 1-row aggregate
       // (the Scale.keyProfile broadcast-scalar pattern) — no driver-blocking
       // job per round; a no-dangling graph skips the branch entirely.
-      val base = withDeg.join(fanned, Seq("node"), "left")
       val withDangling =
-        if (!hasDangling) base.withColumn("__dm__", lit(0.0))
-        else base.crossJoin(broadcast(
+        if (!hasDangling) gathered.withColumn("__dm__", lit(0.0))
+        else gathered.crossJoin(broadcast(
           ranks.filter(col("deg").isNull)
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm__"))))
       var next = withDangling
         .select(col("node"), col("deg"),
           (lit(1.0 - damping) * col("__t__")
-            + lit(damping) * (coalesce(col("mass"), lit(0.0))
+            + lit(damping) * (col("mass")
               + col("__dm__") * col("__t__"))).as("rank"))
       i += 1
-      if (i % checkpointEvery == 0 || i == iterations) {
+      if (i % window == 0 || i == iterations) {
         next = snapshot(next)
         prevCached.foreach(_.unpersist(false))
         prevCached = Some(next)
@@ -163,11 +207,13 @@ object Graph {
       ranks = next
     }
     // the loop's last round always snapshots (i == iterations), so `ranks`
-    // is already an eagerly-materialized checkpoint; it stays cached as the
-    // returned result (the Dedup/Components lifecycle pattern) while every
-    // intermediate cache has been released
-    val out = snapshot(ranks.select(col("node"), col("rank")))
-    prevCached.foreach(_.unpersist(false))
+    // is already an eagerly-materialized checkpoint independent of e and
+    // withDeg — its blocks ARE the result and stay cached (the
+    // Dedup/Components lifecycle pattern); no extra checkpoint pass.
+    // Only the 0-iteration path still references withDeg and needs one.
+    val out =
+      if (iterations == 0) snapshot(ranks.select(col("node"), col("rank")))
+      else ranks.select(col("node"), col("rank"))
     e.unpersist(false)
     withDeg.unpersist(false)
     out

@@ -10,8 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace-lowered word tokens. */
-  def tokens(c: Column): Column =
+  /** Whitespace-lowered word tokens. Evaluated by the native
+    * [[graft.functions.WordTokens]] codegen Expression (one code-point scan
+    * per document — no regex split, no interpreted filter lambda);
+    * [[tokensReference]] keeps the built-in spelling for the differential
+    * spec and SQL replay documentation.
+    */
+  def tokens(c: Column): Column = graft.functions.WordTokens.word_tokens(c)
+
+  /** The portable built-in spelling of [[tokens]] — pinned element-identical
+    * to the native kernel by FunctionsSpec.
+    */
+  def tokensReference(c: Column): Column =
     filter(split(lower(c), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 1)
 
   /** Whitespace token count. */
@@ -149,9 +159,19 @@ object TextAnalysis {
 
   /** [[shingles]] over an already-tokenized array column — callers that
     * stage tokens as their own materialized column use this form so the
-    * tokenizer never re-evaluates inside the gram lambda.
+    * tokenizer never re-evaluates inside the gram lambda. Evaluated by the
+    * native [[graft.functions.ShinglesFromTokens]] codegen Expression
+    * (single-buffer gram construction — no per-gram slice allocation or
+    * interpreted lambda); [[shinglesFromTokensReference]] keeps the
+    * built-in spelling for the differential spec.
     */
   def shinglesFromTokens(toks: Column, k: Int): Column =
+    graft.functions.ShinglesFromTokens.shingles_from_tokens(toks, k)
+
+  /** The portable built-in spelling of [[shinglesFromTokens]] — pinned
+    * element-identical to the native kernel by FunctionsSpec.
+    */
+  def shinglesFromTokensReference(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (k - 1)),

@@ -168,4 +168,102 @@ class NativeProbeSpec extends AnyFunSuite {
     assert(execs.get() <= 9,
       s"pageRank ran ${execs.get()} SQL executions for 8 iterations — dangling mass is driver-blocking again")
   }
+
+  // ------------------------------------------------------------- WordTokens
+
+  test("word_tokens: hand cases (case, unicode classes, empties, underscore)") {
+    val cases = Seq(
+      "Hello, World!" -> Seq("hello", "world"),
+      "" -> Seq.empty[String],
+      "  \t\n " -> Seq.empty[String],
+      "!!!" -> Seq.empty[String],
+      "snake_case stays-split" -> Seq("snake_case", "stays", "split"),
+      "Ⅻ Ⅶ ½ ²" -> Seq("ⅻ", "ⅶ", "½", "²"), // Nl and No are \p{N}
+      "Café über naïve" -> Seq("café", "über", "naïve"),
+      "数字123と text" -> Seq("数字123と", "text"),
+      "a" -> Seq("a"),
+      "-lead trail-" -> Seq("lead", "trail"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.tokens(col("t"))).as[Seq[String]].collect().toSeq
+    cases.map(_._2).zip(got).foreach { case (e, a) => assert(e == a, s"expected $e got $a") }
+  }
+
+  test("word_tokens native == built-in split spelling on a random unicode grid and corpus") {
+    val rnd = new scala.util.Random(577)
+    val chars = "aA zZ09_ .,!-€ 中文 αΩ í Ñ\n\t'\"(){}İß😀"
+    val grid = (1 to 300).map { _ =>
+      val len = rnd.nextInt(60)
+      (0 until len).map(_ => chars.charAt(rnd.nextInt(chars.length))).mkString
+    }
+    val df = grid.toDF("t").select(
+      TextAnalysis.tokens(col("t")).as("fast"),
+      TextAnalysis.tokensReference(col("t")).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native ${r.getSeq[String](0)} != reference ${r.getSeq[String](1)}")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+      .select(
+        TextAnalysis.tokens(col("text")).as("fast"),
+        TextAnalysis.tokensReference(col("text")).as("ref"))
+    docs.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("word_tokens: null input stays null; codegen == interpreted kernel") {
+    val viaDf = Seq(("x", "One two"), ("y", null)).toDF("id", "t")
+      .select(TextAnalysis.tokens(col("t"))).collect()
+    assert(viaDf(0).getSeq[String](0) == Seq("one", "two"))
+    assert(viaDf(1).isNullAt(0))
+    val direct = graft.functions.WordTokens.tokenize(
+      org.apache.spark.unsafe.types.UTF8String.fromString("One two"))
+    assert(direct.numElements() == 2 && direct.getUTF8String(0).toString == "one")
+  }
+
+  // ----------------------------------------------------- ShinglesFromTokens
+
+  test("shingles_from_tokens: hand cases (short, exact, windows, k=1, empty)") {
+    val cases = Seq(
+      (Seq.empty[String], 2, Seq("")),
+      (Seq("a"), 2, Seq("a")),
+      (Seq("a", "b"), 3, Seq("a b")),
+      (Seq("a", "b", "c"), 3, Seq("a b c")),
+      (Seq("a", "b", "c", "d"), 2, Seq("a b", "b c", "c d")),
+      (Seq("a", "b"), 1, Seq("a", "b")))
+    cases.foreach { case (toks, k, expect) =>
+      val got = Seq(toks).toDF("g")
+        .select(TextAnalysis.shinglesFromTokens(col("g"), k)).as[Seq[String]].head()
+      assert(got == expect, s"k=$k toks=$toks: expected $expect got $got")
+    }
+  }
+
+  test("shingles native == built-in transform spelling on random grids and corpus text") {
+    val rnd = new scala.util.Random(733)
+    val words = Seq("the", "quick", "brown", "fox", "ü", "1")
+    for (k <- Seq(2, 3, 5)) {
+      val grid = (1 to 150).map { _ =>
+        Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+      }
+      grid.toDF("g").select(
+        TextAnalysis.shinglesFromTokens(col("g"), k).as("fast"),
+        TextAnalysis.shinglesFromTokensReference(col("g"), k).as("ref"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"k=$k: native ${r.getSeq[String](0)} != reference ${r.getSeq[String](1)}")
+        }
+    }
+    // full pipeline parity on real corpus text: tokens+shingles native vs both reference
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+      .select(
+        TextAnalysis.shingles(col("text"), 3).as("fast"),
+        TextAnalysis.shinglesFromTokensReference(
+          TextAnalysis.tokensReference(col("text")), 3).as("ref"))
+    docs.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("shingles_from_tokens: null array stays null") {
+    val out = Seq((1, Seq("a", "b")), (2, null: Seq[String])).toDF("id", "g")
+      .select(TextAnalysis.shinglesFromTokens(col("g"), 2)).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b"))
+    assert(out(1).isNullAt(0))
+  }
 }

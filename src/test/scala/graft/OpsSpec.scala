@@ -1450,4 +1450,44 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(a == b, "same seed must select the same set")
   }
+
+  test("rounding-boundary audit: q20/q97/q124 double-sum aggregates sit clear of the 4-decimal half boundary (q155 class)") {
+    // These oracles round(4) values built from double sums whose partition
+    // order is nondeterministic in Spark (and differs from DuckDB's fold
+    // order). Reorder noise on 60k-row sums is <= ~1e-10 relative, so a
+    // cross-engine hash flip needs the unrounded value within ~1e-8 of a
+    // x.xxxx5 boundary; this audit asserts every such value at the gate's
+    // own scale factor keeps a margin >= 1e-6 — two orders of magnitude of
+    // head-room. (q134's expanding windows are frame-order sequential in
+    // both engines — deterministic, not in this class. q155 itself now
+    // accumulates decimals and is exact by construction.)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    def margin(v: Double): Double = {
+      val scaled = math.abs(v) * 1e4
+      math.abs(scaled - math.floor(scaled) - 0.5)
+    }
+    val price = graft.sdf.SDF(li)("l_extendedprice")
+    val qty = graft.sdf.SDF(li)("l_quantity")
+    val growth = graft.sdf.SDF(li.filter(col("l_orderkey") < 10)
+      .withColumn("g", lit(1.0) + col("l_discount")))("g")
+    val scalars = Seq(
+      "q20.kurt" -> price.kurt, "q20.skew" -> price.skew, "q20.mad" -> price.mad,
+      "q20.prod_growth" -> growth.prod,
+      "q124.geomean" -> qty.geomean, "q124.harmonic" -> qty.harmonicMean)
+    val grouped = li.groupBy(col("l_returnflag"))
+      .agg(
+        graft.sdf.SCol.sampleSkew(col("l_extendedprice")).as("skew_g"),
+        graft.sdf.SCol.sampleKurt(col("l_extendedprice")).as("kurt_g"),
+        stddev_samp(col("l_extendedprice")).as("sd"))
+      .collect().flatMap { r =>
+        val g = r.getString(0)
+        Seq(s"q97.skew[$g]" -> r.getDouble(1), s"q97.kurt[$g]" -> r.getDouble(2),
+          s"q97.sd[$g]" -> r.getDouble(3))
+      }
+    (scalars ++ grouped).foreach { case (name, v) =>
+      assert(margin(v) >= 1e-6,
+        f"$name = $v%.10f sits ${margin(v)}%.2e from a 4-decimal rounding boundary — " +
+          "move the planted query off the boundary or accumulate in decimal (see q155)")
+    }
+  }
 }
