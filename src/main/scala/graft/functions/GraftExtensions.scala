@@ -35,7 +35,11 @@ object GraftExtensions {
     "vocab_tokenize" -> ((exprs: Seq[Expression]) =>
       VocabTokenize(exprs.head, exprs.tail.map(literalString("vocab_tokenize", _)))),
     "product_exact" -> ((exprs: Seq[Expression]) => ProductAgg(exprs.head).toAggregateExpression()),
-    "word_tokens" -> ((exprs: Seq[Expression]) => WordTokens(exprs.head)),
+    // optional trailing int literal = minimum token length in code points:
+    //   word_tokens(text), word_tokens(text, 2)
+    "word_tokens" -> ((exprs: Seq[Expression]) =>
+      if (exprs.size >= 2) WordTokens(exprs.head, literalInt("word_tokens", exprs(1)))
+      else WordTokens(exprs.head)),
     // SQL form takes the shingle size as a trailing int literal:
     //   shingles_from_tokens(word_tokens(text), 3)
     "shingles_from_tokens" -> ((exprs: Seq[Expression]) =>

@@ -24,7 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unicode number category Nd/Nl/No, underscore), maximal runs, empties
   * dropped.
   */
-case class WordTokens(child: Expression) extends UnaryExpression {
+case class WordTokens(child: Expression, minLen: Int = 1) extends UnaryExpression {
+
+  require(minLen >= 1, s"minimum token length must be >= 1, got $minLen")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -36,11 +38,11 @@ case class WordTokens(child: Expression) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    WordTokens.tokenize(input.asInstanceOf[UTF8String])
+    WordTokens.tokenize(input.asInstanceOf[UTF8String], minLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val obj = WordTokens.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    defineCodeGen(ctx, ev, c => s"$obj.tokenize($c)")
+    defineCodeGen(ctx, ev, c => s"$obj.tokenize($c, $minLen)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordTokens =
@@ -63,32 +65,37 @@ object WordTokens {
     }
 
   /** The scalar kernel (shared by interpreted eval and codegen): lowercase
-    * once, then emit maximal `[\p{L}\p{N}_]` runs in a single code-point
-    * scan — no regex, no per-token closure.
+    * once, then emit maximal `[\p{L}\p{N}_]` runs of at least `minLen` code
+    * points in a single code-point scan — no regex, no per-token closure.
+    * (`minLen` counts code points, matching `length()` in the built-in
+    * `filter(..., length(t) >= k)` spelling.)
     */
-  def tokenize(s: UTF8String): ArrayData = {
+  def tokenize(s: UTF8String, minLen: Int): ArrayData = {
     val lower = s.toLowerCase.toString
     val n = lower.length
     val out = new java.util.ArrayList[AnyRef](Math.max(8, n / 6))
     var i = 0
     var start = -1
+    var cps = 0
     while (i < n) {
       val cp = lower.codePointAt(i)
       if (isWordCp(cp)) {
-        if (start < 0) start = i
+        if (start < 0) { start = i; cps = 0 }
+        cps += 1
       } else if (start >= 0) {
-        out.add(UTF8String.fromString(lower.substring(start, i)))
+        if (cps >= minLen) out.add(UTF8String.fromString(lower.substring(start, i)))
         start = -1
       }
       i += Character.charCount(cp)
     }
-    if (start >= 0) out.add(UTF8String.fromString(lower.substring(start, n)))
+    if (start >= 0 && cps >= minLen)
+      out.add(UTF8String.fromString(lower.substring(start, n)))
     new GenericArrayData(out.toArray)
   }
 
   /** Column-facing constructor (Spark 4 Column↔Expression bridge). */
-  def word_tokens(c: Column): Column =
-    ColumnBridge.column(WordTokens(ColumnBridge.expression(c)))
+  def word_tokens(c: Column, minLen: Int = 1): Column =
+    ColumnBridge.column(WordTokens(ColumnBridge.expression(c), minLen))
 }
 
 /** k-gram shingling over a token array as a native expression. The Column

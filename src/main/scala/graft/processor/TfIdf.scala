@@ -47,8 +47,14 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
     vocab.getOrElse(notFitted("fittedVocabulary"))
       .map { case (t, (i, f)) => (t, i, f) }
 
+  /** sklearn's `(?u)\b\w\w+\b`: word runs of >= 2 code points, evaluated by
+    * the native [[graft.functions.WordTokens]] codegen kernel (the built-in
+    * `filter(split(lower(in), ...), length >= 2)` spelling is pinned
+    * element-identical by NativeProbeSpec and remains documented in the
+    * q38 oracle SQL).
+    */
   private def tokenize(in: Column): Column =
-    filter(split(lower(in), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 2)
+    graft.functions.WordTokens.word_tokens(in, minLen = 2)
 
   override def fit(df: DataFrame, inputCol: String): this.type = {
     // n = non-null docs; counted on the raw column so this pass never runs

@@ -215,8 +215,28 @@ class NativeProbeSpec extends AnyFunSuite {
     assert(viaDf(0).getSeq[String](0) == Seq("one", "two"))
     assert(viaDf(1).isNullAt(0))
     val direct = graft.functions.WordTokens.tokenize(
-      org.apache.spark.unsafe.types.UTF8String.fromString("One two"))
+      org.apache.spark.unsafe.types.UTF8String.fromString("One two"), 1)
     assert(direct.numElements() == 2 && direct.getUTF8String(0).toString == "one")
+  }
+
+  test("word_tokens minLen=2 == the sklearn \\w\\w+ spelling (TfIdf tokenizer)") {
+    val rnd = new scala.util.Random(911)
+    val chars = "ab c1_ .!x Y Zé 中 ß"
+    val grid = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => chars.charAt(rnd.nextInt(chars.length))).mkString
+    } ++ Seq("a bb ccc", "x", "", "_ __ a1")
+    grid.toDF("t").select(
+      graft.functions.WordTokens.word_tokens(col("t"), minLen = 2).as("fast"),
+      filter(split(lower(col("t")), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 2).as("ref"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"native ${r.getSeq[String](0)} != reference ${r.getSeq[String](1)}")
+      }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+      .select(
+        graft.functions.WordTokens.word_tokens(col("text"), minLen = 2).as("fast"),
+        filter(split(lower(col("text")), "[^\\p{L}\\p{N}_]+"), t => length(t) >= 2).as("ref"))
+    docs.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
   // ----------------------------------------------------- ShinglesFromTokens

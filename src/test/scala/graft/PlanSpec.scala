@@ -177,4 +177,24 @@ class PlanSpec extends AnyFunSuite {
     // guard is that aggregate count stays O(1), not O(columns)
     assert(aggregates <= 6, s"profile must stay a single pass, got $aggregates:\n$p")
   }
+
+  test("q102/q144/q168: tokenizer hot paths stay native — no interpreted HOF lambdas in the plan") {
+    // the round-4 native kernels (WordTokens/ShinglesFromTokens/
+    // TopFreqFraction) replaced ArrayFilter/ArrayTransform/ArrayAggregate
+    // spellings that evaluate an interpreted closure per element (~24 µs/
+    // gram — the 100 TB throughput wall); this guard fails if a future
+    // edit reintroduces a HOF on these benched paths
+    // q144's tokenizer runs in its EAGER bloom-build stage, so only the
+    // queries whose final plan contains the gram pipeline assert presence
+    for (q <- Seq("q102_repetition", "q168_bigram_lm")) {
+      val p = plan(q)
+      assert(p.contains("word_tokens") || p.contains("shingles_from_tokens"),
+        s"$q lost its native tokenizer kernel:\n$p")
+    }
+    for (q <- Seq("q102_repetition", "q144_bloom_decontamination", "q168_bigram_lm")) {
+      val p = plan(q)
+      for (hof <- Seq("aggregate(", "transform(", "filter(lambda"))
+        assert(!p.contains(hof), s"$q reintroduced an interpreted HOF '$hof':\n$p")
+    }
+  }
 }
