@@ -44,19 +44,41 @@ object GraftSession {
     * `region nation customer supplier part orders lineitem events documents
     * embeddings`, each a single parquet at `dir/name.parquet`.
     *
-    * `events.ts` is written as parquet `timestamp[ns]`, which Spark's reader
-    * rejects; we read nanos as long (SPARK-40819 legacy conf) and truncate to
-    * microseconds — the same ns→µs truncation DuckDB applies, so oracle
-    * comparisons agree.
+    * `events.ts` has changed physical encoding across fixture generations
+    * (parquet `timestamp[ns]` in one, `timestamp[us]` in another), so the
+    * read is schema-adaptive rather than type-assuming: the nanosAsLong
+    * legacy conf (SPARK-40819) is set so an ns file loads at all (as long),
+    * then [[normalizeEventTs]] dispatches on the type the reader actually
+    * produced. Either encoding lands on the same session-TZ µs timestamps —
+    * the truncation DuckDB applies too, so oracle comparisons agree.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name != "events") spark.read.parquet(s"$dir/$name.parquet")
     else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      // integer DIV, not `/`: ns epochs exceed 2^53, double division loses µs
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    }
+  }
+
+  /** Normalize an events frame's `ts` to session-TZ `TimestampType` (µs)
+    * regardless of how the parquet stored it:
+    *   - `LongType`        → ns-as-long under the legacy conf; integer-DIV
+    *                         truncate to µs (`/` would route through double
+    *                         and lose µs above 2^53)
+    *   - `TimestampNTZType`→ µs file without UTC adjustment; reinterpret the
+    *                         wall clock in the session TZ (pinned UTC)
+    *   - `TimestampType`   → already session-TZ µs; pass through
+    * Anything else is a fixture regression worth failing loudly on.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts stored as unsupported type $other; expected ns-as-long, timestamp_ntz or timestamp")
     }
   }
 }

@@ -1333,7 +1333,7 @@ object OpQueries {
                min(v) AS mn, max(v) AS mx
         FROM q GROUP BY 1, 2),
       merged AS (
-        SELECT o_orderstatus, sum(n) AS n,
+        SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n,
                CAST(sum(s) AS DOUBLE) AS s, CAST(sum(sq) AS DOUBLE) AS sq,
                CAST(min(mn) AS DOUBLE) AS mn, CAST(max(mx) AS DOUBLE) AS mx
         FROM halves GROUP BY 1)

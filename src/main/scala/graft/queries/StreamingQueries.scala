@@ -171,8 +171,10 @@ object StreamingQueries {
         dst.setLastModified(mtime)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.schema(EventStreams.rawSchema).parquet(s"$dir/events.parquet")
+      // read through the schema-adaptive path (ns or µs fixture both land
+      // on TimestampType), so the staged copies and sentinels share one
+      // encoding no matter how the fixture drifts
+      val raw = graft.core.GraftSession.table(s, dir, "events")
       val t0 = 1600000000000L // fixed epoch-ms stamps: deterministic file order
       writeOne(raw, "events_1.parquet", t0)
       // one sentinel per JOIN BRANCH: the global watermark is the MIN over
@@ -180,13 +182,16 @@ object StreamingQueries {
       // type — a click-only sentinel would advance the click branch while
       // the purchase branch (never seeing it) pins the join watermark in
       // the past and the tail of unmatched clicks never flushes
-      def sentinel(id: Long, isoDay: String) =
-        s.createDataFrame(s.sparkContext.parallelize(Seq("click", "purchase").map(t =>
-          org.apache.spark.sql.Row(id, 0L, -1L, t, 0.0, null: String)), 1),
-          EventStreams.rawSchema)
-          .withColumn("ts",
-            unix_timestamp(lit(isoDay).cast("timestamp")) * lit(1000000000L))
-          .select(EventStreams.rawSchema.fieldNames.map(col): _*)
+      def sentinel(id: Long, isoDay: String) = {
+        import s.implicits._
+        Seq("click", "purchase").toDF("event_type")
+          .withColumn("event_id", lit(id))
+          .withColumn("ts", lit(isoDay).cast("timestamp"))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("value", lit(0.0))
+          .withColumn("props", lit(null).cast("string"))
+          .select(raw.columns.map(col): _*)
+      }
       writeOne(sentinel(-1L, "2030-01-01"), "events_2.parquet", t0 + 60000)
       writeOne(sentinel(-2L, "2031-01-01"), "events_3.parquet", t0 + 120000)
       val ev = EventStreams.readEvents(s, staged, maxFilesPerTrigger = Some(1))

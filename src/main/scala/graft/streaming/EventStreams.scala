@@ -16,12 +16,15 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as stored (ts is parquet timestamp[ns], which Spark
-    * reads as long under the nanosAsLong conf — see GraftSession.table).
+  /** The events schema minus the physical `ts` encoding, which has drifted
+    * across fixture generations (timestamp[ns] in one, timestamp[us] in
+    * another — see GraftSession.normalizeEventTs). Streaming sources demand
+    * an explicit schema, so [[readEvents]] probes the parquet footer through
+    * a batch read first and splices the actual `ts` type in here.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -44,11 +47,23 @@ object EventStreams {
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob, not the bare file: the streaming source wants a directory-like
-    // path to monitor (at scale this is the landing directory / Kafka topic)
-    val reader = spark.readStream.schema(rawSchema)
+    // path to monitor (at scale this is the landing directory / Kafka topic).
+    val glob = s"$dir/events*.parquet"
+    // Footer-only batch probe for the physical ts type (no data scan): a
+    // forced LongType schema over a timestamp[us] file would silently read
+    // raw µs ints as if ns — 1000× timeline compression, structurally wrong
+    // windows. Glob through the Hadoop FS (the batch reader's streaming-sink
+    // metadata check logs a scary stack trace for glob paths), read ONE
+    // matched footer, splice the real type into the stream schema.
+    val hPath = new org.apache.hadoop.fs.Path(glob)
+    val matched = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .globStatus(hPath)
+    require(matched != null && matched.nonEmpty, s"no events files match $glob")
+    val tsType = spark.read.parquet(matched.head.getPath.toString)
+      .schema("ts").dataType
+    val reader = spark.readStream.schema(rawSchema(tsType))
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
-    reader.parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.core.GraftSession.normalizeEventTs(reader.parquet(glob))
   }
 
   /** Tumbling-window counts + sums per event type with a watermark. */

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftSession
+import graft.streaming.EventStreams
+
+/** Fixture-drift armor: the driver-generated `events.parquet` changed its
+  * physical `ts` encoding once (round 3: timestamp[ns]; round 4:
+  * timestamp[us]) and silently broke 27 queries. This spec writes the SAME
+  * logical events table in every encoding the fixture has used or could
+  * plausibly use — session-TZ timestamp[us], timestamp_ntz[us], and raw
+  * ns-epoch int64 — and asserts that BOTH read paths
+  * ([[GraftSession.table]] batch, [[EventStreams.readEvents]] streaming)
+  * land every encoding on identical µs timestamps. If the fixture drifts
+  * again, this is the test that goes red with a readable diff instead of
+  * 27 downstream oracle mismatches.
+  */
+class EventsFixtureSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+
+  // µs-precision instants (non-zero sub-ms digits so a ms-rounding bug or a
+  // 1000× misread cannot cancel out), crossing a day boundary
+  private val microStamps = Seq(
+    1700000000000001L, 1700000000123456L, 1700003600999999L,
+    1700086400000123L, 1700086400500500L)
+
+  private def base(s: SparkSession): DataFrame = {
+    import s.implicits._
+    microStamps.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, i.toLong % 2, if (i % 2 == 0) "click" else "purchase",
+        i * 1.5, s"""{"i":$i}""")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+  }
+
+  /** Write the base table under `dir/events.parquet` with the given ts
+    * encoding; returns the directory.
+    */
+  private def writeEncoded(encoding: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"events_$encoding").toString
+    val b = base(spark)
+    val encoded = encoding match {
+      case "utc" => b.withColumn("ts", timestamp_micros(col("us")))
+      case "ntz" => b.withColumn("ts",
+        timestamp_micros(col("us")).cast("timestamp_ntz"))
+      case "ns_long" => b.withColumn("ts", col("us") * lit(1000L))
+    }
+    encoded.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val encodings = Seq("utc", "ntz", "ns_long")
+
+  test("batch read (GraftSession.table) normalizes every ts encoding to identical µs timestamps") {
+    val results = encodings.map { enc =>
+      val df = GraftSession.table(spark, writeEncoded(enc), "events")
+      assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$enc: expected TimestampType after normalization")
+      enc -> df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }.toMap
+    assert(results("utc") == microStamps.indices.map(i => (i.toLong, microStamps(i))),
+      "utc encoding did not round-trip the exact µs instants")
+    assert(results("ntz") == results("utc"), "ntz read disagrees with utc read")
+    assert(results("ns_long") == results("utc"), "ns-as-long read disagrees with utc read")
+  }
+
+  test("streaming read (EventStreams.readEvents) agrees with the batch read for every encoding") {
+    encodings.foreach { enc =>
+      val dir = writeEncoded(enc)
+      val streamed = EventStreams.runToCompletion(
+        EventStreams.readEvents(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us")),
+        mode = "append")
+      val got = streamed.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == microStamps.indices.map(i => (i.toLong, microStamps(i))),
+        s"$enc: streaming read produced wrong µs instants")
+    }
+  }
+
+  test("the real fixture reads without throwing and spans its multi-day history") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    val ev = GraftSession.table(spark, dir, "events")
+    val span = ev.agg(
+      ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        / lit(86400000000L)).as("days")).head.getDouble(0)
+    // the ns/µs confusion class compresses 35 days into ~50 minutes — a
+    // whole-history span of at least a day proves the scale is right
+    assert(span > 1.0, s"events history spans $span days — ts scale misread?")
+  }
+}
