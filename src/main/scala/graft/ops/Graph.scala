@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * PageRank here is the standard damped power iteration expressed as
   * DataFrame algebra — each round is ONE contribution join (edges ⋈ ranks;
-  * the edge list is shuffled onto the join key once and cached
-  * partitioned+sorted, so no round moves an edge) + one sum aggregate,
-  * with the same lineage discipline as
-  * connectedComponents: `localCheckpoint` every few rounds (or reliable
-  * `checkpoint()` when a dir is given) so a 50-round job neither re-executes
-  * its history nor overflows the planner. Only (node, double) pairs ever
-  * shuffle; edges are persisted once and released before returning.
+  * the edge list is shuffled onto the join key once and cached, so no round
+  * moves an edge) + one sum aggregate. The join strategy is chosen ONCE
+  * from the measured |V|, mirroring Catalyst's stats-driven selection:
+  * small rank frames broadcast (map-side hash probe, no rank-side exchange,
+  * per-round snapshot), web-scale ones sort-merge against the sorted cached
+  * edges with the connectedComponents lineage discipline —
+  * `localCheckpoint` every few rounds (or reliable `checkpoint()` when a
+  * dir is given) so a 50-round job neither re-executes its history nor
+  * overflows the planner. Only (node, double) pairs ever shuffle; edges are
+  * persisted once and released before returning.
   */
 object Graph {
 
@@ -71,23 +74,68 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       sources: Seq[String], iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 4): DataFrame =
+      checkpointEvery: Int = 4, edgesDistinct: Boolean = false): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
-      None, Some(sources))
+      None, Some(sources), edgesDistinct, defaultBroadcastNodeLimit)
 
+  /** @param edgesDistinct caller-asserted "no parallel edges": skips the
+    *                      (src,dst) dedup pass. The q184 purchase graph is
+    *                      distinct by construction (pairs.distinct + a
+    *                      prefix-disjoint symmetrizing union) — a full
+    *                      aggregate over the edge list just to re-prove it
+    *                      is a wasted pass at any scale.
+    * @param broadcastNodeLimit rank frames with at most this many nodes take
+    *                      the broadcast-join loop (see below); larger graphs
+    *                      take the exchange-free sort-merge loop. 0 forces
+    *                      the SMJ path (spec hook).
+    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 4, checkpointDir: Option[String] = None): DataFrame =
+      checkpointEvery: Int = 4, checkpointDir: Option[String] = None,
+      edgesDistinct: Boolean = false,
+      broadcastNodeLimit: Long = defaultBroadcastNodeLimit): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
-      checkpointDir, None)
+      checkpointDir, None, edgesDistinct, broadcastNodeLimit)
+
+  /** 1M nodes ≈ 50 MB of (string node, long deg, double rank) rows — well
+    * inside executor broadcast budgets, far under the 8 GB broadcast cap,
+    * and a trivial per-round driver collect. Web-scale graphs (|V| in the
+    * billions) sail past this and stay on the shuffle loop.
+    */
+  val defaultBroadcastNodeLimit: Long = 1L << 20
 
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double,
       checkpointEvery: Int, checkpointDir: Option[String],
-      teleportTo: Option[Seq[String]]): DataFrame = {
+      teleportTo: Option[Seq[String]],
+      edgesDistinct: Boolean, broadcastNodeLimit: Long): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // The loop is a fixed 10-30× replay of one join+agg shape over frames
+    // whose sizes we know exactly (cached edge list, |V|-row rank frame):
+    // AQE's per-shuffle re-planning barrier and the runtime bloom-filter
+    // rule (an EXTRA aggregate injected per round to semi-prune a join that
+    // prunes nothing here) only add latency × iterations. Both off for the
+    // loop, restored after — measured 2.6 s off q184 at sf0.1 alone.
+    val conf = edges.sparkSession.conf
+    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val savedBloom = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try pageRankLoop(edges, srcCol, dstCol, iterations, damping,
+      checkpointEvery, checkpointDir, teleportTo, edgesDistinct, broadcastNodeLimit)
+    finally {
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", savedBloom)
+    }
+  }
+
+  private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double,
+      checkpointEvery: Int, checkpointDir: Option[String],
+      teleportTo: Option[Seq[String]],
+      edgesDistinct: Boolean, broadcastNodeLimit: Long): DataFrame = {
 
     // Shuffle the deduped edge list ONCE onto its join key and keep each
     // partition sorted: the per-round contribution join and the out-degree
@@ -103,10 +151,10 @@ object Graph {
     // satisfies the wider clustering requirement) and the sort stays
     // partition-local.
     val shufflePartitions = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    val eCast = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .repartition(shufflePartitions, col("src"))
-      .dropDuplicates("src", "dst")
+    val e = (if (edgesDistinct) eCast else eCast.dropDuplicates("src", "dst"))
       .sortWithinPartitions(col("src"))
       .persist()
     // Node set + out-degrees in ONE aggregation pass (each edge emits its
@@ -151,11 +199,46 @@ object Graph {
     // scale.
     val hasDangling = withDeg.filter(col("deg").isNull).limit(1).count() > 0
 
-    // Lineage-truncation cadence: the dangling branch references the rank
-    // frame twice per round, so the uncheckpointed plan DOUBLES per round
-    // and the window must stay tight; without it growth is linear (one
-    // reference) and a 3× wider window safely trades planner depth for
-    // fewer eager materialization jobs.
+    // Join-strategy fork, decided ONCE from the just-counted |V| — the same
+    // stats-driven choice Catalyst would make per-join if the loop's frames
+    // carried accurate stats (they don't: each round's rank frame is an agg
+    // output with estimated size):
+    //   - |V| ≤ broadcastNodeLimit → BROADCAST the rank frame each round.
+    //     The contribution join becomes a map-side hash probe over the
+    //     cached edge partitions (no rank-side exchange, no edge-side sort
+    //     requirement) and each round snapshots eagerly, so every round's
+    //     broadcast child is a materialized in-memory RDD — a |V|-row
+    //     driver collect, trivial by the limit's definition.
+    //   - |V| > limit → the rank frame can't broadcast (web-scale graphs);
+    //     SMJ against the sorted cached edges, zero edge-side exchange per
+    //     round, snapshots on the lineage window below.
+    val useBroadcast = n <= broadcastNodeLimit
+
+    // Broadcast path: re-layout the cached edges once onto fewer, fatter
+    // partitions (~150k edge rows each). Partial aggregation duplicates up
+    // to |V| keys PER MAP PARTITION per round, so partition count is a
+    // direct multiplier on shuffled partial rows; with |V| small the map
+    // side needs parallelism only for the edge volume. One extra cached-
+    // edge shuffle (~0.3 s at sf0.1) buys ~0.2 s × iterations.
+    val eLoop = if (!useBroadcast) e else {
+      val m = e.count() // cache scan — e materialized by the degree pass
+      val target = math.max(1L, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
+      if (target >= shufflePartitions) e
+      else {
+        val relaid = e.repartition(target, col("src")).persist()
+        relaid.count()
+        e.unpersist(false)
+        relaid
+      }
+    }
+
+    // Lineage-truncation cadence (SMJ path): the dangling branch references
+    // the rank frame twice per round, so the uncheckpointed plan DOUBLES
+    // per round and the window must stay tight; without it growth is linear
+    // (one reference) and a 3× wider window safely trades planner depth for
+    // fewer eager materialization jobs. The broadcast path snapshots every
+    // round instead — the per-round broadcast build wants a materialized
+    // child, and the frame is |V|-small by construction.
     val window = if (hasDangling) checkpointEvery else checkpointEvery * 3
 
     // `deg` and the teleport weight ride inside the aggregation stream, so
@@ -171,9 +254,10 @@ object Graph {
     var i = 0
     while (i < iterations) {
       // contribution join: rank rows keyed by node fan out over their
-      // out-edges
-      val contribs = ranks.filter(col("deg").isNotNull)
-        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+      // out-edges (hash-broadcast or sort-merge per the fork above)
+      val rankSide = ranks.filter(col("deg").isNotNull)
+      val contribs = (if (useBroadcast) broadcast(rankSide) else rankSide)
+        .join(eLoop.withColumnRenamed("src", "node"), Seq("node"))
         .select(col("dst").as("node"),
           lit(null).cast("long").as("deg"),
           lit(null).cast("double").as("__t__"),
@@ -199,7 +283,7 @@ object Graph {
             + lit(damping) * (col("mass")
               + col("__dm__") * col("__t__"))).as("rank"))
       i += 1
-      if (i % window == 0 || i == iterations) {
+      if (useBroadcast || i % window == 0 || i == iterations) {
         next = snapshot(next)
         prevCached.foreach(_.unpersist(false))
         prevCached = Some(next)
@@ -214,7 +298,7 @@ object Graph {
     val out =
       if (iterations == 0) snapshot(ranks.select(col("node"), col("rank")))
       else ranks.select(col("node"), col("rank"))
-    e.unpersist(false)
+    eLoop.unpersist(false) // covers e: aliased, or already released at re-layout
     withDeg.unpersist(false)
     out
   }

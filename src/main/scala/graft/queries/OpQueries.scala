@@ -1559,7 +1559,9 @@ object OpQueries {
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
       val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
-        iterations = 10, damping = 0.85)
+        iterations = 10, damping = 0.85,
+        // distinct by construction: pairs.distinct + prefix-disjoint union
+        edgesDistinct = true)
       val n = ranks.count() // ranks is checkpointed; count is a cache scan
       ranks.select(col("node"),
           round(col("rank") * lit(n.toDouble), 4).as("rank_scaled"))

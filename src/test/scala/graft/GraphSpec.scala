@@ -84,6 +84,33 @@ class GraphSpec extends AnyFunSuite {
     assert(degs("a") == ((1L, 1L)) && degs("b") == ((2L, 2L)) && degs("d") == ((1L, 1L)))
   }
 
+  test("pageRank: SMJ path (broadcastNodeLimit=0) matches the broadcast path and the reference") {
+    // every graph here is small enough to take the broadcast fork by
+    // default, so the web-scale sort-merge loop needs forcing: limit=0
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "4"), ("4", "2"))
+    val df = edges.toDF("src", "dst")
+    val viaSmj = Graph.pageRank(df, "src", "dst", iterations = 12,
+        broadcastNodeLimit = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaBcast = Graph.pageRank(df, "src", "dst", iterations = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = referencePageRank(edges, 12, 0.85)
+    for ((k, v) <- want) {
+      assert(math.abs(viaSmj(k) - v) < 1e-9, s"SMJ node $k: ${viaSmj(k)} vs $v")
+      assert(math.abs(viaBcast(k) - v) < 1e-9, s"bcast node $k: ${viaBcast(k)} vs $v")
+    }
+  }
+
+  test("pageRank: edgesDistinct=true on an already-distinct list matches the dedup path") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val df = edges.toDF("src", "dst")
+    val fast = Graph.pageRank(df, "src", "dst", iterations = 8, edgesDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val safe = Graph.pageRank(df, "src", "dst", iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- safe) assert(math.abs(fast(k) - v) < 1e-12, s"node $k")
+  }
+
   test("pageRank: lineage truncates at checkpoints (plan does not grow with iterations)") {
     val edges = (0L until 200L).map(i => (i.toString, ((i + 1) % 200).toString))
       .toDF("src", "dst")

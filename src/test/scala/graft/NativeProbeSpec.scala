@@ -146,11 +146,16 @@ class NativeProbeSpec extends AnyFunSuite {
         case _ => ()
       }
     }
-    // star graph with a dangling center: 1..40 -> 0, node 0 has no out-edges
+    // star graph with a dangling center: 1..40 -> 0, node 0 has no out-edges.
+    // broadcastNodeLimit=0 forces the web-scale SMJ loop — the invariant
+    // under test is THAT path's: no action may scale with iterations when
+    // |V| is too big to broadcast. (The broadcast fork snapshots per round
+    // by design; its per-round work is |V|-bounded and locally measured.)
     val edges = (1 to 40).map(i => (i.toString, "0")).toDF("src", "dst")
     spark.sparkContext.addSparkListener(listener)
     val ranks =
-      try graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 8)
+      try graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 8,
+        broadcastNodeLimit = 0L)
       finally {
         // the listener bus is async — poll until the count stabilizes
         var last = -1
