@@ -121,6 +121,10 @@ object Graph {
     val conf = edges.sparkSession.conf
     val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
     val savedBloom = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    // the broadcast fork inside the loop may shrink this for its own
+    // shuffles (see the re-layout block); restore alongside the rest
+    val savedShuffle = conf.get("spark.sql.shuffle.partitions",
+      edges.sparkSession.sessionState.conf.numShufflePartitions.toString)
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     try pageRankLoop(edges, srcCol, dstCol, iterations, damping,
@@ -128,6 +132,7 @@ object Graph {
     finally {
       conf.set("spark.sql.adaptive.enabled", savedAqe)
       conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", savedBloom)
+      conf.set("spark.sql.shuffle.partitions", savedShuffle)
     }
   }
 
@@ -214,21 +219,27 @@ object Graph {
     //     round, snapshots on the lineage window below.
     val useBroadcast = n <= broadcastNodeLimit
 
-    // Broadcast path: re-layout the cached edges once onto fewer, fatter
-    // partitions (~150k edge rows each). Partial aggregation duplicates up
-    // to |V| keys PER MAP PARTITION per round, so partition count is a
-    // direct multiplier on shuffled partial rows; with |V| small the map
-    // side needs parallelism only for the edge volume. One extra cached-
-    // edge shuffle (~0.3 s at sf0.1) buys ~0.2 s × iterations.
-    val eLoop = if (!useBroadcast) e else {
+    // Broadcast path: re-layout the whole loop working set once onto fewer,
+    // fatter partitions (~150k edge rows each) and size the loop's reduce
+    // side to match. Partial aggregation duplicates up to |V| keys PER MAP
+    // PARTITION per round, so partition count is a direct multiplier on
+    // shuffled partial rows — and with |V| small, every extra partition is
+    // pure task-launch overhead × iterations. Two extra cached-frame
+    // shuffles (~0.3 s at sf0.1) buy ~0.2-0.4 s × iterations. The session's
+    // shuffle.partitions is restored by pageRankImpl's finally.
+    val (eLoop, loopDeg) = if (!useBroadcast) (e, withDeg) else {
       val m = e.count() // cache scan — e materialized by the degree pass
       val target = math.max(1L, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
-      if (target >= shufflePartitions) e
+      if (target >= shufflePartitions) (e, withDeg)
       else {
         val relaid = e.repartition(target, col("src")).persist()
         relaid.count()
         e.unpersist(false)
-        relaid
+        val degRelaid = withDeg.repartition(target, col("node")).persist()
+        degRelaid.count()
+        withDeg.unpersist(false)
+        edges.sparkSession.conf.set("spark.sql.shuffle.partitions", target.toString)
+        (relaid, degRelaid)
       }
     }
 
@@ -247,9 +258,9 @@ object Graph {
     // (deg, __t__), which both completes the node set (no per-round
     // null-fill join against the node list) and forwards the static
     // columns through `max` (contribution rows carry nulls there).
-    val zeroRows = withDeg.select(col("node"), col("deg"), col("__t__"),
+    val zeroRows = loopDeg.select(col("node"), col("deg"), col("__t__"),
       lit(0.0).as("__w__"))
-    var ranks = withDeg.select(col("node"), col("deg"), col("__t__").as("rank"))
+    var ranks = loopDeg.select(col("node"), col("deg"), col("__t__").as("rank"))
     var prevCached: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
@@ -299,7 +310,7 @@ object Graph {
       if (iterations == 0) snapshot(ranks.select(col("node"), col("rank")))
       else ranks.select(col("node"), col("rank"))
     eLoop.unpersist(false) // covers e: aliased, or already released at re-layout
-    withDeg.unpersist(false)
+    loopDeg.unpersist(false) // likewise for withDeg
     out
   }
 }
