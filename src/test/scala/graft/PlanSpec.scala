@@ -178,6 +178,21 @@ class PlanSpec extends AnyFunSuite {
     assert(aggregates <= 6, s"profile must stay a single pass, got $aggregates:\n$p")
   }
 
+  test("q64 events scan: column pruning and filter pushdown survive ts normalization") {
+    // the schema-adaptive events read adds a ts-normalizing projection
+    // (GraftSession.normalizeEventTs); this pins that the projection stays
+    // transparent to the scan — only referenced columns are read, and the
+    // event_type equality still reaches PushedFilters
+    val p = plan("q64_asof_join")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      s"expected event_type pushdown in:\n$p")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("props")),
+      s"events scan reads unreferenced column props — pruning lost:\n$p")
+  }
+
   test("q102/q144/q168: tokenizer hot paths stay native — no interpreted HOF lambdas in the plan") {
     // the round-4 native kernels (WordTokens/ShinglesFromTokens/
     // TopFreqFraction) replaced ArrayFilter/ArrayTransform/ArrayAggregate
