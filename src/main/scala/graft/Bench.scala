@@ -122,7 +122,11 @@ object Bench {
     val smallDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
     val curve =
       if (smallDir.isDirectory && smallDir.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath) {
-        val small = names.map(n => n -> run(n, smallDir.getAbsolutePath))
+        // same min-of-2 + healing estimator as the main pass: the curve runs
+        // cold at the END of the bench, and a single cold run once recorded
+        // sf0.01 "costing more" than sf0.1 — a physically impossible scale
+        // curve that was page-cache noise, not work
+        val small = names.map(n => n -> best(timedBoth(n, smallDir.getAbsolutePath)))
         s""","sf_small":"sf0.01","queries_small":${fmt(small)}"""
       } else ""
 
