@@ -142,25 +142,28 @@ object Graph {
       teleportTo: Option[Seq[String]],
       edgesDistinct: Boolean, broadcastNodeLimit: Long): DataFrame = {
 
-    // Shuffle the deduped edge list ONCE onto its join key and keep each
-    // partition sorted: the per-round contribution join and the out-degree
-    // aggregate below then need no edge-side exchange or sort in any round
-    // (the cached plan's hash partitioning + ordering satisfy the join's
-    // requirement; only the small (node, rank) frame moves per iteration).
-    // This is the bucketed-join layout expressed via cache partitioning —
-    // at cluster scale it saves `iterations` full shuffles of the edge
-    // list. Explicit partition count so AQE never rewrites the cached
-    // layout into one the join can't reuse.
-    // One shuffle, not three: repartitioning on src FIRST lets the
-    // (src,dst) dedup run exchange-free (hash partitioning on src
-    // satisfies the wider clustering requirement) and the sort stays
-    // partition-local.
+    // The edge list is shuffled onto its join key ONCE for the whole loop
+    // (the bucketed-join layout expressed via cache partitioning — at
+    // cluster scale it saves `iterations` full shuffles of the edge list;
+    // explicit partition count so AQE never rewrites the cached layout into
+    // one the join can't reuse). WHEN that layout shuffle happens depends on
+    // what's known:
+    //   - dedup needed → the dedup IS the layout shuffle: repartition on
+    //     src FIRST so the (src,dst) dedup runs exchange-free (hash
+    //     partitioning on src satisfies the wider clustering requirement)
+    //     and the sort stays partition-local. One shuffle, not three.
+    //   - caller-asserted distinct → defer ALL layout until |V| is counted:
+    //     the broadcast fork wants fewer, fatter partitions than the
+    //     session default, and an eager default-width shuffle+sort would be
+    //     thrown away at the fork. The raw cast list is cached as-scanned
+    //     and laid out exactly once, below.
     val shufflePartitions = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eCast = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .repartition(shufflePartitions, col("src"))
-    val e = (if (edgesDistinct) eCast else eCast.dropDuplicates("src", "dst"))
-      .sortWithinPartitions(col("src"))
+    val e = (if (edgesDistinct) eCast
+      else eCast.repartition(shufflePartitions, col("src"))
+        .dropDuplicates("src", "dst")
+        .sortWithinPartitions(col("src")))
       .persist()
     // Node set + out-degrees in ONE aggregation pass (each edge emits its
     // endpoints weighted 1/0; a node whose out-weight sums to zero is
@@ -219,29 +222,43 @@ object Graph {
     //     round, snapshots on the lineage window below.
     val useBroadcast = n <= broadcastNodeLimit
 
-    // Broadcast path: re-layout the whole loop working set once onto fewer,
-    // fatter partitions (~150k edge rows each) and size the loop's reduce
-    // side to match. Partial aggregation duplicates up to |V| keys PER MAP
-    // PARTITION per round, so partition count is a direct multiplier on
-    // shuffled partial rows — and with |V| small, every extra partition is
-    // pure task-launch overhead × iterations. Two extra cached-frame
-    // shuffles (~0.3 s at sf0.1) buy ~0.2-0.4 s × iterations. The session's
-    // shuffle.partitions is restored by pageRankImpl's finally.
-    val (eLoop, loopDeg) = if (!useBroadcast) (e, withDeg) else {
+    // The loop layout, decided once |V| (and the fork) are known:
+    //   - broadcast fork → fewer, fatter partitions (~150k edge rows each)
+    //     for the whole working set, loop reduce side sized to match.
+    //     Partial aggregation duplicates up to |V| keys PER MAP PARTITION
+    //     per round, so partition count is a direct multiplier on shuffled
+    //     partial rows — and with |V| small, every extra partition is pure
+    //     task-launch overhead × iterations. The session's
+    //     shuffle.partitions is restored by pageRankImpl's finally.
+    //   - SMJ fork with a deferred-layout edge cache (edgesDistinct) → the
+    //     default-width partition+sort layout the per-round merge join
+    //     reuses exchange-free; dedup'd caches already carry it.
+    val (eLoop, loopDeg) = if (useBroadcast) {
       val m = e.count() // cache scan — e materialized by the degree pass
       val target = math.max(1L, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
-      if (target >= shufflePartitions) (e, withDeg)
+      if (!edgesDistinct && target >= shufflePartitions) (e, withDeg)
       else {
         val relaid = e.repartition(target, col("src")).persist()
         relaid.count()
         e.unpersist(false)
-        val degRelaid = withDeg.repartition(target, col("node")).persist()
-        degRelaid.count()
-        withDeg.unpersist(false)
+        val degRelaid =
+          if (target >= shufflePartitions) withDeg
+          else {
+            val d = withDeg.repartition(target, col("node")).persist()
+            d.count()
+            withDeg.unpersist(false)
+            d
+          }
         edges.sparkSession.conf.set("spark.sql.shuffle.partitions", target.toString)
         (relaid, degRelaid)
       }
-    }
+    } else if (edgesDistinct) {
+      val laid = e.repartition(shufflePartitions, col("src"))
+        .sortWithinPartitions(col("src")).persist()
+      laid.count()
+      e.unpersist(false)
+      (laid, withDeg)
+    } else (e, withDeg)
 
     // Lineage-truncation cadence (SMJ path): the dangling branch references
     // the rank frame twice per round, so the uncheckpointed plan DOUBLES
