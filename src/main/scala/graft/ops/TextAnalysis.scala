@@ -475,13 +475,15 @@ object TextAnalysis {
       idCol: Column, out: String = "nll"): org.apache.spark.sql.DataFrame = {
     val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("tok"))
     // corpus token total from a NARROW per-doc pass (sum of per-row token
-    // counts) — no shuffle, no cached frame to leak; the frequency table
-    // itself is computed lazily exactly once, inside the final scoring plan
-    val totalRow = df.select(sum(size(tokens(textCol))).cast("long").as("n")).head()
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    // counts) — no shuffle, and it rides INSIDE the plan as a broadcast
+    // 1-row aggregate (the Scale.keyProfile broadcast-scalar pattern), so
+    // scoring is one job with no driver-blocking pre-pass
+    val total = df.select(
+      coalesce(sum(size(tokens(textCol))), lit(0L)).cast("double").as("__tot__"))
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     toks.join(freqs, "tok")
-      .withColumn("__logp__", log(col("cnt") / lit(total.toDouble)))
+      .crossJoin(broadcast(total))
+      .withColumn("__logp__", log(col("cnt") / col("__tot__")))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("tok"), col("__logp__").as("lp")))).as("__xs__"))
       .select(col("id"),
@@ -531,14 +533,17 @@ object TextAnalysis {
     val tgtToks = buckets(target, targetTextCol, Seq.empty)
     val rawTotal = rawToks.count().toDouble // materializes the cache too
     val tgtCounts = tgtToks.groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
-    val tgtTotalRow = tgtToks.agg(count(lit(1))).first()
-    val tgtTotal = tgtTotalRow.getLong(0).toDouble
+    // the target token total rides INSIDE the plan as a broadcast 1-row
+    // aggregate — the only driver action in this op is the raw count above,
+    // which doubles as the cache materialization
+    val tgtTotal = tgtToks.agg(count(lit(1)).cast("double").as("__tt__"))
     // dim-row ratio table: ln(p_target/p_raw) per bucket, smoothed both sides
     val rawCounts = rawToks.groupBy(col("__b__")).agg(count(lit(1)).as("__cr__"))
     val ratios = rawCounts.join(tgtCounts, Seq("__b__"), "outer")
+      .crossJoin(broadcast(tgtTotal))
       .select(col("__b__"),
         (log((coalesce(col("__ct__"), lit(0L)).cast("double") + lit(alpha)) /
-             lit(tgtTotal + alpha * dim)) -
+             (col("__tt__") + lit(alpha * dim))) -
          log((coalesce(col("__cr__"), lit(0L)).cast("double") + lit(alpha)) /
              lit(rawTotal + alpha * dim))).as("__lr__"))
     val result = rawToks
