@@ -232,7 +232,7 @@ object TextAnalysis {
     * frequencies from the corpus itself. Shape at scale: ONE exploded gram
     * frame feeds both frequency aggregates; scoring joins ride 8-byte
     * [[hash60]] keys (the dedup-family rule — gram STRINGS never shuffle);
-    * V is a single scalar count; the per-doc sum quantizes each log-prob
+    * V is an in-plan broadcast scalar; the per-doc sum quantizes each log-prob
     * to `decimal(28,14)` and sums exactly, so the score is bit-identical
     * on any partitioning without a sorted fold.
     */
@@ -241,14 +241,16 @@ object TextAnalysis {
     val grams = df.select(idCol.as("id"), explode(shingles(textCol, 2)).as("bg"))
       .select(col("id"), hash60(col("bg")).as("__bgh__"),
         hash60(element_at(split(col("bg"), " "), 1)).as("__ctxh__"))
-    val vocabRow = df.select(explode(tokens(textCol)).as("t"))
-      .agg(count_distinct(col("t"))).head()
-    val vocab = if (vocabRow.isNullAt(0)) 0L else vocabRow.getLong(0)
+    // V rides INSIDE the plan as a broadcast 1-row aggregate (the
+    // broadcast-scalar pattern) — no driver-blocking vocab pre-pass
+    val vocab = df.select(explode(tokens(textCol)).as("t"))
+      .agg(count_distinct(col("t")).cast("double").as("__v__"))
     val bgFreq = grams.groupBy(col("__bgh__")).agg(count(lit(1)).as("__cbg__"))
     val ctxFreq = grams.groupBy(col("__ctxh__")).agg(count(lit(1)).as("__cctx__"))
     grams.join(bgFreq, "__bgh__").join(ctxFreq, "__ctxh__")
+      .crossJoin(broadcast(vocab))
       .withColumn("__lp__",
-        log((col("__cbg__") + lit(k)) / (col("__cctx__") + lit(k) * lit(vocab.toDouble))))
+        log((col("__cbg__") + lit(k)) / (col("__cctx__") + lit(k) * col("__v__"))))
       .groupBy(col("id"))
       .agg(sum(col("__lp__").cast("decimal(28,14)")).as("__s__"),
         count(lit(1)).as("__n__"))
