@@ -116,6 +116,7 @@ object Components {
       .agg(min(col("dst")).as("component"))
     var prevSum = labelSum(labels)
     var prevCached: Option[DataFrame] = None
+    var lastSnap: Option[DataFrame] = None // newest eager checkpoint, released when superseded
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -150,8 +151,6 @@ object Components {
         else propagated.localCheckpoint(true)
       val nextSum = labelSum(next)
       roundScratch.foreach(_.unpersist())
-      // a checkpointed frame's blocks ARE its data (lineage is gone) — never
-      // unpersist those; plain cached rounds are safe to drop
       val prospective = nextSum == prevSum
       converged =
         if (prospective && !numericIds)
@@ -162,6 +161,13 @@ object Components {
         else prospective
       prevCached.foreach(_.unpersist())
       prevCached = if (checkpointed) None else Some(next)
+      // a new eager checkpoint supersedes the previous one: everything from
+      // here on reads `next`'s blocks, so the old snapshot can be released
+      // (via Snapshots — plain unpersist is a no-op on checkpointed frames)
+      if (checkpointed) {
+        lastSnap.foreach(Snapshots.release)
+        lastSnap = Some(next)
+      }
       labels = next.withColumnRenamed("next_label", "component")
       prevSum = nextSum
       iter += 1
@@ -176,8 +182,11 @@ object Components {
           if (checkpointDir.isDefined) labels.checkpoint(true)
           else labels.localCheckpoint(true)
         cached.unpersist(false)
+        // the final cut is eager and self-contained — the last mid-loop
+        // checkpoint (if any) is now superseded too
+        lastSnap.foreach(Snapshots.release)
         cut
-      case None => labels
+      case None => labels // labels IS the final checkpoint; its blocks are the result
     }
     if (!converged)
       org.apache.log4j.Logger.getLogger(getClass)

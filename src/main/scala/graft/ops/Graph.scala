@@ -201,6 +201,7 @@ object Graph {
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
 
+
     // One probe, not one per round: graphs with no dangling nodes (any
     // symmetrized graph) skip the per-iteration dangling aggregate — a
     // whole job per round at toy scale, a full pass over ranks at cluster
@@ -313,7 +314,10 @@ object Graph {
       i += 1
       if (useBroadcast || i % window == 0 || i == iterations) {
         next = snapshot(next)
-        prevCached.foreach(_.unpersist(false))
+        // superseded snapshot: safe to release now the successor has
+        // eagerly materialized (see Snapshots for why plain unpersist
+        // would be a no-op here)
+        prevCached.foreach(Snapshots.release)
         prevCached = Some(next)
       }
       ranks = next

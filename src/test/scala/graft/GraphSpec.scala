@@ -121,6 +121,42 @@ class GraphSpec extends AnyFunSuite {
     assert(d < 30, s"RDD lineage depth $d — grew with iterations, checkpoint not truncating")
   }
 
+  test("pageRank releases every cache it creates, on BOTH join forks") {
+    // the round-3 regression class: persisted frames outliving their call.
+    // After pageRank returns, the only storage-holding RDD may be the
+    // returned checkpointed rank frame — never the edge/degree caches or
+    // intermediate round snapshots (each round releases its predecessor).
+    val sc = spark.sparkContext
+    val edges = (0L until 300L).map(i => (i.toString, ((i * 7 + 1) % 300).toString))
+      .toDF("src", "dst")
+    for (limit <- Seq(Long.MaxValue, 0L)) { // broadcast fork, then SMJ fork
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val ranks = Graph.pageRank(edges, "src", "dst", iterations = 6,
+        broadcastNodeLimit = limit)
+      ranks.count()
+      val held = sc.getPersistentRDDs.size
+      assert(held <= 1,
+        s"$held persisted RDDs after pageRank (broadcastNodeLimit=$limit) — internal caches leaked")
+    }
+  }
+
+  test("connectedComponents releases superseded mid-loop checkpoints") {
+    // a high-diameter chain forces enough rounds to cross several
+    // checkpoint boundaries; smallGraphMaxEdges=0 forces the scale path
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = graft.ops.Components.connectedComponents(chain, "a", "b",
+      maxIter = 20, smallGraphMaxEdges = 0L)
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    assert(comps.select(count_distinct(col("component"))).head().getLong(0) == 1L)
+    val held = sc.getPersistentRDDs.size
+    assert(held <= 1,
+      s"$held persisted RDDs after connectedComponents — superseded checkpoints leaked")
+  }
+
   test("pageRank: empty edge list returns an empty frame; zero iterations is uniform") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(Graph.pageRank(empty, "src", "dst", iterations = 3).count() == 0)
