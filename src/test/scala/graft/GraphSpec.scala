@@ -114,11 +114,17 @@ class GraphSpec extends AnyFunSuite {
   test("pageRank: lineage truncates at checkpoints (plan does not grow with iterations)") {
     val edges = (0L until 200L).map(i => (i.toString, ((i + 1) % 200).toString))
       .toDF("src", "dst")
-    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 12, checkpointEvery = 4)
     def depth(r: org.apache.spark.rdd.RDD[_]): Int =
       if (r.dependencies.isEmpty) 1 else 1 + r.dependencies.map(d => depth(d.rdd)).max
-    val d = depth(ranks.rdd)
-    assert(d < 30, s"RDD lineage depth $d — grew with iterations, checkpoint not truncating")
+    // both forks: the broadcast loop snapshots per round, the SMJ loop on
+    // the checkpointEvery window — neither may let lineage grow with rounds
+    for (limit <- Seq(Long.MaxValue, 0L)) {
+      val ranks = Graph.pageRank(edges, "src", "dst", iterations = 12,
+        checkpointEvery = 4, broadcastNodeLimit = limit)
+      val d = depth(ranks.rdd)
+      assert(d < 30,
+        s"RDD lineage depth $d (broadcastNodeLimit=$limit) — grew with iterations, checkpoint not truncating")
+    }
   }
 
   test("pageRank releases every cache it creates, on BOTH join forks") {
