@@ -14,8 +14,10 @@ import graft.queries.QueryCorpus
   * from inside the JSON). Three defenses make a degraded run self-labeling:
   *   - queries are timed CHEAPEST-FIRST (by warm-up time), so one heavy
   *     query's GC/page-cache wake can't poison a long tail of cheap ones;
-  *   - both raw runs per query are emitted (`queries_raw`), so min-vs-max
-  *     spread exposes intra-run contention after the fact;
+  *   - every raw run per query is emitted (`queries_raw`; a healed query
+  *     carries 3 entries and is named in `healed`), so min-vs-max spread
+  *     exposes intra-run contention after the fact — healing never rewrites
+  *     the raw record;
   *   - the first-timed query is re-timed at the VERY END and the ratio is
   *     emitted as `noise_sentinel` (last/first ≈ 1.0 healthy; >> 1 means
   *     the box degraded mid-bench and the later numbers are inflated).
@@ -66,8 +68,8 @@ object Bench {
     }
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def fmtRaw(rs: Seq[(String, (Double, Double))]): String =
-      rs.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
+    def fmtRaw(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
         .mkString("{", ",", "}")
 
     // min of 2 timed runs after a full warm-up pass: single-JVM wall times
@@ -76,20 +78,19 @@ object Bench {
     // Self-healing (r4 lesson: a contended box produced run pairs like
     // [10.69, 1.98] — labeled by the sentinel but still polluting the
     // official record): when the two runs diverge more than SPREAD_LIMIT,
-    // one of them hit a degraded window, so schedule ONE extra run and take
-    // the min of all three. Bounded at one retry — a box degraded for the
-    // whole bench should stay visibly degraded, not retry forever.
-    // Methodology is declared in the JSON ("runs":2,"timing":"min").
-    def timedBoth(name: String, dir: String): (Double, Double) = {
-      val ab = (run(name, dir), run(name, dir))
-      if (!Bench.needsHealing(ab._1, ab._2)) ab
-      else {
-        val c = run(name, dir)
-        if (c < math.min(ab._1, ab._2)) (math.min(ab._1, ab._2), c) else ab
-      }
+    // one hit a degraded window, so schedule ONE extra run. Bounded at one
+    // retry — a box degraded for the whole bench should stay visibly
+    // degraded, not retry forever. EVERY raw run stays in `queries_raw`
+    // (a 3-element entry marks a healed query) so the contention evidence
+    // the raw record exists for is never rewritten.
+    def timedRuns(name: String, dir: String): Seq[Double] = {
+      val a = run(name, dir); val b = run(name, dir)
+      if (Bench.needsHealing(a, b)) Seq(a, b, run(name, dir)) else Seq(a, b)
     }
-    def best(ab: (Double, Double)): Double =
-      if (ab._1 < 0 || ab._2 < 0) math.max(ab._1, ab._2) else math.min(ab._1, ab._2)
+    def best(runs: Seq[Double]): Double = {
+      val ok = runs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
 
     // Local-iteration subset (mirrors Verify's GRAFT_QUERY_FILTER): bench
     // only queries matching a comma-separated prefix list. Unset in driver
@@ -97,7 +98,10 @@ object Bench {
     val benchNames = sys.env.get("GRAFT_BENCH_FILTER") match {
       case Some(f) if f.nonEmpty =>
         val prefixes = f.split(',').map(_.trim).filter(_.nonEmpty)
-        QueryCorpus.benchNames.filter(n => prefixes.exists(n.startsWith))
+        val kept = QueryCorpus.benchNames.filter(n => prefixes.exists(n.startsWith))
+        require(kept.nonEmpty,
+          s"GRAFT_BENCH_FILTER='$f' matches no bench query — known: ${QueryCorpus.benchNames.mkString(", ")}")
+        kept
       case _ => QueryCorpus.benchNames
     }
 
@@ -105,8 +109,8 @@ object Bench {
     // cheapest-first
     val warm = benchNames.map(n => n -> run(n, sfDir))
     val names = warm.sortBy { case (_, t) => if (t < 0) Double.MaxValue else t }.map(_._1)
-    val raw = names.map(n => n -> timedBoth(n, sfDir))
-    val results = raw.map { case (n, ab) => n -> best(ab) }
+    val raw = names.map(n => n -> timedRuns(n, sfDir))
+    val results = raw.map { case (n, runs) => n -> best(runs) }
     val total = results.map(_._2).sum
 
     // the 9 queries BENCH_r01 timed — their subtotal makes the
@@ -126,7 +130,7 @@ object Bench {
         // cold at the END of the bench, and a single cold run once recorded
         // sf0.01 "costing more" than sf0.1 — a physically impossible scale
         // curve that was page-cache noise, not work
-        val small = names.map(n => n -> best(timedBoth(n, smallDir.getAbsolutePath)))
+        val small = names.map(n => n -> best(timedRuns(n, smallDir.getAbsolutePath)))
         s""","sf_small":"sf0.01","queries_small":${fmt(small)}"""
       } else ""
 
@@ -136,11 +140,15 @@ object Bench {
     // makes a mid-bench slowdown visible in the JSON itself.
     val sentinelName = names.head
     val firstTime = results.head._2
-    val lastTime = best(timedBoth(sentinelName, sfDir))
+    val lastTime = best(timedRuns(sentinelName, sfDir))
     val sentinel =
       if (firstTime > 0 && lastTime > 0) lastTime / firstTime else -1.0
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}""")
+    // healed = queries whose raw entry has 3 runs (the spread-retry fired);
+    // "runs":2 stays the BASE methodology, healed lists the exceptions
+    val healed = raw.collect { case (n, rs) if rs.size > 2 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}""")
     spark.stop()
   }
 }

@@ -88,6 +88,14 @@ object Graph {
     *                      the broadcast-join loop (see below); larger graphs
     *                      take the exchange-free sort-merge loop. 0 forces
     *                      the SMJ path (spec hook).
+    *
+    * Conf scoping: for the duration of the call, AQE, the runtime bloom
+    * filter, and (on the broadcast fork) `spark.sql.shuffle.partitions` are
+    * adjusted on the SESSION and restored on return — these are
+    * session-global confs, so queries planned CONCURRENTLY on the same
+    * SparkSession during a pageRank call will plan under them (partition
+    * floor of 8 bounds the blast radius). Run pageRank serially with other
+    * work, or give it its own `SparkSession.newSession()`.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
@@ -97,12 +105,21 @@ object Graph {
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
       checkpointDir, None, edgesDistinct, broadcastNodeLimit)
 
-  /** 1M nodes ≈ 50 MB of (string node, long deg, double rank) rows — well
-    * inside executor broadcast budgets, far under the 8 GB broadcast cap,
-    * and a trivial per-round driver collect. Web-scale graphs (|V| in the
-    * billions) sail past this and stay on the shuffle loop.
+  /** 1M short-id nodes ≈ 50 MB of (string node, long deg, double rank)
+    * rows — well inside executor broadcast budgets, far under the 8 GB
+    * broadcast cap, and a trivial per-round driver collect. Web-scale
+    * graphs (|V| in the billions) sail past this and stay on the shuffle
+    * loop. The row cap is paired with a BYTE guard measured from the actual
+    * node ids (see broadcastByteBudget): a graph of 200-byte URL ids near
+    * this row limit would otherwise broadcast hundreds of MB per round.
     */
   val defaultBroadcastNodeLimit: Long = 1L << 20
+
+  /** Upper bound on the estimated rank-frame bytes (|V| × (avg id length +
+    * fixed per-row overhead)) the broadcast fork will accept — graphs over
+    * it take the shuffle loop regardless of row count.
+    */
+  val broadcastByteBudget: Long = 64L << 20
 
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double,
@@ -221,7 +238,15 @@ object Graph {
     //   - |V| > limit → the rank frame can't broadcast (web-scale graphs);
     //     SMJ against the sorted cached edges, zero edge-side exchange per
     //     round, snapshots on the lineage window below.
-    val useBroadcast = n <= broadcastNodeLimit
+    // The row cap alone would admit fat string ids (a 1M-node host graph of
+    // 200-byte URL ids is a multi-hundred-MB broadcast PER ROUND), so the
+    // fork also byte-checks against the ACTUAL ids — one cheap aggregate
+    // over the cached degree frame, only on graphs that pass the row cap.
+    val useBroadcast = n <= broadcastNodeLimit && {
+      val avgIdLen = withDeg
+        .agg(coalesce(avg(length(col("node"))), lit(0.0))).head().getDouble(0)
+      n * (avgIdLen.toLong + 32L) <= broadcastByteBudget
+    }
 
     // The loop layout, decided once |V| (and the fork) are known:
     //   - broadcast fork → fewer, fatter partitions (~150k edge rows each)
@@ -236,7 +261,12 @@ object Graph {
     //     reuses exchange-free; dedup'd caches already carry it.
     val (eLoop, loopDeg) = if (useBroadcast) {
       val m = e.count() // cache scan — e materialized by the degree pass
-      val target = math.max(1L, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
+      // floor of 8: shuffle.partitions is a SESSION conf — while the loop
+      // runs, any concurrent query on the same session plans under it, and
+      // a floor bounds that blast radius (1 partition would serialize a
+      // bystander's every shuffle). See the conf-scoping note on pageRank.
+      val floor = math.min(8L, shufflePartitions.toLong)
+      val target = math.max(floor, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
       if (!edgesDistinct && target >= shufflePartitions) (e, withDeg)
       else {
         val relaid = e.repartition(target, col("src")).persist()
@@ -312,11 +342,23 @@ object Graph {
             + lit(damping) * (col("mass")
               + col("__dm__") * col("__t__"))).as("rank"))
       i += 1
-      if (useBroadcast || i % window == 0 || i == iterations) {
+      // Broadcast fork: each round wants an eagerly-materialized frame for
+      // its broadcast build. Locally that's a per-round localCheckpoint;
+      // with a RELIABLE checkpoint dir, per-round would mean iterations×
+      // HDFS writes — so reliable cuts stay on the window cadence and the
+      // rounds between them persist eagerly instead (replayable from the
+      // last cut on block loss, unlike a localCheckpoint).
+      val windowHit = i % window == 0 || i == iterations
+      if ((useBroadcast && checkpointDir.isEmpty) || windowHit) {
         next = snapshot(next)
         // superseded snapshot: safe to release now the successor has
         // eagerly materialized (see Snapshots for why plain unpersist
         // would be a no-op here)
+        prevCached.foreach(Snapshots.release)
+        prevCached = Some(next)
+      } else if (useBroadcast) {
+        next = next.persist()
+        next.count()
         prevCached.foreach(Snapshots.release)
         prevCached = Some(next)
       }

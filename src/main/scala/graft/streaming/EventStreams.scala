@@ -53,14 +53,23 @@ object EventStreams {
     // forced LongType schema over a timestamp[us] file would silently read
     // raw µs ints as if ns — 1000× timeline compression, structurally wrong
     // windows. Glob through the Hadoop FS (the batch reader's streaming-sink
-    // metadata check logs a scary stack trace for glob paths), read ONE
-    // matched footer, splice the real type into the stream schema.
+    // metadata check logs a scary stack trace for glob paths) and probe up
+    // to 32 matched footers: a landing directory MIXING encodings (files
+    // from two generator versions) must fail loudly here — one spliced type
+    // would silently misread every file of the other encoding. Beyond the
+    // probe cap the same mix would surface as a scan-time conversion error.
     val hPath = new org.apache.hadoop.fs.Path(glob)
     val matched = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .globStatus(hPath)
     require(matched != null && matched.nonEmpty, s"no events files match $glob")
-    val tsType = spark.read.parquet(matched.head.getPath.toString)
-      .schema("ts").dataType
+    val probed = matched.toSeq.sortBy(_.getPath.toString).take(32)
+      .map(f => f.getPath.toString -> spark.read.parquet(f.getPath.toString).schema("ts").dataType)
+    val tsTypes = probed.map(_._2).distinct
+    require(tsTypes.size == 1,
+      s"events files mix ts encodings ${tsTypes.mkString(", ")} — " +
+        probed.groupBy(_._2).map { case (t, fs) => s"$t: ${fs.head._1}" }.mkString("; ") +
+        "; rewrite the directory to one encoding before streaming it")
+    val tsType = tsTypes.head
     val reader = spark.readStream.schema(rawSchema(tsType))
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     graft.core.GraftSession.normalizeEventTs(reader.parquet(glob))

@@ -147,6 +147,35 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank with a reliable checkpoint dir matches the reference on both forks") {
+    // the broadcast fork must NOT reliable-checkpoint per round (window
+    // cadence only, persist between cuts) — this pins the path's values;
+    // the I/O cadence itself is the documented design
+    val ckpt = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "4"), ("4", "2"))
+    val df = edges.toDF("src", "dst")
+    val want = referencePageRank(edges, 7, 0.85)
+    for (limit <- Seq(Long.MaxValue, 0L)) {
+      val got = Graph.pageRank(df, "src", "dst", iterations = 7,
+          checkpointEvery = 2, checkpointDir = Some(ckpt), broadcastNodeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((k, v) <- want)
+        assert(math.abs(got(k) - v) < 1e-9, s"limit=$limit node $k: ${got(k)} vs $v")
+    }
+  }
+
+  test("pageRank byte guard: fat string ids refuse the broadcast fork") {
+    // ids ~70kB each: 3 nodes pass any row cap but blow the 64 MB byte
+    // budget × |V|... scaled down: the guard multiplies n by avg id length,
+    // so 3 nodes × 30MB ids > 64MB budget → must take the SMJ loop and
+    // still compute correct ranks
+    val fat = "x" * (30 << 20)
+    val edges = Seq((fat + "a", fat + "b"), (fat + "b", fat + "a"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 4)
+      .collect().map(r => r.getString(0).last -> r.getDouble(1)).toMap
+    assert(math.abs(got('a') - 0.5) < 1e-9 && math.abs(got('b') - 0.5) < 1e-9)
+  }
+
   test("connectedComponents releases superseded mid-loop checkpoints") {
     // a high-diameter chain forces enough rounds to cross several
     // checkpoint boundaries; smallGraphMaxEdges=0 forces the scale path
