@@ -82,6 +82,24 @@ class EventsFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming read REFUSES a landing directory that mixes ts encodings") {
+    // one ns-as-long file + one timestamp[us] file in the same directory:
+    // splicing either type would silently misread the other file 1000×,
+    // so the probe must fail loudly instead
+    val dir = java.nio.file.Files.createTempDirectory("events_mixed").toString
+    val b = base(spark)
+    b.withColumn("ts", col("us") * lit(1000L))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events_a.parquet")
+    b.withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events_b.parquet")
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.readEvents(spark, dir)
+    }
+    assert(err.getMessage.contains("mix ts encodings"), err.getMessage)
+  }
+
   test("the real fixture reads without throwing and spans its multi-day history") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
     val ev = GraftSession.table(spark, dir, "events")
