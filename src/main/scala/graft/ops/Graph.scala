@@ -74,9 +74,11 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       sources: Seq[String], iterations: Int = 10, damping: Double = 0.85,
-      checkpointEvery: Int = 4, edgesDistinct: Boolean = false): DataFrame =
+      checkpointEvery: Int = 4, edgesDistinct: Boolean = false,
+      checkpointDir: Option[String] = None,
+      broadcastNodeLimit: Long = defaultBroadcastNodeLimit): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
-      None, Some(sources), edgesDistinct, defaultBroadcastNodeLimit)
+      checkpointDir, Some(sources), edgesDistinct, broadcastNodeLimit)
 
   /** @param edgesDistinct caller-asserted "no parallel edges": skips the
     *                      (src,dst) dedup pass. The q184 purchase graph is
@@ -136,20 +138,22 @@ object Graph {
     // prunes nothing here) only add latency × iterations. Both off for the
     // loop, restored after — measured 2.6 s off q184 at sf0.1 alone.
     val conf = edges.sparkSession.conf
-    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val savedBloom = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-    // the broadcast fork inside the loop may shrink this for its own
-    // shuffles (see the re-layout block); restore alongside the rest
-    val savedShuffle = conf.get("spark.sql.shuffle.partitions",
-      edges.sparkSession.sessionState.conf.numShufflePartitions.toString)
+    // getOption/unset, NOT get(key, fallback): a hardcoded fallback would be
+    // re-SET on exit and permanently override Spark's own entry default for
+    // any session that never set the conf explicitly (the runtime bloom
+    // filter defaults to TRUE — restoring a guessed "false" would silently
+    // disable it for the session's lifetime).
+    val savedConfs = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.shuffle.partitions" // the broadcast fork may shrink this
+    ).map(k => k -> conf.getOption(k))
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     try pageRankLoop(edges, srcCol, dstCol, iterations, damping,
       checkpointEvery, checkpointDir, teleportTo, edgesDistinct, broadcastNodeLimit)
-    finally {
-      conf.set("spark.sql.adaptive.enabled", savedAqe)
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", savedBloom)
-      conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    finally savedConfs.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 

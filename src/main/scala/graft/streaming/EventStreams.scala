@@ -44,7 +44,18 @@ object EventStreams {
     * batches, never inside one.
     */
   def readEvents(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
+      maxFilesPerTrigger: Option[Int]): DataFrame =
+    readEvents(spark, dir, maxFilesPerTrigger, tsTypeHint = None)
+
+  /** [[readEvents]] with an explicit physical-ts-type hint, for the one
+    * case the probe cannot serve: starting the stream against a landing
+    * directory that has no files YET (a legitimate streaming deployment —
+    * the query monitors the directory and picks files up as they land).
+    * With a hint the probe is skipped entirely; without one an empty
+    * directory fails loudly rather than guessing an encoding.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int], tsTypeHint: Option[DataType]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob, not the bare file: the streaming source wants a directory-like
     // path to monitor (at scale this is the landing directory / Kafka topic).
@@ -53,23 +64,33 @@ object EventStreams {
     // forced LongType schema over a timestamp[us] file would silently read
     // raw µs ints as if ns — 1000× timeline compression, structurally wrong
     // windows. Glob through the Hadoop FS (the batch reader's streaming-sink
-    // metadata check logs a scary stack trace for glob paths) and probe up
-    // to 32 matched footers: a landing directory MIXING encodings (files
-    // from two generator versions) must fail loudly here — one spliced type
-    // would silently misread every file of the other encoding. Beyond the
-    // probe cap the same mix would surface as a scan-time conversion error.
-    val hPath = new org.apache.hadoop.fs.Path(glob)
-    val matched = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .globStatus(hPath)
-    require(matched != null && matched.nonEmpty, s"no events files match $glob")
-    val probed = matched.toSeq.sortBy(_.getPath.toString).take(32)
-      .map(f => f.getPath.toString -> spark.read.parquet(f.getPath.toString).schema("ts").dataType)
-    val tsTypes = probed.map(_._2).distinct
-    require(tsTypes.size == 1,
-      s"events files mix ts encodings ${tsTypes.mkString(", ")} — " +
-        probed.groupBy(_._2).map { case (t, fs) => s"$t: ${fs.head._1}" }.mkString("; ") +
-        "; rewrite the directory to one encoding before streaming it")
-    val tsType = tsTypes.head
+    // metadata check logs a scary stack trace for glob paths) and probe a
+    // SPREAD of up to 8 matched files (first/last/evenly spaced in path
+    // order — encoding drift lands as a transition between generator
+    // versions, which a spread straddles): a directory MIXING encodings
+    // must fail loudly here, since one spliced type would silently misread
+    // every file of the other encoding. Beyond the probe's coverage the
+    // same mix surfaces as a scan-time conversion error.
+    val tsType = tsTypeHint.getOrElse {
+      val hPath = new org.apache.hadoop.fs.Path(glob)
+      val matched = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(hPath)
+      require(matched != null && matched.nonEmpty,
+        s"no events files match $glob — for a not-yet-populated landing " +
+          "directory pass an explicit tsTypeHint (the probe needs one footer)")
+      val sorted = matched.toSeq.sortBy(_.getPath.toString)
+      val picks =
+        if (sorted.size <= 8) sorted
+        else (0 until 8).map(i => sorted(i * (sorted.size - 1) / 7)).distinct
+      val probed = picks.map(f =>
+        f.getPath.toString -> spark.read.parquet(f.getPath.toString).schema("ts").dataType)
+      val tsTypes = probed.map(_._2).distinct
+      require(tsTypes.size == 1,
+        s"events files mix ts encodings ${tsTypes.mkString(", ")} — " +
+          probed.groupBy(_._2).map { case (t, fs) => s"$t: ${fs.head._1}" }.mkString("; ") +
+          "; rewrite the directory to one encoding before streaming it")
+      tsTypes.head
+    }
     val reader = spark.readStream.schema(rawSchema(tsType))
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     graft.core.GraftSession.normalizeEventTs(reader.parquet(glob))

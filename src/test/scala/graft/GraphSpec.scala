@@ -176,6 +176,24 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got('a') - 0.5) < 1e-9 && math.abs(got('b') - 0.5) < 1e-9)
   }
 
+  test("pageRank restores session confs EXACTLY (set values and unset-ness both)") {
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.shuffle.partitions")
+    val s2 = spark.newSession()
+    // one conf explicitly set, one explicitly UNSET: a restore that re-sets
+    // a guessed fallback would freeze the unset conf's entry default
+    // (bloom filter defaults TRUE — "restoring" false would disable it)
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val before = keys.map(k => k -> scala.util.Try(s2.conf.getOption(k)).toOption.flatten)
+    import s2.implicits._
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    Graph.pageRank(edges, "src", "dst", iterations = 3).count()
+    val after = keys.map(k => k -> scala.util.Try(s2.conf.getOption(k)).toOption.flatten)
+    assert(after == before, s"conf drift: $before -> $after")
+  }
+
   test("connectedComponents releases superseded mid-loop checkpoints") {
     // a high-diameter chain forces enough rounds to cross several
     // checkpoint boundaries; smallGraphMaxEdges=0 forces the scale path
