@@ -26,32 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Damped PageRank over a directed edge list.
-    *
-    * Semantics (the classic Google formulation, uniform teleport):
-    * `r_0(v) = 1/N`; each round
-    * `r_{i+1}(v) = (1-d)/N + d * (Σ_{u→v} r_i(u)/outdeg(u) + dangling_i/N)`
-    * where `dangling_i` is the total rank parked on nodes with no
-    * out-edges (redistributed uniformly, so Σ r = 1 is preserved exactly).
-    * Parallel edges are collapsed (`distinct`) before degrees are taken.
-    *
-    * Scale shape: contributions shuffle `(dst, rank/deg)` pairs — 16 bytes
-    * per edge per round after map-side partial aggregation; the dangling
-    * total is one scalar aggregate per round (a tiny driver action, same
-    * class as the connectedComponents convergence probe). Degrees and the
-    * node set are computed once and cached for the whole loop.
-    *
-    * @param edges        (srcCol, dstCol) directed edge list.
-    * @param iterations   fixed round count (PageRank at fixed iterations is
-    *                     deterministic and engine-replayable, unlike
-    *                     tolerance-based stopping where float noise decides
-    *                     the round count).
-    * @param damping      d in [0,1); 0.85 is the standard choice.
-    * @param checkpointDir when set, reliable `checkpoint()` for executor-loss
-    *                     recovery (see connectedComponents for the tradeoff);
-    *                     `localCheckpoint` otherwise.
-    * @return (node, rank) — ranks sum to 1 over all distinct nodes.
-    */
   /** In/out degree per node — the one-pass graph profile run before
     * choosing iteration counts and skew mitigations (a power-law hub
     * dominating `outdeg` is the salting signal for the contribution join).
@@ -80,7 +54,33 @@ object Graph {
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
       checkpointDir, Some(sources), edgesDistinct, broadcastNodeLimit)
 
-  /** @param edgesDistinct caller-asserted "no parallel edges": skips the
+  /** Damped PageRank over a directed edge list.
+    *
+    * Semantics (the classic Google formulation, uniform teleport):
+    * `r_0(v) = 1/N`; each round
+    * `r_{i+1}(v) = (1-d)/N + d * (Σ_{u→v} r_i(u)/outdeg(u) + dangling_i/N)`
+    * where `dangling_i` is the total rank parked on nodes with no
+    * out-edges (redistributed uniformly, so Σ r = 1 is preserved exactly).
+    * Parallel edges are collapsed (`distinct`) before degrees are taken,
+    * unless the caller asserts `edgesDistinct`.
+    *
+    * Scale shape: contributions shuffle `(dst, rank/deg)` pairs — 16 bytes
+    * per edge per round after map-side partial aggregation; the dangling
+    * total rides INSIDE each round's plan as a broadcast 1-row aggregate
+    * (no per-round driver action; graphs with no dangling nodes skip the
+    * branch entirely, probed once). Degrees and the node set are computed
+    * once and cached for the whole loop.
+    *
+    * @param edges        (srcCol, dstCol) directed edge list.
+    * @param iterations   fixed round count (PageRank at fixed iterations is
+    *                     deterministic and engine-replayable, unlike
+    *                     tolerance-based stopping where float noise decides
+    *                     the round count).
+    * @param damping      d in [0,1); 0.85 is the standard choice.
+    * @param checkpointDir when set, reliable `checkpoint()` for executor-loss
+    *                     recovery (see connectedComponents for the tradeoff);
+    *                     `localCheckpoint` otherwise.
+    * @param edgesDistinct caller-asserted "no parallel edges": skips the
     *                      (src,dst) dedup pass. The q184 purchase graph is
     *                      distinct by construction (pairs.distinct + a
     *                      prefix-disjoint symmetrizing union) — a full
@@ -90,6 +90,7 @@ object Graph {
     *                      the broadcast-join loop (see below); larger graphs
     *                      take the exchange-free sort-merge loop. 0 forces
     *                      the SMJ path (spec hook).
+    * @return (node, rank) — ranks sum to 1 over all distinct nodes.
     *
     * Conf scoping: for the duration of the call, AQE, the runtime bloom
     * filter, and (on the broadcast fork) `spark.sql.shuffle.partitions` are
