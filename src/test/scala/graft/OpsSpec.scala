@@ -112,6 +112,15 @@ class OpsSpec extends AnyFunSuite {
     TextAnalysis.duplicateSpanFraction(df, col("id"), col("t")).count()
     assert(sc.getPersistentRDDs.size <= before + 1,
       s"duplicateSpanFraction leaked its gram cache (${sc.getPersistentRDDs.size - before} extra RDDs)")
+    val b2 = sc.getPersistentRDDs.size
+    TextAnalysis.removeDuplicateSpans(df, col("id"), col("t"), k = 3).count()
+    assert(sc.getPersistentRDDs.size <= b2 + 1,
+      s"removeDuplicateSpans leaked its token cache (${sc.getPersistentRDDs.size - b2} extra RDDs)")
+    val b3 = sc.getPersistentRDDs.size
+    TextAnalysis.dsirScores(df, col("id"), col("t"),
+      df.filter(col("id") > 800), col("t"), dim = 64).count()
+    assert(sc.getPersistentRDDs.size <= b3 + 1,
+      s"dsirScores leaked its bucket cache (${sc.getPersistentRDDs.size - b3} extra RDDs)")
   }
 
   test("decontaminate removes exactly the docs sharing a k-gram with the benchmark") {
