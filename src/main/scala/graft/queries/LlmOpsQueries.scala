@@ -1432,7 +1432,11 @@ object LlmOpsQueries {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val dupes = docs.filter(col("doc_id") % 3 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000)
-      val corpus = docs.unionByName(dupes)
+      // stage the synthesized corpus once (the q175 multi-consumer pattern):
+      // exact dedup reads its input twice (digest groupBy + keeper
+      // semi-join) and the quality gates read it again — unstaged, this
+      // plan scanned the documents parquet SIX times
+      val corpus = docs.unionByName(dupes).localCheckpoint(true)
       val keepers = Dedup.exactDedupRows(corpus, col("text"), col("doc_id"))
       val gated = keepers
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
