@@ -238,16 +238,23 @@ object TextAnalysis {
     */
   def bigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, k: Double = 1.0, out: String = "nll"): org.apache.spark.sql.DataFrame = {
+    // cache the hashed gram frame once: three consumers read it (both
+    // frequency aggregates + the scoring join), and uncached each would
+    // re-tokenize and re-hash the whole corpus — 3 text scans where the
+    // cached form costs one (24 bytes/gram, no strings). Released below
+    // after the per-doc result (|docs| rows) is eagerly cut, the
+    // Dedup.materialize lifecycle.
     val grams = df.select(idCol.as("id"), explode(shingles(textCol, 2)).as("bg"))
       .select(col("id"), hash60(col("bg")).as("__bgh__"),
         hash60(element_at(split(col("bg"), " "), 1)).as("__ctxh__"))
+      .persist()
     // V rides INSIDE the plan as a broadcast 1-row aggregate (the
     // broadcast-scalar pattern) — no driver-blocking vocab pre-pass
     val vocab = df.select(explode(tokens(textCol)).as("t"))
       .agg(count_distinct(col("t")).cast("double").as("__v__"))
     val bgFreq = grams.groupBy(col("__bgh__")).agg(count(lit(1)).as("__cbg__"))
     val ctxFreq = grams.groupBy(col("__ctxh__")).agg(count(lit(1)).as("__cctx__"))
-    grams.join(bgFreq, "__bgh__").join(ctxFreq, "__ctxh__")
+    val result = grams.join(bgFreq, "__bgh__").join(ctxFreq, "__ctxh__")
       .crossJoin(broadcast(vocab))
       .withColumn("__lp__",
         log((col("__cbg__") + lit(k)) / (col("__cctx__") + lit(k) * col("__v__"))))
@@ -256,6 +263,9 @@ object TextAnalysis {
         count(lit(1)).as("__n__"))
       .select(col("id"),
         (-col("__s__").cast("double") / col("__n__")).as(out))
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    result
   }
 
   /** Unicode-script profile (CCNet's routing signal next to [[langId]]):
