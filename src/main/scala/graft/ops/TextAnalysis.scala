@@ -485,15 +485,17 @@ object TextAnalysis {
     */
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, out: String = "nll"): org.apache.spark.sql.DataFrame = {
+    // cache the token stream once: the frequency table and the scoring join
+    // both read it (uncached = two corpus tokenization passes), and the
+    // corpus total is its 1-row count riding INSIDE the plan as a broadcast
+    // aggregate (the Scale.keyProfile broadcast-scalar pattern) — scoring
+    // is one job with no driver-blocking pre-pass. The cache is released
+    // after the per-doc result is eagerly cut (the materialize lifecycle).
     val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("tok"))
-    // corpus token total from a NARROW per-doc pass (sum of per-row token
-    // counts) — no shuffle, and it rides INSIDE the plan as a broadcast
-    // 1-row aggregate (the Scale.keyProfile broadcast-scalar pattern), so
-    // scoring is one job with no driver-blocking pre-pass
-    val total = df.select(
-      coalesce(sum(size(tokens(textCol))), lit(0L)).cast("double").as("__tot__"))
+      .persist()
+    val total = toks.agg(count(lit(1)).cast("double").as("__tot__"))
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    toks.join(freqs, "tok")
+    val result = toks.join(freqs, "tok")
       .crossJoin(broadcast(total))
       .withColumn("__logp__", log(col("cnt") / col("__tot__")))
       .groupBy(col("id"))
@@ -501,6 +503,9 @@ object TextAnalysis {
       .select(col("id"),
         (-aggregate(col("__xs__"), lit(0.0), (a, x) => a + x.getField("lp"))
           / size(col("__xs__"))).as(out))
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    result
   }
 
   /** Flesch reading-ease estimate from portable regex counts — the classic
