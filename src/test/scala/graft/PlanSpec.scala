@@ -199,12 +199,24 @@ class PlanSpec extends AnyFunSuite {
     // spellings that evaluate an interpreted closure per element (~24 µs/
     // gram — the 100 TB throughput wall); this guard fails if a future
     // edit reintroduces a HOF on these benched paths
-    // q144's tokenizer runs in its EAGER bloom-build stage, so only the
-    // queries whose final plan contains the gram pipeline assert presence
-    for (q <- Seq("q102_repetition", "q168_bigram_lm")) {
-      val p = plan(q)
+    // q144's tokenizer runs in its EAGER bloom-build stage and q168's in
+    // its eager gram-staging stage, so only the query whose final plan
+    // contains the gram pipeline asserts presence there; the staged ops'
+    // tokenization is pinned through the building block itself below
+    locally {
+      val p = plan("q102_repetition")
       assert(p.contains("word_tokens") || p.contains("shingles_from_tokens"),
-        s"$q lost its native tokenizer kernel:\n$p")
+        s"q102 lost its native tokenizer kernel:\n$p")
+    }
+    locally {
+      import graft.ops.TextAnalysis
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val p = Seq((1L, "a b c")).toDF("id", "t")
+        .select(TextAnalysis.shingles(col("t"), 2))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("shingles_from_tokens") && p.contains("word_tokens"),
+        s"TextAnalysis.shingles (the q144/q168 staging kernel) lost its native spelling:\n$p")
     }
     for (q <- Seq("q102_repetition", "q144_bloom_decontamination", "q168_bigram_lm")) {
       val p = plan(q)
