@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * moves an edge) + one sum aggregate. The join strategy is chosen ONCE
   * from the measured |V|, mirroring Catalyst's stats-driven selection:
   * small rank frames broadcast (map-side hash probe, no rank-side exchange,
-  * per-round snapshot), web-scale ones sort-merge against the sorted cached
+  * rank vector held on the driver between rounds), web-scale ones
+  * sort-merge against the sorted cached
   * edges with the connectedComponents lineage discipline —
   * `localCheckpoint` every few rounds (or reliable `checkpoint()` when a
   * dir is given) so a 50-round job neither re-executes its history nor
@@ -25,6 +26,13 @@ import org.apache.spark.sql.functions._
   * persisted once and released before returning.
   */
 object Graph {
+
+  /** One (node, rank/outdeg) contribution row of the driver-held rank
+    * vector — a case class so [[pageRankDriverVector]]'s per-round
+    * LocalRelation carries its column names without a Project on top (see
+    * the note at its use site).
+    */
+  private[graft] final case class RankContribution(node: String, w: Double)
 
   /** In/out degree per node — the one-pass graph profile run before
     * choosing iteration counts and skew mitigations (a power-law hub
@@ -50,9 +58,11 @@ object Graph {
       sources: Seq[String], iterations: Int = 10, damping: Double = 0.85,
       checkpointEvery: Int = 4, edgesDistinct: Boolean = false,
       checkpointDir: Option[String] = None,
-      broadcastNodeLimit: Long = defaultBroadcastNodeLimit): DataFrame =
+      broadcastNodeLimit: Long = defaultBroadcastNodeLimit,
+      smallGraphMaxBytes: Long = defaultSmallGraphMaxBytes): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
-      checkpointDir, Some(sources), edgesDistinct, broadcastNodeLimit)
+      checkpointDir, Some(sources), edgesDistinct, broadcastNodeLimit,
+      smallGraphMaxBytes)
 
   /** Damped PageRank over a directed edge list.
     *
@@ -104,9 +114,11 @@ object Graph {
       iterations: Int = 10, damping: Double = 0.85,
       checkpointEvery: Int = 4, checkpointDir: Option[String] = None,
       edgesDistinct: Boolean = false,
-      broadcastNodeLimit: Long = defaultBroadcastNodeLimit): DataFrame =
+      broadcastNodeLimit: Long = defaultBroadcastNodeLimit,
+      smallGraphMaxBytes: Long = defaultSmallGraphMaxBytes): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
-      checkpointDir, None, edgesDistinct, broadcastNodeLimit)
+      checkpointDir, None, edgesDistinct, broadcastNodeLimit,
+      smallGraphMaxBytes)
 
   /** 1M short-id nodes ≈ 50 MB of (string node, long deg, double rank)
     * rows — well inside executor broadcast budgets, far under the 8 GB
@@ -124,11 +136,31 @@ object Graph {
     */
   val broadcastByteBudget: Long = 64L << 20
 
+  /** The broadcast-fork admission decision, extracted so its boundary math
+    * is directly spec-pinned (GraphSpec): a graph must pass BOTH the row cap
+    * and the measured-byte budget — 1M rows of 200-byte URL ids is a
+    * ~230 MB per-round broadcast and must fall to the SMJ loop even though
+    * the row cap alone would admit it. 32 bytes/row covers the (long deg,
+    * double rank, struct/offset) overhead beside the id itself.
+    */
+  private[graft] def admitsBroadcastFork(n: Long, avgIdLen: Double,
+      nodeLimit: Long): Boolean =
+    n <= nodeLimit && n * (avgIdLen.toLong + 32L) <= broadcastByteBudget
+
+  /** Edge-list byte budget for the driver-LOCAL small-graph tier inside the
+    * driver-held fork (see [[pageRankDriverHeld]]): graphs whose measured
+    * edge bytes fit run every round as a zero-job driver array sweep; bigger
+    * edge lists keep the edges distributed and gather one Spark job per
+    * round. 0 forces the distributed gather (spec hook).
+    */
+  val defaultSmallGraphMaxBytes: Long = 256L << 20
+
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double,
       checkpointEvery: Int, checkpointDir: Option[String],
       teleportTo: Option[Seq[String]],
-      edgesDistinct: Boolean, broadcastNodeLimit: Long): DataFrame = {
+      edgesDistinct: Boolean, broadcastNodeLimit: Long,
+      smallGraphMaxBytes: Long): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
@@ -139,19 +171,23 @@ object Graph {
     // prunes nothing here) only add latency × iterations. Both off for the
     // loop, restored after — measured 2.6 s off q184 at sf0.1 alone.
     val conf = edges.sparkSession.conf
-    // getOption/unset, NOT get(key, fallback): a hardcoded fallback would be
-    // re-SET on exit and permanently override Spark's own entry default for
-    // any session that never set the conf explicitly (the runtime bloom
-    // filter defaults to TRUE — restoring a guessed "false" would silently
-    // disable it for the session's lifetime).
+    // contains()/unset, NOT getOption or get(key, fallback): for a REGISTERED
+    // conf entry, RuntimeConfig.getOption returns the entry's default even
+    // when the session never set it — saving that and re-setting it on exit
+    // would pin today's default as an explicit session value (masking any
+    // later in-session default change, e.g. a test harness flipping the
+    // runtime bloom filter's default). SQLConf.contains reads the session's
+    // actual settings map, so never-set confs are restored by unset().
+    val sqlConf = edges.sparkSession.sessionState.conf
     val savedConfs = Seq("spark.sql.adaptive.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.shuffle.partitions" // the broadcast fork may shrink this
-    ).map(k => k -> conf.getOption(k))
+    ).map(k => k -> (if (sqlConf.contains(k)) Some(conf.get(k)) else None))
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     try pageRankLoop(edges, srcCol, dstCol, iterations, damping,
-      checkpointEvery, checkpointDir, teleportTo, edgesDistinct, broadcastNodeLimit)
+      checkpointEvery, checkpointDir, teleportTo, edgesDistinct,
+      broadcastNodeLimit, smallGraphMaxBytes)
     finally savedConfs.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
@@ -162,7 +198,8 @@ object Graph {
       iterations: Int, damping: Double,
       checkpointEvery: Int, checkpointDir: Option[String],
       teleportTo: Option[Seq[String]],
-      edgesDistinct: Boolean, broadcastNodeLimit: Long): DataFrame = {
+      edgesDistinct: Boolean, broadcastNodeLimit: Long,
+      smallGraphMaxBytes: Long): DataFrame = {
 
     // The edge list is shuffled onto its join key ONCE for the whole loop
     // (the bucketed-join layout expressed via cache partitioning — at
@@ -234,12 +271,15 @@ object Graph {
     // stats-driven choice Catalyst would make per-join if the loop's frames
     // carried accurate stats (they don't: each round's rank frame is an agg
     // output with estimated size):
-    //   - |V| ≤ broadcastNodeLimit → BROADCAST the rank frame each round.
-    //     The contribution join becomes a map-side hash probe over the
-    //     cached edge partitions (no rank-side exchange, no edge-side sort
-    //     requirement) and each round snapshots eagerly, so every round's
-    //     broadcast child is a materialized in-memory RDD — a |V|-row
-    //     driver collect, trivial by the limit's definition.
+    //   - |V| ≤ broadcastNodeLimit → hold the rank vector on the DRIVER
+    //     between rounds (a per-round broadcast of a ≤64 MB frame IS a
+    //     driver round-trip, so the driver-held form is the same data
+    //     movement with strictly less machinery). Within that,
+    //     pageRankDriverHeld measures the EDGE list too: when it fits
+    //     smallGraphByteBudget the whole loop runs driver-locally (zero
+    //     jobs per round — a per-round Spark job has a ~0.1-0.5 s scheduling
+    //     floor that dwarfs a few-million-edge sweep); bigger edge lists
+    //     keep the edges distributed and gather one Spark job per round.
     //   - |V| > limit → the rank frame can't broadcast (web-scale graphs);
     //     SMJ against the sorted cached edges, zero edge-side exchange per
     //     round, snapshots on the lineage window below.
@@ -247,48 +287,20 @@ object Graph {
     // 200-byte URL ids is a multi-hundred-MB broadcast PER ROUND), so the
     // fork also byte-checks against the ACTUAL ids — one cheap aggregate
     // over the cached degree frame, only on graphs that pass the row cap.
-    val useBroadcast = n <= broadcastNodeLimit && {
+    if (n <= broadcastNodeLimit) {
+      // byte check only on graphs that pass the row cap: one cheap
+      // aggregate over the cached degree frame
       val avgIdLen = withDeg
         .agg(coalesce(avg(length(col("node"))), lit(0.0))).head().getDouble(0)
-      n * (avgIdLen.toLong + 32L) <= broadcastByteBudget
+      if (admitsBroadcastFork(n, avgIdLen, broadcastNodeLimit))
+        return pageRankDriverHeld(e, withDeg, iterations, damping,
+          hasDangling, shufflePartitions, avgIdLen, smallGraphMaxBytes)
     }
 
-    // The loop layout, decided once |V| (and the fork) are known:
-    //   - broadcast fork → fewer, fatter partitions (~150k edge rows each)
-    //     for the whole working set, loop reduce side sized to match.
-    //     Partial aggregation duplicates up to |V| keys PER MAP PARTITION
-    //     per round, so partition count is a direct multiplier on shuffled
-    //     partial rows — and with |V| small, every extra partition is pure
-    //     task-launch overhead × iterations. The session's
-    //     shuffle.partitions is restored by pageRankImpl's finally.
-    //   - SMJ fork with a deferred-layout edge cache (edgesDistinct) → the
-    //     default-width partition+sort layout the per-round merge join
-    //     reuses exchange-free; dedup'd caches already carry it.
-    val (eLoop, loopDeg) = if (useBroadcast) {
-      val m = e.count() // cache scan — e materialized by the degree pass
-      // floor of 8: shuffle.partitions is a SESSION conf — while the loop
-      // runs, any concurrent query on the same session plans under it, and
-      // a floor bounds that blast radius (1 partition would serialize a
-      // bystander's every shuffle). See the conf-scoping note on pageRank.
-      val floor = math.min(8L, shufflePartitions.toLong)
-      val target = math.max(floor, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
-      if (!edgesDistinct && target >= shufflePartitions) (e, withDeg)
-      else {
-        val relaid = e.repartition(target, col("src")).persist()
-        relaid.count()
-        e.unpersist(false)
-        val degRelaid =
-          if (target >= shufflePartitions) withDeg
-          else {
-            val d = withDeg.repartition(target, col("node")).persist()
-            d.count()
-            withDeg.unpersist(false)
-            d
-          }
-        edges.sparkSession.conf.set("spark.sql.shuffle.partitions", target.toString)
-        (relaid, degRelaid)
-      }
-    } else if (edgesDistinct) {
+    // SMJ loop layout: with a deferred-layout edge cache (edgesDistinct) the
+    // default-width partition+sort layout the per-round merge join reuses
+    // exchange-free; dedup'd caches already carry it.
+    val (eLoop, loopDeg) = if (edgesDistinct) {
       val laid = e.repartition(shufflePartitions, col("src"))
         .sortWithinPartitions(col("src")).persist()
       laid.count()
@@ -296,13 +308,11 @@ object Graph {
       (laid, withDeg)
     } else (e, withDeg)
 
-    // Lineage-truncation cadence (SMJ path): the dangling branch references
-    // the rank frame twice per round, so the uncheckpointed plan DOUBLES
-    // per round and the window must stay tight; without it growth is linear
-    // (one reference) and a 3× wider window safely trades planner depth for
-    // fewer eager materialization jobs. The broadcast path snapshots every
-    // round instead — the per-round broadcast build wants a materialized
-    // child, and the frame is |V|-small by construction.
+    // Lineage-truncation cadence: the dangling branch references the rank
+    // frame twice per round, so the uncheckpointed plan DOUBLES per round
+    // and the window must stay tight; without it growth is linear (one
+    // reference) and a 3× wider window safely trades planner depth for
+    // fewer eager materialization jobs.
     val window = if (hasDangling) checkpointEvery else checkpointEvery * 3
 
     // `deg` and the teleport weight ride inside the aggregation stream, so
@@ -318,9 +328,9 @@ object Graph {
     var i = 0
     while (i < iterations) {
       // contribution join: rank rows keyed by node fan out over their
-      // out-edges (hash-broadcast or sort-merge per the fork above)
+      // out-edges (sort-merge against the sorted cached edge layout)
       val rankSide = ranks.filter(col("deg").isNotNull)
-      val contribs = (if (useBroadcast) broadcast(rankSide) else rankSide)
+      val contribs = rankSide
         .join(eLoop.withColumnRenamed("src", "node"), Seq("node"))
         .select(col("dst").as("node"),
           lit(null).cast("long").as("deg"),
@@ -347,23 +357,14 @@ object Graph {
             + lit(damping) * (col("mass")
               + col("__dm__") * col("__t__"))).as("rank"))
       i += 1
-      // Broadcast fork: each round wants an eagerly-materialized frame for
-      // its broadcast build. Locally that's a per-round localCheckpoint;
-      // with a RELIABLE checkpoint dir, per-round would mean iterations×
-      // HDFS writes — so reliable cuts stay on the window cadence and the
-      // rounds between them persist eagerly instead (replayable from the
-      // last cut on block loss, unlike a localCheckpoint).
-      val windowHit = i % window == 0 || i == iterations
-      if ((useBroadcast && checkpointDir.isEmpty) || windowHit) {
+      // Snapshot on the window cadence (always at loop exit): truncate
+      // lineage so a 50-round job neither re-executes its history nor
+      // overflows the planner.
+      if (i % window == 0 || i == iterations) {
         next = snapshot(next)
         // superseded snapshot: safe to release now the successor has
         // eagerly materialized (see Snapshots for why plain unpersist
         // would be a no-op here)
-        prevCached.foreach(Snapshots.release)
-        prevCached = Some(next)
-      } else if (useBroadcast) {
-        next = next.persist()
-        next.count()
         prevCached.foreach(Snapshots.release)
         prevCached = Some(next)
       }
@@ -380,5 +381,172 @@ object Graph {
     eLoop.unpersist(false) // covers e: aliased, or already released at re-layout
     loopDeg.unpersist(false) // likewise for withDeg
     out
+  }
+
+  /** Small-graph loops: the rank vector lives on the DRIVER between rounds.
+    *
+    * The broadcast fork's admission guard already bounds the rank frame to
+    * [[broadcastByteBudget]] (measured from the real ids) — at that size a
+    * per-round broadcast is a |V|-row driver collect by definition, so
+    * holding the vector driver-side is the SAME data movement with strictly
+    * less machinery: no per-round checkpoint job, no BlockManager writes,
+    * no zero-row union completing the node set (nodes missing from the
+    * gather merge in O(1) on the driver), and the dangling mass is a
+    * driver-side array fold — exact, zero extra jobs.
+    *
+    * Within the fork, the EDGE list is byte-measured too (m × 2 × the
+    * already-measured avg id length), picking one of two gathers:
+    *   - edges fit `smallGraphMaxBytes` → collect them ONCE into
+    *     int-indexed arrays and run every round as a driver-local edge
+    *     sweep: ZERO Spark jobs per round. A per-round Spark job has a
+    *     ~0.1-0.5 s floor (scheduling, codegen, broadcast torrent) that
+    *     dwarfs a few-million-edge array traversal — measured 4-5× off
+    *     q184's loop at sf0.1. The same regime as
+    *     [[Components.connectedComponents]]'s small-graph fast path.
+    *   - bigger edge lists stay DISTRIBUTED (|V| small does not bound |E|):
+    *     each round broadcasts the (node, rank/outdeg) vector as a
+    *     LocalRelation and runs ONE Spark job — broadcast hash join over
+    *     the cached edge partitions + map-side-combined sum keyed on dst +
+    *     a ≤|V|-row collect.
+    *
+    * checkpointDir is irrelevant here: the loop state is a driver array, so
+    * there is no executor-side lineage to recover — a lost executor only
+    * re-runs the current round's tasks from the cached (re-computable) edge
+    * list. The SMJ fork keeps the reliable-checkpoint cadence for web-scale
+    * rank frames.
+    *
+    * Driver folds run in a FIXED array order (the one initial collect), so
+    * repeated runs on the same session are reproducible to the bit — same
+    * property the snapshot loop had.
+    */
+  private def pageRankDriverHeld(e: DataFrame, withDeg: DataFrame,
+      iterations: Int, damping: Double, hasDangling: Boolean,
+      shufflePartitions: Int, avgIdLen: Double,
+      smallGraphMaxBytes: Long): DataFrame = {
+    val spark = e.sparkSession
+    val m = e.count() // cache scan — e materialized by the degree pass
+    // the one |V|-row collect that seeds the driver vector; admission
+    // byte-guarded by the caller. deg = 0 marks dangling (null in the frame).
+    val local = withDeg.select(col("node"), col("deg"), col("__t__")).collect()
+    withDeg.unpersist(false)
+    val n = local.length
+    val nodes = new Array[String](n)
+    val degs = new Array[Long](n)
+    val tele = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val r = local(j)
+      nodes(j) = r.getString(0)
+      degs(j) = if (r.isNullAt(1)) 0L else r.getLong(1)
+      tele(j) = r.getDouble(2)
+      j += 1
+    }
+    val index = new java.util.HashMap[String, Integer](n * 2)
+    j = 0; while (j < n) { index.put(nodes(j), j); j += 1 }
+
+    // edge-tier decision: an edge row is two ids (≈ 2 × avgIdLen chars) +
+    // array/pointer overhead; both tiers are exact, so the byte budget only
+    // trades driver memory for per-round job latency
+    val localEdges = m * (2L * avgIdLen.toLong + 24L) <= smallGraphMaxBytes
+
+    // per-round mass gather, fork-bound once: rank/outdeg weights in `w`
+    // (indexed like `nodes`), returns damping-unscaled mass per node index
+    var loopEdges = e // whichever cached frame the loop ends up reading
+    val gather: Array[Double] => Array[Double] =
+      if (localEdges) {
+        // one collect of the cached edge list into int-indexed arrays; the
+        // string ids resolve through `index` exactly once
+        val rows = e.select(col("src"), col("dst")).collect()
+        e.unpersist(false)
+        val srcIdx = new Array[Int](rows.length)
+        val dstIdx = new Array[Int](rows.length)
+        var k = 0
+        while (k < rows.length) {
+          srcIdx(k) = index.get(rows(k).getString(0))
+          dstIdx(k) = index.get(rows(k).getString(1))
+          k += 1
+        }
+        w => {
+          val mass = new Array[Double](n)
+          var k = 0
+          while (k < srcIdx.length) { mass(dstIdx(k)) += w(srcIdx(k)); k += 1 }
+          mass
+        }
+      } else {
+        // fewer, fatter partitions (~150k edge rows each) for the whole
+        // loop: with |V| small, every extra partition is pure task-launch
+        // overhead × iterations, and partial aggregation duplicates up to
+        // |V| keys PER MAP PARTITION per round. Floor of 8:
+        // shuffle.partitions is a SESSION conf — while the loop runs, any
+        // concurrent query on the same session plans under it, and a floor
+        // bounds that blast radius (restored by pageRankImpl's finally; see
+        // the conf-scoping note on pageRank).
+        val floor = math.min(8L, shufflePartitions.toLong)
+        val target = math.max(floor, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
+        val eLoop =
+          if (target >= shufflePartitions) e
+          else {
+            val relaid = e.repartition(target, col("src")).persist()
+            relaid.count()
+            e.unpersist(false)
+            spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+            relaid
+          }
+        loopEdges = eLoop
+        w => {
+          val contribs = Array.newBuilder[RankContribution]
+          contribs.sizeHint(n)
+          var k = 0
+          while (k < n) {
+            if (degs(k) > 0L) contribs += RankContribution(nodes(k), w(k))
+            k += 1
+          }
+          // the case class names the columns AT the LocalRelation — a
+          // toDF/select rename here would wrap it in a Project and cost an
+          // extra per-round job executing it before the broadcast build
+          val rankDf = spark.createDataFrame(contribs.result().toIndexedSeq)
+          val gathered = broadcast(rankDf)
+            .join(eLoop.withColumnRenamed("src", "node"), Seq("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("w")).as("__m__"))
+            .collect()
+          val mass = new Array[Double](n)
+          var g = 0
+          while (g < gathered.length) {
+            val row = gathered(g)
+            mass(index.get(row.getString(0))) = row.getDouble(1)
+            g += 1
+          }
+          mass
+        }
+      }
+
+    var rank = tele.clone()
+    var i = 0
+    while (i < iterations) {
+      var dangling = 0.0
+      if (hasDangling) {
+        j = 0; while (j < n) { if (degs(j) == 0L) dangling += rank(j); j += 1 }
+      }
+      val w = new Array[Double](n)
+      j = 0
+      while (j < n) {
+        if (degs(j) > 0L) w(j) = rank(j) / degs(j).toDouble
+        j += 1
+      }
+      val mass = gather(w)
+      val next = new Array[Double](n)
+      j = 0
+      while (j < n) {
+        next(j) = (1.0 - damping) * tele(j) +
+          damping * (mass(j) + dangling * tele(j))
+        j += 1
+      }
+      rank = next
+      i += 1
+    }
+    loopEdges.unpersist(false) // no-op if the local tier already released e
+    val out = (0 until n).map(j => (nodes(j), rank(j)))
+    spark.createDataFrame(out).toDF("node", "rank")
   }
 }

@@ -1550,19 +1550,24 @@ object OpQueries {
     */
   val q184_pagerank: Q = Q(
     fn = (s, dir) => {
+      // staged once (the q141 multi-consumer discipline): the symmetrizing
+      // union below reads `pairs` twice — unstaged, the orders ⋈ lineitem
+      // join + distinct would run once per branch when the edge cache
+      // materializes
       val pairs = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("s"))
         .distinct()
+        .localCheckpoint(true)
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
       val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
         iterations = 10, damping = 0.85,
         // distinct by construction: pairs.distinct + prefix-disjoint union
         edgesDistinct = true)
-      val n = ranks.count() // ranks is checkpointed; count is a cache scan
+      val n = ranks.count() // small-graph ranks come back as a local relation
       ranks.select(col("node"),
           round(col("rank") * lit(n.toDouble), 4).as("rank_scaled"))
         .orderBy(col("node"))

@@ -84,20 +84,28 @@ class GraphSpec extends AnyFunSuite {
     assert(degs("a") == ((1L, 1L)) && degs("b") == ((2L, 2L)) && degs("d") == ((1L, 1L)))
   }
 
-  test("pageRank: SMJ path (broadcastNodeLimit=0) matches the broadcast path and the reference") {
-    // every graph here is small enough to take the broadcast fork by
-    // default, so the web-scale sort-merge loop needs forcing: limit=0
-    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "4"), ("4", "2"))
+  test("pageRank: all three tiers (local / distributed gather / SMJ) match the reference") {
+    // every graph here is small enough to take the driver-held fork's local
+    // tier by default, so the other two need forcing: smallGraphMaxBytes=0
+    // keeps the edges distributed (per-round Spark gather), and
+    // broadcastNodeLimit=0 forces the web-scale sort-merge loop.
+    // node 5 is dangling, so each tier's dangling redistribution is hit too
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "4"), ("4", "2"),
+      ("2", "5"))
     val df = edges.toDF("src", "dst")
     val viaSmj = Graph.pageRank(df, "src", "dst", iterations = 12,
         broadcastNodeLimit = 0L)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val viaBcast = Graph.pageRank(df, "src", "dst", iterations = 12)
+    val viaGather = Graph.pageRank(df, "src", "dst", iterations = 12,
+        smallGraphMaxBytes = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaLocal = Graph.pageRank(df, "src", "dst", iterations = 12)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val want = referencePageRank(edges, 12, 0.85)
     for ((k, v) <- want) {
       assert(math.abs(viaSmj(k) - v) < 1e-9, s"SMJ node $k: ${viaSmj(k)} vs $v")
-      assert(math.abs(viaBcast(k) - v) < 1e-9, s"bcast node $k: ${viaBcast(k)} vs $v")
+      assert(math.abs(viaGather(k) - v) < 1e-9, s"gather node $k: ${viaGather(k)} vs $v")
+      assert(math.abs(viaLocal(k) - v) < 1e-9, s"local node $k: ${viaLocal(k)} vs $v")
     }
   }
 
@@ -164,6 +172,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-fork admission: byte budget rejects fat ids even under the row cap") {
+    val rowCap = Graph.defaultBroadcastNodeLimit // 1M rows
+    // 1M nodes of 20-byte ids ≈ 52 MB — inside the 64 MB budget, admitted
+    assert(Graph.admitsBroadcastFork(rowCap, avgIdLen = 20.0, nodeLimit = rowCap))
+    // 1M nodes of 200-byte URL ids ≈ 232 MB — row cap passes, bytes refuse
+    assert(!Graph.admitsBroadcastFork(rowCap, avgIdLen = 200.0, nodeLimit = rowCap))
+    // exact boundary: n*(len+32) == 64 MB admits; one more byte refuses
+    val n = 1L << 20
+    val lenAtBudget = (Graph.broadcastByteBudget / n) - 32L // 32
+    assert(Graph.admitsBroadcastFork(n, lenAtBudget.toDouble, nodeLimit = rowCap))
+    assert(!Graph.admitsBroadcastFork(n, (lenAtBudget + 1).toDouble, nodeLimit = rowCap))
+    // row cap still binds independently of bytes
+    assert(!Graph.admitsBroadcastFork(rowCap + 1, avgIdLen = 1.0, nodeLimit = rowCap))
+    // forced-SMJ spec hook (nodeLimit=0) refuses everything
+    assert(!Graph.admitsBroadcastFork(1L, avgIdLen = 1.0, nodeLimit = 0L))
+  }
+
   test("pageRank byte guard: fat string ids refuse the broadcast fork") {
     // ids ~70kB each: 3 nodes pass any row cap but blow the 64 MB byte
     // budget × |V|... scaled down: the guard multiplies n by avg id length,
@@ -192,6 +217,14 @@ class GraphSpec extends AnyFunSuite {
     Graph.pageRank(edges, "src", "dst", iterations = 3).count()
     val after = keys.map(k => k -> scala.util.Try(s2.conf.getOption(k)).toOption.flatten)
     assert(after == before, s"conf drift: $before -> $after")
+    // true unset-ness, not just effective value: getOption returns the
+    // registered entry's DEFAULT for never-set confs, so the assertion above
+    // alone would pass even if the restore pinned the default as an explicit
+    // session value — read the settings map directly
+    assert(!s2.sessionState.conf.contains("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "restore re-set a conf the session had explicitly unset")
+    assert(s2.sessionState.conf.contains("spark.sql.adaptive.enabled"),
+      "restore dropped an explicitly-set conf")
   }
 
   test("connectedComponents releases superseded mid-loop checkpoints") {

@@ -174,6 +174,55 @@ class NativeProbeSpec extends AnyFunSuite {
       s"pageRank ran ${execs.get()} SQL executions for 8 iterations — dangling mass is driver-blocking again")
   }
 
+  test("pageRank driver-held fork: per-iteration job cadence stays at its designed constant") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // Companion to the forced-SMJ guard above (ADVICE r5): the driver-held
+    // fork's per-round driver-job count is a designed constant per tier —
+    //   - local-edge tier (default on a small graph): ZERO jobs per round,
+    //     every round is a driver array sweep;
+    //   - distributed-gather tier (smallGraphMaxBytes=0): TWO jobs per round
+    //     (the broadcast build — BroadcastExchange always collects via an
+    //     RDD job, even for a LocalRelation child — plus the gather collect).
+    // Measure jobs at 8 and 16 iterations on the same graph: the delta
+    // isolates per-iteration cost from the fixed setup actions and fails an
+    // accidental extra per-round action (old snapshot-per-round shape) on
+    // either tier.
+    def countJobs(iterations: Int, smallBytes: Long): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      // symmetrized ring: every node has out-edges, so hasDangling=false
+      val edges = (0 until 60).flatMap(i =>
+        Seq((i.toString, ((i + 1) % 60).toString), (((i + 1) % 60).toString, i.toString)))
+        .toDF("src", "dst")
+      spark.sparkContext.addSparkListener(listener)
+      try graft.ops.Graph.pageRank(edges, "src", "dst", iterations = iterations,
+        smallGraphMaxBytes = smallBytes).count()
+      finally {
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) {
+          last = jobs.get(); Thread.sleep(150); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      jobs.get()
+    }
+    val localAt8 = countJobs(8, graft.ops.Graph.defaultSmallGraphMaxBytes)
+    val localAt16 = countJobs(16, graft.ops.Graph.defaultSmallGraphMaxBytes)
+    assert(localAt16 - localAt8 <= 2,
+      s"local tier grew ${localAt16 - localAt8} jobs over 8 extra iterations — designed cadence is 0 jobs per round")
+    assert(localAt8 <= 12, s"local tier ran $localAt8 jobs for 8 iterations — setup actions grew")
+    val distAt8 = countJobs(8, 0L)
+    val distAt16 = countJobs(16, 0L)
+    // designed: 8 extra iterations = 16 extra jobs; <= 20 allows listener
+    // noise but fails a third per-round action (24 extra) outright
+    assert(distAt16 - distAt8 <= 20,
+      s"distributed tier grew ${distAt16 - distAt8} jobs over 8 extra iterations — designed cadence is 2 jobs per round")
+  }
+
   // ------------------------------------------------------------- WordTokens
 
   test("word_tokens: hand cases (case, unicode classes, empties, underscore)") {
