@@ -423,14 +423,18 @@ object TextAnalysis {
     * joined — the same normalization [[fingerprint]] uses); a fully
     * duplicated document becomes the empty string, never a dropped row.
     *
-    * Scale shape: everything is token/gram-level rows — text itself never
-    * shuffles. (1) gram hashes with start positions, (2) gram-keyed count
-    * (map-side combined), (3) covered positions = explode of the ≤k-wide
-    * window per duplicated gram, distinct, (4) token-level anti-join,
-    * (5) per-doc ordered rebuild. No per-doc quadratic HOF anywhere — a doc
-    * that is 100% duplicated costs O(tokens·k) row traffic, not O(tokens²)
-    * lambda work. Docs shorter than k tokens form one whole-doc gram (the
-    * [[shingles]] convention), so short exact copies still dedup.
+    * Scale shape: everything row-shuffled is numeric — (1) gram hashes with
+    * start positions, (2) gram-keyed count (map-side combined), (3) covered
+    * positions = explode of the ≤k-wide window per duplicated gram,
+    * distinct, (4) POSITION-level anti-join (id + int, no strings),
+    * (5) per-doc surviving-position gather (sorted int arrays), (6) one
+    * id-keyed join against the cached token arrays with a map-side
+    * element_at rebuild — the only point where text crosses the wire, once,
+    * in array form. No per-doc quadratic HOF anywhere — a doc that is 100%
+    * duplicated costs O(tokens·k) row traffic, not O(tokens²) lambda work
+    * (element_at per kept position is O(1)). Docs shorter than k tokens
+    * form one whole-doc gram (the [[shingles]] convention), so short exact
+    * copies still dedup.
     */
   def removeDuplicateSpans(df: org.apache.spark.sql.DataFrame, idCol: Column,
       textCol: Column, k: Int = 5,
@@ -438,7 +442,14 @@ object TextAnalysis {
     require(k >= 1, "k must be positive")
     val base = df.select(idCol.as("id"), tokens(textCol).as("__t__"))
       .persist() // feeds grams AND the token-position frame; tokenize once
-    // (id, gidx 1-based, gram hash); short docs: one gram covering all tokens
+    // (id, gidx 1-based, gram hash); short docs: one gram covering all
+    // tokens. Deliberately NOT staged even though the self-join below reads
+    // it twice: both readers re-derive it from the cached token arrays
+    // through the native tokenize/shingle/hash kernels, and caching the
+    // ~|tokens|-row frame measured SLOWER than the recompute (the
+    // BlockManager write of 10M 4-column rows costs more than two codegen
+    // passes) — and at cluster scale it would hold O(corpus tokens) memory
+    // for a purely CPU-cheap derivation.
     val grams = base.select(col("id"), size(col("__t__")).as("__n__"),
         posexplode(transform(shinglesFromTokens(col("__t__"), k), s => hash60(s))))
       .select(col("id"), col("__n__"), (col("pos") + 1).as("__gi__"), col("col").as("__g__"))
@@ -446,27 +457,38 @@ object TextAnalysis {
       grams.groupBy(col("__g__")).agg(count(lit(1)).as("__c__"))
         .filter(col("__c__") > 1).select(col("__g__")),
       "__g__")
-    // covered token positions (0-based), deduped; window width = min(k, doc len)
+    // covered token positions (0-based), deduped; window width = min(k, doc
+    // len). Laid out by id FIRST (the pageRank dedup-layout trick): hash(id)
+    // satisfies every downstream (id, pos)/(id) clustering requirement, so
+    // the dedup, the anti-join, the per-doc gather AND the final rebuild
+    // join all run on this one exchange instead of four.
     val covered = dupGrams
       .select(col("id"),
         explode(sequence(col("__gi__") - 1,
           col("__gi__") - 2 + least(lit(k), col("__n__")))).as("__p__"))
-      .distinct()
-    val kept = base
+      .repartition(col("id"))
+      .dropDuplicates("id", "__p__")
+    // surviving POSITIONS only — token strings stay out of the anti-join
+    // and the per-doc gather entirely (ints shuffle, text does not); the
+    // text re-materializes map-side below via element_at against the doc's
+    // cached token array, keeping the string traffic to the one id-keyed
+    // join of `base`
+    val keptPos = base
       .select(col("id"), posexplode(col("__t__")))
-      .withColumnRenamed("pos", "__p__").withColumnRenamed("col", "__tok__")
+      .select(col("id"), col("pos").as("__p__"))
+      .repartition(col("id")) // joins covered's id layout exchange-free
       .join(covered, Seq("id", "__p__"), "left_anti")
       .groupBy(col("id"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("__p__"), col("__tok__")))),
-        x => x.getField("__tok__")), " ").as(out),
-        count(lit(1)).as("n_kept"))
-    // docs whose every token was covered drop out of `kept` — restore as ""
-    val result = base.select(col("id"), size(col("__t__")).cast("long").as("n_tokens"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col(out), lit("")).as(out))
+      .agg(sort_array(collect_list(col("__p__"))).as("__ps__"))
+    // docs whose every token was covered drop out of `keptPos` — restore
+    // as "" (never a dropped row)
+    val result = base
+      .join(keptPos, Seq("id"), "left")
+      .select(col("id"), size(col("__t__")).cast("long").as("n_tokens"),
+        coalesce(size(col("__ps__")).cast("long"), lit(0L)).as("n_kept"),
+        coalesce(array_join(
+          transform(col("__ps__"), p => element_at(col("__t__"), p + 1)), " "),
+          lit("")).as(out))
       .localCheckpoint(true)
     base.unpersist(false)
     result
@@ -532,30 +554,83 @@ object TextAnalysis {
     * docs that look like the target domain; feed the scores to
     * [[Sampling.gumbelTopK]] (log-weights) to draw the selected subset.
     *
-    * Scale shape: both bucket models are `dim`-row aggregates (map-side
-    * combined token counts — `dim` is fixed, e.g. 4096, regardless of corpus
-    * size), broadcast back onto the token stream; per-doc score is one more
-    * map-side-combined sum. Token totals are two scalar aggregates (bounded
-    * driver actions). No vocabulary pass, no text shuffle.
+    * Scale shape: the raw side is staged ONCE as the (id, bucket) pair
+    * stream — the token strings are hashed away before the cache, so the
+    * staged bytes are two numeric columns regardless of token width. Both
+    * bucket models are `dim`-row map-side-combined aggregates broadcast
+    * back onto that stream; per-doc score is one more map-side-combined
+    * sum. (A per-doc (id, bucket, cnt) pre-aggregation was tried and
+    * measured SLOWER at dim ≥ 1024: short docs rarely repeat a bucket, so
+    * the extra shuffle collapses almost nothing.) One bounded driver action
+    * (the raw count, which doubles as the cache materialization). No
+    * vocabulary pass, no text shuffle.
     */
   def dsirScores(raw: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
       target: org.apache.spark.sql.DataFrame, targetTextCol: Column,
       dim: Int = 4096, alpha: Double = 0.5,
       out: String = "dsir_score"): org.apache.spark.sql.DataFrame = {
     require(dim > 0, "dim must be positive")
-    def buckets(df: org.apache.spark.sql.DataFrame, text: Column, keep: Seq[Column]) =
-      df.select(keep :+ explode(tokens(text)).as("__tok__"): _*)
-        .withColumn("__b__", pmod(hash60(col("__tok__")), lit(dim.toLong)))
-    val rawToks = buckets(raw, textCol, Seq(idCol.as("id"))).persist()
-    val tgtToks = buckets(target, targetTextCol, Seq.empty)
-    val rawTotal = rawToks.count().toDouble // materializes the cache too
-    val tgtCounts = tgtToks.groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
-    // the target token total rides INSIDE the plan as a broadcast 1-row
-    // aggregate — the only driver action in this op is the raw count above,
-    // which doubles as the cache materialization
-    val tgtTotal = tgtToks.agg(count(lit(1)).cast("double").as("__tt__"))
+    // the raw (id, bucket) stream, the op's ONE staged frame — narrow
+    // materialization (no shuffle), token strings dropped before the cache
+    val rawBuckets = raw
+      .select(idCol.as("id"), explode(tokens(textCol)).as("__tok__"))
+      .select(col("id"), pmod(hash60(col("__tok__")), lit(dim.toLong)).as("__b__"))
+      .persist()
+    // staged (lazily — dim rows, materialized by whichever consumer runs
+    // first): the ratio table joins the counts AND folds their total, and
+    // unstaged each consumer would re-tokenize the whole target corpus
+    val tgtCounts = target
+      .select(explode(tokens(targetTextCol)).as("__tok__"))
+      .select(pmod(hash60(col("__tok__")), lit(dim.toLong)).as("__b__"))
+      .groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
+      .persist()
+    dsirFromBuckets(rawBuckets, tgtCounts, dim, alpha, out)
+  }
+
+  /** [[dsirScores]] when the target IS a subset of the raw corpus (the
+    * common curation shape: "score everything against the English / the
+    * high-quality / the in-domain slice of itself"). The target bucket
+    * model derives from the SAME staged (id, target?, bucket) stream via a
+    * map-side filter — the target text is never tokenized a second time and
+    * the raw frame is never re-joined to find it.
+    *
+    * @param targetPred boolean Column over `raw`'s columns selecting the
+    *                   target slice (e.g. `col("lang") === "en"`).
+    */
+  def dsirScoresWithin(raw: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, targetPred: Column,
+      dim: Int = 4096, alpha: Double = 0.5,
+      out: String = "dsir_score"): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val rawBuckets = raw
+      .select(idCol.as("id"), targetPred.as("__tgt__"),
+        explode(tokens(textCol)).as("__tok__"))
+      .select(col("id"), col("__tgt__"),
+        pmod(hash60(col("__tok__")), lit(dim.toLong)).as("__b__"))
+      .persist()
+    val tgtCounts = rawBuckets.filter(col("__tgt__"))
+      .groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
+      .persist()
+    dsirFromBuckets(rawBuckets, tgtCounts, dim, alpha, out)
+  }
+
+  /** Shared DSIR scoring tail: smoothed log-ratio table from the two bucket
+    * models, broadcast back onto the staged raw stream, per-doc sum. Both
+    * staged inputs are released after the result's eager cut. The raw total
+    * is the one bounded driver action (doubling as the cache
+    * materialization); the target total folds from the dim-row count table
+    * INSIDE the plan as a broadcast 1-row aggregate — never a second pass
+    * over any token stream.
+    */
+  private def dsirFromBuckets(rawBuckets: org.apache.spark.sql.DataFrame,
+      tgtCounts: org.apache.spark.sql.DataFrame,
+      dim: Int, alpha: Double, out: String): org.apache.spark.sql.DataFrame = {
+    val rawTotal = rawBuckets.count().toDouble
+    val tgtTotal = tgtCounts.agg(
+      coalesce(sum(col("__ct__")), lit(0L)).cast("double").as("__tt__"))
     // dim-row ratio table: ln(p_target/p_raw) per bucket, smoothed both sides
-    val rawCounts = rawToks.groupBy(col("__b__")).agg(count(lit(1)).as("__cr__"))
+    val rawCounts = rawBuckets.groupBy(col("__b__"))
+      .agg(count(lit(1)).as("__cr__"))
     val ratios = rawCounts.join(tgtCounts, Seq("__b__"), "outer")
       .crossJoin(broadcast(tgtTotal))
       .select(col("__b__"),
@@ -563,12 +638,13 @@ object TextAnalysis {
              (col("__tt__") + lit(alpha * dim))) -
          log((coalesce(col("__cr__"), lit(0L)).cast("double") + lit(alpha)) /
              lit(rawTotal + alpha * dim))).as("__lr__"))
-    val result = rawToks
+    val result = rawBuckets
       .join(broadcast(ratios), Seq("__b__"))
       .groupBy(col("id"))
       .agg(sum(col("__lr__")).as(out))
       .localCheckpoint(true)
-    rawToks.unpersist(false)
+    rawBuckets.unpersist(false)
+    tgtCounts.unpersist(false)
     result
   }
 

@@ -2472,7 +2472,7 @@ object LlmOpsQueries {
       FROM toks t LEFT JOIN res r USING (doc_id)
       ORDER BY t.doc_id"""))
 
-  /** DSIR importance selection ([[TextAnalysis.dsirScores]] +
+  /** DSIR importance selection ([[TextAnalysis.dsirScoresWithin]] +
     * [[graft.ops.Sampling.gumbelTopK]]): hashed-unigram log importance of
     * the English subset (target) against the whole corpus (raw), then a
     * deterministic Gumbel top-100 draw on the log-weights. The oracle
@@ -2482,9 +2482,8 @@ object LlmOpsQueries {
   val q183_dsir_select: Q = Q(
     fn = (s, dir) => {
       val docs = table(s, dir, "documents")
-      val scores = TextAnalysis.dsirScores(
-        docs, col("doc_id"), col("text"),
-        docs.filter(col("lang") === "en"), col("text"),
+      val scores = TextAnalysis.dsirScoresWithin(
+        docs, col("doc_id"), col("text"), col("lang") === "en",
         dim = 1024, alpha = 0.5)
       graft.ops.Sampling.gumbelTopK(scores, col("id"), col("dsir_score"),
           n = 100, seed = 7)
@@ -2724,9 +2723,8 @@ object LlmOpsQueries {
       val kept = cleaned.filter(col("n_kept") >= 20)
       val withLang = kept.join(
         table(s, dir, "documents").select(col("doc_id").as("id"), col("lang")), Seq("id"))
-      val scores = TextAnalysis.dsirScores(
-        withLang, col("id"), col("clean_text"),
-        withLang.filter(col("lang") === "en"), col("clean_text"),
+      val scores = TextAnalysis.dsirScoresWithin(
+        withLang, col("id"), col("clean_text"), col("lang") === "en",
         dim = 1024, alpha = 0.5)
       val sel = graft.ops.Sampling.gumbelTopK(scores, col("id"), col("dsir_score"),
         n = 150, seed = 11)

@@ -1402,6 +1402,34 @@ class OpsSpec extends AnyFunSuite {
     assert(en(2L) < en(1L) && en(2L) < en(3L))
   }
 
+  test("dsirScoresWithin == dsirScores on the same predicate-selected target") {
+    // the within-corpus variant derives the target model from the staged
+    // raw stream instead of re-tokenizing — the scores must be identical
+    // to the two-frame spelling on the same slice
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "der schnelle braune fuchs springt", "de"),
+      (3L, "the lazy dog sleeps", "en"),
+      (4L, "", "en")).toDF("doc_id", "text", "lang")
+    val general = TextAnalysis.dsirScores(docs, col("doc_id"), col("text"),
+        docs.filter(col("lang") === "en"), col("text"), dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val within = TextAnalysis.dsirScoresWithin(docs, col("doc_id"), col("text"),
+        col("lang") === "en", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(within.keySet == general.keySet)
+    for ((k, v) <- general)
+      assert(math.abs(within(k) - v) < 1e-12, s"doc $k: ${within(k)} vs $v")
+    // and it releases its staged caches like the general form
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    TextAnalysis.dsirScoresWithin(docs, col("doc_id"), col("text"),
+      col("lang") === "en", dim = 64).count()
+    assert(sc.getPersistentRDDs.size <= 1,
+      s"dsirScoresWithin leaked caches (${sc.getPersistentRDDs.size} persisted RDDs)")
+  }
+
   test("lshPlan: midpoint tracks the target threshold, bands divide the signature") {
     for (h <- Seq(8, 16, 32, 64, 128); t <- Seq(0.3, 0.5, 0.7, 0.9)) {
       val (b, r, mid) = Dedup.lshPlan(t, h)

@@ -224,4 +224,37 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains(hof), s"$q reintroduced an interpreted HOF '$hof':\n$p")
     }
   }
+
+  test("q208 curation pipeline: staged-pass budget — 4 executions end-to-end") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    // The r6 staging audit's guard: the composed pipeline runs exactly
+    //   (1) the duplicate-span removal's eager cut,
+    //   (2) the DSIR bucket-stream count (its cache materialization),
+    //   (3) the DSIR score cut,
+    //   (4) the final write
+    // — every other stage (gates, lang join, Gumbel top-k, packing) rides
+    // lazily inside one of those. A fifth execution means someone added an
+    // eager pass (an unstaged multi-consumer frame or a stray action).
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try QueryCorpus.queries("q208_curation_v3")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    finally {
+      var last = -1
+      var spins = 0
+      while (execs.get() != last && spins < 20) {
+        last = execs.get(); Thread.sleep(150); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(execs.get() <= 4,
+      s"q208 ran ${execs.get()} SQL executions — an unstaged pass crept into the pipeline")
+  }
 }
