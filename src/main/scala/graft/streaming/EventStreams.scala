@@ -85,10 +85,17 @@ object EventStreams {
       val probed = picks.map(f =>
         f.getPath.toString -> spark.read.parquet(f.getPath.toString).schema("ts").dataType)
       val tsTypes = probed.map(_._2).distinct
+      // NOTE: the refusal is certain only within the sampled spread — a mix
+      // confined to unsampled files of a >8-file directory passes the probe
+      // and is caught by the scan-time backstop instead (the spliced type
+      // mismatches the other encoding's parquet logical type, so the scan
+      // fails loudly rather than misreading; EventsFixtureSpec pins this).
       require(tsTypes.size == 1,
         s"events files mix ts encodings ${tsTypes.mkString(", ")} — " +
           probed.groupBy(_._2).map { case (t, fs) => s"$t: ${fs.head._1}" }.mkString("; ") +
-          "; rewrite the directory to one encoding before streaming it")
+          s"; rewrite the directory to one encoding before streaming it " +
+          s"(probe sampled ${picks.size} of ${sorted.size} files; a mix " +
+          "confined to unsampled files fails at scan time instead)")
       tsTypes.head
     }
     val reader = spark.readStream.schema(rawSchema(tsType))

@@ -100,6 +100,37 @@ class EventsFixtureSpec extends AnyFunSuite {
     assert(err.getMessage.contains("mix ts encodings"), err.getMessage)
   }
 
+  test("mixed encodings BEYOND the probe's 8-file spread still fail loudly at scan time") {
+    // 10 path-sorted files: the spread probe samples indices
+    // {0,1,2,3,5,6,7,9}, leaving 4 and 8 unsampled — a drift file at index
+    // 8 passes the probe (the spliced type comes from the 9 majority
+    // files), so the refusal guarantee there is the SCAN-TIME backstop: the
+    // ns-encoded file's parquet logical type cannot convert to the spliced
+    // timestamp type, and the stream must die loudly instead of silently
+    // compressing that file's timeline 1000×. This spec pins the backstop;
+    // if a Spark upgrade ever makes that conversion lenient, this goes red
+    // and the probe must widen.
+    val dir = java.nio.file.Files.createTempDirectory("events_mixed10").toString
+    val b = base(spark)
+    (0 until 10).foreach { i =>
+      val enc =
+        if (i == 8) b.withColumn("ts", col("us") * lit(1000L)) // ns-as-long drift
+        else b.withColumn("ts", timestamp_micros(col("us")))
+      enc.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(f"$dir/events_$i%02d.parquet")
+    }
+    // the probe itself passes — the drift is invisible at footer-spread level
+    val stream = EventStreams.readEvents(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val err = intercept[Throwable] {
+      EventStreams.runToCompletion(stream, mode = "append")
+    }
+    val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" | ").toLowerCase
+    assert(Seq("parquet", "convert", "mismatch").exists(chain.contains),
+      s"scan-time failure lost its readable cause: $chain")
+  }
+
   test("the real fixture reads without throwing and spans its multi-day history") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
     val ev = GraftSession.table(spark, dir, "events")
