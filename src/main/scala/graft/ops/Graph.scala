@@ -462,14 +462,20 @@ object Graph {
         val dstIdx = new Array[Int](rows.length)
         var k = 0
         while (k < rows.length) {
-          srcIdx(k) = index.get(rows(k).getString(0))
+          // null src never contributes (the join-based tiers drop null keys
+          // — SQL equi-join semantics; the sweep must agree), while a null
+          // dst IS a groupable node there, so it keeps its index here too
+          srcIdx(k) = if (rows(k).isNullAt(0)) -1 else index.get(rows(k).getString(0))
           dstIdx(k) = index.get(rows(k).getString(1))
           k += 1
         }
         w => {
           val mass = new Array[Double](n)
           var k = 0
-          while (k < srcIdx.length) { mass(dstIdx(k)) += w(srcIdx(k)); k += 1 }
+          while (k < srcIdx.length) {
+            if (srcIdx(k) >= 0) mass(dstIdx(k)) += w(srcIdx(k))
+            k += 1
+          }
           mass
         }
       } else {

@@ -109,6 +109,26 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: null-id edges behave identically on all three tiers (join semantics)") {
+    // a null src never contributes (equi-joins drop null keys) but a null
+    // dst IS a groupable node — the driver-local sweep must agree with the
+    // join-based tiers on both
+    val edges = Seq((null.asInstanceOf[String], "a"), ("a", "b"), ("b", null),
+      ("b", "a")).toDF("src", "dst")
+    def run(bLimit: Long, sBytes: Long): Map[Option[String], Double] =
+      Graph.pageRank(edges, "src", "dst", iterations = 6,
+          broadcastNodeLimit = bLimit, smallGraphMaxBytes = sBytes)
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val local = run(Graph.defaultBroadcastNodeLimit, Graph.defaultSmallGraphMaxBytes)
+    val gathered = run(Graph.defaultBroadcastNodeLimit, 0L)
+    val smj = run(0L, 0L)
+    assert(local.keySet == smj.keySet && local.keySet.contains(None))
+    for ((k, v) <- smj) {
+      assert(math.abs(local(k) - v) < 1e-12, s"local vs SMJ at $k: ${local(k)} vs $v")
+      assert(math.abs(gathered(k) - v) < 1e-12, s"gather vs SMJ at $k: ${gathered(k)} vs $v")
+    }
+  }
+
   test("pageRank: edgesDistinct=true on an already-distinct list matches the dedup path") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
     val df = edges.toDF("src", "dst")
