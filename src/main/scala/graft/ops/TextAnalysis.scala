@@ -426,15 +426,20 @@ object TextAnalysis {
     * Scale shape: everything row-shuffled is numeric — (1) gram hashes with
     * start positions, (2) gram-keyed count (map-side combined), (3) covered
     * positions = explode of the ≤k-wide window per duplicated gram,
-    * distinct, (4) POSITION-level anti-join (id + int, no strings),
-    * (5) per-doc surviving-position gather (sorted int arrays), (6) one
-    * id-keyed join against the cached token arrays with a map-side
-    * element_at rebuild — the only point where text crosses the wire, once,
-    * in array form. No per-doc quadratic HOF anywhere — a doc that is 100%
-    * duplicated costs O(tokens·k) row traffic, not O(tokens²) lambda work
-    * (element_at per kept position is O(1)). Docs shorter than k tokens
-    * form one whole-doc gram (the [[shingles]] convention), so short exact
-    * copies still dedup.
+    * gathered per doc as ONE id-keyed `collect_set` (map-side partially
+    * combined; only positions of DUPLICATED grams ever shuffle — unique
+    * prose costs nothing), (4) one id-keyed join of that set against the
+    * cached token arrays, where the surviving positions fall out map-side
+    * as `array_except(sequence(0, n−1), covered)` (hash-set membership:
+    * O(n + |covered|) per doc, order-preserving so the rebuild keeps token
+    * order) and the text re-materializes via `element_at` — the only point
+    * where text crosses the wire, once, in array form. No corpus-wide
+    * position stream, no anti-join, no per-doc quadratic HOF — a doc that
+    * is 100% duplicated costs O(tokens·k) row traffic, not O(tokens²)
+    * lambda work. The per-group set is bounded by the doc's own token
+    * count — the same memory the doc's token array already holds. Docs
+    * shorter than k tokens form one whole-doc gram (the [[shingles]]
+    * convention), so short exact copies still dedup.
     */
   def removeDuplicateSpans(df: org.apache.spark.sql.DataFrame, idCol: Column,
       textCol: Column, k: Int = 5,
@@ -457,38 +462,38 @@ object TextAnalysis {
       grams.groupBy(col("__g__")).agg(count(lit(1)).as("__c__"))
         .filter(col("__c__") > 1).select(col("__g__")),
       "__g__")
-    // covered token positions (0-based), deduped; window width = min(k, doc
-    // len). Laid out by id FIRST (the pageRank dedup-layout trick): hash(id)
-    // satisfies every downstream (id, pos)/(id) clustering requirement, so
-    // the dedup, the anti-join, the per-doc gather AND the final rebuild
-    // join all run on this one exchange instead of four.
-    val covered = dupGrams
+    // covered token positions (0-based), gathered per doc in ONE id-keyed
+    // collect_set (dedup rides inside the aggregate, partially combined
+    // map-side); window width = min(k, doc len). Only positions under
+    // DUPLICATED grams enter this shuffle — a mostly-unique corpus moves
+    // almost nothing here.
+    val coveredSets = dupGrams
       .select(col("id"),
         explode(sequence(col("__gi__") - 1,
           col("__gi__") - 2 + least(lit(k), col("__n__")))).as("__p__"))
-      .repartition(col("id"))
-      .dropDuplicates("id", "__p__")
-    // surviving POSITIONS only — token strings stay out of the anti-join
-    // and the per-doc gather entirely (ints shuffle, text does not); the
-    // text re-materializes map-side below via element_at against the doc's
-    // cached token array, keeping the string traffic to the one id-keyed
-    // join of `base`
-    val keptPos = base
-      .select(col("id"), posexplode(col("__t__")))
-      .select(col("id"), col("pos").as("__p__"))
-      .repartition(col("id")) // joins covered's id layout exchange-free
-      .join(covered, Seq("id", "__p__"), "left_anti")
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("__p__"))).as("__ps__"))
-    // docs whose every token was covered drop out of `keptPos` — restore
-    // as "" (never a dropped row)
+      .agg(collect_set(col("__p__")).as("__cov__"))
+    // one id-keyed join against the cached token arrays; survivors fall out
+    // MAP-SIDE as array_except(all positions, covered) — hash-set
+    // membership per doc, order-preserving (sequence is ascending, so the
+    // rebuild keeps token order) — and the text re-materializes via
+    // element_at. Docs with no duplicated grams miss coveredSets (left
+    // join → empty covered set); a fully covered doc becomes "" in place,
+    // never a dropped row. The size guard keeps sequence() off empty docs
+    // (sequence(0, −1) would descend, not return empty).
+    val keptExpr = when(size(col("__t__")) === 0,
+        array().cast("array<int>"))
+      .otherwise(array_except(
+        sequence(lit(0), size(col("__t__")) - 1),
+        coalesce(col("__cov__"), array().cast("array<int>"))))
     val result = base
-      .join(keptPos, Seq("id"), "left")
+      .join(coveredSets, Seq("id"), "left")
+      .withColumn("__ps__", keptExpr)
       .select(col("id"), size(col("__t__")).cast("long").as("n_tokens"),
-        coalesce(size(col("__ps__")).cast("long"), lit(0L)).as("n_kept"),
-        coalesce(array_join(
-          transform(col("__ps__"), p => element_at(col("__t__"), p + 1)), " "),
-          lit("")).as(out))
+        size(col("__ps__")).cast("long").as("n_kept"),
+        array_join(
+          transform(col("__ps__"), p => element_at(col("__t__"), p + 1)), " ")
+          .as(out))
       .localCheckpoint(true)
     base.unpersist(false)
     result
