@@ -212,14 +212,19 @@ object ProcessorQueries {
       val docs = table(s, dir, "documents")
       val tfidf = new TfIdfVectorization(Map("max_features" -> 20, "output_sparse" -> true))
       tfidf.fit(docs, "text")
-      tfidf.transformStaged(docs, "text", "vec")
+      // eager cut before the global sort: a range exchange SAMPLES its
+      // child before shuffling it, and this child (tokenize + HOF
+      // vectorization) is shuffle-free — unstaged, the whole transform
+      // would execute twice (once for range bounds, once for real)
+      val entries = tfidf.transformStaged(docs, "text", "vec")
         .select(col("doc_id"),
           posexplode(arrays_zip(col("vec.indices"), col("vec.values"))).as(Seq("pos", "entry")))
         .select(
           col("doc_id"),
           col("entry.indices").cast("long").as("term_idx"),
           round(col("entry.values"), 4).as("w"))
-        .orderBy(col("doc_id"), col("term_idx"))
+        .localCheckpoint(true)
+      entries.orderBy(col("doc_id"), col("term_idx"))
     },
     oracle = Some("""
       WITH toks AS (
