@@ -102,13 +102,13 @@ object Graph {
     *                      the SMJ path (spec hook).
     * @return (node, rank) — ranks sum to 1 over all distinct nodes.
     *
-    * Conf scoping: for the duration of the call, AQE, the runtime bloom
-    * filter, and (on the broadcast fork) `spark.sql.shuffle.partitions` are
-    * adjusted on the SESSION and restored on return — these are
-    * session-global confs, so queries planned CONCURRENTLY on the same
-    * SparkSession during a pageRank call will plan under them (partition
-    * floor of 8 bounds the blast radius). Run pageRank serially with other
-    * work, or give it its own `SparkSession.newSession()`.
+    * Conf scoping: the loop adjusts AQE, the runtime bloom filter, and (on
+    * the small-graph gather tier) `spark.sql.shuffle.partitions` — but on a
+    * CLONED session (`newSession()`, sharing the SparkContext and cache
+    * manager), never the caller's. Queries planned concurrently on the
+    * caller's session are unaffected, and the result frame is re-bound to
+    * the caller's session before returning, so downstream plans see the
+    * caller's own conf.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
@@ -163,35 +163,49 @@ object Graph {
       smallGraphMaxBytes: Long): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val owner = edges.sparkSession
+    checkpointDir.foreach(owner.sparkContext.setCheckpointDir)
     // The loop is a fixed 10-30× replay of one join+agg shape over frames
     // whose sizes we know exactly (cached edge list, |V|-row rank frame):
     // AQE's per-shuffle re-planning barrier and the runtime bloom-filter
     // rule (an EXTRA aggregate injected per round to semi-prune a join that
-    // prunes nothing here) only add latency × iterations. Both off for the
-    // loop, restored after — measured 2.6 s off q184 at sf0.1 alone.
-    val conf = edges.sparkSession.conf
-    // contains()/unset, NOT getOption or get(key, fallback): for a REGISTERED
-    // conf entry, RuntimeConfig.getOption returns the entry's default even
-    // when the session never set it — saving that and re-setting it on exit
-    // would pin today's default as an explicit session value (masking any
-    // later in-session default change, e.g. a test harness flipping the
-    // runtime bloom filter's default). SQLConf.contains reads the session's
-    // actual settings map, so never-set confs are restored by unset().
-    val sqlConf = edges.sparkSession.sessionState.conf
-    val savedConfs = Seq("spark.sql.adaptive.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.shuffle.partitions" // the broadcast fork may shrink this
-    ).map(k => k -> (if (sqlConf.contains(k)) Some(conf.get(k)) else None))
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-    try pageRankLoop(edges, srcCol, dstCol, iterations, damping,
-      checkpointEvery, checkpointDir, teleportTo, edgesDistinct,
-      broadcastNodeLimit, smallGraphMaxBytes)
-    finally savedConfs.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
+    // prunes nothing here) only add latency × iterations — measured 2.6 s
+    // off q184 at sf0.1 alone. Both are SESSION-global confs, so instead of
+    // mutating the caller's session (where a concurrently-planned query
+    // would silently pick them up) the loop runs on a CLONED session:
+    // newSession() shares the SparkContext, the cache manager and the
+    // extensions but owns its conf, so nothing set here can escape and
+    // nothing needs restoring. newSession starts from the BUILDER options,
+    // not the owner's runtime values — copy every modifiable conf first so
+    // the loop plans under exactly the caller's effective settings (the
+    // clone is discarded on return, so pinning values on it is harmless;
+    // RuntimeConfig.getAll is the session's set-values map, not defaults).
+    val loopSession = owner.newSession()
+    for ((k, v) <- owner.conf.getAll if loopSession.conf.isModifiable(k))
+      loopSession.conf.set(k, v)
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val ranks = pageRankLoop(rebind(edges, loopSession), srcCol, dstCol,
+      iterations, damping, checkpointEvery, checkpointDir, teleportTo,
+      edgesDistinct, broadcastNodeLimit, smallGraphMaxBytes)
+    // hand the result back on the CALLER's session — otherwise everything
+    // downstream of pageRank would keep planning under the loop's conf
+    rebind(ranks, owner)
+  }
+
+  /** Re-plan a frame under another session of the same SparkContext via a
+    * throwaway global temp view (the one public API that carries an
+    * ANALYZED plan across sessions). Dataset construction analyzes
+    * eagerly, so the view is dropped before returning; cached/checkpointed
+    * inputs are unaffected (the plan, not the data, is rebound).
+    */
+  private def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame = {
+    if (df.sparkSession eq to) return df
+    val name = "graft_pr_rebind_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(name)
+    try to.table(to.conf.get("spark.sql.globalTempDatabase", "global_temp") + "." + name)
+    finally df.sparkSession.catalog.dropGlobalTempView(name)
   }
 
   private def pageRankLoop(edges: DataFrame, srcCol: String, dstCol: String,
@@ -482,11 +496,10 @@ object Graph {
         // fewer, fatter partitions (~150k edge rows each) for the whole
         // loop: with |V| small, every extra partition is pure task-launch
         // overhead × iterations, and partial aggregation duplicates up to
-        // |V| keys PER MAP PARTITION per round. Floor of 8:
-        // shuffle.partitions is a SESSION conf — while the loop runs, any
-        // concurrent query on the same session plans under it, and a floor
-        // bounds that blast radius (restored by pageRankImpl's finally; see
-        // the conf-scoping note on pageRank).
+        // |V| keys PER MAP PARTITION per round. The conf set lands on the
+        // loop's CLONED session (see pageRankImpl), so nothing outside this
+        // call ever plans under it; the floor of 8 just keeps the loop's
+        // own aggregates from collapsing to a width that can't spread.
         val floor = math.min(8L, shufflePartitions.toLong)
         val target = math.max(floor, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
         val eLoop =

@@ -221,30 +221,37 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got('a') - 0.5) < 1e-9 && math.abs(got('b') - 0.5) < 1e-9)
   }
 
-  test("pageRank restores session confs EXACTLY (set values and unset-ness both)") {
+  test("pageRank never mutates the caller's session confs (set values and unset-ness both)") {
+    // the loop runs on a CLONED session (Graph.pageRankImpl), so the
+    // caller's conf must come back bit-identical — including UNSET-ness:
+    // a restore-style implementation that pinned current defaults as
+    // explicit session values would trip the settings-map asserts below
+    // (bloom filter defaults TRUE — pinning it would mask a later
+    // in-session default change)
     val keys = Seq("spark.sql.adaptive.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.shuffle.partitions")
     val s2 = spark.newSession()
-    // one conf explicitly set, one explicitly UNSET: a restore that re-sets
-    // a guessed fallback would freeze the unset conf's entry default
-    // (bloom filter defaults TRUE — "restoring" false would disable it)
     s2.conf.set("spark.sql.adaptive.enabled", "true")
     s2.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
     val before = keys.map(k => k -> scala.util.Try(s2.conf.getOption(k)).toOption.flatten)
     import s2.implicits._
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
-    Graph.pageRank(edges, "src", "dst", iterations = 3).count()
+    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 3)
+    assert(ranks.sparkSession eq s2,
+      "pageRank result must be bound to the CALLER's session, not the loop clone")
+    ranks.count()
     val after = keys.map(k => k -> scala.util.Try(s2.conf.getOption(k)).toOption.flatten)
     assert(after == before, s"conf drift: $before -> $after")
-    // true unset-ness, not just effective value: getOption returns the
-    // registered entry's DEFAULT for never-set confs, so the assertion above
-    // alone would pass even if the restore pinned the default as an explicit
-    // session value — read the settings map directly
     assert(!s2.sessionState.conf.contains("spark.sql.optimizer.runtime.bloomFilter.enabled"),
-      "restore re-set a conf the session had explicitly unset")
+      "pageRank set a conf the caller had explicitly unset")
     assert(s2.sessionState.conf.contains("spark.sql.adaptive.enabled"),
-      "restore dropped an explicitly-set conf")
+      "pageRank dropped an explicitly-set conf")
+    // the loop honors the caller's effective settings via the conf copy:
+    // a caller-set shuffle width must carry into the clone (this is
+    // observable only indirectly — the result is correct either way — so
+    // pin the public contract instead: the caller's value is intact)
+    assert(s2.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
   test("connectedComponents releases superseded mid-loop checkpoints") {
