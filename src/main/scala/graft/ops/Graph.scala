@@ -256,6 +256,25 @@ object Graph {
     val n = preDeg.count() // materializes the cache
     if (n == 0) { e.unpersist(false); preDeg.unpersist(false)
       return preDeg.select(col("node")).withColumn("rank", lit(0.0)) }
+    // ONE profile aggregate over the just-cached degree frame for the three
+    // fork-decision scalars — dangling?, avg id bytes, |E| — instead of
+    // three driver-blocking jobs (a limit-1 probe, an avg, an edge count):
+    // at toy scale each job carries a ~0.15 s scheduling floor that dwarfs
+    // the work, and at cluster scale one pass over |V| rows beats three.
+    // Σ coalesce(deg, 0) = total out-endpoints = |E| exactly (every edge
+    // row contributes 1 to its src node's degree, null src included), so
+    // the edge-cache count job disappears too.
+    val prof = preDeg.agg(
+      sum(when(col("deg").isNull, 1L).otherwise(0L)).as("__dang__"),
+      coalesce(avg(length(col("node"))), lit(0.0)).as("__len__"),
+      coalesce(sum(coalesce(col("deg"), lit(0L))), lit(0L)).as("__m__")).head()
+    // One probe, not one per round: graphs with no dangling nodes (any
+    // symmetrized graph) skip the per-iteration dangling aggregate — a
+    // whole job per round at toy scale, a full pass over ranks at cluster
+    // scale.
+    val hasDangling = prof.getLong(0) > 0
+    val avgIdLen = prof.getDouble(1)
+    val m = prof.getLong(2)
     // teleport weight per node: uniform 1/N (needs the just-counted n), or
     // 1/|S| on the personalized source set (0 elsewhere)
     val tele = teleportTo match {
@@ -266,20 +285,16 @@ object Graph {
           .otherwise(lit(0.0))
     }
     // withDeg: every node with its out-degree (null deg = dangling) and
-    // teleport weight — the loop's join base, cached once for all rounds
-    val withDeg = preDeg.withColumn("__t__", tele).persist()
-    withDeg.count()
-    preDeg.unpersist(false)
+    // teleport weight — the loop's join base. A LAZY projection over the
+    // preDeg cache, deliberately not cached itself: the added column is a
+    // codegen'd literal/when over cached rows, and a second |V|-row cache
+    // (plus its materializing count job) costs more than every consumer
+    // re-evaluating it. preDeg stays persisted for the whole loop and is
+    // released on each exit path.
+    val withDeg = preDeg.withColumn("__t__", tele)
 
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
-
-
-    // One probe, not one per round: graphs with no dangling nodes (any
-    // symmetrized graph) skip the per-iteration dangling aggregate — a
-    // whole job per round at toy scale, a full pass over ranks at cluster
-    // scale.
-    val hasDangling = withDeg.filter(col("deg").isNull).limit(1).count() > 0
 
     // Join-strategy fork, decided ONCE from the just-counted |V| — the same
     // stats-driven choice Catalyst would make per-join if the loop's frames
@@ -299,17 +314,11 @@ object Graph {
     //     round, snapshots on the lineage window below.
     // The row cap alone would admit fat string ids (a 1M-node host graph of
     // 200-byte URL ids is a multi-hundred-MB broadcast PER ROUND), so the
-    // fork also byte-checks against the ACTUAL ids — one cheap aggregate
-    // over the cached degree frame, only on graphs that pass the row cap.
-    if (n <= broadcastNodeLimit) {
-      // byte check only on graphs that pass the row cap: one cheap
-      // aggregate over the cached degree frame
-      val avgIdLen = withDeg
-        .agg(coalesce(avg(length(col("node"))), lit(0.0))).head().getDouble(0)
-      if (admitsBroadcastFork(n, avgIdLen, broadcastNodeLimit))
-        return pageRankDriverHeld(e, withDeg, iterations, damping,
-          hasDangling, shufflePartitions, avgIdLen, smallGraphMaxBytes)
-    }
+    // fork also byte-checks against the ACTUAL ids (avgIdLen measured by
+    // the profile aggregate above).
+    if (admitsBroadcastFork(n, avgIdLen, broadcastNodeLimit))
+      return pageRankDriverHeld(e, withDeg, preDeg, iterations, damping,
+        hasDangling, shufflePartitions, avgIdLen, m, smallGraphMaxBytes)
 
     // SMJ loop layout: with a deferred-layout edge cache (edgesDistinct) the
     // default-width partition+sort layout the per-round merge join reuses
@@ -393,7 +402,7 @@ object Graph {
       if (iterations == 0) snapshot(ranks.select(col("node"), col("rank")))
       else ranks.select(col("node"), col("rank"))
     eLoop.unpersist(false) // covers e: aliased, or already released at re-layout
-    loopDeg.unpersist(false) // likewise for withDeg
+    preDeg.unpersist(false) // the loop's one cached node frame (withDeg is lazy over it)
     out
   }
 
@@ -434,15 +443,15 @@ object Graph {
     * property the snapshot loop had.
     */
   private def pageRankDriverHeld(e: DataFrame, withDeg: DataFrame,
-      iterations: Int, damping: Double, hasDangling: Boolean,
-      shufflePartitions: Int, avgIdLen: Double,
-      smallGraphMaxBytes: Long): DataFrame = {
+      preDeg: DataFrame, iterations: Int, damping: Double,
+      hasDangling: Boolean, shufflePartitions: Int, avgIdLen: Double,
+      m: Long, smallGraphMaxBytes: Long): DataFrame = {
     val spark = e.sparkSession
-    val m = e.count() // cache scan — e materialized by the degree pass
-    // the one |V|-row collect that seeds the driver vector; admission
+    // |E| arrives from the caller's profile aggregate — no edge-count job.
+    // The one |V|-row collect that seeds the driver vector; admission
     // byte-guarded by the caller. deg = 0 marks dangling (null in the frame).
     val local = withDeg.select(col("node"), col("deg"), col("__t__")).collect()
-    withDeg.unpersist(false)
+    preDeg.unpersist(false) // withDeg is a lazy projection over this cache
     val n = local.length
     val nodes = new Array[String](n)
     val degs = new Array[Long](n)

@@ -1554,15 +1554,20 @@ object OpQueries {
       // union below reads `pairs` twice — unstaged, the orders ⋈ lineitem
       // join + distinct would run once per branch when the edge cache
       // materializes
+      // dedup on the RAW int pair and prefix after the cut: the distinct's
+      // shuffle and the checkpoint then carry 16-byte key pairs instead of
+      // prefixed strings (half the bytes, cheaper hashing); the concat is
+      // codegen'd map-side per union branch
       val pairs = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
         .localCheckpoint(true)
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val edges = pairs.select(concat(lit("c"), col("c")).as("src"),
+          concat(lit("s"), col("s")).as("dst"))
+        .unionByName(pairs.select(concat(lit("s"), col("s")).as("src"),
+          concat(lit("c"), col("c")).as("dst")))
       val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
         iterations = 10, damping = 0.85,
         // distinct by construction: pairs.distinct + prefix-disjoint union
