@@ -18,28 +18,56 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object RankStats {
 
   /** Exact quantiles with linear interpolation (pandas/NumPy type-7,
-    * matching DuckDB `quantile_cont`) via distributed range sort +
-    * `zipWithIndex` + a targeted index lookup — the scale-safe exact path.
-    * Spark's built-in exact `percentile` merges per-partition value→count
-    * maps onto a single reducer: memory grows with distinct-value
-    * cardinality and it OOMs on high-cardinality columns at cluster scale
-    * (it is also ~3× slower at sf0.1). Here the column is range-sorted in
-    * parallel, only the ≤ 2·|ps| boundary values are collected, and the
-    * sort's shuffle files are reused across the two lightweight jobs.
+    * matching DuckDB `quantile_cont`) via distributed range sort + targeted
+    * partition reads — the scale-safe exact path. Spark's built-in exact
+    * `percentile` merges per-partition value→count maps onto a single
+    * reducer: memory grows with distinct-value cardinality and it OOMs on
+    * high-cardinality columns at cluster scale (it is also ~3× slower at
+    * sf0.1). Two jobs, one source scan: the sort's sampling+shuffle runs
+    * the scan once; a per-partition size pass over the sorted shuffle
+    * replaces BOTH the separate row count and `zipWithIndex`'s internal
+    * count job (global offsets fold on the driver); and the ≤ 2·|ps|
+    * boundary values come from a `runJob` over ONLY the partitions that
+    * hold a wanted rank — every other partition is never re-read.
     */
   def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
     require(ps.forall(p => p >= 0 && p <= 1), "quantile probs must be in [0,1]")
     if (ps.isEmpty) return Seq.empty
     val vals = df.select(col(c).cast("double").as("__v__")).filter(col("__v__").isNotNull)
-    val n = vals.count()
+    val sorted = vals.orderBy(col("__v__")).rdd.map(_.getDouble(0))
+    // job 1: materializes the sort (sample + shuffle write) and returns
+    // per-partition sizes off the shuffle read
+    val sizes = sorted.mapPartitions(it => {
+      var k = 0L; while (it.hasNext) { it.next(); k += 1L }; Iterator.single(k)
+    }, preservesPartitioning = true).collect()
+    val n = sizes.sum
     if (n == 0) return ps.map(_ => Double.NaN)
     // h = (n-1)p; the boundary interpolates v[floor(h)] .. v[ceil(h)]
     val hs = ps.map(p => (n - 1) * p)
     val wanted = hs.flatMap(h => Seq(h.floor.toLong, h.ceil.toLong)).toSet
-    val picked = vals.orderBy(col("__v__")).rdd.map(_.getDouble(0))
-      .zipWithIndex()
-      .collect { case (v, i) if wanted.contains(i) => (i, v) }
-      .collect().toMap
+    // global rank → (partition, local offset) through the size prefix sums
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val byPart = wanted.toSeq.map { i =>
+      val p = offsets.lastIndexWhere(_ <= i, offsets.length - 2)
+      (p, i - offsets(p), i)
+    }.groupBy(_._1)
+    val picked = new scala.collection.mutable.HashMap[Long, Double]
+    // job 2: re-read ONLY the partitions holding a wanted rank (sorted
+    // shuffle files reused); each task walks to its last wanted offset
+    val parts = byPart.keys.toArray.sorted
+    val results = sorted.sparkContext.runJob(sorted,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[Double]) => {
+        val want = byPart(ctx.partitionId()).map(t => t._2 -> t._3).sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var k = 0L; var wi = 0
+        while (wi < want.length && it.hasNext) {
+          val v = it.next()
+          while (wi < want.length && want(wi)._1 == k) { out += want(wi)._2 -> v; wi += 1 }
+          k += 1L
+        }
+        out.toSeq
+      }, parts.toIndexedSeq)
+    results.foreach(_.foreach { case (i, v) => picked(i) = v })
     hs.map { h =>
       val lo = picked(h.floor.toLong); val hi = picked(h.ceil.toLong)
       lo + (hi - lo) * (h - h.floor)

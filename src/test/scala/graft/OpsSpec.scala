@@ -567,6 +567,32 @@ class OpsSpec extends AnyFunSuite {
     assert(clipped.sorted.toSeq.slice(6, 95) == (6 to 94).map(_.toDouble))
   }
 
+  test("exactQuantiles matches the driver type-7 reference across partition layouts") {
+    // pins the targeted-partition-read path: global ranks resolve through
+    // per-partition size prefix sums, so EMPTY partitions (more partitions
+    // than rows after the range split) and boundary ranks (p=0, p=1,
+    // f=0 exact hits) must all land on the right (partition, offset)
+    def ref(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * p
+      val lo = s(h.floor.toInt); val hi = s(h.ceil.toInt)
+      lo + (hi - lo) * (h - h.floor)
+    }
+    val rnd = new scala.util.Random(7)
+    val probes = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 1.0)
+    for ((rows, parts) <- Seq((1, 8), (7, 32), (500, 4), (500, 64))) {
+      val xs = Seq.fill(rows)(rnd.nextDouble() * 1000 - 500)
+      val df = xs.toDF("v").repartition(parts)
+      val got = graft.ops.RankStats.exactQuantiles(df, "v", probes)
+      for ((p, g) <- probes.zip(got))
+        assert(math.abs(g - ref(xs, p)) < 1e-12,
+          s"rows=$rows parts=$parts p=$p: $g vs ${ref(xs, p)}")
+    }
+    // all-null column → NaN per probe; empty probe list → empty
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    assert(graft.ops.RankStats.exactQuantiles(nulls, "v", Seq(0.5)).forall(_.isNaN))
+    assert(graft.ops.RankStats.exactQuantiles(nulls, "v", Seq.empty).isEmpty)
+  }
+
   test("quantizedTopK reproduces exact top-k ranks on well-separated vectors") {
     val emb = (0 until 20).map(i =>
       (i.toLong, Array.tabulate(16)(d => math.sin(i * 37 + d * 3).toFloat)))
