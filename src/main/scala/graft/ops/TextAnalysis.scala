@@ -319,7 +319,15 @@ object TextAnalysis {
     * SQL-replayable. Use with a threshold for binary gates or keep the
     * probability as a mixing weight.
     */
-  def linearScore(text: Column, weights: Seq[Double], bias: Double): Column = {
+  def linearScore(text: Column, weights: Seq[Double], bias: Double): Column =
+    linearScoreStaged(tokens(text), weights, bias)
+
+  /** [[linearScore]] over an already-tokenized column — the staged form for
+    * pipelines that hold the token array in a column shared with other
+    * consumers (token floor, quality signals): the tokenizer then runs once
+    * per row for ALL of them (the q95 staging discipline).
+    */
+  def linearScoreStaged(toks0: Column, weights: Seq[Double], bias: Double): Column = {
     // fold in TOKEN order (z = bias + (Σ_t w[bucket(t)]) / n), hashing each
     // token exactly once and keeping the lambda CLOSED over nothing but its
     // own arguments: any outer expression referenced inside a HOF lambda is
@@ -327,7 +335,7 @@ object TextAnalysis {
     // fold quadratic — re-tokenizing the doc once per token, benched 10×
     // slower corpus-wide), and the per-dim count spelling re-hashes every
     // token once per dim. Single division outside the fold.
-    val toks = tokens(text)
+    val toks = toks0
     val nTok = greatest(size(toks), lit(1)).cast("double")
     val wLit = typedLit(weights)
     val z = lit(bias) + aggregate(

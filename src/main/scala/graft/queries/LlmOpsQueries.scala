@@ -2265,10 +2265,14 @@ object LlmOpsQueries {
         .withColumn("html", concat(lit("<html><body><p>"), col("text"),
           lit("</p><script>x()</script> Done &amp; done</body></html>")))
         .withColumn("clean", TextAnalysis.stripHtml(col("html")))
+      // token array staged once (the q95 discipline): the token floor and
+      // the classifier both read it — unstaged, the tokenizer runs twice
+      // per row over the stripped text
       val gated = cleaned
-        .withColumn("n_tok", TextAnalysis.tokenCount(col("clean")))
+        .withColumn("__toks__", TextAnalysis.tokens(col("clean")))
+        .withColumn("n_tok", size(col("__toks__")).cast("long"))
         .withColumn("score",
-          round(TextAnalysis.linearScore(col("clean"), weights, bias = 0.1), 4))
+          round(TextAnalysis.linearScoreStaged(col("__toks__"), weights, bias = 0.1), 4))
         .filter(col("n_tok") >= 30 && col("score") >= 0.45)
       // materialize the cleaned+gated intermediate once: exact dedup reads
       // it twice (digest groupBy + keeper semi-join) and re-running the
