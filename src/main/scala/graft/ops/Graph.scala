@@ -177,11 +177,19 @@ object Graph {
     // extensions but owns its conf, so nothing set here can escape and
     // nothing needs restoring. newSession starts from the BUILDER options,
     // not the owner's runtime values — copy every modifiable conf first so
-    // the loop plans under exactly the caller's effective settings (the
-    // clone is discarded on return, so pinning values on it is harmless;
+    // the loop plans under the caller's effective settings (the clone is
+    // discarded on return, so pinning values on it is harmless;
     // RuntimeConfig.getAll is the session's set-values map, not defaults).
+    // The reverse direction matters too: newSession() re-merges SparkConf
+    // entries, so a conf the caller explicitly UNSET (reverting a
+    // spark-submit value to the entry default) would reappear in the clone
+    // — unset every modifiable clone key the owner doesn't carry.
     val loopSession = owner.newSession()
-    for ((k, v) <- owner.conf.getAll if loopSession.conf.isModifiable(k))
+    val ownerConfs = owner.conf.getAll
+    for ((k, _) <- loopSession.conf.getAll
+         if !ownerConfs.contains(k) && loopSession.conf.isModifiable(k))
+      loopSession.conf.unset(k)
+    for ((k, v) <- ownerConfs if loopSession.conf.isModifiable(k))
       loopSession.conf.set(k, v)
     loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     loopSession.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")

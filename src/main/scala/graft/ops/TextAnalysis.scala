@@ -487,9 +487,11 @@ object TextAnalysis {
     // rebuild keeps token order) — and the text re-materializes via
     // element_at. Docs with no duplicated grams miss coveredSets (left
     // join → empty covered set); a fully covered doc becomes "" in place,
-    // never a dropped row. The size guard keeps sequence() off empty docs
-    // (sequence(0, −1) would descend, not return empty).
-    val keptExpr = when(size(col("__t__")) === 0,
+    // never a dropped row. The coalesced size guard keeps sequence() off
+    // BOTH empty docs (sequence(0, −1) would descend, not return empty)
+    // and null-text docs (null tokens must yield n_kept = 0 and "", the
+    // same never-a-dropped-row contract, not a null row).
+    val keptExpr = when(coalesce(size(col("__t__")), lit(0)) === 0,
         array().cast("array<int>"))
       .otherwise(array_except(
         sequence(lit(0), size(col("__t__")) - 1),

@@ -77,16 +77,18 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
     val dfreq = exploded
       .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .orderBy(col("df").desc, col("term"))
     val kept = maxFeatures match {
-      case Some(k) => dfreq.limit(k + 1) // +1: the sentinel occupies row 0
+      // +1: the sentinel provably heads this ordering and occupies row 0
+      case Some(k) => dfreq.orderBy(col("df").desc, col("term")).limit(k + 1)
+      // no feature cap → no ordering needed, so don't pay a |vocab|-row
+      // range sort just to position the sentinel; find() scans the collect
       case None => dfreq
     }
     val rows = kept.collect().map(r => r.getString(0) -> r.getLong(1))
     // minDf > n leaves no terms AND no sentinel (every df ≤ n < minDf):
     // empty vocabulary, n vacuous
-    val n = rows.headOption.collect { case (DocSentinel, c) => c }.getOrElse {
-      require(rows.isEmpty, s"document-count sentinel missing from fit rows: ${rows.head}")
+    val n = rows.find(_._1 == DocSentinel).map(_._2).getOrElse {
+      require(rows.isEmpty, s"document-count sentinel missing from ${rows.length} fit rows")
       0L
     }
     val terms = rows.filter(_._1 != DocSentinel)

@@ -1401,6 +1401,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L)._3 == "totally unique words nowhere else repeated anywhere certainly")
     // short exact copies (< k tokens form one whole-doc gram) still dedup
     assert(out(5L) == ((2L, 0L, "")) && out(6L) == ((2L, 0L, "")))
+    // null and empty text keep the never-a-dropped-row contract: the row
+    // survives with n_kept = 0 and "" (not a null clean_text) — pins the
+    // coalesced size guard on the map-side rebuild
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val eo = TextAnalysis.removeDuplicateSpans(edge, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(eo(1L) == ((0L, "")) && eo(2L) == ((0L, "")),
+      s"null/empty text must yield (0, empty string): $eo")
+    assert(eo(3L) == ((6L, "x y z w v u")))
   }
 
   test("removeDuplicateSpans: within-doc gram repetition is removed too") {
