@@ -485,19 +485,32 @@ object Graph {
     var loopEdges = e // whichever cached frame the loop ends up reading
     val gather: Array[Double] => Array[Double] =
       if (localEdges) {
-        // one collect of the cached edge list into int-indexed arrays; the
-        // string ids resolve through `index` exactly once
-        val rows = e.select(col("src"), col("dst")).collect()
+        // one collect of the cached edge list into int-indexed arrays. The
+        // id → index resolution runs DISTRIBUTED: two broadcast probes of
+        // the (id, index) LocalRelation over the cached edges, so the
+        // driver receives 8-byte int pairs instead of two string ids per
+        // edge (less transfer, less Row/GC work — the string ids already
+        // crossed once in the node collect above). Join semantics mirror
+        // the join-based tiers exactly: src maps through a PLAIN-equality
+        // left join (a null src matches nothing → −1, it never
+        // contributes), dst through a NULL-SAFE inner join (a null dst IS
+        // a groupable node there, so it keeps its index here too).
+        val idxDf = spark.createDataFrame(
+          (0 until n).map(j => (nodes(j), j)).toIndexedSeq).toDF("__n__", "__i__")
+        val rows = e
+          .join(broadcast(idxDf.select(col("__n__").as("__sn__"), col("__i__").as("__si__"))),
+            col("src") === col("__sn__"), "left")
+          .join(broadcast(idxDf.select(col("__n__").as("__dn__"), col("__i__").as("__di__"))),
+            col("dst") <=> col("__dn__"))
+          .select(coalesce(col("__si__"), lit(-1)).as("__si__"), col("__di__"))
+          .collect()
         e.unpersist(false)
         val srcIdx = new Array[Int](rows.length)
         val dstIdx = new Array[Int](rows.length)
         var k = 0
         while (k < rows.length) {
-          // null src never contributes (the join-based tiers drop null keys
-          // — SQL equi-join semantics; the sweep must agree), while a null
-          // dst IS a groupable node there, so it keeps its index here too
-          srcIdx(k) = if (rows(k).isNullAt(0)) -1 else index.get(rows(k).getString(0))
-          dstIdx(k) = index.get(rows(k).getString(1))
+          srcIdx(k) = rows(k).getInt(0)
+          dstIdx(k) = rows(k).getInt(1)
           k += 1
         }
         w => {
