@@ -257,4 +257,37 @@ class PlanSpec extends AnyFunSuite {
     assert(execs.get() <= 4,
       s"q208 ran ${execs.get()} SQL executions — an unstaged pass crept into the pipeline")
   }
+
+  test("q38 tfidf: staged-pass budget — 3 executions end-to-end") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    // Guards the r6 double-execution fix: the pipeline runs exactly
+    //   (1) fit's single frequency-pass collect (the doc-count sentinel
+    //       rides it — a fourth execution here means fit regrew its
+    //       separate count pass),
+    //   (2) the exploded-entries eager cut (without it the shuffle-free
+    //       vectorization executes TWICE — once for the range exchange's
+    //       sampling pass, once for the real shuffle),
+    //   (3) the final write.
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try QueryCorpus.queries("q38_tfidf")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    finally {
+      var last = -1
+      var spins = 0
+      while (execs.get() != last && spins < 20) {
+        last = execs.get(); Thread.sleep(150); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(execs.get() <= 3,
+      s"q38 ran ${execs.get()} SQL executions — the fit fusion or the pre-sort cut regressed")
+  }
 }
