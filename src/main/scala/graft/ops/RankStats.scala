@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Rank-based statistics — the Spearman method of the reference's
   * `corr(other, method)` contract (`ScalableSeries.py:896-898`; SURVEY §2.4
@@ -10,10 +9,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Scale: fractional ranks need a global total order, but NOT a global
   * `Window.orderBy` (which funnels the table through one task). We range-sort
-  * in parallel, synthesize positions with `zipWithIndex` (per-partition
-  * offsets, one lightweight count job), average positions per tie-group with
-  * an ordinary `groupBy`, and map ranks back with a shuffle join — every
-  * stage is partition-parallel at any scale.
+  * the VALUE-FREQUENCY table in parallel, stitch global positions from
+  * per-partition count totals (a ≤1-row-per-partition offset aggregate),
+  * and map ranks back with a shuffle join — every stage is
+  * partition-parallel at any scale, and only distinct values ever sort.
   */
 object RankStats {
 
@@ -77,15 +76,49 @@ object RankStats {
   /** Append fractional (average) rank of `c` as `out`: for a tie-group of
     * size k starting at 1-based sorted position p, every member ranks
     * p + (k-1)/2 — pandas `rank(method="average")`. Null values rank null.
+    *
+    * Scale shape: ranks derive from the VALUE-FREQUENCY table, not the row
+    * stream — one row per distinct value moves through the range sort, so
+    * a billion-row column with a million distinct values sorts a million
+    * rows. The tie-group's start position is an exclusive prefix sum of
+    * counts in value order, stitched across partitions the
+    * `selectByTokenBudget` way (partition-local window + a ≤1-row-per-
+    * partition offset aggregate) — never a single-task global window, no
+    * RDD round-trip. avg = start + (k−1)/2 is exact integer math until the
+    * one final halving, identical to averaging the positions themselves.
     */
   def withAverageRank(df: DataFrame, c: String, out: String): DataFrame = {
-    val vals = df.select(col(c)).filter(col(c).isNotNull).orderBy(col(c))
-    val posSchema = StructType(Seq(
-      StructField("__val__", df.schema(c).dataType),
-      StructField("__pos__", LongType, nullable = false)))
-    val positions = df.sparkSession.createDataFrame(
-      vals.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i + 1L) }, posSchema)
-    val ranks = positions.groupBy("__val__").agg(avg("__pos__").as(out))
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(col(c).as("__val__")).filter(col("__val__").isNotNull)
+      .groupBy(col("__val__")).agg(count(lit(1)).as("__cnt__"))
+      .repartitionByRange(col("__val__"))
+      .sortWithinPartitions(col("__val__"))
+      .withColumn("__pid__", spark_partition_id())
+      .persist()
+    // warm the cache with one action: the offsets aggregate and the final
+    // join otherwise race to populate the same blocks
+    freq.count()
+    val offsets = freq.groupBy(col("__pid__"))
+      .agg(sum(col("__cnt__")).as("__ptot__"))
+      .withColumn("__off__",
+        coalesce(sum(col("__ptot__")).over(
+          Window.orderBy(col("__pid__"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid__"), col("__off__"))
+    val w = Window.partitionBy(col("__pid__")).orderBy(col("__val__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = freq.join(broadcast(offsets), Seq("__pid__"))
+      .withColumn("__before__",
+        col("__off__") + sum(col("__cnt__")).over(w) - col("__cnt__"))
+      .select(col("__val__"),
+        (col("__before__").cast("double") + (col("__cnt__") + 1L).cast("double") / 2.0).as(out))
+      // eager cut WHILE the freq cache is warm, then release: the rank
+      // table is |distinct| rows (small), and without the cut the lazy
+      // result would re-derive freq through TWO independent range
+      // exchanges (offsets + join input) whose samplings need not agree
+      // on partition boundaries once the cache is gone
+      .localCheckpoint(true)
+    freq.unpersist(false)
     df.join(ranks, df(c) === ranks("__val__"), "left").drop("__val__")
   }
 
