@@ -504,6 +504,12 @@ object Graph {
             col("dst") <=> col("__dn__"))
           .select(coalesce(col("__si__"), lit(-1)).as("__si__"), col("__di__"))
           .collect()
+        // loudness guard: the joins assume every endpoint is in the node
+        // index (true by construction — the index derives from these same
+        // edges' endpoints). If a refactor ever broke that, the inner dst
+        // join would silently DROP edges; this catches it immediately.
+        require(rows.length == m,
+          s"edge-index join returned ${rows.length} rows for $m edges — node index no longer covers all endpoints")
         e.unpersist(false)
         val srcIdx = new Array[Int](rows.length)
         val dstIdx = new Array[Int](rows.length)

@@ -89,22 +89,10 @@ object RankStats {
     */
   def withAverageRank(df: DataFrame, c: String, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = df.select(col(c).as("__val__")).filter(col("__val__").isNotNull)
-      .groupBy(col("__val__")).agg(count(lit(1)).as("__cnt__"))
-      .repartitionByRange(col("__val__"))
-      .sortWithinPartitions(col("__val__"))
-      .withColumn("__pid__", spark_partition_id())
-      .persist()
-    // warm the cache with one action: the offsets aggregate and the final
-    // join otherwise race to populate the same blocks
-    freq.count()
-    val offsets = freq.groupBy(col("__pid__"))
-      .agg(sum(col("__cnt__")).as("__ptot__"))
-      .withColumn("__off__",
-        coalesce(sum(col("__ptot__")).over(
-          Window.orderBy(col("__pid__"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid__"), col("__off__"))
+    val (freq, offsets) = Offsets.rangeLayout(
+      df.select(col(c).as("__val__")).filter(col("__val__").isNotNull)
+        .groupBy(col("__val__")).agg(count(lit(1)).as("__cnt__")),
+      Seq(col("__val__")), col("__cnt__"))
     val w = Window.partitionBy(col("__pid__")).orderBy(col("__val__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranks = freq.join(broadcast(offsets), Seq("__pid__"))
@@ -116,7 +104,10 @@ object RankStats {
       // table is |distinct| rows (small), and without the cut the lazy
       // result would re-derive freq through TWO independent range
       // exchanges (offsets + join input) whose samplings need not agree
-      // on partition boundaries once the cache is gone
+      // on partition boundaries once the cache is gone. (The cut is a
+      // localCheckpoint — same executor-loss trade every iterative op here
+      // makes; at |distinct| rows the pinned footprint is the rank table
+      // itself.)
       .localCheckpoint(true)
     freq.unpersist(false)
     df.join(ranks, df(c) === ranks("__val__"), "left").drop("__val__")

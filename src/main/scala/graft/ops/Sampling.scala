@@ -207,30 +207,15 @@ object Sampling {
       tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.expressions.Window
-    // ranked is read by THREE consumers (the range-partitioner's sampling
-    // pass, the offsets aggregate, the final join) — persist it for the
-    // duration of the call and release before returning (the Dedup
-    // materialize discipline), or each consumer re-runs the full upstream
-    // lineage
-    val ranked = df
-      .withColumn("__neg__", -score.cast("double"))
-      .withColumn("__sid__", id)
-      .withColumn("__tok__", tokens.cast("long"))
-      .repartitionByRange(col("__neg__"), col("__sid__"))
-      .sortWithinPartitions(col("__neg__"), col("__sid__"))
-      .withColumn("__pid__", spark_partition_id())
-      .persist()
-    // warm the cache with one action: the two consumers below otherwise
-    // race to populate the same blocks (each computing the partition once —
-    // wasted work and "Block already exists" noise at scale)
-    ranked.count()
-    val offsets = ranked.groupBy(col("__pid__"))
-      .agg(sum(col("__tok__")).as("__ptot__"))
-      .withColumn("__off__",
-        coalesce(sum(col("__ptot__")).over(
-          Window.orderBy(col("__pid__"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid__"), col("__off__"))
+    // global quality order via the shared range-layout + offset stitch
+    // (Offsets.rangeLayout): ranked is persisted there for its three
+    // consumers (sampling pass, offsets aggregate, final join) and
+    // released after the eager cut below
+    val (ranked, offsets) = Offsets.rangeLayout(
+      df.withColumn("__neg__", -score.cast("double"))
+        .withColumn("__sid__", id)
+        .withColumn("__tok__", tokens.cast("long")),
+      Seq(col("__neg__"), col("__sid__")), col("__tok__"))
     val w = Window.partitionBy(col("__pid__"))
       .orderBy(col("__neg__"), col("__sid__"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -225,9 +225,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q208 curation pipeline: staged-pass budget — 4 executions end-to-end") {
+  /** Count the SQL executions a query's noop write triggers — the
+    * staged-pass budget harness shared by the q208/q38 guards (listener
+    * drained with a bounded quiescence spin: the bus is async).
+    */
+  private def sqlExecutions(queryName: String): Int = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
     import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try QueryCorpus.queries(queryName)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    finally {
+      var last = -1
+      var spins = 0
+      while (execs.get() != last && spins < 20) {
+        last = execs.get(); Thread.sleep(150); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    execs.get()
+  }
+
+  test("q208 curation pipeline: staged-pass budget — 4 executions end-to-end") {
     // The r6 staging audit's guard: the composed pipeline runs exactly
     //   (1) the duplicate-span removal's eager cut,
     //   (2) the DSIR bucket-stream count (its cache materialization),
@@ -236,31 +262,12 @@ class PlanSpec extends AnyFunSuite {
     // — every other stage (gates, lang join, Gumbel top-k, packing) rides
     // lazily inside one of those. A fifth execution means someone added an
     // eager pass (an unstaged multi-consumer frame or a stray action).
-    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
-        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
-        case _ => ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try QueryCorpus.queries("q208_curation_v3")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    finally {
-      var last = -1
-      var spins = 0
-      while (execs.get() != last && spins < 20) {
-        last = execs.get(); Thread.sleep(150); spins += 1
-      }
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    assert(execs.get() <= 4,
-      s"q208 ran ${execs.get()} SQL executions — an unstaged pass crept into the pipeline")
+    val n = sqlExecutions("q208_curation_v3")
+    assert(n <= 4,
+      s"q208 ran $n SQL executions — an unstaged pass crept into the pipeline")
   }
 
   test("q38 tfidf: staged-pass budget — 3 executions end-to-end") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
-    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
     // Guards the r6 double-execution fix: the pipeline runs exactly
     //   (1) fit's single frequency-pass collect (the doc-count sentinel
     //       rides it — a fourth execution here means fit regrew its
@@ -269,25 +276,8 @@ class PlanSpec extends AnyFunSuite {
     //       vectorization executes TWICE — once for the range exchange's
     //       sampling pass, once for the real shuffle),
     //   (3) the final write.
-    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
-        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
-        case _ => ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try QueryCorpus.queries("q38_tfidf")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    finally {
-      var last = -1
-      var spins = 0
-      while (execs.get() != last && spins < 20) {
-        last = execs.get(); Thread.sleep(150); spins += 1
-      }
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    assert(execs.get() <= 3,
-      s"q38 ran ${execs.get()} SQL executions — the fit fusion or the pre-sort cut regressed")
+    val n = sqlExecutions("q38_tfidf")
+    assert(n <= 3,
+      s"q38 ran $n SQL executions — the fit fusion or the pre-sort cut regressed")
   }
 }
