@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import graft.queries.QueryCorpus
+
+/** Per-query profiling main (developer tool, not a driver artifact): runs
+  * each named corpus query `GRAFT_PROFILE_REPEATS` times (default 5) in ONE
+  * JVM under the same session config as [[Bench]], printing per-run wall
+  * time plus Spark job count, task count, and summed executor task time.
+  * The task-time line separates "the plan does more work" (task time up)
+  * from "the box was contended / JIT was cold" (wall up, task time flat) —
+  * the distinction round verdicts keep needing when a query's bench line
+  * moves between rounds.
+  *
+  * Usage: sbt "runMain graft.ProfileQ q64_asof_join q175_web_pipeline"
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("GRAFT_PROFILE_REPEATS", "5").toInt
+    val names = if (args.nonEmpty) args.toSeq else QueryCorpus.benchNames
+    val unknown = names.filterNot(QueryCorpus.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val verbose = sys.env.get("GRAFT_PROFILE_STAGES").contains("1")
+    println(s"[profile] verbose=$verbose repeats=$repeats sf=$sfDir")
+    val jobs = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val taskTimeMs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        tasks.addAndGet(s.stageInfo.numTasks)
+        taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        if (verbose)
+          println(f"[stage] id=${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%4d " +
+            f"time=${s.stageInfo.taskMetrics.executorRunTime / 1000.0}%7.2f s  ${s.stageInfo.name.takeWhile(_ != '\n').take(80)}")
+      }
+    })
+
+    for (name <- names) {
+      for (i <- 1 to repeats) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        jobs.set(0); tasks.set(0); taskTimeMs.set(0L)
+        val t0 = System.nanoTime()
+        QueryCorpus.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously (the public API offers no
+        // flush); settle until the counters stop moving — dev-tool precision
+        var prev = -1L
+        while (prev != jobs.get.toLong + tasks.get + taskTimeMs.get) {
+          prev = jobs.get.toLong + tasks.get + taskTimeMs.get
+          Thread.sleep(150)
+        }
+        println(f"[profile] $name run$i%2d wall=$wall%7.3f s jobs=${jobs.get}%3d tasks=${tasks.get}%5d taskTime=${taskTimeMs.get / 1000.0}%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -164,6 +164,12 @@ object Graph {
     require(iterations >= 0, "iterations must be non-negative")
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
     val owner = edges.sparkSession
+    // One deliberate exception to the conf-scoping story below: an explicit
+    // checkpointDir lands on the shared SparkContext (checkpoint dirs have
+    // no per-session scoping in Spark), so it is PROCESS-global — visible to
+    // every session and concurrent job until changed. Callers who need full
+    // isolation should leave it None (reliable checkpoints then require the
+    // context dir to be set by whoever owns the application).
     checkpointDir.foreach(owner.sparkContext.setCheckpointDir)
     // The loop is a fixed 10-30× replay of one join+agg shape over frames
     // whose sizes we know exactly (cached edge list, |V|-row rank frame):
@@ -497,28 +503,55 @@ object Graph {
         // a groupable node there, so it keeps its index here too).
         val idxDf = spark.createDataFrame(
           (0 until n).map(j => (nodes(j), j)).toIndexedSeq).toDF("__n__", "__i__")
-        val rows = e
+        val pairs = e
           .join(broadcast(idxDf.select(col("__n__").as("__sn__"), col("__i__").as("__si__"))),
             col("src") === col("__sn__"), "left")
           .join(broadcast(idxDf.select(col("__n__").as("__dn__"), col("__i__").as("__di__"))),
             col("dst") <=> col("__dn__"))
-          .select(coalesce(col("__si__"), lit(-1)).as("__si__"), col("__di__"))
-          .collect()
+          .select(shiftleft(coalesce(col("__si__"), lit(-1)).cast("long"), 32)
+            .bitwiseOR(col("__di__").cast("long").bitwiseAND(lit(0xffffffffL)))
+            .as("__p__"))
+        // Driver-memory discipline for the gather: a row-level collect()
+        // holds the full Row array AND its builder copies NEXT TO the final
+        // int arrays — a peak near 3× the edge-byte budget, which would let
+        // a future budget bump OOM a small driver. Instead each (src, dst)
+        // index pair is packed into ONE long inside codegen (above) and each
+        // executor partition ships a single primitive long[] chunk, so the
+        // one collect job's driver peak is chunks (8 B/edge) + the two int
+        // arrays (8 B/edge) = 16 B/edge — ~1/16 of the 256 MB budget, with
+        // no per-Row allocation at all. |E| is known from the profile
+        // aggregate, so the arrays size exactly; toIntExact backstops an
+        // absurd budget override.
+        val chunks = pairs.select(col("__p__"))
+          .as(org.apache.spark.sql.Encoders.scalaLong)
+          .rdd.mapPartitions { it =>
+            val b = new scala.collection.mutable.ArrayBuilder.ofLong
+            while (it.hasNext) b += it.next()
+            Iterator.single(b.result())
+          }.collect()
+        val mLen = java.lang.Math.toIntExact(m)
+        val srcIdx = new Array[Int](mLen)
+        val dstIdx = new Array[Int](mLen)
+        var k = 0L
+        for (chunk <- chunks) {
+          var c = 0
+          while (c < chunk.length) {
+            if (k < mLen) {
+              srcIdx(k.toInt) = (chunk(c) >> 32).toInt
+              dstIdx(k.toInt) = chunk(c).toInt
+            }
+            k += 1L; c += 1
+          }
+        }
+        // the gather is done with the cached frame either way — release it
+        // BEFORE the guard below so a guard failure can't leak cache blocks
+        e.unpersist(false)
         // loudness guard: the joins assume every endpoint is in the node
         // index (true by construction — the index derives from these same
         // edges' endpoints). If a refactor ever broke that, the inner dst
-        // join would silently DROP edges; this catches it immediately.
-        require(rows.length == m,
-          s"edge-index join returned ${rows.length} rows for $m edges — node index no longer covers all endpoints")
-        e.unpersist(false)
-        val srcIdx = new Array[Int](rows.length)
-        val dstIdx = new Array[Int](rows.length)
-        var k = 0
-        while (k < rows.length) {
-          srcIdx(k) = rows(k).getInt(0)
-          dstIdx(k) = rows(k).getInt(1)
-          k += 1
-        }
+        // join would silently DROP (or duplicate) edges; this catches it.
+        require(k == m,
+          s"edge-index join returned $k rows for $m edges — node index no longer covers all endpoints")
         w => {
           val mass = new Array[Double](n)
           var k = 0

@@ -22,12 +22,15 @@ object RankStats {
     * `percentile` merges per-partition value→count maps onto a single
     * reducer: memory grows with distinct-value cardinality and it OOMs on
     * high-cardinality columns at cluster scale (it is also ~3× slower at
-    * sf0.1). Two jobs, one source scan: the sort's sampling+shuffle runs
-    * the scan once; a per-partition size pass over the sorted shuffle
-    * replaces BOTH the separate row count and `zipWithIndex`'s internal
-    * count job (global offsets fold on the driver); and the ≤ 2·|ps|
-    * boundary values come from a `runJob` over ONLY the partitions that
-    * hold a wanted rank — every other partition is never re-read.
+    * sf0.1). Two jobs, one scan of the SORTED shuffle output (the range
+    * partitioner's boundary sampling does evaluate the select+filter
+    * lineage once more before the shuffle map stage — inherent to any
+    * range sort; cache upstream if that lineage is expensive): a
+    * per-partition size pass over the sorted shuffle replaces BOTH the
+    * separate row count and `zipWithIndex`'s internal count job (global
+    * offsets fold on the driver); and the ≤ 2·|ps| boundary values come
+    * from a `runJob` over ONLY the partitions that hold a wanted rank —
+    * every other partition is never re-read.
     */
   def exactQuantiles(df: DataFrame, c: String, ps: Seq[Double]): Seq[Double] = {
     require(ps.forall(p => p >= 0 && p <= 1), "quantile probs must be in [0,1]")

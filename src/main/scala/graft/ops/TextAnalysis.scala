@@ -437,7 +437,7 @@ object TextAnalysis {
     * gathered per doc as ONE id-keyed `collect_set` (map-side partially
     * combined; only positions of DUPLICATED grams ever shuffle — unique
     * prose costs nothing), (4) one id-keyed join of that set against the
-    * cached token arrays, where the surviving positions fall out map-side
+    * token arrays, where the surviving positions fall out map-side
     * as `array_except(sequence(0, n−1), covered)` (hash-set membership:
     * O(n + |covered|) per doc, order-preserving so the rebuild keeps token
     * order) and the text re-materializes via `element_at` — the only point
@@ -453,16 +453,23 @@ object TextAnalysis {
       textCol: Column, k: Int = 5,
       out: String = "clean_text"): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be positive")
+    // The token-array frame is deliberately NOT staged, same verdict as the
+    // grams below: its three readers (the two gram derivations and the
+    // rebuild join) re-run the tokenize kernel over the input, and that
+    // recompute MEASURED less than HALF the total task time of persisting
+    // (serializing array-typed rows through the BlockManager cost more
+    // than two extra codegen passes; 3 jobs fewer too, since the cache
+    // materialization barriers disappear) — and at cluster scale a cache
+    // here would hold O(corpus tokens) memory for a CPU-cheap derivation.
+    // Callers whose upstream lineage is expensive should stage THAT before
+    // calling (the q175/q208 pipelines feed a scan or a checkpoint).
     val base = df.select(idCol.as("id"), tokens(textCol).as("__t__"))
-      .persist() // feeds grams AND the token-position frame; tokenize once
     // (id, gidx 1-based, gram hash); short docs: one gram covering all
     // tokens. Deliberately NOT staged even though the self-join below reads
-    // it twice: both readers re-derive it from the cached token arrays
-    // through the native tokenize/shingle/hash kernels, and caching the
-    // ~|tokens|-row frame measured SLOWER than the recompute (the
-    // BlockManager write of 10M 4-column rows costs more than two codegen
-    // passes) — and at cluster scale it would hold O(corpus tokens) memory
-    // for a purely CPU-cheap derivation.
+    // it twice: both readers re-derive it through the native
+    // tokenize/shingle/hash kernels, and caching the ~|tokens|-row frame
+    // measured SLOWER than the recompute (the BlockManager write of 10M
+    // 4-column rows costs more than two codegen passes).
     val grams = base.select(col("id"), size(col("__t__")).as("__n__"),
         posexplode(transform(shinglesFromTokens(col("__t__"), k), s => hash60(s))))
       .select(col("id"), col("__n__"), (col("pos") + 1).as("__gi__"), col("col").as("__g__"))
@@ -481,7 +488,7 @@ object TextAnalysis {
           col("__gi__") - 2 + least(lit(k), col("__n__")))).as("__p__"))
       .groupBy(col("id"))
       .agg(collect_set(col("__p__")).as("__cov__"))
-    // one id-keyed join against the cached token arrays; survivors fall out
+    // one id-keyed join against the token arrays; survivors fall out
     // MAP-SIDE as array_except(all positions, covered) — hash-set
     // membership per doc, order-preserving (sequence is ascending, so the
     // rebuild keeps token order) — and the text re-materializes via
@@ -505,7 +512,6 @@ object TextAnalysis {
           transform(col("__ps__"), p => element_at(col("__t__"), p + 1)), " ")
           .as(out))
       .localCheckpoint(true)
-    base.unpersist(false)
     result
   }
 
@@ -569,15 +575,21 @@ object TextAnalysis {
     * docs that look like the target domain; feed the scores to
     * [[Sampling.gumbelTopK]] (log-weights) to draw the selected subset.
     *
-    * Scale shape: the raw side is staged ONCE as the (id, bucket) pair
-    * stream — the token strings are hashed away before the cache, so the
-    * staged bytes are two numeric columns regardless of token width. Both
-    * bucket models are `dim`-row map-side-combined aggregates broadcast
-    * back onto that stream; per-doc score is one more map-side-combined
-    * sum. (A per-doc (id, bucket, cnt) pre-aggregation was tried and
-    * measured SLOWER at dim ≥ 1024: short docs rarely repeat a bucket, so
-    * the extra shuffle collapses almost nothing.) One bounded driver action
-    * (the raw count, which doubles as the cache materialization). No
+    * Scale shape: only `dim`-row bucket-count frames are ever cached — the
+    * (id, bucket) token stream itself is NOT staged. It has two consumers
+    * (the raw bucket model and the final scoring sum), but re-deriving it
+    * means re-running the tokenize/hash codegen kernels over the input,
+    * and — like the [[removeDuplicateSpans]] grams decision — that
+    * recompute MEASURED cheaper at sf0.1 than writing an O(corpus tokens)
+    * frame through the BlockManager (≈35% less total task time and it
+    * releases the unbounded-memory hazard a token-stream cache is at
+    * cluster scale). Both bucket models are `dim`-row map-side-combined
+    * aggregates broadcast back onto the stream; per-doc score is one more
+    * map-side-combined sum. (A per-doc (id, bucket, cnt) pre-aggregation
+    * was tried and measured SLOWER at dim ≥ 1024: short docs rarely repeat
+    * a bucket, so the extra shuffle collapses almost nothing.) Both corpus
+    * totals fold from the dim-row count frames INSIDE the plan as broadcast
+    * 1-row aggregates — no driver-blocking count action anywhere. No
     * vocabulary pass, no text shuffle.
     */
   def dsirScores(raw: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
@@ -585,29 +597,44 @@ object TextAnalysis {
       dim: Int = 4096, alpha: Double = 0.5,
       out: String = "dsir_score"): org.apache.spark.sql.DataFrame = {
     require(dim > 0, "dim must be positive")
-    // the raw (id, bucket) stream, the op's ONE staged frame — narrow
-    // materialization (no shuffle), token strings dropped before the cache
+    // the raw (id, bucket) stream — deliberately unstaged (see scaladoc)
     val rawBuckets = raw
       .select(idCol.as("id"), explode(tokens(textCol)).as("__tok__"))
       .select(col("id"), pmod(hash60(col("__tok__")), lit(dim.toLong)).as("__b__"))
-      .persist()
-    // staged (lazily — dim rows, materialized by whichever consumer runs
-    // first): the ratio table joins the counts AND folds their total, and
-    // unstaged each consumer would re-tokenize the whole target corpus
+    // staged (dim rows, bounded): read by the count merge below AND by the
+    // target-total fold — unstaged each consumer would re-tokenize the
+    // whole target corpus
     val tgtCounts = target
       .select(explode(tokens(targetTextCol)).as("__tok__"))
       .select(pmod(hash60(col("__tok__")), lit(dim.toLong)).as("__b__"))
       .groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
       .persist()
-    dsirFromBuckets(rawBuckets, tgtCounts, dim, alpha, out)
+    // one left join merges the two models; target-ONLY buckets drop out,
+    // which is sound because the scoring join below can only ever look up
+    // buckets that occur in the raw stream — but the TARGET total must
+    // still count those dropped buckets' tokens, so it folds from
+    // tgtCounts, not from the merged frame
+    val counts = rawBuckets.groupBy(col("__b__")).agg(count(lit(1)).as("__cr__"))
+      .join(tgtCounts, Seq("__b__"), "left")
+      .persist()
+    val totals = counts.agg(
+        coalesce(sum(col("__cr__")), lit(0L)).cast("double").as("__rt__"))
+      .crossJoin(tgtCounts.agg(
+        coalesce(sum(col("__ct__")), lit(0L)).cast("double").as("__tt__")))
+    val result = dsirTail(rawBuckets, counts, totals, dim, alpha, out)
+    tgtCounts.unpersist(false)
+    result
   }
 
   /** [[dsirScores]] when the target IS a subset of the raw corpus (the
     * common curation shape: "score everything against the English / the
-    * high-quality / the in-domain slice of itself"). The target bucket
-    * model derives from the SAME staged (id, target?, bucket) stream via a
-    * map-side filter — the target text is never tokenized a second time and
-    * the raw frame is never re-joined to find it.
+    * high-quality / the in-domain slice of itself"). BOTH bucket models
+    * fall out of ONE conditional aggregate over one pass of the token
+    * stream (`count(*)` beside `count(when(pred))` per bucket) — the
+    * target text is never tokenized a second time, no second aggregate, no
+    * model merge join. The subset property also lets the target total fold
+    * from the merged count frame directly (every target token lives in
+    * some raw bucket, so no target mass can drop out of the merge).
     *
     * @param targetPred boolean Column over `raw`'s columns selecting the
     *                   target slice (e.g. `col("lang") === "en"`).
@@ -622,44 +649,43 @@ object TextAnalysis {
         explode(tokens(textCol)).as("__tok__"))
       .select(col("id"), col("__tgt__"),
         pmod(hash60(col("__tok__")), lit(dim.toLong)).as("__b__"))
+    // a null predicate (e.g. lang IS NULL) counts as not-target, matching
+    // the filter() semantics of the two-corpora path
+    val counts = rawBuckets.groupBy(col("__b__"))
+      .agg(count(lit(1)).as("__cr__"),
+        count(when(col("__tgt__"), lit(1))).as("__ct__"))
       .persist()
-    val tgtCounts = rawBuckets.filter(col("__tgt__"))
-      .groupBy(col("__b__")).agg(count(lit(1)).as("__ct__"))
-      .persist()
-    dsirFromBuckets(rawBuckets, tgtCounts, dim, alpha, out)
+    val totals = counts.agg(
+      coalesce(sum(col("__cr__")), lit(0L)).cast("double").as("__rt__"),
+      coalesce(sum(col("__ct__")), lit(0L)).cast("double").as("__tt__"))
+    dsirTail(rawBuckets.select(col("id"), col("__b__")), counts, totals,
+      dim, alpha, out)
   }
 
-  /** Shared DSIR scoring tail: smoothed log-ratio table from the two bucket
-    * models, broadcast back onto the staged raw stream, per-doc sum. Both
-    * staged inputs are released after the result's eager cut. The raw total
-    * is the one bounded driver action (doubling as the cache
-    * materialization); the target total folds from the dim-row count table
-    * INSIDE the plan as a broadcast 1-row aggregate — never a second pass
-    * over any token stream.
+  /** Shared DSIR scoring tail: smoothed log-ratio table from the merged
+    * `(__b__, __cr__, __ct__)` bucket-count frame (dim rows, persisted by
+    * the caller — released here after the result's eager cut) and the
+    * 1-row `(__rt__, __tt__)` totals frame, broadcast back onto the
+    * unstaged (id, bucket) stream, per-doc sum. Every total rides INSIDE
+    * the plan as a broadcast scalar — the op has no driver-blocking action
+    * before its single materializing cut.
     */
-  private def dsirFromBuckets(rawBuckets: org.apache.spark.sql.DataFrame,
-      tgtCounts: org.apache.spark.sql.DataFrame,
+  private def dsirTail(rawBuckets: org.apache.spark.sql.DataFrame,
+      counts: org.apache.spark.sql.DataFrame,
+      totals: org.apache.spark.sql.DataFrame,
       dim: Int, alpha: Double, out: String): org.apache.spark.sql.DataFrame = {
-    val rawTotal = rawBuckets.count().toDouble
-    val tgtTotal = tgtCounts.agg(
-      coalesce(sum(col("__ct__")), lit(0L)).cast("double").as("__tt__"))
-    // dim-row ratio table: ln(p_target/p_raw) per bucket, smoothed both sides
-    val rawCounts = rawBuckets.groupBy(col("__b__"))
-      .agg(count(lit(1)).as("__cr__"))
-    val ratios = rawCounts.join(tgtCounts, Seq("__b__"), "outer")
-      .crossJoin(broadcast(tgtTotal))
+    val ratios = counts.crossJoin(broadcast(totals))
       .select(col("__b__"),
         (log((coalesce(col("__ct__"), lit(0L)).cast("double") + lit(alpha)) /
              (col("__tt__") + lit(alpha * dim))) -
          log((coalesce(col("__cr__"), lit(0L)).cast("double") + lit(alpha)) /
-             lit(rawTotal + alpha * dim))).as("__lr__"))
+             (col("__rt__") + lit(alpha * dim)))).as("__lr__"))
     val result = rawBuckets
       .join(broadcast(ratios), Seq("__b__"))
       .groupBy(col("id"))
       .agg(sum(col("__lr__")).as(out))
       .localCheckpoint(true)
-    rawBuckets.unpersist(false)
-    tgtCounts.unpersist(false)
+    counts.unpersist(false)
     result
   }
 
