@@ -43,13 +43,26 @@ object ProfileQ {
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose)
+          println(s"[job] id=${j.jobId} stages=${j.stageIds.mkString(",")} " +
+            s"sqlExec=${j.properties.getProperty("spark.sql.execution.id", "-")} " +
+            s"callsite=${j.properties.getProperty("callSite.short", "").take(60)}")
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         tasks.addAndGet(s.stageInfo.numTasks)
         taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
-        if (verbose)
+        if (verbose) {
           println(f"[stage] id=${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%4d " +
-            f"time=${s.stageInfo.taskMetrics.executorRunTime / 1000.0}%7.2f s  ${s.stageInfo.name.takeWhile(_ != '\n').take(80)}")
+            f"time=${s.stageInfo.taskMetrics.executorRunTime / 1000.0}%7.2f s " +
+            f"cpu=${s.stageInfo.taskMetrics.executorCpuTime / 1e9}%7.2f s " +
+            f"deser=${s.stageInfo.taskMetrics.executorDeserializeTime / 1000.0}%6.2f s " +
+            f"gc=${s.stageInfo.taskMetrics.jvmGCTime / 1000.0}%5.2f s  ${s.stageInfo.name.takeWhile(_ != '\n').take(60)}")
+          if (s.stageInfo.taskMetrics.executorRunTime > 1000)
+            s.stageInfo.details.linesIterator.filter(_.contains("graft")).take(6)
+              .foreach(l => println(s"[stage]    ^ $l"))
+        }
       }
     })
 

@@ -239,19 +239,26 @@ object Graph {
     //     src FIRST so the (src,dst) dedup runs exchange-free (hash
     //     partitioning on src satisfies the wider clustering requirement)
     //     and the sort stays partition-local. One shuffle, not three.
-    //   - caller-asserted distinct → defer ALL layout until |V| is counted:
-    //     the broadcast fork wants fewer, fatter partitions than the
+    //   - caller-asserted distinct → defer layout AND caching until the
+    //     fork: the broadcast fork wants fewer, fatter partitions than the
     //     session default, and an eager default-width shuffle+sort would be
-    //     thrown away at the fork. The raw cast list is cached as-scanned
-    //     and laid out exactly once, below.
+    //     thrown away at the fork. The cast list stays a LAZY projection
+    //     here — the driver-local tier consumes it exactly twice (the
+    //     degree pass and the one-shot edge gather), and re-running a
+    //     projection lineage twice measured well under the cost of writing
+    //     the edge strings through the BlockManager and reading them back
+    //     (the removeDuplicateSpans/DSIR staging verdict, r7). The tiers
+    //     that DO re-read per round persist at the fork below; callers
+    //     whose edge lineage is itself expensive should stage it before
+    //     calling (the q184 checkpoint pattern).
     val shufflePartitions = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eCast = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-    val e = (if (edgesDistinct) eCast
+    val e = if (edgesDistinct) eCast
       else eCast.repartition(shufflePartitions, col("src"))
         .dropDuplicates("src", "dst")
-        .sortWithinPartitions(col("src")))
-      .persist()
+        .sortWithinPartitions(col("src"))
+        .persist()
     // Node set + out-degrees in ONE aggregation pass (each edge emits its
     // endpoints weighted 1/0; a node whose out-weight sums to zero is
     // dangling) — replaces the nodes-distinct shuffle, the degree
@@ -448,7 +455,7 @@ object Graph {
     *
     * checkpointDir is irrelevant here: the loop state is a driver array, so
     * there is no executor-side lineage to recover — a lost executor only
-    * re-runs the current round's tasks from the cached (re-computable) edge
+    * re-runs the current round's tasks from the (re-computable) edge
     * list. The SMJ fork keeps the reliable-checkpoint cadence for web-scale
     * rank frames.
     *
@@ -491,7 +498,9 @@ object Graph {
     var loopEdges = e // whichever cached frame the loop ends up reading
     val gather: Array[Double] => Array[Double] =
       if (localEdges) {
-        // one collect of the cached edge list into int-indexed arrays. The
+        // one gather of the edge list into int-indexed arrays (from the
+        // lazy lineage when the caller asserted distinct — this tier reads
+        // it exactly once, so caching first would only add the write). The
         // id → index resolution runs DISTRIBUTED: two broadcast probes of
         // the (id, index) LocalRelation over the cached edges, so the
         // driver receives 8-byte int pairs instead of two string ids per
@@ -572,8 +581,14 @@ object Graph {
         val floor = math.min(8L, shufflePartitions.toLong)
         val target = math.max(floor, math.min(shufflePartitions.toLong, m / 150000L + 1)).toInt
         val eLoop =
-          if (target >= shufflePartitions) e
-          else {
+          if (target >= shufflePartitions) {
+            // this tier re-reads the edge frame EVERY round, so it must be
+            // cached — a deferred-layout (edgesDistinct) edge list arrives
+            // lazy and is marked here (round 1's gather warms the blocks;
+            // no extra materialization job)
+            if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.persist()
+            e
+          } else {
             val relaid = e.repartition(target, col("src")).persist()
             relaid.count()
             e.unpersist(false)

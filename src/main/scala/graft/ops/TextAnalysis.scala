@@ -247,7 +247,6 @@ object TextAnalysis {
     val grams = df.select(idCol.as("id"), explode(shingles(textCol, 2)).as("bg"))
       .select(col("id"), hash60(col("bg")).as("__bgh__"),
         hash60(element_at(split(col("bg"), " "), 1)).as("__ctxh__"))
-      .persist()
     // V rides INSIDE the plan as a broadcast 1-row aggregate (the
     // broadcast-scalar pattern) — no driver-blocking vocab pre-pass
     val vocab = df.select(explode(tokens(textCol)).as("t"))
@@ -264,7 +263,6 @@ object TextAnalysis {
       .select(col("id"),
         (-col("__s__").cast("double") / col("__n__")).as(out))
       .localCheckpoint(true)
-    grams.unpersist(false)
     result
   }
 
@@ -407,7 +405,6 @@ object TextAnalysis {
     val grams = df.select(idCol.as("id"), textCol.as("__t__"))
       .select(col("id"), explode(array_distinct(
         transform(shingles(col("__t__"), k), s => hash60(s)))).as("__g__"))
-      .persist()
     // grams are distinct per doc, so count(*) = number of docs holding it
     val counts = grams.groupBy(col("__g__")).agg(count(lit(1)).as("__nd__"))
     val result = grams.join(counts, "__g__")
@@ -415,7 +412,6 @@ object TextAnalysis {
       .agg((sum(when(col("__nd__") > 1, 1L).otherwise(0L)).cast("double") /
         count(lit(1)).cast("double")).as(out))
       .localCheckpoint(true)
-    grams.unpersist(false)
     result
   }
 
@@ -528,14 +524,16 @@ object TextAnalysis {
     */
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, out: String = "nll"): org.apache.spark.sql.DataFrame = {
-    // cache the token stream once: the frequency table and the scoring join
-    // both read it (uncached = two corpus tokenization passes), and the
-    // corpus total is its 1-row count riding INSIDE the plan as a broadcast
-    // aggregate (the Scale.keyProfile broadcast-scalar pattern) — scoring
-    // is one job with no driver-blocking pre-pass. The cache is released
-    // after the per-doc result is eagerly cut (the materialize lifecycle).
+    // the token stream is deliberately UNSTAGED (r7 staging verdict, same
+    // as DSIR/bigramNll/removeDuplicateSpans): its three consumers (the
+    // in-plan total, the frequency table, the scoring join) re-run the
+    // tokenize codegen kernel, which measured cheaper than writing an
+    // O(corpus tokens) STRING stream through the BlockManager — and at
+    // cluster scale that cache is an unbounded-memory hazard. The corpus
+    // total rides INSIDE the plan as a broadcast aggregate (the
+    // Scale.keyProfile broadcast-scalar pattern) — scoring has no
+    // driver-blocking pre-pass.
     val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("tok"))
-      .persist()
     val total = toks.agg(count(lit(1)).cast("double").as("__tot__"))
     val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val result = toks.join(freqs, "tok")
@@ -547,7 +545,6 @@ object TextAnalysis {
         (-aggregate(col("__xs__"), lit(0.0), (a, x) => a + x.getField("lp"))
           / size(col("__xs__"))).as(out))
       .localCheckpoint(true)
-    toks.unpersist(false)
     result
   }
 
