@@ -225,11 +225,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  /** Count the SQL executions a query's noop write triggers — the
-    * staged-pass budget harness shared by the q208/q38 guards (listener
-    * drained with a bounded quiescence spin: the bus is async).
+  /** Count the SQL executions a body triggers — the staged-pass budget
+    * harness shared by the q208/q38/op-level guards (listener drained with
+    * a bounded quiescence spin: the bus is async).
     */
-  private def sqlExecutions(queryName: String): Int = {
+  private def sqlExecutionsOf(body: => Unit): Int = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
     import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -240,8 +240,7 @@ class PlanSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try QueryCorpus.queries(queryName)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
+    try body
     finally {
       var last = -1
       var spins = 0
@@ -253,18 +252,47 @@ class PlanSpec extends AnyFunSuite {
     execs.get()
   }
 
-  test("q208 curation pipeline: staged-pass budget — 4 executions end-to-end") {
-    // The r6 staging audit's guard: the composed pipeline runs exactly
+  private def sqlExecutions(queryName: String): Int =
+    sqlExecutionsOf(QueryCorpus.queries(queryName)(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+
+  test("q208 curation pipeline: staged-pass budget — 3 executions end-to-end") {
+    // The r6/r7 staging audits' guard: the composed pipeline runs exactly
     //   (1) the duplicate-span removal's eager cut,
-    //   (2) the DSIR bucket-stream count (its cache materialization),
-    //   (3) the DSIR score cut,
-    //   (4) the final write
+    //   (2) the DSIR score cut (the r7 rewrite folded the bucket-stream
+    //       count into the plan as a broadcast scalar — a third execution
+    //       BEFORE the write means that driver barrier came back),
+    //   (3) the final write
     // — every other stage (gates, lang join, Gumbel top-k, packing) rides
-    // lazily inside one of those. A fifth execution means someone added an
-    // eager pass (an unstaged multi-consumer frame or a stray action).
+    // lazily inside one of those. A fourth execution means someone added an
+    // eager pass (a staged multi-consumer frame or a stray action).
     val n = sqlExecutions("q208_curation_v3")
-    assert(n <= 4,
+    assert(n <= 3,
       s"q208 ran $n SQL executions — an unstaged pass crept into the pipeline")
+  }
+
+  test("unstaged text ops: exactly one materializing action each (r7 staging verdict)") {
+    // Each op's ONLY action is its eager result cut (localCheckpoint): the
+    // token/gram stream is re-derived per consumer instead of cached, and
+    // every corpus total rides in-plan as a broadcast scalar. A second
+    // execution at construction time means a cache-materialization count or
+    // a driver-blocking total crept back in.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    def check(label: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+      val n = sqlExecutionsOf { build }
+      assert(n == 1, s"$label ran $n executions at construction — expected 1 (the eager cut)")
+    }
+    check("removeDuplicateSpans")(
+      graft.ops.TextAnalysis.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 5))
+    check("dsirScoresWithin")(
+      graft.ops.TextAnalysis.dsirScoresWithin(docs, col("doc_id"), col("text"),
+        col("lang") === "en", dim = 64))
+    check("bigramNll")(
+      graft.ops.TextAnalysis.bigramNll(docs, col("text"), col("doc_id")))
+    check("unigramNll")(
+      graft.ops.TextAnalysis.unigramNll(docs, col("text"), col("doc_id")))
   }
 
   test("q38 tfidf: staged-pass budget — 3 executions end-to-end") {
