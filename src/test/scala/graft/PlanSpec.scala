@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite {
       s"q208 ran $n SQL executions — an unstaged pass crept into the pipeline")
   }
 
+  test("q175 web pipeline: staged-pass budget — 4 executions end-to-end") {
+    // (1) the gate/clean staging cut, (2) the range-layout cache warm,
+    // (3) the budget-select eager cut, (4) the final write. A fifth means
+    // an unstaged multi-consumer frame or a stray action crept in.
+    val n = sqlExecutions("q175_web_pipeline")
+    assert(n <= 4,
+      s"q175 ran $n SQL executions — an extra eager pass crept into the pipeline")
+  }
+
   test("unstaged text ops: exactly one materializing action each (r7 staging verdict)") {
     // Each op's ONLY action is its eager result cut (localCheckpoint): the
     // token/gram stream is re-derived per consumer instead of cached, and
