@@ -28,13 +28,16 @@ import graft.queries.QueryCorpus
   *     are inflated, << 1 means the run STARTED contended — the r6 failure
   *     mode, where early timed pairs AND their warm anchors were poisoned
   *     together so neither per-query heal could fire);
-  *   - when the sentinel deviates either direction past 1.5×, the queries
+  *   - when the sentinel proves the run STARTED degraded (<< 1, so the
+  *     END the sentinel just measured is the healthy side), the queries
   *     most inflated versus the committed prior-round record
   *     (`bench_prior.json` / `bench_out.json` in the working directory — an
   *     anchor taken entirely OUTSIDE this run, which no in-run window can
-  *     poison) are re-timed at the very end, after the sentinel proved the
-  *     window positionally healthy again; the re-times merge into the
-  *     min-estimator and are named in `retimed`.
+  *     poison) are re-timed at the very end; the re-times merge into the
+  *     min-estimator and are named in `retimed`. End-of-run degradation
+  *     (>> 1) is labeled (`sentinel_degraded`) but not re-timed: the early
+  *     timed pairs already measured the healthy window and min() keeps
+  *     them, while extra runs would sample the degraded window.
   */
 object Bench {
 
@@ -73,6 +76,19 @@ object Bench {
     */
   def sentinelDegraded(sentinel: Double, limit: Double = 1.5): Boolean =
     sentinel > 0 && math.max(sentinel, 1.0 / sentinel) > limit
+
+  /** The repair pass may only fire when the START of the run was the
+    * degraded side (sentinel = last/first << 1): the re-times execute at
+    * the END of the run, so they repair something only when the end window
+    * is the healthy one. End-of-run degradation (>> 1) needs no repair —
+    * the early timed pairs already measured the healthy window and min()
+    * keeps them — and re-timing there would sample the degraded window
+    * while labeling the record repaired. The two-sided
+    * [[sentinelDegraded]] stays the RECORD label (`sentinel_degraded`);
+    * this rule gates only the extra runs.
+    */
+  def frontDegraded(sentinel: Double, limit: Double = 1.5): Boolean =
+    sentinel > 0 && 1.0 / sentinel > limit
 
   /** Extract the per-query times from a prior bench record (the one-line
     * JSON this object itself writes). Format-private on purpose: the
@@ -256,15 +272,17 @@ object Bench {
     val sentinel =
       if (firstTime > 0 && lastTime > 0) lastTime / firstTime else -1.0
 
-    // Repair pass (r6 lesson): when the sentinel proves the run was
-    // positionally degraded — either direction — re-time the queries most
-    // inflated vs the committed prior-round record, NOW, at the far end of
-    // the run from wherever the degradation was. The extra runs merge into
+    // Repair pass (r6 lesson): when the sentinel proves the run STARTED
+    // degraded, re-time the queries most inflated vs the committed
+    // prior-round record NOW — the end of the run, which the sentinel just
+    // measured as the healthy side (end-of-run degradation gets no repair:
+    // the early mins are already healthy, and extra runs here would sample
+    // the degraded window — see frontDegraded). The extra runs merge into
     // the min-estimator and append to queries_raw; the original runs are
     // never rewritten. Worst-inflation-first so a still-shrinking budget
     // repairs the biggest distortions first.
     val retimeNames: Seq[String] =
-      if (Bench.sentinelDegraded(sentinel)) Bench.retimeCandidates(resultsBase, prior)
+      if (Bench.frontDegraded(sentinel)) Bench.retimeCandidates(resultsBase, prior)
       else Seq.empty
     if (retimeNames.nonEmpty)
       System.err.println(s"[bench] sentinel $sentinel degraded — re-timing: ${retimeNames.mkString(", ")}")
@@ -292,7 +310,8 @@ object Bench {
     // post-repair inflation vs the committed prior: ~0 on a healthy box,
     // ~1.0 when the whole window was loaded (see priorInflatedFraction)
     val priorInflated = Bench.priorInflatedFraction(results, prior)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
+    val sentDegraded = Bench.sentinelDegraded(sentinel)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
     // The FILE is the primary artifact (stdout gets truncated/regex-
     // reconstructed by log capture — every BENCH_r1-r6 artifact carries
     // "parsed": null). Write it first, then point at it with a short,

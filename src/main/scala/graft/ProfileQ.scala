@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 import graft.queries.QueryCorpus
@@ -25,17 +24,10 @@ object ProfileQ {
     val unknown = names.filterNot(QueryCorpus.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same session factory as the engine (and conf-identical to Bench's
+    // builder) so profiles measure the config queries actually run under —
+    // a conf added in one place reaches all three
+    val spark = graft.core.GraftSession.local(cpus.toInt)
 
     val verbose = sys.env.get("GRAFT_PROFILE_STAGES").contains("1")
     println(s"[profile] verbose=$verbose repeats=$repeats sf=$sfDir")
@@ -75,11 +67,15 @@ object ProfileQ {
         QueryCorpus.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously (the public API offers no
-        // flush); settle until the counters stop moving — dev-tool precision
+        // flush); settle until the counters stop moving, bounded like
+        // PlanSpec's drain loop so a straggling event source can't hang
+        // the profiler
         var prev = -1L
-        while (prev != jobs.get.toLong + tasks.get + taskTimeMs.get) {
+        var spins = 0
+        while (prev != jobs.get.toLong + tasks.get + taskTimeMs.get && spins < 20) {
           prev = jobs.get.toLong + tasks.get + taskTimeMs.get
           Thread.sleep(150)
+          spins += 1
         }
         println(f"[profile] $name run$i%2d wall=$wall%7.3f s jobs=${jobs.get}%3d tasks=${tasks.get}%5d taskTime=${taskTimeMs.get / 1000.0}%8.2f s")
       }

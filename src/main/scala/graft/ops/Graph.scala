@@ -95,7 +95,20 @@ object Graph {
     *                      distinct by construction (pairs.distinct + a
     *                      prefix-disjoint symmetrizing union) — a full
     *                      aggregate over the edge list just to re-prove it
-    *                      is a wasted pass at any scale.
+    *                      is a wasted pass at any scale. The assertion also
+    *                      lets the edge lineage stay LAZY (it evaluates
+    *                      more than once: the degree pass, then the fork's
+    *                      one-shot gather or re-layout), so it must be
+    *                      DETERMINISTIC across evaluations — true of every
+    *                      frame this engine produces (seeded sample
+    *                      included), NOT true of `limit()` on unordered
+    *                      input. With a nondeterministic lineage the result
+    *                      is undefined (the driver-local tier catches
+    *                      endpoint drift loudly via its gather-count guard;
+    *                      the distributed tiers cannot); callers with such
+    *                      inputs should checkpoint first or leave
+    *                      edgesDistinct=false (the dedup path's layout
+    *                      cache pins one materialization).
     * @param broadcastNodeLimit rank frames with at most this many nodes take
     *                      the broadcast-join loop (see below); larger graphs
     *                      take the exchange-free sort-merge loop. 0 forces

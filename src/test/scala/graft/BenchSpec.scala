@@ -60,6 +60,21 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.sentinelDegraded(0.0))
   }
 
+  test("repair gating: only a front-degraded run earns end-of-run re-times") {
+    // start degraded (r6's 0.54): the end window is healthy — repair valid
+    assert(Bench.frontDegraded(0.54))
+    // end degraded: re-times would sample the degraded window — no repair,
+    // the early mins already measured the healthy side
+    assert(!Bench.frontDegraded(2.0))
+    assert(!Bench.frontDegraded(1.0))
+    // boundary mirrors sentinelDegraded's 1.5x
+    assert(!Bench.frontDegraded(1.0 / 1.5))
+    assert(Bench.frontDegraded(1.0 / 1.51))
+    // failed sentinel legs never trigger
+    assert(!Bench.frontDegraded(-1.0))
+    assert(!Bench.frontDegraded(0.0))
+  }
+
   test("parsePriorQueries reads the bench's own one-line record format") {
     val line = """{"metric":"total","value":22.08,"unit":"sec","runs":2,""" +
       """"healed":[],"queries":{"q01_agg_pricing_summary":0.2782,""" +
