@@ -663,6 +663,16 @@ object Graph {
     }
     loopEdges.unpersist(false) // no-op if the local tier already released e
     val out = (0 until n).map(j => (nodes(j), rank(j)))
-    spark.createDataFrame(out).toDF("node", "rank")
+    // Slice discipline for the driver-held result: a LocalRelation splits
+    // into defaultParallelism slices, so every downstream shuffle/sort runs
+    // 32 concurrent tasks over a frame that is ≤ the 64 MB broadcast budget
+    // by admission — and each such task pays a fixed ~0.25 s of
+    // TaskMemoryManager contention (measured: sorting a 16k-row local frame
+    // cost ~9 s of summed task time at 32 slices vs ~0.1 s at 4, same
+    // wall-parallel work). Size slices to the data (~64k rows each): small
+    // results run their tail in one task; a budget-limit 1M-node result
+    // still spreads 16 ways.
+    val slices = math.max(1L, math.min(16L, n / 65536L + 1L)).toInt
+    spark.createDataFrame(out).toDF("node", "rank").coalesce(slices)
   }
 }
