@@ -147,6 +147,24 @@ object Bench {
     }.toSeq.sortBy(-_._2).take(cap).map(_._1)
   }
 
+  /** The driver-facing handoff line (r8 lesson — eighth consecutive
+    * `parsed: null` official record): the driver keeps the TAIL of stdout,
+    * so the >4 KB full record line arrives head-truncated and never parses,
+    * and a pointer printed BEFORE it scrolls off with the head. The
+    * contract is therefore: write bench_out.json (the primary artifact),
+    * print the full record line, then print THIS short summary as the
+    * FINAL stdout line — the kept tail always ends in one complete,
+    * parseable JSON object carrying the headline numbers and the path to
+    * the full record. Short by construction: fixed keys, scalar values,
+    * no per-query maps.
+    */
+  def summaryLine(total: Double, sharedTotal: Double, sentinel: Double,
+      sentinelDegraded: Boolean, priorInflated: Double, sf: String,
+      see: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","r1_shared_total":$sharedTotal,""" +
+      s""""noise_sentinel":$sentinel,"sentinel_degraded":$sentinelDegraded,""" +
+      s""""prior_inflated":$priorInflated,"sf":"$sf","see":"$see"}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -235,6 +253,24 @@ object Bench {
         Seq("bench_prior.json", "bench_out.json"))
       .map(java.nio.file.Paths.get(_))
       .find(java.nio.file.Files.isReadable)
+    // Loudness on the fallback chain: bench_out.json is the file THIS
+    // binary overwrites, so anchoring on it means the committed healthy
+    // snapshot (bench_prior.json) is missing and the repair pass may be
+    // comparing against a degraded record; no anchor at all mutes the
+    // repair pass entirely. Both deserve a visible warning, not silence.
+    priorPath match {
+      case Some(p) if p.getFileName.toString == "bench_out.json" &&
+          sys.env.get("GRAFT_BENCH_PRIOR").isEmpty =>
+        System.err.println(
+          "[bench] WARNING: prior anchor fell back to bench_out.json (the file this run " +
+            "overwrites) — commit a healthy bench_prior.json so the repair pass anchors " +
+            "on a known-good record")
+      case None =>
+        System.err.println(
+          "[bench] WARNING: no readable prior anchor (bench_prior.json / bench_out.json) — " +
+            "the degraded-sentinel repair pass is disabled for this run")
+      case _ => ()
+    }
     val prior: Map[String, Double] = priorPath
       .map(p => Bench.parsePriorQueries(java.nio.file.Files.readString(p)))
       .getOrElse(Map.empty)
@@ -313,9 +349,12 @@ object Bench {
     val sentDegraded = Bench.sentinelDegraded(sentinel)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
     // The FILE is the primary artifact (stdout gets truncated/regex-
-    // reconstructed by log capture — every BENCH_r1-r6 artifact carries
-    // "parsed": null). Write it first, then point at it with a short,
-    // untruncatable stdout line BEFORE the long one.
+    // reconstructed by log capture — every BENCH_r1-r8 artifact carries
+    // "parsed": null). Write it first, print the full record line, then
+    // print the SHORT summary as the FINAL stdout line: the driver keeps
+    // the tail of stdout, so only a last-line summary survives truncation
+    // intact (see summaryLine — r8 lesson; a "see" pointer printed before
+    // the long line scrolled off with its head).
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
     val absOut = java.nio.file.Paths.get(outPath).toAbsolutePath
     try {
@@ -323,8 +362,9 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] wrote $absOut")
     } catch { case e: Throwable => System.err.println(s"[bench] could not write $absOut: $e") }
-    println(s"""{"see":"$absOut"}""")
     println(line)
+    println(summaryLine(total, sharedTotal, sentinel, sentDegraded,
+      priorInflated, sfDir, absOut.toString))
     spark.stop()
   }
 }

@@ -10,8 +10,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * minified JSON, compressed, optionally base64. Codecs: gzip (JVM stdlib,
   * the default) and zstd (via the zstd-jni Spark already ships for shuffle/
   * parquet — no new dependency). Brotli, the reference's other codec, has no
-  * JVM-stdlib/Spark-bundled implementation and stays out of scope; zstd
-  * strictly dominates it for this engine's wire format anyway.
+  * JVM-stdlib/Spark-bundled implementation and stays out of scope: Spark's
+  * commons-compress ships only the `BrotliCompressorInputStream` WRAPPER,
+  * whose `org.brotli:dec` backend is not on the distribution classpath —
+  * and brotli has no JVM encoder at all, so even with the decode jar the
+  * codec would be read-only. zstd strictly dominates it for this engine's
+  * wire format anyway.
   *
   * Two regimes:
   *   - [[compress]]: driver-side single payload — the reference's use case

@@ -276,6 +276,11 @@ object Dedup {
     * BlockManager — the cache that would also be the op's only unbounded
     * memory at cluster scale. Verified pairs are eagerly materialized, so
     * callers still get a small lineage-free pair frame.
+    *
+    * Lineage determinism: the unstaged shingle frame evaluates `df` once
+    * per pair-join side — as with [[Graph.pageRank]]'s edge contract, a
+    * nondeterministic input lineage (e.g. `limit()` on unordered data)
+    * yields undefined pairs; checkpoint or stage such inputs first.
     */
   def verifiedNearDupPairs(df: DataFrame, textCol: Column, idCol: Column,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,

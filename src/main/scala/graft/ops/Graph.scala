@@ -103,9 +103,12 @@ object Graph {
     *                      frame this engine produces (seeded sample
     *                      included), NOT true of `limit()` on unordered
     *                      input. With a nondeterministic lineage the result
-    *                      is undefined (the driver-local tier catches
-    *                      endpoint drift loudly via its gather-count guard;
-    *                      the distributed tiers cannot); callers with such
+    *                      is undefined; every tier guards loudly — the
+    *                      driver-local tier via its gather-count guard, the
+    *                      distributed tiers via a cross-tier |E| re-check
+    *                      at their materializing count (a mismatch vs the
+    *                      profile pass throws instead of silently
+    *                      dropping/duplicating edges). Callers with such
     *                      inputs should checkpoint first or leave
     *                      edgesDistinct=false (the dedup path's layout
     *                      cache pins one materialization).
@@ -360,7 +363,14 @@ object Graph {
     val (eLoop, loopDeg) = if (edgesDistinct) {
       val laid = e.repartition(shufflePartitions, col("src"))
         .sortWithinPartitions(col("src")).persist()
-      laid.count()
+      // the materializing count doubles as the cross-tier |E| guard: the
+      // lazy caller-asserted-distinct lineage already evaluated once for
+      // the degree pass (which measured m); a nondeterministic lineage
+      // would otherwise silently drop/duplicate edges in this re-layout
+      val laidCount = laid.count()
+      require(laidCount == m,
+        s"edge re-layout returned $laidCount rows for $m profiled edges — " +
+          "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
       e.unpersist(false)
       (laid, withDeg)
     } else (e, withDeg)
@@ -597,13 +607,28 @@ object Graph {
           if (target >= shufflePartitions) {
             // this tier re-reads the edge frame EVERY round, so it must be
             // cached — a deferred-layout (edgesDistinct) edge list arrives
-            // lazy and is marked here (round 1's gather warms the blocks;
-            // no extra materialization job)
-            if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.persist()
+            // lazy and is materialized eagerly here so the count doubles as
+            // the cross-tier |E| guard (the lazy lineage already evaluated
+            // once for the degree pass that measured m; a nondeterministic
+            // lineage would otherwise silently drop/duplicate edges). An
+            // already-cached dedup'd list skips the extra job — its one
+            // materialization is pinned.
+            if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+              e.persist()
+              val eCount = e.count()
+              require(eCount == m,
+                s"edge cache returned $eCount rows for $m profiled edges — " +
+                  "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
+            }
             e
           } else {
             val relaid = e.repartition(target, col("src")).persist()
-            relaid.count()
+            // materializing count doubles as the cross-tier |E| guard
+            // (same contract as the re-layout in pageRankLoop)
+            val relaidCount = relaid.count()
+            require(relaidCount == m,
+              s"edge re-layout returned $relaidCount rows for $m profiled edges — " +
+                "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
             e.unpersist(false)
             spark.conf.set("spark.sql.shuffle.partitions", target.toString)
             relaid

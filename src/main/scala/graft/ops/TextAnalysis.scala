@@ -235,6 +235,12 @@ object TextAnalysis {
     * V is an in-plan broadcast scalar; the per-doc sum quantizes each log-prob
     * to `decimal(28,14)` and sums exactly, so the score is bit-identical
     * on any partitioning without a sorted fold.
+    *
+    * Lineage determinism: the unstaged gram frame evaluates `df` more than
+    * once (both frequency aggregates + the scoring join) — as with
+    * [[Graph.pageRank]]'s edge contract, a nondeterministic input lineage
+    * (e.g. `limit()` on unordered data) yields undefined scores; checkpoint
+    * or stage such inputs first.
     */
   def bigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, k: Double = 1.0, out: String = "nll"): org.apache.spark.sql.DataFrame = {
@@ -395,6 +401,11 @@ object TextAnalysis {
     * its partition), gram → doc-count aggregate, hash-keyed join back +
     * per-doc fraction. Only 8-byte gram hashes ever shuffle; at corpus scale
     * the gram-count frame is the reusable index (persist it across audits).
+    *
+    * Lineage determinism: the unstaged gram frame evaluates `df` once per
+    * join side — as with [[Graph.pageRank]]'s edge contract, a
+    * nondeterministic input lineage (e.g. `limit()` on unordered data)
+    * yields undefined fractions; checkpoint or stage such inputs first.
     */
   def duplicateSpanFraction(df: org.apache.spark.sql.DataFrame, idCol: Column,
       textCol: Column, k: Int = 5,
@@ -525,6 +536,12 @@ object TextAnalysis {
     * tokens in SORTED order so the result is bit-deterministic on any
     * partitioning (and replayable by another engine folding in the same
     * order).
+    *
+    * Lineage determinism: the unstaged token stream evaluates `df` more
+    * than once (total, frequency table, scoring join) — as with
+    * [[Graph.pageRank]]'s edge contract, a nondeterministic input lineage
+    * (e.g. `limit()` on unordered data) yields undefined scores; checkpoint
+    * or stage such inputs first.
     */
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: Column,
       idCol: Column, out: String = "nll"): org.apache.spark.sql.DataFrame = {
@@ -592,6 +609,11 @@ object TextAnalysis {
     * totals fold from the dim-row count frames INSIDE the plan as broadcast
     * 1-row aggregates — no driver-blocking count action anywhere. No
     * vocabulary pass, no text shuffle.
+    *
+    * Lineage determinism: the unstaged token streams evaluate `raw` and
+    * `target` more than once — as with [[Graph.pageRank]]'s edge contract,
+    * a nondeterministic input lineage (e.g. `limit()` on unordered data)
+    * yields undefined scores; checkpoint or stage such inputs first.
     */
   def dsirScores(raw: org.apache.spark.sql.DataFrame, idCol: Column, textCol: Column,
       target: org.apache.spark.sql.DataFrame, targetTextCol: Column,

@@ -179,6 +179,11 @@ object Processors {
     private var encoding: Option[Seq[(String, Long)]] = None
 
     override def fit(df: DataFrame, inputCol: String): this.type = {
+      // Driver-memory contract (the Spark-ML StringIndexer contract): the
+      // fitted label space collects to the driver. Label encoding is for
+      // categorical columns — a high-cardinality (≈ row-count) key column
+      // fit would gather the whole key space; encode such columns with a
+      // hash/dense-rank instead.
       val c = col(inputCol)
       val filled = missingFill.fold(c)(f => coalesce(c, lit(f)))
       val numeric = df.schema(inputCol).dataType match {

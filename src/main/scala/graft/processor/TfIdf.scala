@@ -66,6 +66,13 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
   private val DocSentinel = "\u0000\u0000"
 
   override def fit(df: DataFrame, inputCol: String): this.type = {
+    // Driver-memory contract (the sklearn/Spark-ML CountVectorizer
+    // contract): the fitted vocabulary lives on the driver, and with
+    // max_features UNSET the collect below gathers EVERY distinct term
+    // passing minDf. At web scale (100 TB of raw text, an effectively
+    // unbounded term space) max_features is mandatory — the top-k limit
+    // bounds the collect to k+1 rows; uncapped fits are for vocabularies
+    // known to be small.
     // ONE corpus pass for n AND the document frequencies: every non-null
     // doc emits the sentinel row alongside its distinct tokens, so the
     // doc count rides the same explode → groupBy(term) aggregate instead

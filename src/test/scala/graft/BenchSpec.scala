@@ -136,6 +136,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeCandidates(Seq("a" -> 1.0), Map("a" -> 2.0)).isEmpty)
   }
 
+  test("summaryLine is short, complete JSON carrying the headline numbers") {
+    // The driver keeps the TAIL of stdout (r8 lesson: eight consecutive
+    // `parsed: null` records) — the contract is that the summary is the
+    // FINAL stdout line, short enough to survive any tail-truncation, and
+    // self-contained (metric/value plus the gate-relevant scalars and the
+    // path to the full record).
+    val s = Bench.summaryLine(total = 21.2134, sharedTotal = 6.0912,
+      sentinel = 0.93, sentinelDegraded = false, priorInflated = 0.0,
+      sf = "/root/testdata/sf0.1", see = "/root/repo/bench_out.json")
+    assert(s.length < 1024, s"summary must stay well under truncation size: ${s.length}")
+    assert(!s.contains("\n"))
+    assert(s.startsWith("{") && s.endsWith("}"))
+    // the driver's original read contract: metric/value/unit present
+    assert(s.contains(""""metric":"total""""))
+    assert(s.contains(""""value":21.2134"""))
+    assert(s.contains(""""unit":"sec""""))
+    // gate-relevant scalars + the pointer to the full record
+    assert(s.contains(""""r1_shared_total":6.0912"""))
+    assert(s.contains(""""noise_sentinel":0.93"""))
+    assert(s.contains(""""sentinel_degraded":false"""))
+    assert(s.contains(""""prior_inflated":0.0"""))
+    assert(s.contains(""""see":"/root/repo/bench_out.json""""))
+    // deliberately NO per-query map — that is what made the full line
+    // truncate; parsePriorQueries must NOT mistake the summary for a
+    // per-query record (the anchor reader reads the FILE, never stdout)
+    assert(Bench.parsePriorQueries(s).isEmpty)
+    // balanced braces/quotes — a cheap structural-JSON check without a parser
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.count(_ == '"') % 2 == 0)
+  }
+
   test("warm anchor: degraded or failed warm-up never false-triggers") {
     // inflated warm-up only RAISES the anchor
     assert(!Bench.needsWarmAnchorHeal(Seq(5.0, 5.2), warmTime = 4.0))

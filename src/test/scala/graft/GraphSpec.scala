@@ -139,6 +139,53 @@ class GraphSpec extends AnyFunSuite {
     for ((k, v) <- safe) assert(math.abs(fast(k) - v) < 1e-12, s"node $k")
   }
 
+  test("edgesDistinct: cross-tier |E| guard trips loudly on a nondeterministic lineage") {
+    // The caller-asserted-distinct contract keeps the edge lineage LAZY, so
+    // it evaluates once for the degree pass (which measures m) and again in
+    // whichever tier runs. This lineage drops one more edge per evaluation
+    // — the contract violation the guards exist for: every tier must refuse
+    // loudly instead of silently dropping/duplicating edges.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val base = (0 until 50).map(i => (s"n$i", s"n${(i + 1) % 50}"))
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType)))
+    def nondet(): org.apache.spark.sql.DataFrame = {
+      // static object, NOT a captured counter: task closures deserialize
+      // into copies, while a by-name object reference resolves to the one
+      // shared instance in the local-mode JVM
+      GraphSpecNondet.evals.set(0)
+      val rdd = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+        val k = GraphSpecNondet.evals.getAndIncrement()
+        base.drop(k).iterator.map { case (s, d) => Row(s, d) }
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    // SMJ tier (broadcastNodeLimit=0): guard at the re-layout count
+    val eSmj = intercept[IllegalArgumentException] {
+      Graph.pageRank(nondet(), "src", "dst", iterations = 2,
+        edgesDistinct = true, broadcastNodeLimit = 0L)
+    }
+    assert(eSmj.getMessage.contains("nondeterministic edge lineage"))
+    // driver-held distributed-gather tier (smallGraphMaxBytes=0): guard at
+    // the edge-cache materializing count
+    val eGather = intercept[IllegalArgumentException] {
+      Graph.pageRank(nondet(), "src", "dst", iterations = 2,
+        edgesDistinct = true, smallGraphMaxBytes = 0L)
+    }
+    assert(eGather.getMessage.contains("nondeterministic edge lineage"))
+    // driver-local tier: the pre-existing gather-count guard
+    val eLocal = intercept[IllegalArgumentException] {
+      Graph.pageRank(nondet(), "src", "dst", iterations = 2,
+        edgesDistinct = true)
+    }
+    assert(eLocal.getMessage.contains("node index no longer covers"))
+    // a tripped guard aborts mid-flight, so its tier caches stay behind by
+    // design — release them so this test leaves the session as it found it
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("pageRank: lineage truncates at checkpoints (plan does not grow with iterations)") {
     val edges = (0L until 200L).map(i => (i.toString, ((i + 1) % 200).toString))
       .toDF("src", "dst")
@@ -278,4 +325,13 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1)).toSeq
     assert(uniform == Seq(0.5, 0.5))
   }
+}
+
+/** Shared-JVM evaluation counter for the nondeterministic-lineage guard
+  * spec: referenced by name from the task closure so every local-mode task
+  * sees the SAME instance (a captured counter would be serialized into
+  * per-task copies and never observe cross-evaluation drift).
+  */
+object GraphSpecNondet {
+  val evals = new java.util.concurrent.atomic.AtomicInteger(0)
 }
