@@ -147,6 +147,19 @@ object Bench {
     }.toSeq.sortBy(-_._2).take(cap).map(_._1)
   }
 
+  /** Minimal JSON string escape (backslash, quote, control chars) for the
+    * path/dir fields interpolated into the record and summary lines — both
+    * are env-var-controlled, and an unescaped quote in a path would
+    * malform the one line whose entire purpose is guaranteed parseability.
+    */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
   /** The driver-facing handoff line (r8 lesson — eighth consecutive
     * `parsed: null` official record): the driver keeps the TAIL of stdout,
     * so the >4 KB full record line arrives head-truncated and never parses,
@@ -163,7 +176,7 @@ object Bench {
       see: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","r1_shared_total":$sharedTotal,""" +
       s""""noise_sentinel":$sentinel,"sentinel_degraded":$sentinelDegraded,""" +
-      s""""prior_inflated":$priorInflated,"sf":"$sf","see":"$see"}"""
+      s""""prior_inflated":$priorInflated,"sf":${jstr(sf)},"see":${jstr(see)}}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -257,10 +270,21 @@ object Bench {
     // binary overwrites, so anchoring on it means the committed healthy
     // snapshot (bench_prior.json) is missing and the repair pass may be
     // comparing against a degraded record; no anchor at all mutes the
-    // repair pass entirely. Both deserve a visible warning, not silence.
+    // repair pass entirely; and an explicitly requested GRAFT_BENCH_PRIOR
+    // that is unreadable (typo, deleted file) silently hands resolution to
+    // the fallback chain the caller meant to override. All three deserve a
+    // visible warning, not silence.
+    val explicitPrior = sys.env.get("GRAFT_BENCH_PRIOR")
+    for (e <- explicitPrior
+         if !java.nio.file.Files.isReadable(java.nio.file.Paths.get(e)))
+      System.err.println(
+        s"[bench] WARNING: GRAFT_BENCH_PRIOR=$e is not readable — " +
+          "falling back to the committed snapshot chain")
     priorPath match {
+      // suppress only when the caller EXPLICITLY anchored on bench_out.json
+      // (resolved path == the readable env value, matched by construction)
       case Some(p) if p.getFileName.toString == "bench_out.json" &&
-          sys.env.get("GRAFT_BENCH_PRIOR").isEmpty =>
+          !explicitPrior.contains(p.toString) =>
         System.err.println(
           "[bench] WARNING: prior anchor fell back to bench_out.json (the file this run " +
             "overwrites) — commit a healthy bench_prior.json so the repair pass anchors " +
@@ -342,12 +366,12 @@ object Bench {
     val healed = rawBase.collect { case (n, rs) if rs.size > 2 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val retimed = retimeNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val priorStr = priorPath.map(p => "\"" + p.toAbsolutePath + "\"").getOrElse("null")
+    val priorStr = priorPath.map(p => jstr(p.toAbsolutePath.toString)).getOrElse("null")
     // post-repair inflation vs the committed prior: ~0 on a healthy box,
     // ~1.0 when the whole window was loaded (see priorInflatedFraction)
     val priorInflated = Bench.priorInflatedFraction(results, prior)
     val sentDegraded = Bench.sentinelDegraded(sentinel)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":"$sfDir","r1_shared_total":$sharedTotal$curve}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":${jstr(sfDir)},"r1_shared_total":$sharedTotal$curve}"""
     // The FILE is the primary artifact (stdout gets truncated/regex-
     // reconstructed by log capture — every BENCH_r1-r8 artifact carries
     // "parsed": null). Write it first, print the full record line, then

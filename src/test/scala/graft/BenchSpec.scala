@@ -167,6 +167,21 @@ class BenchSpec extends AnyFunSuite {
     assert(s.count(_ == '"') % 2 == 0)
   }
 
+  test("summaryLine escapes quotes/backslashes/controls in env-controlled paths") {
+    // sf and see come from env vars; a quote in a path must not malform the
+    // one line whose entire purpose is guaranteed parseability
+    val s = Bench.summaryLine(total = 1.0, sharedTotal = 0.5, sentinel = 1.0,
+      sentinelDegraded = false, priorInflated = 0.0,
+      sf = "/weird\"dir\\name\t", see = "/out\"file.json")
+    assert(s.contains("/weird\\\"dir\\\\name\\" + "u0009"))
+    assert(s.contains("/out\\\"file.json"))
+    // after dropping the escape pairs, quote count stays balanced (every
+    // interior quote was escaped) and no raw control char survives
+    val unescaped = s.replace("\\\\", "").replace("\\\"", "")
+    assert(unescaped.count(_ == '"') % 2 == 0)
+    assert(!s.contains("\t"))
+  }
+
   test("warm anchor: degraded or failed warm-up never false-triggers") {
     // inflated warm-up only RAISES the anchor
     assert(!Bench.needsWarmAnchorHeal(Seq(5.0, 5.2), warmTime = 4.0))

@@ -161,29 +161,33 @@ class GraphSpec extends AnyFunSuite {
       }
       spark.createDataFrame(rdd, schema)
     }
-    // SMJ tier (broadcastNodeLimit=0): guard at the re-layout count
-    val eSmj = intercept[IllegalArgumentException] {
-      Graph.pageRank(nondet(), "src", "dst", iterations = 2,
-        edgesDistinct = true, broadcastNodeLimit = 0L)
+    try {
+      // SMJ tier (broadcastNodeLimit=0): guard at the re-layout count
+      val eSmj = intercept[IllegalArgumentException] {
+        Graph.pageRank(nondet(), "src", "dst", iterations = 2,
+          edgesDistinct = true, broadcastNodeLimit = 0L)
+      }
+      assert(eSmj.getMessage.contains("nondeterministic edge lineage"))
+      // driver-held distributed-gather tier (smallGraphMaxBytes=0): guard at
+      // the edge-cache materializing count
+      val eGather = intercept[IllegalArgumentException] {
+        Graph.pageRank(nondet(), "src", "dst", iterations = 2,
+          edgesDistinct = true, smallGraphMaxBytes = 0L)
+      }
+      assert(eGather.getMessage.contains("nondeterministic edge lineage"))
+      // driver-local tier: the pre-existing gather-count guard
+      val eLocal = intercept[IllegalArgumentException] {
+        Graph.pageRank(nondet(), "src", "dst", iterations = 2,
+          edgesDistinct = true)
+      }
+      assert(eLocal.getMessage.contains("node index no longer covers"))
+    } finally {
+      // a tripped guard aborts mid-flight, so its tier caches stay behind
+      // by design — release them UNCONDITIONALLY (a failing assertion above
+      // must not leak blocks into the shared session for later suites)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
-    assert(eSmj.getMessage.contains("nondeterministic edge lineage"))
-    // driver-held distributed-gather tier (smallGraphMaxBytes=0): guard at
-    // the edge-cache materializing count
-    val eGather = intercept[IllegalArgumentException] {
-      Graph.pageRank(nondet(), "src", "dst", iterations = 2,
-        edgesDistinct = true, smallGraphMaxBytes = 0L)
-    }
-    assert(eGather.getMessage.contains("nondeterministic edge lineage"))
-    // driver-local tier: the pre-existing gather-count guard
-    val eLocal = intercept[IllegalArgumentException] {
-      Graph.pageRank(nondet(), "src", "dst", iterations = 2,
-        edgesDistinct = true)
-    }
-    assert(eLocal.getMessage.contains("node index no longer covers"))
-    // a tripped guard aborts mid-flight, so its tier caches stay behind by
-    // design — release them so this test leaves the session as it found it
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
   test("pageRank: lineage truncates at checkpoints (plan does not grow with iterations)") {
