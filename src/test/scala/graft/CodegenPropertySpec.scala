@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial codegen==interpreted differential over the WHOLE custom
+  * expression ladder at once: one scalacheck-generated corpus of hostile
+  * strings (control chars, lone and paired surrogates, NBSP/line-sep,
+  * whitespace runs, heavy repetition, long runs) and one of float vectors
+  * (NaN, ±Inf, ±0.0, denormals, length mismatches) drive every expression
+  * through both evaluation paths in a single batch per mode.
+  *
+  * The per-expression specs pin hand cases and driver kernels; this spec
+  * widens the input space. The corpus is freshly generated per run — on a
+  * mismatch the assert prints the offending input as \\uXXXX escapes so the
+  * case can be pinned in the expression's own spec.
+  */
+class CodegenPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  private def sampled[T](g: org.scalacheck.Gen[T]): T =
+    Iterator.continually(g.sample).flatten.next()
+
+  private val corpus: Seq[String] = {
+    import org.scalacheck.Gen
+    val anyChar = Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '-', '_', '\''),
+      2 -> Gen.choose(0x20.toChar, 0x7e.toChar),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '\u00df', '\u03a9', '\u00a0', '\u2028', '\u2026'),
+      1 -> Gen.choose(0x00.toChar, 0x1f.toChar),
+      1 -> Gen.oneOf('\ud83d', '\ude00')) // surrogate halves: paired AND lone
+    val gen = Gen.chooseNum(0, 160).flatMap(n => Gen.listOfN(n, anyChar).map(_.mkString))
+    val pinned = Seq("", " ", "a", "the the the the", "\u0000", "\ud83d\ude00\ud83d\ude00",
+      "a" * 500, "\ud83d", "word1 word2\tword3\nword4", "\u00e9" * 80)
+    pinned ++ Seq.fill(400)(sampled(gen))
+  }
+
+  /** Evaluate `cols` over `df` under both codegen factory modes, row-major,
+    * everything cast to string so arrays/doubles/longs compare uniformly.
+    */
+  private def bothModes(cols: Seq[Column], df: DataFrame): (Seq[Seq[String]], Seq[Seq[String]]) = {
+    def run(mode: String): Seq[Seq[String]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(cols.map(_.cast("string")): _*).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "<null>" else r.getString(i)).toSeq).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    (run("CODEGEN_ONLY"), run("NO_CODEGEN"))
+  }
+
+  private def escape(s: String): String =
+    s.take(80).map(ch => f"\\u${ch.toInt}%04x").mkString
+
+  test("string expressions: codegen == interpreted over an adversarial generated corpus") {
+    import graft.functions._
+    val df = corpus.toDF("s")
+    val vocab = Seq("the", "a", "word", "é", "re", "search", "wo")
+    val cols = Seq(
+      FnvHash64.fnv_hash64(col("s")),
+      Md5Hash60.md5_hash60(col("s")),
+      CharEntropy.char_entropy(col("s")),
+      WordTokens.word_tokens(col("s")),
+      WordTokens.word_tokens(col("s"), minLen = 3),
+      ShinglesFromTokens.shingles_from_tokens(WordTokens.word_tokens(col("s")), 3),
+      TopFreqFraction.top_freq_fraction(WordTokens.word_tokens(col("s"))),
+      VocabTokenCount.vocab_token_count(col("s"), vocab),
+      VocabTokenCount.vocab_tokenize(col("s"), vocab))
+    val (cg, in) = bothModes(cols, df)
+    corpus.indices.foreach { r =>
+      assert(cg(r) == in(r),
+        s"codegen!=interpreted for input ${escape(corpus(r))}: ${cg(r)} vs ${in(r)}")
+    }
+    // the hash columns also match the driver-side kernel byte-for-byte
+    // (UTF8String.fromString and String.getBytes(UTF_8) agree on every
+    // input including lone surrogates — both substitute '?')
+    val fnv = df.select(FnvHash64.fnv_hash64(col("s"))).collect().map(_.getLong(0))
+    corpus.indices.foreach { r =>
+      assert(fnv(r) == FnvHash64.hash(corpus(r).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        s"fnv_hash64 != driver kernel for ${escape(corpus(r))}")
+    }
+  }
+
+  test("dot_product: codegen == interpreted over generated vectors incl. NaN/Inf/mismatch") {
+    import org.scalacheck.Gen
+    val f = Gen.frequency(
+      6 -> Gen.chooseNum(-1e6f, 1e6f),
+      1 -> Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+        0.0f, -0.0f, Float.MinPositiveValue))
+    // ~1 in 8 pairs get independent lengths → exercises the
+    // length-mismatch → null contract alongside the matched hot path
+    val pair = for {
+      n <- Gen.chooseNum(0, 24)
+      m <- Gen.frequency(7 -> Gen.const(n), 1 -> Gen.chooseNum(0, 24))
+      a <- Gen.listOfN(n, f)
+      b <- Gen.listOfN(m, f)
+    } yield (a.toArray, b.toArray)
+    val pairs = Seq.fill(200)(sampled(pair))
+    val df = pairs.toDF("a", "b")
+    val (cg, in) = bothModes(
+      Seq(graft.functions.DotProduct.dot_product(col("a"), col("b"))), df)
+    pairs.indices.foreach { r =>
+      assert(cg(r) == in(r),
+        s"dot_product codegen!=interpreted for ${pairs(r)._1.mkString(",")} · ${pairs(r)._2.mkString(",")}: ${cg(r)} vs ${in(r)}")
+    }
+    // matched-length rows also agree with a driver-side left-to-right fold
+    val got = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).collect()
+    pairs.indices.foreach { r =>
+      val (a, b) = pairs(r)
+      if (a.length == b.length) {
+        var acc = 0.0
+        var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        val g = got(r).getDouble(0)
+        assert(java.lang.Double.doubleToRawLongBits(g) == java.lang.Double.doubleToRawLongBits(acc) ||
+          (g.isNaN && acc.isNaN),
+          s"dot_product != driver fold at row $r: $g vs $acc")
+      } else assert(got(r).isNullAt(0), s"length mismatch must be null at row $r")
+    }
+  }
+}
