@@ -170,9 +170,17 @@ object Writers {
     // (PartitionFilters, no data read) instead of scanning 100 TB
     val w0 = out.write.mode(mode)
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    // Spark's CSV WRITER defaults ignoreLeading/TrailingWhiteSpace=true —
+    // it would silently TRIM whitespace-padded values on write (found by
+    // the IoRoundTripPropertySpec round-trip). pandas to_csv preserves
+    // them (quoting as needed), so the sink must too; the reader side
+    // already preserves (read defaults are false).
+    def csvW = w.option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
     meta.format match {
-      case Format.Csv => w.option("header", "true").csv(meta.path)
-      case Format.Tsv => w.option("header", "true").option("sep", "\t").csv(meta.path)
+      case Format.Csv => csvW.csv(meta.path)
+      case Format.Tsv => csvW.option("sep", "\t").csv(meta.path)
       case Format.Parquet => w.parquet(meta.path)
       case Format.Orc => w.orc(meta.path)
       case Format.JsonLines | Format.Json => w.json(meta.path)

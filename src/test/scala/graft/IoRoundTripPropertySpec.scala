@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Readers, Writers}
+import graft.ops.Multimodal
+
+/** Randomized sink->scan round-trips and multimodal decode differentials:
+  * frames with hostile string content (quotes, separators, newlines,
+  * unicode, nulls) must survive every self-describing format round-trip
+  * byte-exactly; generated PNGs decoded by the engine must report the
+  * exact dimensions/bands they were rendered with.
+  */
+class IoRoundTripPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+
+  private def sampled[T](g: org.scalacheck.Gen[T]): T =
+    Iterator.continually(g.sample).flatten.next()
+
+  private val rows: Seq[(Long, Option[String], Option[Double], Option[Long])] = {
+    import org.scalacheck.Gen
+    val hostile = Gen.oneOf(
+      "plain", "with,comma", "with\ttab", "with\nnewline", "with\"quote",
+      "with'apos", "semi;colon", "uni \u00e9\u4e2d\u00df", "  padded  ", "", "NULL", "null",
+      "\\backslash", "with\r\nCRLF")
+    val s = Gen.frequency(8 -> hostile.map(Some(_)), 1 -> Gen.const(None))
+    val d = Gen.frequency(
+      6 -> Gen.chooseNum(-1e6, 1e6).map(v => Some(math.rint(v * 100) / 100)),
+      1 -> Gen.const(None))
+    val l = Gen.frequency(6 -> Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2).map(Some(_)),
+      1 -> Gen.const(None))
+    Seq.tabulate(120)(i => (i.toLong, sampled(s), sampled(d), sampled(l)))
+  }
+
+  private def df = rows.toDF("id", "s", "d", "l")
+
+  private def canon(frame: org.apache.spark.sql.DataFrame): Seq[String] =
+    frame.select(col("id").cast("long"), col("s"), col("d"), col("l").cast("long"))
+      .collect().map(r => (0 until 4).map(i =>
+        if (r.isNullAt(i)) "<null>" else r.get(i).toString).mkString("\u0001"))
+      .sorted.toSeq
+
+  test("parquet / orc / jsonl round-trip hostile content byte-exactly") {
+    val want = canon(df)
+    for (ext <- Seq("parquet", "orc", "jsonl")) {
+      val dir = java.nio.file.Files.createTempDirectory("io_prop").toString
+      val path = s"$dir/t.$ext"
+      Writers.write(df, path)
+      val back = Readers.read(spark, path)
+      assert(canon(back) == want, s"$ext round-trip diverged")
+    }
+  }
+
+  test("csv round-trip preserves hostile quoted content (typed re-read)") {
+    // CSV is not self-describing: re-read with schema inference can type
+    // "NULL"/"" as nulls and longs as doubles, so compare on the STRING
+    // column through an explicit schema -- the quoting/escaping under test
+    val dir = java.nio.file.Files.createTempDirectory("io_prop_csv").toString
+    val path = s"$dir/t.csv"
+    Writers.write(df, path)
+    val back = spark.read
+      .schema("id LONG, s STRING, d DOUBLE, l LONG")
+      .options(Map("header" -> "true", "multiLine" -> "true"))
+      .csv(path)
+    val got = back.select(col("id"), col("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    rows.foreach { case (id, s, _, _) =>
+      // empty string and the bare words NULL/null are indistinguishable
+      // from absent in CSV (the format's own limitation) -- skip those
+      val ambiguous = s.exists(v => v.isEmpty || v.equalsIgnoreCase("null"))
+      if (!ambiguous)
+        assert(got(id) == s, s"csv row $id: ${got(id)} vs $s")
+    }
+  }
+
+  test("decodeImages reports exact dimensions for generated PNGs, fake path for junk") {
+    import org.scalacheck.Gen
+    val images = Seq.tabulate(12) { i =>
+      val w = sampled(Gen.chooseNum(1, 40)); val h = sampled(Gen.chooseNum(1, 40))
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, sampled(Gen.chooseNum(0, 0xffffff)))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (s"img$i.png", bos.toByteArray, w, h)
+    }
+    val junk = Seq(("junk.bin", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), -1, -1))
+    val assets = (images ++ junk).map { case (p, b, _, _) => (p, b) }
+      .toDF("path", "data")
+      .select(Multimodal.assetStruct(col("path"), col("data"), map()).as("asset"))
+    val got = Multimodal.decodeImages(assets, "asset")
+      .collect().map(d => d.path -> d).toMap
+    images.foreach { case (p, bytes, w, h) =>
+      val d = got(p)
+      assert(d.width == w && d.height == h, s"$p: ${d.width}x${d.height} vs ${w}x$h")
+      assert(d.channels == 3, s"$p channels")
+      assert(d.checksum == graft.functions.FnvHash64.hash(bytes), s"$p checksum")
+    }
+    // non-image payload takes the documented deterministic fake path
+    val j = got("junk.bin")
+    assert(j.width == 8 && j.channels == 3 &&
+      j.checksum == graft.functions.FnvHash64.hash(junk.head._2))
+  }
+}
