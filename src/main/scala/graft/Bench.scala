@@ -262,10 +262,15 @@ object Bench {
     // snapshot this repo commits each round (the per-round driver overwrites
     // bench_out.json with the official — possibly degraded — record, so it
     // is only the fallback).
+    // isRegularFile, not just isReadable: a directory is "readable" (and
+    // GRAFT_BENCH_PRIOR="" resolves to the cwd), but readString on it
+    // would crash the bench before any timing — the anchor contract is
+    // "malformed input degrades to an empty map, never a crash"
     val priorPath = (sys.env.get("GRAFT_BENCH_PRIOR").toSeq ++
         Seq("bench_prior.json", "bench_out.json"))
       .map(java.nio.file.Paths.get(_))
-      .find(java.nio.file.Files.isReadable)
+      .find(p => java.nio.file.Files.isRegularFile(p) &&
+        java.nio.file.Files.isReadable(p))
     // Loudness on the fallback chain: bench_out.json is the file THIS
     // binary overwrites, so anchoring on it means the committed healthy
     // snapshot (bench_prior.json) is missing and the repair pass may be
@@ -275,10 +280,11 @@ object Bench {
     // the fallback chain the caller meant to override. All three deserve a
     // visible warning, not silence.
     val explicitPrior = sys.env.get("GRAFT_BENCH_PRIOR")
-    for (e <- explicitPrior
-         if !java.nio.file.Files.isReadable(java.nio.file.Paths.get(e)))
+    for (e <- explicitPrior; p = java.nio.file.Paths.get(e)
+         if !(java.nio.file.Files.isRegularFile(p) &&
+           java.nio.file.Files.isReadable(p)))
       System.err.println(
-        s"[bench] WARNING: GRAFT_BENCH_PRIOR=$e is not readable — " +
+        s"[bench] WARNING: GRAFT_BENCH_PRIOR=$e is not a readable file — " +
           "falling back to the committed snapshot chain")
     priorPath match {
       // suppress only when the caller EXPLICITLY anchored on bench_out.json
@@ -296,7 +302,8 @@ object Bench {
       case _ => ()
     }
     val prior: Map[String, Double] = priorPath
-      .map(p => Bench.parsePriorQueries(java.nio.file.Files.readString(p)))
+      .flatMap(p => scala.util.Try(
+        Bench.parsePriorQueries(java.nio.file.Files.readString(p))).toOption)
       .getOrElse(Map.empty)
 
     // warm-up: JIT + parquet footer cache; its times order the timed pass

@@ -18,8 +18,7 @@ class AggStatePropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   private val rows: Seq[(String, Option[Double])] = {
     import org.scalacheck.Gen
@@ -47,7 +46,7 @@ class AggStatePropertySpec extends AnyFunSuite {
       val deltas = (0 until parts).map { p =>
         AggState.build(assign.collect { case (r, q) if q == p => r }
           .toDF("k", "v"), Seq("k"), col("v"))
-      }.filter(_.columns.nonEmpty)
+      }
       val leftFold = deltas.reduceLeft((a, b) => AggState.merge(a, b, Seq("k")))
       assert(canon(leftFold) == want, s"trial $trial: left fold diverged")
       val reversed = deltas.reverse.reduceLeft((a, b) => AggState.merge(a, b, Seq("k")))

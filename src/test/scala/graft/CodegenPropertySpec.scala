@@ -21,8 +21,7 @@ class CodegenPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   private val corpus: Seq[String] = {
     import org.scalacheck.Gen
@@ -39,18 +38,31 @@ class CodegenPropertySpec extends AnyFunSuite {
     pinned ++ Seq.fill(400)(sampled(gen))
   }
 
-  /** Evaluate `cols` over `df` under both codegen factory modes, row-major,
-    * everything cast to string so arrays/doubles/longs compare uniformly.
+  /** Evaluate `cols` over `df` under both REAL execution paths (see
+    * PropertyTestKit.withExecutedMode — naive factory-mode toggling is
+    * vacuous over local frames), row-major, everything cast to string so
+    * arrays/doubles/longs compare uniformly. Each leg asserts its plan
+    * actually took the intended path.
     */
   private def bothModes(cols: Seq[Column], df: DataFrame): (Seq[Seq[String]], Seq[Seq[String]]) = {
-    def run(mode: String): Seq[Seq[String]] = {
-      spark.conf.set("spark.sql.codegen.factoryMode", mode)
-      try df.select(cols.map(_.cast("string")): _*).collect()
-        .map(r => (0 until r.length).map(i =>
-          if (r.isNullAt(i)) "<null>" else r.getString(i)).toSeq).toSeq
-      finally spark.conf.unset("spark.sql.codegen.factoryMode")
-    }
-    (run("CODEGEN_ONLY"), run("NO_CODEGEN"))
+    def run(mode: String): Seq[Seq[String]] =
+      PropertyTestKit.withExecutedMode(spark, mode) {
+        val out = df.select(cols.map(_.cast("string")): _*)
+        val plan = out.queryExecution.executedPlan.toString
+        // "*(n)" prefixes are the whole-stage-codegen markers in the
+        // compact plan form; a surviving Project node proves the
+        // projection EXECUTES instead of being pre-evaluated away
+        if (mode == "codegen")
+          assert(plan.contains("*(") && plan.contains("Project"),
+            s"codegen leg did not compile an executing stage:\n$plan")
+        else
+          assert(!plan.contains("*(") && plan.contains("Project"),
+            s"interpreted leg not a plain interpreted projection:\n$plan")
+        out.collect()
+          .map(r => (0 until r.length).map(i =>
+            if (r.isNullAt(i)) "<null>" else r.getString(i)).toSeq).toSeq
+      }
+    (run("codegen"), run("interpreted"))
   }
 
   private def escape(s: String): String =
@@ -78,7 +90,9 @@ class CodegenPropertySpec extends AnyFunSuite {
     // the hash columns also match the driver-side kernel byte-for-byte
     // (UTF8String.fromString and String.getBytes(UTF_8) agree on every
     // input including lone surrogates — both substitute '?')
-    val fnv = df.select(FnvHash64.fnv_hash64(col("s"))).collect().map(_.getLong(0))
+    val fnv = PropertyTestKit.withExecutedMode(spark, "codegen") {
+      df.select(FnvHash64.fnv_hash64(col("s"))).collect().map(_.getLong(0))
+    }
     corpus.indices.foreach { r =>
       assert(fnv(r) == FnvHash64.hash(corpus(r).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
         s"fnv_hash64 != driver kernel for ${escape(corpus(r))}")
@@ -108,7 +122,9 @@ class CodegenPropertySpec extends AnyFunSuite {
         s"dot_product codegen!=interpreted for ${pairs(r)._1.mkString(",")} · ${pairs(r)._2.mkString(",")}: ${cg(r)} vs ${in(r)}")
     }
     // matched-length rows also agree with a driver-side left-to-right fold
-    val got = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).collect()
+    val got = PropertyTestKit.withExecutedMode(spark, "codegen") {
+      df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).collect()
+    }
     pairs.indices.foreach { r =>
       val (a, b) = pairs(r)
       if (a.length == b.length) {

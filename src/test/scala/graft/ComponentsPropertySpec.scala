@@ -16,8 +16,7 @@ class ComponentsPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   private val edges: Seq[(Long, Long)] = {
     import org.scalacheck.Gen

@@ -26,18 +26,19 @@ class DotProductSpec extends AnyFunSuite {
       (i.toLong, it.take(16).toArray, rng(i + 1000).take(16).toArray)
     }
     val df = vecs.toDF("id", "a", "b")
-    def run(mode: String): Seq[(Long, Double)] = {
-      spark.conf.set("spark.sql.codegen.factoryMode", mode)
-      try df.select(col("id"), DotProduct.dot_product(col("a"), col("b")).as("d"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      finally spark.conf.unset("spark.sql.codegen.factoryMode")
-    }
+    // via PropertyTestKit.withExecutedMode: a bare factory-mode toggle is
+    // VACUOUS here (ConvertToLocalRelation pre-evaluates the projection)
+    def run(mode: String): Seq[(Long, Double)] =
+      PropertyTestKit.withExecutedMode(spark, mode) {
+        df.select(col("id"), DotProduct.dot_product(col("a"), col("b")).as("d"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
     val viaHof = df.select(col("id"), Similarity.dotHof(col("a"), col("b")).as("d"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // left-to-right summation order means results are bit-identical, not
     // merely close — the kernel is a drop-in for oracle-verified queries
-    assert(run("CODEGEN_ONLY") == viaHof)
-    assert(run("NO_CODEGEN") == viaHof)
+    assert(run("codegen") == viaHof)
+    assert(run("interpreted") == viaHof)
   }
 
   test("float arrays widen per element exactly like casting first") {

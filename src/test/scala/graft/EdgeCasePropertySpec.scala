@@ -17,8 +17,7 @@ class EdgeCasePropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   test("qcut and cut match the driver when-chain, duplicate-heavy data and nulls") {
     import org.scalacheck.Gen

@@ -16,8 +16,7 @@ class HistoryPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   // per key: snapshots at versions 1..n with an attribute that repeats and
   // sometimes goes null (null->value and value->null must open intervals)

@@ -30,14 +30,15 @@ class Md5Hash60Spec extends AnyFunSuite {
   }
 
   test("codegen and interpreted paths agree") {
+    // via PropertyTestKit.withExecutedMode: a bare factory-mode toggle is
+    // VACUOUS here (ConvertToLocalRelation pre-evaluates the projection)
     val df = (0 until 100).map(i => s"row-$i").toDF("s")
-    def hashes(codegen: String): Seq[Long] = {
-      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
-      try df.withColumn("h", Md5Hash60.md5_hash60(col("s")))
-        .collect().map(_.getLong(1)).toSeq
-      finally spark.conf.unset("spark.sql.codegen.factoryMode")
-    }
-    assert(hashes("CODEGEN_ONLY") == hashes("NO_CODEGEN"))
+    def hashes(mode: String): Seq[Long] =
+      PropertyTestKit.withExecutedMode(spark, mode) {
+        df.withColumn("h", Md5Hash60.md5_hash60(col("s")))
+          .collect().map(_.getLong(1)).toSeq
+      }
+    assert(hashes("codegen") == hashes("interpreted"))
   }
 
   test("SQL registration and binary input") {

@@ -15,8 +15,7 @@ class NllPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   private val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
     "foxtrot", "golf", "hotel")

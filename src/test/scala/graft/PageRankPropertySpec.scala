@@ -16,8 +16,7 @@ class PageRankPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   private def referencePageRank(edges: Seq[(String, String)], iterations: Int,
       d: Double): Map[String, Double] = {

@@ -15,8 +15,7 @@ class ProcessorPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   test("LabelEncoding: every range matches the sorted-label rule; unknowns and inverse round-trip") {
     import org.scalacheck.Gen

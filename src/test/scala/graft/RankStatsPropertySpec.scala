@@ -15,8 +15,7 @@ class RankStatsPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   // tie-heavy pairs: x mixes a small integer domain (ties) with continuous
   // values; y correlates loosely with x so tau/rho are neither 0 nor 1
@@ -40,11 +39,7 @@ class RankStatsPropertySpec extends AnyFunSuite {
   private def clean: Seq[(Double, Double)] =
     rows.collect { case (Some(a), Some(b)) => (a, b) }
 
-  private def type7(sorted: IndexedSeq[Double], p: Double): Double = {
-    val h = (sorted.length - 1) * p
-    val lo = sorted(h.floor.toInt); val hi = sorted(h.ceil.toInt)
-    lo + (h - h.floor) * (hi - lo)
-  }
+  import PropertyTestKit.type7
 
   test("exactQuantiles matches driver type-7 interpolation on tie-heavy data") {
     val xs = rows.flatMap(_._1).sorted.toIndexedSeq

@@ -16,8 +16,7 @@ class SdfPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   test("merge matches a driver pandas merge for every how, with indicator") {
     import org.scalacheck.Gen

@@ -18,8 +18,7 @@ class SimilarityTfIdfPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
   private val dim = 8
   private val vectors: Seq[(Long, Seq[Double])] = {

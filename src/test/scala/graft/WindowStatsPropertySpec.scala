@@ -17,17 +17,22 @@ class WindowStatsPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   import spark.implicits._
 
-  private def sampled[T](g: org.scalacheck.Gen[T]): T =
-    Iterator.continually(g.sample).flatten.next()
+  import PropertyTestKit.sampled
 
-  // per key: a series of (order, value) with UNIQUE order positions — the
-  // engine's collect_list order would otherwise be tie-ambiguous
+  // per key: a series of (order, value) with UNIQUE, IRREGULARLY-gapped
+  // order positions — unique so the engine's collect_list order is not
+  // tie-ambiguous, irregular so row-position semantics (the documented
+  // pandas default-index contract, e.g. interpolate weights) cannot be
+  // confused with order-VALUE distance semantics (review finding: with
+  // uniform gaps the two coincide and the differential cannot tell them
+  // apart)
   private val series: Map[String, Seq[(Long, Double)]] = {
     import org.scalacheck.Gen
     val v = Gen.chooseNum(-20.0, 20.0)
     Seq("g0", "g1", "g2").map { k =>
       val n = sampled(Gen.chooseNum(5, 40))
-      k -> Seq.tabulate(n)(i => (i.toLong * 3 + 1, sampled(v)))
+      var o = 0L
+      k -> Seq.fill(n) { o += sampled(Gen.chooseNum(1L, 19L)); (o, sampled(v)) }
     }.toMap
   }
 
