@@ -265,12 +265,33 @@ object Bench {
     // isRegularFile, not just isReadable: a directory is "readable" (and
     // GRAFT_BENCH_PRIOR="" resolves to the cwd), but readString on it
     // would crash the bench before any timing — the anchor contract is
-    // "malformed input degrades to an empty map, never a crash"
-    val priorPath = (sys.env.get("GRAFT_BENCH_PRIOR").toSeq ++
-        Seq("bench_prior.json", "bench_out.json"))
-      .map(java.nio.file.Paths.get(_))
-      .find(p => java.nio.file.Files.isRegularFile(p) &&
-        java.nio.file.Files.isReadable(p))
+    // "malformed input degrades to an empty map, never a crash". One
+    // predicate for BOTH the chain and the explicit-prior warning below,
+    // so they cannot drift apart.
+    def usableAnchor(p: java.nio.file.Path): Boolean =
+      java.nio.file.Files.isRegularFile(p) && java.nio.file.Files.isReadable(p)
+    // Resolve to the first candidate that actually READS: a candidate that
+    // passes the stat check but fails readString (deleted mid-flight,
+    // non-UTF-8 bytes) warns and hands resolution to the NEXT candidate
+    // instead of silently disabling the repair pass.
+    val resolved: Option[(java.nio.file.Path, String)] =
+      (sys.env.get("GRAFT_BENCH_PRIOR").toSeq ++
+          Seq("bench_prior.json", "bench_out.json"))
+        .map(java.nio.file.Paths.get(_))
+        .filter(usableAnchor)
+        .iterator
+        .map { p =>
+          scala.util.Try(java.nio.file.Files.readString(p)) match {
+            case scala.util.Success(txt) => Some(p -> txt)
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"[bench] WARNING: prior anchor $p failed to read " +
+                  s"(${e.getClass.getSimpleName}) — trying the next candidate")
+              None
+          }
+        }
+        .collectFirst { case Some(x) => x }
+    val priorPath = resolved.map(_._1)
     // Loudness on the fallback chain: bench_out.json is the file THIS
     // binary overwrites, so anchoring on it means the committed healthy
     // snapshot (bench_prior.json) is missing and the repair pass may be
@@ -280,9 +301,8 @@ object Bench {
     // the fallback chain the caller meant to override. All three deserve a
     // visible warning, not silence.
     val explicitPrior = sys.env.get("GRAFT_BENCH_PRIOR")
-    for (e <- explicitPrior; p = java.nio.file.Paths.get(e)
-         if !(java.nio.file.Files.isRegularFile(p) &&
-           java.nio.file.Files.isReadable(p)))
+    for (e <- explicitPrior
+         if !usableAnchor(java.nio.file.Paths.get(e)))
       System.err.println(
         s"[bench] WARNING: GRAFT_BENCH_PRIOR=$e is not a readable file — " +
           "falling back to the committed snapshot chain")
@@ -301,9 +321,8 @@ object Bench {
             "the degraded-sentinel repair pass is disabled for this run")
       case _ => ()
     }
-    val prior: Map[String, Double] = priorPath
-      .flatMap(p => scala.util.Try(
-        Bench.parsePriorQueries(java.nio.file.Files.readString(p))).toOption)
+    val prior: Map[String, Double] = resolved
+      .map { case (_, txt) => Bench.parsePriorQueries(txt) }
       .getOrElse(Map.empty)
 
     // warm-up: JIT + parquet footer cache; its times order the timed pass

@@ -51,7 +51,13 @@ class CodegenPropertySpec extends AnyFunSuite {
         val plan = out.queryExecution.executedPlan.toString
         // "*(n)" prefixes are the whole-stage-codegen markers in the
         // compact plan form; a surviving Project node proves the
-        // projection EXECUTES instead of being pre-evaluated away
+        // projection EXECUTES instead of being pre-evaluated away. The
+        // marker check only reads correctly on a shuffle-free plan — an
+        // exchange would wrap everything in AdaptiveSparkPlan whose
+        // pre-execution string has no markers — so fail loudly if a
+        // future input violates the precondition instead of misreporting.
+        assert(!plan.contains("AdaptiveSparkPlan"),
+          s"bothModes requires a shuffle-free local frame (see PropertyTestKit):\n$plan")
         if (mode == "codegen")
           assert(plan.contains("*(") && plan.contains("Project"),
             s"codegen leg did not compile an executing stage:\n$plan")

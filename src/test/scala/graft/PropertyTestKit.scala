@@ -32,10 +32,18 @@ object PropertyTestKit {
 
   /** Run `body` with expression evaluation forced through a REAL execution
     * path: mode "codegen" = whole-stage codegen with compilation mandatory
-    * (CODEGEN_ONLY), mode "interpreted" = no whole-stage codegen and
-    * interpreted projections (NO_CODEGEN). ConvertToLocalRelation is
-    * excluded in both so local test frames execute instead of being
-    * pre-evaluated on the driver.
+    * (CODEGEN_ONLY + fallback disabled, so a compile failure fails the
+    * test instead of silently executing the interpreted child), mode
+    * "interpreted" = no whole-stage codegen and interpreted projections
+    * (NO_CODEGEN). ConvertToLocalRelation is excluded in both so local
+    * test frames execute instead of being pre-evaluated on the driver.
+    *
+    * Prior conf values are RESTORED on exit (not blindly unset), so nested
+    * or pre-configured sessions keep their settings. Intended for
+    * shuffle-free local pipelines: a plan with an exchange comes back as
+    * an AdaptiveSparkPlan whose pre-execution string carries no
+    * whole-stage markers, which would defeat callers' plan assertions —
+    * keep differential inputs local and narrow.
     */
   def withExecutedMode[A](spark: SparkSession, mode: String)(body: => A): A = {
     val (factory, wholeStage) = mode match {
@@ -43,14 +51,17 @@ object PropertyTestKit {
       case "interpreted" => ("NO_CODEGEN", "false")
       case other => throw new IllegalArgumentException(s"mode: $other")
     }
+    val keys = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.fallback", "spark.sql.optimizer.excludedRules")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.codegen.factoryMode", factory)
     spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.optimizer.excludedRules", LocalRelationRule)
     try body
-    finally {
-      spark.conf.unset("spark.sql.codegen.factoryMode")
-      spark.conf.unset("spark.sql.codegen.wholeStage")
-      spark.conf.unset("spark.sql.optimizer.excludedRules")
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }
