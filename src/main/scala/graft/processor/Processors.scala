@@ -16,26 +16,42 @@ object Processors {
     def opt(p: Map[String, Any], k: String): Option[String] = p.get(k).map(_.toString)
     def bool(p: Map[String, Any], k: String, d: Boolean): Boolean =
       p.get(k).map(_.toString.toBoolean).getOrElse(d)
+    /** A list element must be a scalar — a container here means a corrupt
+      * config shape (e.g. a bean-serialized Scala collection) that would
+      * otherwise `toString` into a silent no-op; fail loud instead.
+      */
+    private def scalarString(k: String, v: Any): String = v match {
+      case _: java.util.Map[_, _] | _: Map[_, _] | _: java.util.List[_] | _: Seq[_] =>
+        throw new IllegalArgumentException(
+          s"expected a string element in list param '$k', got container $v")
+      case s => s.toString
+    }
     def strList(p: Map[String, Any], k: String): Seq[String] = p.get(k) match {
-      case Some(xs: Seq[_]) => xs.map(_.toString)
-      case Some(xs: java.util.List[_]) => xs.toArray.map(_.toString).toSeq
+      case Some(xs: Seq[_]) => xs.map(scalarString(k, _))
+      case Some(xs: java.util.List[_]) => xs.toArray.toSeq.map(scalarString(k, _))
+      case Some(m @ (_: java.util.Map[_, _] | _: Map[_, _])) =>
+        throw new IllegalArgumentException(s"expected a list for param '$k', got map $m")
       case Some(other) => Seq(other.toString)
       case None => Seq.empty
     }
     def pairList(p: Map[String, Any], k: String): Seq[(String, String)] = p.get(k) match {
       case Some(xs: Seq[_]) => xs.map {
-        case (a, b) => (a.toString, b.toString)
-        case pair: Seq[_] if pair.length == 2 => (pair.head.toString, pair(1).toString)
+        case (a, b) => (scalarString(k, a), scalarString(k, b))
+        case pair: Seq[_] if pair.length == 2 =>
+          (scalarString(k, pair.head), scalarString(k, pair(1)))
         case pair: java.util.List[_] if pair.size == 2 =>
-          (pair.get(0).toString, pair.get(1).toString)
-        case other => throw new IllegalArgumentException(s"expected pair, got $other")
+          (scalarString(k, pair.get(0)), scalarString(k, pair.get(1)))
+        case other => throw new IllegalArgumentException(s"expected pair in '$k', got $other")
       }
       case Some(xs: java.util.List[_]) =>
         xs.toArray.toSeq.map {
-          case pair: java.util.List[_] => (pair.get(0).toString, pair.get(1).toString)
-          case other => throw new IllegalArgumentException(s"expected pair, got $other")
+          case pair: java.util.List[_] if pair.size == 2 =>
+            (scalarString(k, pair.get(0)), scalarString(k, pair.get(1)))
+          case other => throw new IllegalArgumentException(s"expected pair in '$k', got $other")
         }
-      case _ => Seq.empty
+      case Some(other) =>
+        throw new IllegalArgumentException(s"expected a list of pairs for param '$k', got $other")
+      case None => Seq.empty
     }
   }
   import P._
