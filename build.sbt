@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench handoff contract (judge r9/r10): the driver keeps the TAIL of
+// stdout and parses its final line as JSON. The default forked-run output
+// strategy logs through sbt (an `[info] ` prefix on every line) and sbt
+// then prints `[success] Total time: ...` after the app exits — both
+// decorate/displace the bare summaryLine graft.Bench prints last. Send the
+// forked process's stdout straight through, and drop the success banner.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command loop (not a task), which the
+// unused-key lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,6 +35,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Tests fork, so the replay property must be forwarded into the test JVM
+// for `sbt -Dgraft.prop.seed=<seed> test` to actually pin the draws.
+Test / javaOptions ++=
+  sys.props.get("graft.prop.seed").map(s => s"-Dgraft.prop.seed=$s").toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

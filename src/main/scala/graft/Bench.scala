@@ -171,12 +171,19 @@ object Bench {
     * the full record. Short by construction: fixed keys, scalar values,
     * no per-query maps.
     */
+  /** Render a double as a JSON number, or `null` when non-finite — raw
+    * interpolation of NaN/Infinity would malform the one line whose entire
+    * contract is guaranteed parseability.
+    */
+  def jnum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   def summaryLine(total: Double, sharedTotal: Double, sentinel: Double,
       sentinelDegraded: Boolean, priorInflated: Double, sf: String,
       see: String): String =
-    s"""{"metric":"total","value":$total,"unit":"sec","r1_shared_total":$sharedTotal,""" +
-      s""""noise_sentinel":$sentinel,"sentinel_degraded":$sentinelDegraded,""" +
-      s""""prior_inflated":$priorInflated,"sf":${jstr(sf)},"see":${jstr(see)}}"""
+    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","r1_shared_total":${jnum(sharedTotal)},""" +
+      s""""noise_sentinel":${jnum(sentinel)},"sentinel_degraded":$sentinelDegraded,""" +
+      s""""prior_inflated":${jnum(priorInflated)},"sf":${jstr(sf)},"see":${jstr(see)}}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

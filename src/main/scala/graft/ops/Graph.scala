@@ -368,9 +368,17 @@ object Graph {
       // the degree pass (which measured m); a nondeterministic lineage
       // would otherwise silently drop/duplicate edges in this re-layout
       val laidCount = laid.count()
-      require(laidCount == m,
-        s"edge re-layout returned $laidCount rows for $m profiled edges — " +
-          "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
+      if (laidCount != m) {
+        // release BOTH caches before throwing — a guard failure must not
+        // leak the just-persisted layout or the caller-visible edge cache
+        // into the BlockManager (the driver-held tier unpersists first for
+        // the same reason)
+        laid.unpersist(false)
+        e.unpersist(false)
+        throw new IllegalArgumentException(
+          s"requirement failed: edge re-layout returned $laidCount rows for $m profiled edges — " +
+            "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
+      }
       e.unpersist(false)
       (laid, withDeg)
     } else (e, withDeg)

@@ -83,7 +83,14 @@ object PipelineConfig {
   /** Param values parsed from YAML/JSON arrive as Java containers; normalize
     * them to immutable Scala `Seq`/`Map` (recursively) so a parsed config is
     * a plain-Scala value and `fromYaml(toYaml(cfg)) == cfg` is EXACT equality
-    * (pinned by PipelineSpec's deterministic round-trip regression).
+    * for any config that came FROM `fromYaml`/`fromFile` (and for
+    * programmatically-built configs whose params hold only scalars,
+    * `Seq`s and `Map`s). The one deliberate non-identity: a
+    * programmatically-built `Tuple2` param serializes as a 2-element YAML
+    * list, so it parses back as a 2-element `Seq` — the fixpoint is reached
+    * after ONE round trip. Pinned by ProcessorSpec's "config writer: pinned
+    * deterministic round-trip" regression (list param, nested-pair param,
+    * tuple fixpoint, corrupt-shape loudness).
     */
   private def toScalaDeep(a: Any): Any = a match {
     case l: java.util.List[_] => l.asScala.toList.map(toScalaDeep)
@@ -96,19 +103,32 @@ object PipelineConfig {
     * Scala module, so any Scala collection LEFT inside the converted tree is
     * bean-serialized into garbage like `{empty: false, traversableAgain:
     * true}` — the r9 judge-reproduced list-param corruption. Recurse into
-    * every container: Scala `Seq`/`Map` → `java.util.List`/`Map`, `Tuple2` →
-    * a 2-element list (the YAML shape `pairList` parses back; a tuple-valued
-    * param therefore normalizes to a 2-element `Seq` after one round trip).
+    * every container: Scala `Iterable`/`Array`/`Map` →
+    * `java.util.List`/`Map`, `Tuple2` → a 2-element list (the YAML shape
+    * `pairList` parses back; a tuple-valued param therefore normalizes to a
+    * 2-element `Seq` after one round trip). Anything that is neither a
+    * recognized container nor a scalar (String/Number/Boolean/null) throws —
+    * the writer fails loud like the reader, instead of emitting bean
+    * garbage for a param type nobody anticipated.
     */
   private def toJavaDeep(a: Any): Any = a match {
-    case (x, y) => java.util.List.of[Any](toJavaDeep(x), toJavaDeep(y))
-    case s: Seq[_] =>
-      val out = new java.util.ArrayList[Any](s.length)
-      s.foreach(v => out.add(toJavaDeep(v)))
+    case (x, y) =>
+      // ArrayList, not java.util.List.of — List.of rejects null elements,
+      // and a YAML null inside a pair is representable
+      val out = new java.util.ArrayList[Any](2)
+      out.add(toJavaDeep(x)); out.add(toJavaDeep(y))
       out
     case m: Map[_, _] =>
       val out = new java.util.LinkedHashMap[Any, Any]()
       m.foreach { case (k, v) => out.put(k.toString, toJavaDeep(v)) }
+      out
+    case s: Iterable[_] => // Seq, Set, any other Scala collection
+      val out = new java.util.ArrayList[Any](s.size)
+      s.foreach(v => out.add(toJavaDeep(v)))
+      out
+    case s: Array[_] =>
+      val out = new java.util.ArrayList[Any](s.length)
+      s.foreach(v => out.add(toJavaDeep(v)))
       out
     case l: java.util.List[_] =>
       val out = new java.util.ArrayList[Any](l.size())
@@ -118,7 +138,13 @@ object PipelineConfig {
       val out = new java.util.LinkedHashMap[Any, Any]()
       m.forEach((k, v) => out.put(k.toString, toJavaDeep(v)))
       out
-    case other => other
+    case null => null
+    case s: String => s
+    case n: java.lang.Number => n // covers boxed Int/Long/Double + Scala Big*
+    case b: java.lang.Boolean => b
+    case other => throw new IllegalArgumentException(
+      s"config param holds unserializable value of ${other.getClass.getName}: $other — " +
+        "params must be scalars, Seqs/Maps, or pairs")
   }
 
   private def asJava(config: PipelineConfig): java.util.Map[String, Any] = {

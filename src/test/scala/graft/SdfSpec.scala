@@ -66,7 +66,8 @@ class SdfSpec extends AnyFunSuite {
     // 10k shuffled rows over 16 partitions: exercises the range-sort +
     // partition-stitch paths (no single-task global window at scale)
     val n = 10000
-    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle((0 until n).toList), 16)
+    val df = spark.sparkContext.parallelize(
+      new scala.util.Random(PropertyTestKit.runSeed).shuffle((0 until n).toList), 16)
       .toDF("x")
     val sdf = SDF(df)
     assert(sdf.iloc(4998, 5003, Seq(col("x"))).df.collect().map(_.getInt(0)).toSet ==
