@@ -229,6 +229,25 @@ object Graph {
     * eagerly, so the view is dropped before returning; cached/checkpointed
     * inputs are unaffected (the plan, not the data, is rebound).
     */
+  /** Cross-tier |E| guard for the SMJ-loop edge re-layout: the laid-out
+    * count must equal the profiled edge count `m` or the lineage is
+    * nondeterministic (it would silently drop/duplicate edges). On failure
+    * releases BOTH caches before throwing — a guard failure must not leak
+    * the just-persisted layout or the caller-visible edge cache into the
+    * BlockManager (the driver-held tier unpersists first for the same
+    * reason). Package-private so the no-leak contract is spec-testable
+    * without manufacturing a nondeterministic lineage.
+    */
+  private[graft] def relayoutGuard(laid: DataFrame, e: DataFrame,
+      laidCount: Long, m: Long): Unit =
+    if (laidCount != m) {
+      laid.unpersist(false)
+      e.unpersist(false)
+      throw new IllegalArgumentException(
+        s"requirement failed: edge re-layout returned $laidCount rows for $m profiled edges — " +
+          "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
+    }
+
   private def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame = {
     if (df.sparkSession eq to) return df
     val name = "graft_pr_rebind_" +
@@ -368,17 +387,7 @@ object Graph {
       // the degree pass (which measured m); a nondeterministic lineage
       // would otherwise silently drop/duplicate edges in this re-layout
       val laidCount = laid.count()
-      if (laidCount != m) {
-        // release BOTH caches before throwing — a guard failure must not
-        // leak the just-persisted layout or the caller-visible edge cache
-        // into the BlockManager (the driver-held tier unpersists first for
-        // the same reason)
-        laid.unpersist(false)
-        e.unpersist(false)
-        throw new IllegalArgumentException(
-          s"requirement failed: edge re-layout returned $laidCount rows for $m profiled edges — " +
-            "nondeterministic edge lineage? checkpoint/stage the edges or use edgesDistinct=false")
-      }
+      relayoutGuard(laid, e, laidCount, m)
       e.unpersist(false)
       (laid, withDeg)
     } else (e, withDeg)

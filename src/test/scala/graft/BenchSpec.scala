@@ -182,6 +182,23 @@ class BenchSpec extends AnyFunSuite {
     assert(!s.contains("\t"))
   }
 
+  test("summaryLine stays parseable JSON when a numeric input is non-finite") {
+    // raw interpolation of NaN/Infinity would malform the one line whose
+    // contract is guaranteed parseability; jnum renders them as JSON null
+    assert(Bench.jnum(1.5) == "1.5")
+    assert(Bench.jnum(Double.NaN) == "null")
+    assert(Bench.jnum(Double.PositiveInfinity) == "null")
+    assert(Bench.jnum(Double.NegativeInfinity) == "null")
+    val s = Bench.summaryLine(total = Double.NaN, sharedTotal = 6.0,
+      sentinel = Double.PositiveInfinity, sentinelDegraded = true,
+      priorInflated = 0.0, sf = "sf0.1", see = "/x.json")
+    assert(s.contains(""""value":null"""))
+    assert(s.contains(""""noise_sentinel":null"""))
+    assert(s.contains(""""r1_shared_total":6.0"""))
+    assert(!s.contains("NaN") && !s.contains("Infinity"))
+    assert(s.count(_ == '{') == s.count(_ == '}') && s.count(_ == '"') % 2 == 0)
+  }
+
   test("warm anchor: degraded or failed warm-up never false-triggers") {
     // inflated warm-up only RAISES the anchor
     assert(!Bench.needsWarmAnchorHeal(Seq(5.0, 5.2), warmTime = 4.0))

@@ -144,4 +144,35 @@ class CodegenPropertySpec extends AnyFunSuite {
       } else assert(got(r).isNullAt(0), s"length mismatch must be null at row $r")
     }
   }
+
+  test("withExecutedMode appends to pre-existing excludedRules and restores on exit") {
+    val key = "spark.sql.optimizer.excludedRules"
+    val localRel = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+    val callerRule = "org.apache.spark.sql.catalyst.optimizer.CombineFilters"
+    val before = spark.conf.getOption(key)
+    try {
+      // caller-configured exclusion must SURVIVE inside the differential
+      spark.conf.set(key, callerRule)
+      PropertyTestKit.withExecutedMode(spark, "interpreted") {
+        val rules = spark.conf.get(key).split(",").map(_.trim).toSet
+        assert(rules.contains(callerRule), "caller exclusion clobbered")
+        assert(rules.contains(localRel), "kit exclusion missing")
+      }
+      assert(spark.conf.get(key) == callerRule, "prior value not restored")
+      // already-present kit rule must not duplicate
+      spark.conf.set(key, localRel)
+      PropertyTestKit.withExecutedMode(spark, "interpreted") {
+        assert(spark.conf.get(key).split(",").count(_.trim == localRel) == 1)
+      }
+      // unset before → unset after
+      spark.conf.unset(key)
+      PropertyTestKit.withExecutedMode(spark, "interpreted") {
+        assert(spark.conf.get(key) == localRel)
+      }
+      assert(spark.conf.getOption(key).isEmpty, "unset-ness not restored")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -321,6 +321,32 @@ class GraphSpec extends AnyFunSuite {
       s"$held persisted RDDs after connectedComponents — superseded checkpoints leaked")
   }
 
+  test("relayoutGuard releases both edge caches before throwing on |E| mismatch") {
+    // the SMJ-tier guard fires between laid.persist() and the loop; a
+    // failure must unpersist BOTH the laid-out layout and the caller-visible
+    // edge cache, or a nondeterministic-lineage abort leaks BlockManager
+    // memory (r10 advice item; deterministic trigger needs a
+    // nondeterministic lineage, so the extracted guard is spec'd directly)
+    import org.apache.spark.storage.StorageLevel
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst").persist()
+    e.count()
+    val laid = e.repartition(2).persist()
+    laid.count()
+    assert(e.storageLevel != StorageLevel.NONE && laid.storageLevel != StorageLevel.NONE)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.relayoutGuard(laid, e, laidCount = 3L, m = 2L)
+    }
+    assert(ex.getMessage.contains("edge re-layout returned 3 rows for 2 profiled edges"))
+    assert(laid.storageLevel == StorageLevel.NONE, "laid cache leaked on guard failure")
+    assert(e.storageLevel == StorageLevel.NONE, "edge cache leaked on guard failure")
+    // matching counts: a no-op that leaves caches alone
+    val e2 = Seq(("x", "y")).toDF("src", "dst").persist()
+    e2.count()
+    Graph.relayoutGuard(e2, e2, laidCount = 1L, m = 1L)
+    assert(e2.storageLevel != StorageLevel.NONE)
+    e2.unpersist(true)
+  }
+
   test("pageRank: empty edge list returns an empty frame; zero iterations is uniform") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(Graph.pageRank(empty, "src", "dst", iterations = 3).count() == 0)
