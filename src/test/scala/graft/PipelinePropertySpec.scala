@@ -74,6 +74,68 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random deep param trees round-trip the config writer exactly") {
+    import org.scalacheck.Gen
+    // shapes with EXACT round-trip identity: scalars, Seqs, Maps, nested
+    val scalarGen: Gen[Any] = Gen.oneOf(
+      Gen.alphaNumStr.map(s => "s" + s.take(8)), // non-numeric-looking strings
+      Gen.chooseNum(-100000, 100000),
+      Gen.chooseNum(-1e3, 1e3).map(d => math.rint(d * 100) / 100),
+      Gen.oneOf(true, false))
+    def treeGen(depth: Int): Gen[Any] =
+      if (depth == 0) scalarGen
+      else Gen.frequency(
+        3 -> scalarGen,
+        2 -> Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.listOfN(n, treeGen(depth - 1)).map(_.toList)),
+        2 -> Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(Gen.identifier.map("k" + _.take(6)), treeGen(depth - 1)))
+            .map(_.toMap)))
+    for (trial <- 1 to 20) {
+      val params = Map(
+        "p1" -> sampled(treeGen(3)),
+        "p2" -> sampled(treeGen(2)))
+      val cfg = PipelineConfig(
+        Seq(StepConfig(Seq("txt"), "HtmlTagRemoval", params, "{col_name}")), Nil)
+      assert(PipelineConfig.fromYaml(PipelineConfig.toYaml(cfg)) == cfg,
+        s"trial $trial YAML round-trip diverged for $params")
+      assert(PipelineConfig.fromYaml(PipelineConfig.toJson(cfg)) == cfg,
+        s"trial $trial JSON round-trip diverged for $params")
+    }
+  }
+
+  test("non-Seq Scala containers and tuples normalize to the Seq shape in one trip") {
+    // Set / Vector / Array / Tuple2 params all serialize as YAML lists
+    // (toJavaDeep's Iterable/Array/pair conversion — the r10 advice
+    // hardening); they parse back as Lists, and a second trip is identity
+    def normalize(a: Any): Any = a match {
+      case (x, y) => List(normalize(x), normalize(y))
+      case m: Map[_, _] => m.map { case (k, v) => k.toString -> normalize(v) }
+      case i: Iterable[_] => i.toList.map(normalize)
+      case arr: Array[_] => arr.toList.map(normalize)
+      case other => other
+    }
+    val params: Map[String, Any] = Map(
+      "set" -> Set("a", "b", "c"),
+      "vec" -> Vector(1, 2, 3),
+      "arr" -> Array("x", "y"),
+      "pair" -> (("lhs", "rhs")),
+      "nested" -> Map("inner" -> Vector(("p", "q"), ("r", null))))
+    val cfg = PipelineConfig(
+      Seq(StepConfig(Seq("txt"), "HtmlTagRemoval", params, "{col_name}")), Nil)
+    val once = PipelineConfig.fromYaml(PipelineConfig.toYaml(cfg))
+    val want = params.map { case (k, v) => k -> normalize(v) }
+    assert(once.steps.head.params == want,
+      s"one-trip normalization diverged:\n${once.steps.head.params}\nvs\n$want")
+    assert(PipelineConfig.fromYaml(PipelineConfig.toYaml(once)) == once, "fixpoint")
+
+    // an unserializable param type fails LOUD at write time, however deep
+    val bad = PipelineConfig(Seq(StepConfig(Seq("txt"), "HtmlTagRemoval",
+      Map("deep" -> Map("inner" -> Seq(1, new Object))), "{col_name}")), Nil)
+    val ex = intercept[IllegalArgumentException](PipelineConfig.toYaml(bad))
+    assert(ex.getMessage.contains("unserializable"))
+  }
+
   test("MLType pattern matching and {col_name} templating route steps correctly") {
     // input pattern "text" (an MLType name) must match the TEXT column
     // only; the templated output writes a NEW column per input
