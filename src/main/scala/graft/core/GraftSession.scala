@@ -46,18 +46,61 @@ object GraftSession {
     *
     * `events.ts` has changed physical encoding across fixture generations
     * (parquet `timestamp[ns]` in one, `timestamp[us]` in another), so the
-    * read is schema-adaptive rather than type-assuming: the nanosAsLong
-    * legacy conf (SPARK-40819) is set so an ns file loads at all (as long),
-    * then [[normalizeEventTs]] dispatches on the type the reader actually
+    * read is schema-adaptive rather than type-assuming: a footer probe
+    * ([[parquetTsIsNanos]]) detects an ns file, and only then is the
+    * nanosAsLong legacy conf (SPARK-40819) set so it loads at all (as long);
+    * [[normalizeEventTs]] then dispatches on the type the reader actually
     * produced. Either encoding lands on the same session-TZ µs timestamps —
     * the truncation DuckDB applies too, so oracle comparisons agree.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name != "events") spark.read.parquet(s"$dir/$name.parquet")
     else {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      val path = s"$dir/events.parquet"
+      // Footer-probe BEFORE touching session state: the legacy conf changes
+      // how EVERY later parquet read in the session decodes ns timestamps
+      // (TimestampNTZ → raw-nanos Long, silently), so it must only be set
+      // when this file actually stores TIMESTAMP(NANOS) — and then it must
+      // STAY set, because the scan consults it at action time, after this
+      // call returns. For a µs fixture the session is left untouched.
+      if (parquetTsIsNanos(spark, path))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEventTs(spark.read.parquet(path))
     }
+  }
+
+  /** Driver-side parquet-footer probe: does `file`'s `ts` column store
+    * TIMESTAMP(NANOS)? Reads ONE footer through parquet-hadoop directly, so
+    * it works regardless of the nanosAsLong conf (a `spark.read` probe of an
+    * ns file would throw "Illegal Parquet type" until the conf is set — the
+    * chicken-and-egg this helper exists to break). Directories (multi-file
+    * Spark sinks) probe their first part file.
+    */
+  def parquetTsIsNanos(spark: SparkSession, file: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(hConf)
+    val target =
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        require(parts.nonEmpty, s"no parquet files under $file")
+        parts.head
+      } else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, hConf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField("ts") && {
+        val t = schema.getType(schema.getFieldIndex("ts"))
+        t.isPrimitive && (t.asPrimitiveType.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      }
+    } finally reader.close()
   }
 
   /** Normalize an events frame's `ts` to session-TZ `TimestampType` (µs)

@@ -106,12 +106,17 @@ final case class MLSchema(fields: Map[String, MLType]) {
     * post-read `Schema.filter_df` semantic (`src/bears/util/schema.py:655-681`).
     */
   def filterDf(df: DataFrame, allowMissing: Boolean = true): DataFrame = {
-    val present = df.columns.toSet
-    val want = fields.keys.toSeq.filter(c => present.contains(c) || {
-      if (!allowMissing) throw new IllegalArgumentException(s"missing column $c")
-      false
-    })
-    df.select(want.map(org.apache.spark.sql.functions.col): _*)
+    if (!allowMissing) {
+      val present = df.columns.toSet
+      fields.keys.foreach(c =>
+        if (!present.contains(c))
+          throw new IllegalArgumentException(s"missing column $c"))
+    }
+    // select in the FRAME's column order, not `fields.keys` order — Map
+    // iteration is hash order, which would scramble the projection's column
+    // order relative to the input (the reference's filter_df preserves it)
+    val want = df.columns.filter(fields.contains)
+    df.select(want.toSeq.map(org.apache.spark.sql.functions.col): _*)
   }
 
   def index: Seq[String] = byRole(MLType.Index)

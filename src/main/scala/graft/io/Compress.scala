@@ -74,7 +74,15 @@ object Compress {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       codec: String = Gzip): DataFrame = {
     import spark.implicits._
-    val lines: Dataset[String] = spark.createDataset(decoder(codec)(payload).split("\n").toSeq)
+    // compress(emptyDf) yields "" whose split gives one BLANK line — drop
+    // blanks so an empty frame round-trips instead of the schemaless read
+    // dying on "Unable to infer schema" (with a schema, return a properly
+    // typed empty frame rather than parsing the blank as an all-null row)
+    val lines0 = decoder(codec)(payload).split("\n").toSeq.filter(_.nonEmpty)
+    if (lines0.isEmpty)
+      return schema.fold(spark.emptyDataFrame)(s =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+    val lines: Dataset[String] = spark.createDataset(lines0)
     schema.fold(spark.read.json(lines))(s => spark.read.schema(s).json(lines))
   }
 

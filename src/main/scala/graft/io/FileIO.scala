@@ -140,17 +140,25 @@ object Readers {
   def readStream(spark: SparkSession, in: java.io.InputStream, format: Format): DataFrame = {
     val suffix = format.endings.headOption.getOrElse(".bin")
     val tmp = java.nio.file.Files.createTempFile("graft_stream", suffix)
+    tmp.toFile.deleteOnExit() // read lazily at action time; reclaim at JVM exit
     try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
     read(spark, FileMetadata(tmp.toString, Storage.Local, format))
   }
 
-  private def fetchUrl(url: String, format: Format): String = Retry.withRetry() {
+  private def fetchUrl(url: String, format: Format): String = {
+    // one temp file, created OUTSIDE the retry (retrying only the transfer —
+    // a temp per attempt would leak one file per failure), registered for
+    // JVM-exit cleanup: it must outlive this call because the returned
+    // DataFrame reads it lazily at action time
     val suffix = format.endings.headOption.getOrElse(".bin")
     val tmp = java.nio.file.Files.createTempFile("graft_url", suffix)
-    val in = new java.net.URI(url).toURL.openStream()
-    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    tmp.toFile.deleteOnExit()
+    Retry.withRetry() {
+      val in = new java.net.URI(url).toURL.openStream()
+      try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
     tmp.toString
   }
 }
@@ -254,9 +262,13 @@ object Writers {
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val files = ObjectStore.list(path).filter(_.endsWith(".parquet"))
+    // list/size through the SESSION's hadoopConfiguration (credentials,
+    // endpoints, s3a settings live there), like the rename-swap below — a
+    // default Configuration() can't even authenticate to the same store
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val files = ObjectStore.list(path, conf = hConf).filter(_.endsWith(".parquet"))
     require(files.nonEmpty, s"no parquet files under $path")
-    val totalBytes = files.map(ObjectStore.size(_)).sum
+    val totalBytes = files.map(ObjectStore.size(_, hConf)).sum
     val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     spark.read.parquet(path).repartition(numFiles)
@@ -286,24 +298,32 @@ object Writers {
   def writeWithManifest(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
+    // key per-file row counts by FILE NAME (names are unique within one
+    // parquet output dir), not by a URI/path form — input_file_name() URIs
+    // and filesystem listings disagree on scheme/encoding across stores
     val perFile = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .count()
       .collect()
-      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1)))
+      .map(r => (new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)).getPath).getName,
+        r.getLong(1)))
       .toMap
-    val dir = new java.io.File(path)
-    val files = dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // list through the Hadoop FS, not java.io.File — the sink path can be
+    // s3a://, hdfs://, … where a local listing returns null and NPEs after
+    // the data write already succeeded
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val files = dir.getFileSystem(conf).listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val entries = files.map { f =>
-      val rows = perFile.getOrElse(f.getAbsolutePath, 0L)
-      s"""{"file":"${f.getName}","rows":$rows,"bytes":${f.length()}}"""
+      val rows = perFile.getOrElse(f.getPath.getName, 0L)
+      s"""{"file":"${f.getPath.getName}","rows":$rows,"bytes":${f.getLen}}"""
     }
     val manifest =
       s"""{"files":[${entries.mkString(",")}],""" +
-        s""""total_rows":${perFile.values.sum},"total_bytes":${files.map(_.length()).sum}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_MANIFEST.json"),
-      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s""""total_rows":${perFile.values.sum},"total_bytes":${files.map(_.getLen).sum}}"""
+    ObjectStore.putString(
+      ObjectStore.joinPath(path, "_MANIFEST.json"), manifest, conf)
   }
 
   /** Z-ordered layout: [[writeRangeSorted]] on the interleaved [[zValue]] —

@@ -10,16 +10,26 @@ object Retry {
 
   def withRetry[T](attempts: Int = 3, initialWaitMs: Long = 100, backoff: Double = 2.0)
       (f: => T): T = {
+    // No `return` inside a closure here: in Scala 2 that compiles to a thrown
+    // NonLocalReturnControl, which a Throwable catch would intercept — every
+    // SUCCESSFUL attempt would register as a failure, re-running `f` (with
+    // sleeps) on all remaining attempts and surfacing a later attempt's
+    // exception even after a success. A plain while loop keeps control flow
+    // exception-free; NonFatal keeps VM errors (OOM, interrupts) from being
+    // swallowed into the retry loop.
     var wait = initialWaitMs
     var last: Throwable = null
-    (1 to attempts).foreach { i =>
-      try return f
+    var result: Option[T] = None
+    var i = 1
+    while (result.isEmpty && i <= attempts) {
+      try result = Some(f)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           last = e
           if (i < attempts) { Thread.sleep(wait); wait = (wait * backoff).toLong }
       }
+      i += 1
     }
-    throw last
+    result.getOrElse(throw last)
   }
 }

@@ -78,6 +78,13 @@ object BatchStream {
     val selected = bounds.zipWithIndex.collect {
       case ((start, end, _), i) if plan.reverseSharding ^ (i == rank) => (start, end)
     }
+    // reverseSharding with numShards=1: the K-fold complement of the only
+    // shard is legitimately EMPTY — return the empty shard instead of
+    // crashing on an empty reduce below
+    if (selected.isEmpty)
+      return withPos.filter(lit(false))
+        .withColumn(ShardPosCol, lit(-1L))
+        .withColumn(BatchCol, lit(-1L))
     val inShard = selected.map { case (a, c) => pos >= a && pos < c }.reduce(_ || _)
 
     // shard-local position: offset within the concatenated selected intervals
@@ -86,7 +93,16 @@ object BatchStream {
     }._1
 
     val shardLen = selected.map { case (a, c) => c - a }.sum
-    val batchId = batchIdExpr(col(ShardPosCol), shardLen, plan)
+    // (offset-in-concatenation, length) per selected original-shard segment,
+    // plus the balanced per-shard batch count the bounds were planned with —
+    // batchIdExpr must use THAT count for dropLast=false, not re-derive it
+    // from shardLen (when a shard's pad equals exactly B, shardLen/B
+    // overcounts and shards end up with UNEQUAL batch counts, violating the
+    // lockstep contract distributed consumers rely on)
+    val segLens = selected.map { case (a, c) => c - a }
+    val segments = segLens.scanLeft(0L)(_ + _).zip(segLens)
+    val balanced = bounds.head._3 // same for every shard by construction
+    val batchId = batchIdExpr(col(ShardPosCol), shardLen, segments, balanced, plan)
 
     // numChunks + drop_last=true: exactly C equal chunks of floor(L/C) rows;
     // the remainder rows (shardPos >= C*floor(L/C)) are DROPPED, matching the
@@ -108,18 +124,26 @@ object BatchStream {
   /** Closed-form batch id for a shard-local position, mirroring
     * [[Sharding.batchSizes]]:
     *   - numRows + dropLast∈{None}: floor(p/B);
-    *   - numRows + dropLast=false: min(floor(p/B), K-1) — last batch absorbs
-    *     the pad;
+    *   - numRows + dropLast=false: per selected SEGMENT (one per original
+    *     shard — several under reverseSharding), segment j contributes
+    *     exactly `balanced` batches with ids j*balanced + min(floor(p'/B),
+    *     balanced-1) — each segment's last batch absorbs that shard's pad;
     *   - numRows + dropLast=true: floor(p/B) (bounds already dropped rows);
     *   - numChunks: first r chunks take ceil rows, rest floor.
     */
-  private def batchIdExpr(shardPos: Column, shardLen: Long, plan: Plan): Column =
+  private def batchIdExpr(shardPos: Column, shardLen: Long,
+      segments: Seq[(Long, Long)], balanced: Long, plan: Plan): Column =
     (plan.numRows, plan.numChunks) match {
       case (Some(b), None) =>
         plan.dropLast match {
           case Some(false) =>
-            val k = math.max(1L, shardLen / b)
-            least(floor(shardPos / b), lit(k - 1)).cast("long")
+            val k = math.max(1L, balanced)
+            segments.zipWithIndex.foldLeft(lit(-1L)) {
+              case (acc, ((off, len), j)) =>
+                when(shardPos >= off && shardPos < off + len,
+                  lit(j * k) + least(floor((shardPos - off) / b), lit(k - 1)))
+                  .otherwise(acc)
+            }.cast("long")
           case _ => floor(shardPos / b).cast("long")
         }
       case (None, Some(c)) =>

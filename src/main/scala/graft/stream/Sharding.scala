@@ -102,8 +102,17 @@ object Sharding {
 
     val divs = divisions.result()
     val intervals = divs.sliding(2).collect { case Seq(a, c) => (a, c) }.toSeq
-    require(intervals.size % s == 0,
-      s"intervals (${intervals.size}) must be a multiple of numShards=$s")
+    // Round-robin correctness invariant: the intervals from complete groups
+    // number completeGroups*s (interval i -> shard i%s), and the appended
+    // tail must be a PREFIX of the shard order (tail interval j -> shard j).
+    // The prefix holds because chunkRows pads are nonincreasing in shard
+    // index — so a trailing partial group (fewer than s pad intervals, e.g.
+    // remainder < numShards with dropLast=false) is legal, NOT an error:
+    // requiring intervals % s == 0 here used to reject such valid inputs.
+    require(lastGroupRows.dropWhile(_ > 0).forall(_ == 0),
+      s"pad intervals must form a shard prefix: ${lastGroupRows.mkString(",")}")
+    require(intervals.size == completeGroups * s + lastGroupRows.count(_ > 0),
+      s"interval count ${intervals.size} inconsistent with groups")
     (divs, intervals, batchesPerShard)
   }
 

@@ -56,7 +56,12 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int], tsTypeHint: Option[DataType]): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The nanosAsLong legacy conf is session-global and changes how every
+    // later parquet read decodes ns timestamps — set it only when ns data is
+    // actually in play (footer-probed below, or declared via a LongType
+    // hint), in which case it must stay set for the stream's scans.
+    if (tsTypeHint.contains(org.apache.spark.sql.types.LongType))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob, not the bare file: the streaming source wants a directory-like
     // path to monitor (at scale this is the landing directory / Kafka topic).
     val glob = s"$dir/events*.parquet"
@@ -82,6 +87,11 @@ object EventStreams {
       val picks =
         if (sorted.size <= 8) sorted
         else (0 until 8).map(i => sorted(i * (sorted.size - 1) / 7)).distinct
+      // conf-independent footer probe first: an ns file needs nanosAsLong
+      // set BEFORE the spark.read schema probe below can even load it
+      if (picks.exists(f =>
+          graft.core.GraftSession.parquetTsIsNanos(spark, f.getPath.toString)))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val probed = picks.map(f =>
         f.getPath.toString -> spark.read.parquet(f.getPath.toString).schema("ts").dataType)
       val tsTypes = probed.map(_._2).distinct

@@ -131,6 +131,67 @@ class EventsFixtureSpec extends AnyFunSuite {
       s"scan-time failure lost its readable cause: $chain")
   }
 
+  test("µs fixture read leaves the session-global nanosAsLong conf UNTOUCHED") {
+    // the legacy conf silently downgrades every LATER ns-timestamp parquet
+    // read in the session to raw-nanos Long — table() must only set it when
+    // the events file actually stores TIMESTAMP(NANOS)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.unset(key)
+    try {
+      val df = GraftSession.table(spark, writeEncoded("utc"), "events")
+      assert(df.count() == microStamps.size.toLong)
+      assert(!spark.conf.getOption(key).contains("true"), // unset -> registered default "false"
+        "reading a µs events fixture must not flip the session-global legacy conf")
+    } finally saved.foreach(spark.conf.set(key, _))
+  }
+
+  test("real TIMESTAMP(NANOS) file: footer probe detects it; table() truncates to µs") {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    // Spark cannot WRITE ns parquet, so build the round-3-fixture shape
+    // directly with parquet-hadoop: INT64 annotated timestamp(NANOS)
+    val dir = java.nio.file.Files.createTempDirectory("events_ns").toString
+    val file = s"$dir/events.parquet"
+    val msg = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+      .withType(msg).build()
+    val gf = new SimpleGroupFactory(msg)
+    try microStamps.zipWithIndex.foreach { case (us, i) =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", us * 1000L + 789L) // non-zero ns digits: truncation, not scaling
+      writer.write(g)
+    } finally writer.close()
+    assert(GraftSession.parquetTsIsNanos(spark, file), "footer probe missed NANOS")
+    assert(!GraftSession.parquetTsIsNanos(spark, s"${writeEncoded("utc")}/events.parquet"),
+      "footer probe false-positived on a µs file")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.unset(key)
+    try {
+      val got = GraftSession.table(spark, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == microStamps.indices.map(i => (i.toLong, microStamps(i))),
+        "ns file did not land on the truncated µs instants")
+      assert(spark.conf.getOption(key).contains("true"),
+        "ns fixture requires the legacy conf set (and kept) for scan time")
+    } finally {
+      spark.conf.unset(key); saved.foreach(spark.conf.set(key, _))
+    }
+  }
+
   test("the real fixture reads without throwing and spans its multi-day history") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
     val ev = GraftSession.table(spark, dir, "events")

@@ -79,6 +79,28 @@ class IoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Compress.compress(df, codec = "brotli") }
   }
 
+  test("empty frame compress/decompress round-trips (schema and schemaless)") {
+    // regression: compress(emptyDf) yields "", whose split produced one
+    // blank line — the schemaless read died on "Unable to infer schema"
+    val df = Seq((1L, "alpha")).toDF("id", "name").limit(0)
+    Seq(Compress.Gzip, Compress.Zstd).foreach { codec =>
+      val payload = Compress.compress(df, codec)
+      val typed = Compress.decompress(spark, payload, Some(df.schema), codec)
+      assert(typed.count() == 0L && typed.schema == df.schema, codec)
+      val inferred = Compress.decompress(spark, payload, None, codec)
+      assert(inferred.count() == 0L, codec)
+    }
+  }
+
+  test("MLSchema filterDf preserves the FRAME's column order, not map hash order") {
+    val df = Seq((1L, "a", 2.0, true, 5L)).toDF("e", "d", "c", "b", "a")
+    val schema = MLSchema(Map(
+      "a" -> MLType.Index, "b" -> MLType.Float, "c" -> MLType.Float,
+      "d" -> MLType.Text, "e" -> MLType.Index, "ghost" -> MLType.Float))
+    assert(schema.filterDf(df).columns.toSeq == Seq("e", "d", "c", "b", "a"),
+      "projection must keep the input frame's column order")
+  }
+
   test("base64 compression round-trip") {
     val df = Seq((1L, "x")).toDF("id", "v")
     val b64 = Compress.compressBase64(df)

@@ -671,6 +671,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq(1L, 3L))
   }
 
+  test("Retry.withRetry runs the body EXACTLY once per needed attempt (no success re-run)") {
+    // regression: `return f` inside the old foreach closure compiled to a
+    // NonLocalReturnControl that the Throwable catch swallowed — every
+    // SUCCESS was recorded as a failure and the body re-ran on all remaining
+    // attempts (3 downloads per url fetch), and a real exception from a
+    // post-success re-run surfaced as the call's result
+    var calls = 0
+    val v = graft.io.Retry.withRetry(attempts = 3, initialWaitMs = 1) { calls += 1; "ok" }
+    assert(v == "ok" && calls == 1, s"success must not re-run the body (ran $calls times)")
+    var c2 = 0
+    val v2 = graft.io.Retry.withRetry(attempts = 3, initialWaitMs = 1) {
+      c2 += 1
+      if (c2 < 2) throw new RuntimeException("flaky")
+      if (c2 > 2) throw new IllegalStateException("post-success re-run!")
+      7
+    }
+    assert(v2 == 7 && c2 == 2, s"attempt-2 success must end the loop (ran $c2 times)")
+  }
+
   test("Retry.withRetry retries then succeeds / exhausts") {
     var calls = 0
     val v = graft.io.Retry.withRetry(attempts = 3, initialWaitMs = 1) {

@@ -157,6 +157,62 @@ class StreamSpec extends AnyFunSuite {
     assert(keepAll.count() == n)
   }
 
+  test("balancedShardIntervals: remainder < numShards yields a partial tail group, not a crash") {
+    // regression: 9 rows, 4 partitions, 2 shards, B=2, dropLast=false — the
+    // final remainder (1 row) pads only shard 0, so the tail group has
+    // FEWER than numShards intervals; the old multiple-of-numShards require
+    // rejected this legal input outright
+    val (_, intervals, batches) = Sharding.balancedShardIntervals(9L, 4, 2, 2L, dropLast = false)
+    assert(intervals == Seq((0L, 4L), (4L, 8L), (8L, 9L)))
+    assert(batches == 2L)
+    val shard0 = Sharding.shardIntervals(intervals, 0, 2)
+    val shard1 = Sharding.shardIntervals(intervals, 1, 2)
+    assert(shard0 == Seq((0L, 4L), (8L, 9L)) && shard1 == Seq((4L, 8L)))
+    // no row lost, both shards get the same number of batches
+    assert(shard0.map { case (a, c) => c - a }.sum +
+      shard1.map { case (a, c) => c - a }.sum == 9L)
+    assert(Sharding.batchSizes(5L, Some(2L), None, Some(false), batches) == Seq(2L, 3L))
+    assert(Sharding.batchSizes(4L, Some(2L), None, Some(false), batches) == Seq(2L, 2L))
+  }
+
+  test("spark assign: equal batch counts per shard even when a shard's pad equals exactly B") {
+    // regression: 7 rows, B=2, S=2, dropLast=false — shard 0 gets 4 rows
+    // (pad 2 == B); deriving the batch count from shardLen/B gave shard 0
+    // TWO batches and shard 1 ONE, breaking the lockstep contract. The
+    // balanced count is 1: shard 0 -> one batch of 4 ([B,2B] inclusive
+    // edge), shard 1 -> one batch of 3.
+    val df = spark.range(7).toDF("id")
+    val perRank = (0 until 2).map { r =>
+      val a = BatchStream.assign(df, Seq(col("id")),
+        BatchStream.Plan(numRows = Some(2L), shard = (r, 2), dropLast = Some(false)))
+      a.groupBy(BatchStream.BatchCol).count()
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    assert(perRank(0).keySet == Set(0L) && perRank(1).keySet == Set(0L),
+      s"both shards must have exactly one batch: $perRank")
+    assert(perRank(0)(0L) == 4L && perRank(1)(0L) == 3L)
+  }
+
+  test("spark assign: reverseSharding batch ids are per-segment balanced; numShards=1 complement is empty") {
+    // reverse of rank 0 over 4 shards (n=103, B=10): 3 segments x balanced
+    // k=2 batches -> ids 0..5, every batch in [10, 16]
+    val df = spark.range(103).toDF("id")
+    val rev = BatchStream.assign(df, Seq(col("id")),
+      BatchStream.Plan(numRows = Some(10L), shard = (0, 4), dropLast = Some(false),
+        reverseSharding = true))
+    val byBatch = rev.groupBy(BatchStream.BatchCol).count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byBatch.keySet == (0L to 5L).toSet, s"expected ids 0..5: ${byBatch.keySet}")
+    assert(byBatch.values.forall(v => v >= 10L && v <= 16L), s"batch sizes: $byBatch")
+    assert(byBatch.values.sum == 103L - 26L) // shard 0 holds 2*10 + pad 6
+    // numShards=1: the K-fold complement of the only shard is empty, not a crash
+    val empty = BatchStream.assign(df, Seq(col("id")),
+      BatchStream.Plan(numRows = Some(10L), shard = (0, 1), dropLast = Some(false),
+        reverseSharding = true))
+    assert(empty.count() == 0L)
+    assert(empty.columns.contains(BatchStream.BatchCol))
+  }
+
   test("splitNames formats part names") {
     assert(Sharding != null)
     assert(BatchStream.splitNames("x", Seq(3, 3, 1)) ==
