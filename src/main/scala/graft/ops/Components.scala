@@ -80,7 +80,11 @@ object Components {
       // cheap upper-bound probe: limit+1 never scans past the threshold
       val sample = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
         .limit((smallGraphMaxEdges + 1).toInt).collect()
-      if (sample.length <= smallGraphMaxEdges)
+      // null endpoints: r.getLong would NPE — the distributed path treats
+      // null as a groupable node value, so route such graphs there instead
+      // of crashing only below the threshold
+      val hasNulls = sample.exists(r => r.isNullAt(0) || r.isNullAt(1))
+      if (sample.length <= smallGraphMaxEdges && !hasNulls)
         return (unionFind(edges.sparkSession, sample.map(r => (r.getLong(0), r.getLong(1)))), true)
     }
     // symmetrize once; self-edges make isolated candidate nodes carry through
@@ -103,8 +107,18 @@ object Components {
     // then necessary but not sufficient, and the loop confirms a prospective
     // fixed point with ONE exact next⋈prev join (once per call, not per
     // round) before declaring convergence.
-    val numericIds = Seq(aCol, bCol).forall(c =>
-      edges.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // INTEGRAL ids only: the exactness argument (monotone labels ⇒ strictly
+    // decreasing decimal(38,0) sum until the fixed point) needs label
+    // decreases to survive the cast — a fractional Double id chain like
+    // 1.2→1.3 rounds to the same decimal(38,0), hiding the change and
+    // declaring convergence early. Fractional/float ids route through the
+    // hash-probe + one exact confirm join, like strings.
+    val numericIds = Seq(aCol, bCol).forall(c => edges.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    })
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
       val lbl = col(df.columns.last)
       val probe = if (numericIds) lbl.cast("decimal(38,0)")

@@ -37,12 +37,24 @@ object Dedup {
     df.join(keepers, idCol === col("keep_id"), "left_semi")
   }
 
+  /** Join-safe content digest: [[TextAnalysis.fingerprint]] with null text
+    * mapped to the -1 sentinel (hash60 is 60-bit nonnegative — no
+    * collision). Digest-keyed JOINS (state anti-joins, member chains) must
+    * use this form: a raw null digest never matches in SQL join semantics,
+    * silently unlinking null-text duplicates. GroupBy-shaped paths
+    * ([[exactDedup]]) keep the raw null digest — grouping already treats
+    * nulls as one group, and the oracle pins that shape.
+    */
+  def joinDigest(textCol: Column): Column =
+    coalesce(TextAnalysis.fingerprint(textCol), lit(-1L))
+
   /** Distinct content digests of a corpus — the state to persist between
     * pipeline runs for [[exactDedupIncremental]] (8 bytes per distinct doc,
-    * parquet-friendly).
+    * parquet-friendly). Null text stores the [[joinDigest]] sentinel so the
+    * incremental anti-join can actually match it.
     */
   def contentDigests(df: DataFrame, textCol: Column): DataFrame =
-    df.select(TextAnalysis.fingerprint(textCol).as("digest")).distinct()
+    df.select(joinDigest(textCol).as("digest")).distinct()
 
   /** Incremental exact dedup — the snapshot-over-snapshot shape of a real
     * crawl pipeline: keep rows of `newDf` whose content digest is (a) absent
@@ -56,7 +68,7 @@ object Dedup {
     val seen = existingDigests.select(
       col(existingDigests.columns.head).as("__digest__"))
     val keepers = newDf
-      .select(idCol.as("__id__"), TextAnalysis.fingerprint(textCol).as("__digest__"))
+      .select(idCol.as("__id__"), joinDigest(textCol).as("__digest__"))
       .join(seen, Seq("__digest__"), "left_anti")
       .groupBy(col("__digest__"))
       .agg(min(col("__id__")).as("keep_id"))
@@ -166,8 +178,14 @@ object Dedup {
     val docs = df.select(idCol.as("id"), textCol.as("__text__"))
     if (!exactPrepass) lshPairPlan(docs, k, numHashes, bands, maxBucketSize)
     else {
+      // joinDigest, not raw fingerprint: a null __digest__ would silently
+      // fall out of the member-chain equi-join below — every null-text doc
+      // except the rep would then SURVIVE dedup, making the prepass flag
+      // (documented as a pure performance guard) change results. Null-text
+      // docs are mutual exact duplicates here, exactly as the non-prepass
+      // path treats them (identical all-null signatures).
       val digests = docs
-        .select(col("id"), TextAnalysis.fingerprint(col("__text__")).as("__digest__"))
+        .select(col("id"), joinDigest(col("__text__")).as("__digest__"))
         .persist()
       // rep = min id per digest; groups frame is (digest, rep_id) only
       val groups = digests.groupBy(col("__digest__"))

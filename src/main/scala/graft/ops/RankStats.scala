@@ -240,9 +240,18 @@ object RankStats {
   }
 
   def kendall(df: DataFrame, a: String, b: String): Double = {
+    // The pair ids MUST be pinned before the self-join: the two join sides
+    // evaluate the frame independently (no CSE across join inputs), and
+    // monotonically_increasing_id depends on intra-partition row order —
+    // nondeterministic above an exchange — so without the eager checkpoint
+    // the same physical row could carry DIFFERENT __i__ values on each side,
+    // double- or zero-counting pairs. Exact kendall is O(n²) pairs and thus
+    // inherently bounded-n (use kendallSampled beyond that), so the
+    // localCheckpoint is small by construction.
     val d = df.select(col(a).cast("double").as("x"), col(b).cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
       .withColumn("__i__", monotonically_increasing_id()) // any distinct ids: pairs count once via <
+      .localCheckpoint(true)
     val l = d.as("l"); val r = d.as("r")
     val prod = (col("l.x") - col("r.x")) * (col("l.y") - col("r.y"))
     val row = l.join(r, col("l.__i__") < col("r.__i__"))

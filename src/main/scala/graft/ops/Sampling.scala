@@ -73,7 +73,10 @@ object Sampling {
     * sort.
     */
   def nByHash(df: DataFrame, id: Column, n: Int): DataFrame =
-    df.orderBy(TextAnalysis.hash60(id.cast("string"))).limit(n)
+    // id tie-break (like nByHashPerGroup): hash collisions — or duplicate
+    // ids, which always collide — at the rank-n boundary would otherwise
+    // make the selection partitioning-dependent
+    df.orderBy(TextAnalysis.hash60(id.cast("string")), id).limit(n)
 
   /** Per-stratum exact-n cap: the n rows with the smallest id-hash within
     * each stratum (balanced class caps, per-domain quotas). One window per
@@ -108,7 +111,16 @@ object Sampling {
     require(n > 0, "n must be positive")
     val u = (pmod(TextAnalysis.hash60(id.cast("string")), lit(1000000000L)).cast("double")
       + lit(0.5)) / lit(1e9)
-    df.withColumn("__score__", log(u) / weight.cast("double"))
+    // fail LOUD on invalid weights (the same posture as toMixture /
+    // interleaveBySource): log(u) < 0, so a NEGATIVE weight flips the score
+    // positive and that row would deterministically ALWAYS win — the exact
+    // inverse of Efraimidis–Spirakis — while a zero/null weight yields a
+    // null score that silently drops the row under the desc sort
+    val w = weight.cast("double")
+    val checkedW = when(w.isNull || w <= 0.0,
+      raise_error(concat(lit("weightedNByHash: weights must be positive, got "),
+        coalesce(w.cast("string"), lit("null"))))).otherwise(w)
+    df.withColumn("__score__", log(u) / checkedW)
       .orderBy(col("__score__").desc, id)
       .limit(n)
       .drop("__score__")
@@ -211,8 +223,14 @@ object Sampling {
     // (Offsets.rangeLayout): ranked is persisted there for its three
     // consumers (sampling pass, offsets aggregate, final join) and
     // released after the eager cut below
+    // null scores sort LAST (worst quality): a bare `-score` is null for a
+    // null score, and the ascending range layout + window order put nulls
+    // FIRST — unscored rows would eat the token budget ahead of every
+    // scored document
+    val negScore = when(score.isNull, lit(Double.PositiveInfinity))
+      .otherwise(-score.cast("double"))
     val (ranked, offsets) = Offsets.rangeLayout(
-      df.withColumn("__neg__", -score.cast("double"))
+      df.withColumn("__neg__", negScore)
         .withColumn("__sid__", id)
         .withColumn("__tok__", tokens.cast("long")),
       Seq(col("__neg__"), col("__sid__")), col("__tok__"))

@@ -24,7 +24,16 @@ object Scale {
       keys: Seq[String],
       salts: Int,
       partials: Map[String, (Column, Column => Column)]): DataFrame = {
-    val salted = df.withColumn("__salt__", pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+    // CONTENT-derived salt, never monotonically_increasing_id: a positional
+    // id in a shuffle key is the SPARK-23207 failure class — a task retry
+    // re-fetches inputs in a different order, re-salts the same rows
+    // differently, and reducers mixing old and new map output double-count
+    // or drop rows. Hashing every column is deterministic under retries;
+    // rows identical in ALL columns co-locate on one salt, but such rows are
+    // indistinguishable anyway and only re-concentrate if the hot key's rows
+    // are exact full-row duplicates.
+    val salted = df.withColumn("__salt__",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keys :+ "__salt__").map(col): _*)
       .agg(partials.head._2._1.as(partials.head._1),
@@ -41,8 +50,12 @@ object Scale {
     * Result equals the plain inner join.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
+    // content-derived salt for retry determinism — see saltedAggregate; any
+    // salt value joins correctly (the right side replicates all of them),
+    // but a positional id could re-salt rows on task retry and lose/double
+    // rows mid-shuffle (SPARK-23207 class)
     val l = left.withColumn("__salt__",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts)))
     val r = right.withColumn("__salt__", explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, keys :+ "__salt__").drop("__salt__")
   }

@@ -33,25 +33,40 @@ object WindowStats {
       .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("x")))).as("__s__"))
 
-    // acc = (outputs so far, numerator state, denominator state); the fold
-    // appends one output per element — linear in group size. adjust=false
-    // carries y_{t-1} in the numerator slot.
+    // acc = (outputs so far, running weighted mean, old-observation weight);
+    // the fold appends one output per element — linear in group size. This
+    // is pandas' own incremental form (ewm.pyx, ignore_na=False default):
+    //   per position after the first valid: w ← w·β  (decay by ABSOLUTE
+    //     position, so null gaps still age older observations);
+    //   valid x: avg ← (w·avg + nw·x)/(w + nw) with nw = 1 (adjust) or α,
+    //     then w ← w + nw (adjust) or w ← 1;
+    //   null/NaN x: state keeps decaying, the output carries the current
+    //     mean forward (a null must NOT poison the accumulator — the old
+    //     `x + num·β` recursion nulled every output after the first null);
+    //   before any valid x: output null.
+    // w == 0 encodes "no valid observation yet" (w ≥ β^k > 0 afterwards).
+    val nw = if (adjust) 1.0 else alpha
     val zero = struct(
-      typedLit(Seq.empty[Double]).as("arr"),
-      lit(0.0).as("num"), lit(0.0).as("den"))
+      array().cast("array<double>").as("arr") /* containsNull=true: outputs may be null before the first valid x */,
+      lit(0.0).as("avg"), lit(0.0).as("w"))
     val folded = aggregate(
       col("__s__"), zero,
       (acc, e) => {
         val x = e.getField("x")
-        val first = size(acc.getField("arr")) === 0
-        val num =
-          if (adjust) x + acc.getField("num") * beta
-          else when(first, x).otherwise(x * alpha + acc.getField("num") * beta)
-        val den =
-          if (adjust) lit(1.0) + acc.getField("den") * beta else lit(0.0)
-        val y = if (adjust) num / den else num
+        val avgP = acc.getField("avg")
+        val wP = acc.getField("w")
+        val seen = wP > 0.0
+        val valid = x.isNotNull && !isnan(x)
+        val wD = when(seen, wP * beta).otherwise(lit(0.0))
+        val avgN = when(!valid, avgP)
+          .when(seen, (wD * avgP + lit(nw) * x) / (wD + lit(nw)))
+          .otherwise(x)
+        val wN = when(!valid, wD)
+          .otherwise(if (adjust) when(seen, wD + lit(nw)).otherwise(lit(1.0))
+            else lit(1.0))
+        val y = when(valid || seen, avgN).otherwise(lit(null).cast("double"))
         struct(concat(acc.getField("arr"), array(y)).as("arr"),
-          num.as("num"), den.as("den"))
+          avgN.as("avg"), wN.as("w"))
       },
       acc => acc.getField("arr"))
 
@@ -83,29 +98,41 @@ object WindowStats {
       .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("x")))).as("__s__"))
 
+    // Null/NaN handling mirrors [[ewmMean]] (pandas ignore_na=False): a
+    // missing x decays every moment by one position's weight (sw·β, sw2·β²,
+    // m1·β, m2·β — the debiased variance is INVARIANT under that uniform
+    // decay, so the output carries forward) instead of nulling the
+    // accumulator; outputs are null before the first valid observation.
+    // sw == 0 encodes "no valid observation yet".
     val zero = struct(
-      typedLit(Seq.empty[Double]).as("arr"),
+      array().cast("array<double>").as("arr") /* containsNull=true: outputs may be null before the first valid x */,
       lit(0.0).as("sw"), lit(0.0).as("sw2"),
       lit(0.0).as("m1"), lit(0.0).as("m2"))
     val folded = aggregate(
       col("__s__"), zero,
       (acc, e) => {
         val x = e.getField("x")
-        val first = size(acc.getField("arr")) === 0
+        val first = acc.getField("sw") === 0.0
+        val valid = x.isNotNull && !isnan(x)
         val (wNew, w2New) =
           if (adjust) (lit(1.0), lit(1.0))
           else (when(first, 1.0).otherwise(alpha), when(first, 1.0).otherwise(alpha * alpha))
-        val sw = wNew + acc.getField("sw") * beta
-        val sw2 = w2New + acc.getField("sw2") * (beta * beta)
-        val m1 = wNew * x + acc.getField("m1") * beta
-        val m2 = wNew * x * x + acc.getField("m2") * beta
+        val sw = when(valid, wNew + acc.getField("sw") * beta)
+          .otherwise(acc.getField("sw") * beta)
+        val sw2 = when(valid, w2New + acc.getField("sw2") * (beta * beta))
+          .otherwise(acc.getField("sw2") * (beta * beta))
+        val m1 = when(valid, wNew * x + acc.getField("m1") * beta)
+          .otherwise(acc.getField("m1") * beta)
+        val m2 = when(valid, wNew * x * x + acc.getField("m2") * beta)
+          .otherwise(acc.getField("m2") * beta)
         val mean = m1 / sw
         val biased = m2 / sw - mean * mean
         val v =
           if (bias) biased
           else when(sw * sw > sw2, biased * sw * sw / (sw * sw - sw2))
             .otherwise(lit(Double.NaN))
-        struct(concat(acc.getField("arr"), array(v)).as("arr"),
+        val y = when(sw > 0.0, v).otherwise(lit(null).cast("double"))
+        struct(concat(acc.getField("arr"), array(y)).as("arr"),
           sw.as("sw"), sw2.as("sw2"), m1.as("m1"), m2.as("m2"))
       },
       acc => acc.getField("arr"))
@@ -162,18 +189,36 @@ object WindowStats {
 
   /** pandas time-based `rolling("30min")`: aggregate over a trailing TIME
     * window (not a row count) per key — a RANGE frame over the exact-µs
-    * time axis, both endpoints inclusive like pandas. One keyed window,
-    * single shuffle; rows with equal timestamps share a frame on any
-    * engine because the frame is value-based.
+    * time axis. One keyed window, single shuffle; rows with equal
+    * timestamps share a frame on any engine because the frame is
+    * value-based.
+    *
+    * @param closed endpoint semantics on the µs axis —
+    *               "both":  [t−window, t], SQL RANGE-frame semantics
+    *                        (pandas `rolling(..., closed='both')`); the
+    *                        default here because it is what a SQL
+    *                        `RANGE BETWEEN w PRECEDING AND CURRENT ROW`
+    *                        computes;
+    *               "right": (t−window, t], pandas' own offset-window
+    *                        default (`closed='right'`) — pass this for
+    *                        exact pandas-default parity; a row exactly
+    *                        `window` earlier is excluded.
     */
   def rollingMeanByTime(df: DataFrame, keys: Seq[String], timeCol: String,
-      valueCol: String, windowMicros: Long, out: String = "roll_mean"): DataFrame = {
+      valueCol: String, windowMicros: Long, out: String = "roll_mean",
+      closed: String = "both"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isTs = df.schema(timeCol).dataType ==
       org.apache.spark.sql.types.TimestampType
     val t = if (isTs) unix_micros(col(timeCol)) else col(timeCol).cast("long")
+    val lower = closed match {
+      case "both" => -windowMicros
+      case "right" => -windowMicros + 1 // open left endpoint, exact on the µs axis
+      case other => throw new IllegalArgumentException(
+        s"closed must be 'both' or 'right', got '$other'")
+    }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
-      .rangeBetween(-windowMicros, 0)
+      .rangeBetween(lower, 0)
     df.withColumn(out, avg(col(valueCol)).over(w))
   }
 

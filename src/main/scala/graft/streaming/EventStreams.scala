@@ -170,7 +170,9 @@ object EventStreams {
     val seen = staticDigests.select(
       col(staticDigests.columns.head).as("__digest__"))
     stream
-      .withColumn("__digest__", graft.ops.TextAnalysis.fingerprint(contentCol))
+      // joinDigest (null -> -1 sentinel): a raw null digest never matches in
+      // the anti-join, so null-content events would always pass as unseen
+      .withColumn("__digest__", graft.ops.Dedup.joinDigest(contentCol))
       .join(seen, Seq("__digest__"), "left_anti")
       .withWatermark("ts", watermark)
       // NOT dropDuplicates(key): without the event-time column among the

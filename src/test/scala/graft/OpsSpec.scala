@@ -1582,4 +1582,175 @@ class OpsSpec extends AnyFunSuite {
           "move the planted query off the boundary or accumulate in decimal (see q155)")
     }
   }
+
+  test("ewmMean: nulls carry the mean forward and decay weights (pandas ignore_na=False)") {
+    import graft.ops.WindowStats
+    import spark.implicits._
+    // pandas: pd.Series([1, nan, 2]).ewm(alpha=.5, adjust=X).mean()
+    //   adjust=True  -> [1.0, 1.0, 1.8]      (weights β²=0.25 on x0, 1 on x2)
+    //   adjust=False -> [1.0, 1.0, 5/3]      ((0.25·1 + 0.5·2)/0.75)
+    // regression: the old recursion nulled every output after the first null
+    val df = Seq((1L, Option(1.0)), (2L, None: Option[Double]), (3L, Option(2.0)))
+      .toDF("t", "x").withColumn("k", lit("g"))
+    def vals(adjust: Boolean): Seq[Option[Double]] =
+      WindowStats.ewmMean(df, Seq("k"), "t", "x", alpha = 0.5, adjust = adjust)
+        .orderBy("t").collect()
+        .map(r => if (r.isNullAt(r.fieldIndex("ewm"))) None
+          else Some(r.getDouble(r.fieldIndex("ewm")))).toSeq
+    val adjT = vals(adjust = true)
+    assert(adjT.map(_.map(v => math.round(v * 1e9) / 1e9)) ==
+      Seq(Some(1.0), Some(1.0), Some(1.8)), s"adjust=true: $adjT")
+    val adjF = vals(adjust = false)
+    assert(adjF.map(_.map(v => math.round(v * 1e9) / 1e9)) ==
+      Seq(Some(1.0), Some(1.0), Some(1.666666667)), s"adjust=false: $adjF")
+    // leading null: no valid observation yet -> null output, then normal
+    val lead = Seq((1L, None: Option[Double]), (2L, Option(3.0)))
+      .toDF("t", "x").withColumn("k", lit("g"))
+    val got = WindowStats.ewmMean(lead, Seq("k"), "t", "x", alpha = 0.5)
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("ewm"))) None
+        else Some(r.getDouble(r.fieldIndex("ewm")))).toSeq
+    assert(got == Seq(None, Some(3.0)), s"leading null: $got")
+  }
+
+  test("ewmVar: a null gap decays the moments uniformly; value carries forward") {
+    import graft.ops.WindowStats
+    import spark.implicits._
+    // pandas: pd.Series([1, nan, 2]).ewm(alpha=.5, adjust=X).var() ends at
+    // 0.5 for BOTH adjust modes (hand-derived from the effective weights;
+    // the gap position outputs the carried-forward debiased var = NaN here)
+    val df = Seq((1L, Option(1.0)), (2L, None: Option[Double]), (3L, Option(2.0)))
+      .toDF("t", "x").withColumn("k", lit("g"))
+    Seq(true, false).foreach { adjust =>
+      val got = WindowStats.ewmVar(df, Seq("k"), "t", "x", alpha = 0.5, adjust = adjust)
+        .orderBy("t").collect()
+        .map(r => if (r.isNullAt(r.fieldIndex("ewm_var"))) None
+          else Some(r.getDouble(r.fieldIndex("ewm_var")))).toSeq
+      assert(got.size == 3 && got(2).exists(v => math.abs(v - 0.5) < 1e-9),
+        s"adjust=$adjust: $got")
+      assert(got(0).forall(_.isNaN) && got(1).forall(_.isNaN),
+        s"pre-second-observation var must be NaN: $got")
+    }
+  }
+
+  test("rollingMeanByTime: closed='right' excludes the row exactly window earlier") {
+    import graft.ops.WindowStats
+    import spark.implicits._
+    val w = 30L * 60 * 1000000 // 30 min in µs
+    val df = Seq((0L * w / w, 0L, 1.0), (1L, w, 2.0), (2L, 2 * w, 3.0))
+      .toDF("id", "t", "v").withColumn("k", lit("g"))
+    def means(closed: String): Seq[Double] =
+      WindowStats.rollingMeanByTime(df, Seq("k"), "t", "v", w, closed = closed)
+        .orderBy("id").collect().map(r => r.getDouble(r.length - 1)).toSeq
+    assert(means("both") == Seq(1.0, 1.5, 2.5), "SQL RANGE semantics: both inclusive")
+    assert(means("right") == Seq(1.0, 2.0, 3.0), "pandas default: left endpoint open")
+    intercept[IllegalArgumentException] {
+      WindowStats.rollingMeanByTime(df, Seq("k"), "t", "v", w, closed = "left")
+    }
+  }
+
+  test("nByHash: duplicate ids at the boundary select deterministically across partitionings") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = Seq(1L, 1L, 2L, 3L, 4L, 5L).toDF("id")
+    val picks = Seq(1, 7).map { p =>
+      Sampling.nByHash(df.repartition(p), col("id"), 3)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(picks(0) == picks(1),
+      s"selection must not depend on partitioning: ${picks(0)} vs ${picks(1)}")
+  }
+
+  test("weightedNByHash fails LOUD on nonpositive or null weights") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val bad = Seq((1L, 2.0), (2L, -1.0), (3L, 3.0)).toDF("id", "w")
+    val err = intercept[Exception] {
+      Sampling.weightedNByHash(bad, col("id"), col("w"), 2).collect()
+    }
+    assert(err.getMessage.contains("weights must be positive"), err.getMessage)
+    val zero = Seq((1L, 2.0), (2L, 0.0)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedNByHash(zero, col("id"), col("w"), 1).collect()
+    }
+    // valid weights still sample exactly n
+    val ok = Seq((1L, 2.0), (2L, 1.0), (3L, 3.0)).toDF("id", "w")
+    assert(Sampling.weightedNByHash(ok, col("id"), col("w"), 2).count() == 2L)
+  }
+
+  test("selectByTokenBudget: null-score rows rank LAST, never eat the budget first") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // 5 scored docs + 5 unscored; budget covers exactly the 3 best scored
+    val df = ((1 to 5).map(i => (i.toLong, Option(i.toDouble), 10L)) ++
+      (6 to 10).map(i => (i.toLong, None: Option[Double], 10L)))
+      .toDF("id", "score", "tok")
+    val got = Sampling.selectByTokenBudget(df, col("id"), col("score"), col("tok"), 30L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L, 4L, 3L),
+      s"expected the three highest-scored docs, got $got")
+  }
+
+  test("exactPrepass with null-text docs links them like the non-prepass path (flag-invariant components)") {
+    import graft.ops.Components
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("hello world hello again and again")),
+      (2L, Option("hello world hello again and again")),
+      (3L, None: Option[String]),
+      (4L, None: Option[String]),
+      (5L, None: Option[String])).toDF("id", "text")
+    val comps = Seq(false, true).map { pp =>
+      val pairs = Dedup.minhashCandidates(docs, col("text"), col("id"), exactPrepass = pp)
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    // regression: the null digest fell out of the member-chain equi-join, so
+    // prepass=true left docs 4 and 5 unlinked while prepass=false paired them
+    assert(comps(0) == comps(1),
+      s"prepass flag changed dedup groups: ${comps(0)} vs ${comps(1)}")
+    assert(comps(0)(4L) == comps(0)(5L) && comps(0)(3L) == comps(0)(4L),
+      "null-text docs must form one duplicate group")
+  }
+
+  test("exactDedupIncremental drops null-text rows already digested in the state") {
+    import spark.implicits._
+    val old = Seq((1L, None: Option[String]), (2L, Option("seen text here")))
+      .toDF("id", "text")
+    val state = Dedup.contentDigests(old, col("text"))
+    val batch = Seq(
+      (10L, None: Option[String]), // digest in state via the null sentinel
+      (11L, Option("seen text here")), // digest in state
+      (12L, Option("brand new text"))).toDF("id", "text")
+    val kept = Dedup.exactDedupIncremental(batch, col("text"), col("id"), state)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L),
+      s"null-text row must match the state's sentinel digest, kept: $kept")
+  }
+
+  test("connectedComponents: null edge endpoints fall through to the distributed path, no NPE") {
+    import graft.ops.Components
+    import spark.implicits._
+    val edges = Seq(
+      (Option(1L), Option(2L)),
+      (Option(2L), Option(3L)),
+      (None: Option[Long], Option(9L))).toDF("a", "b")
+    // regression: the small-graph probe called r.getLong on the null cell
+    val labels = Components.connectedComponents(edges, "a", "b")
+      .collect()
+    assert(labels.nonEmpty)
+  }
+
+  test("connectedComponents: fractional double ids converge exactly (no decimal-rounding blind spot)") {
+    import graft.ops.Components
+    import spark.implicits._
+    // chain where every per-round label change is sub-integer: the old
+    // NumericType probe cast to decimal(38,0), saw no sum change, and could
+    // declare convergence with the chain under-merged
+    val edges = Seq((1.2, 1.3), (1.3, 1.4), (1.4, 5.0)).toDF("a", "b")
+    val labels = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(labels.values.toSet == Set(1.2),
+      s"all chain nodes must label to the min id 1.2: $labels")
+  }
 }
