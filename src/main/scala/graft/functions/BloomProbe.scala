@@ -21,11 +21,19 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * bits)` — so a filter built by the Column-algebra aggregate and probed
   * here agrees exactly (differential spec in FunctionsSpec).
   */
-case class BloomMightContain(child: Expression, filterBits: Array[Long], k: Int)
+// filterBits is an IndexedSeq, not Array: a case-class Array field compares
+// by REFERENCE, so two structurally identical probes (same filter
+// deserialized twice, the same probe written twice in one query) would never
+// be semanticEquals — defeating subexpression elimination and plan reuse.
+// Seq equality is by content; the primitive array the kernel needs is
+// materialized once below.
+case class BloomMightContain(child: Expression, filterBits: IndexedSeq[Long], k: Int)
     extends UnaryExpression {
 
   require(filterBits.nonEmpty, "empty filter")
   require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+
+  @transient private lazy val bitsArr: Array[Long] = filterBits.toArray
 
   override def dataType: DataType = BooleanType
 
@@ -39,11 +47,11 @@ case class BloomMightContain(child: Expression, filterBits: Array[Long], k: Int)
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    BloomMightContain.contains(input.asInstanceOf[Long], filterBits, k)
+    BloomMightContain.contains(input.asInstanceOf[Long], bitsArr, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val obj = BloomMightContain.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    val arr = ctx.addReferenceObj("bloomBits", filterBits, "long[]")
+    val arr = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
     defineCodeGen(ctx, ev, c => s"$obj.contains($c, $arr, $k)")
   }
 
@@ -74,5 +82,6 @@ object BloomMightContain {
 
   /** Column-facing constructor (Spark 4 Column↔Expression bridge). */
   def bloom_might_contain(h: Column, filterBits: Array[Long], k: Int): Column =
-    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(h), filterBits, k))
+    ColumnBridge.column(
+      BloomMightContain(ColumnBridge.expression(h), filterBits.toIndexedSeq, k))
 }

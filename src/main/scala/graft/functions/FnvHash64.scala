@@ -56,16 +56,24 @@ case class FnvHash64(child: Expression) extends UnaryExpression {
 
 object FnvHash64 {
 
-  final val OffsetBasis = 1469598103934665603L
+  // 0xcbf29ce484222325 — the canonical FNV-1a 64 offset basis
+  // 14695981039346656037 (as a signed Long). The previous decimal literal
+  // had DROPPED A DIGIT (1469598103934665603), so every hash diverged from
+  // published FNV-1a; pinned by the test-vector spec now.
+  final val OffsetBasis = 0xcbf29ce484222325L
   final val Prime = 1099511628211L
 
   /** The scalar kernel (shared by interpreted eval, codegen, and the
-    * driver-side `ops.Multimodal.fakeDecode`).
+    * driver-side `ops.Multimodal.fakeDecode`). The octet is masked to its
+    * UNSIGNED value before the XOR — a bare `h ^ bytes(i)` sign-extends any
+    * byte ≥ 0x80 and flips the upper 56 state bits, silently diverging from
+    * canonical FNV-1a on all non-ASCII/binary input (pinned against
+    * published FNV-1a test vectors in FnvHashSpec).
     */
   def hash(bytes: Array[Byte]): Long = {
     var h = OffsetBasis
     var i = 0
-    while (i < bytes.length) { h = (h ^ bytes(i)) * Prime; i += 1 }
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
     h
   }
 

@@ -17,6 +17,16 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 
   private def scalar[T](e: Column): T = df.agg(e).head().getAs[T](0)
 
+  /** Double-scalar aggregate with pandas missing-data semantics: a SQL null
+    * result (empty/all-null input, degenerate stddev, …) returns NaN — the
+    * bare `scalar[Double]` would unbox null to 0.0, indistinguishable from a
+    * real zero statistic.
+    */
+  private def scalarNaN(e: Column): Double = {
+    val r = df.agg(e.cast("double")).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
   // ---- element-wise (§2.8) — lazy Column algebra ------------------------
 
   def +(other: Column): Column = col + other
@@ -32,8 +42,13 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 
   def abs_ : Column = abs(col)
 
-  /** `clip(lower, upper)` (`ScalableSeries.py:892-894`). */
-  def clip(lower: Double, upper: Double): Column = greatest(least(col, lit(upper)), lit(lower))
+  /** `clip(lower, upper)` (`ScalableSeries.py:892-894`). Null and NaN pass
+    * through like pandas — a bare `greatest(least(...))` would FABRICATE the
+    * upper bound for them (`least` skips nulls; NaN orders greatest).
+    */
+  def clip(lower: Double, upper: Double): Column =
+    when(col.isNull || isnan(col.cast("double")), col)
+      .otherwise(greatest(least(col, lit(upper)), lit(lower)))
 
   /** `astype` (`NumpyArrayScalableSeries.py:279-284`). */
   def astype(t: String): Column = col.cast(t)
@@ -63,11 +78,11 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   // ---- statistics family (§2.4) — eager scalars -------------------------
 
   def sum_ : Double = scalar[Double](sum(col.cast("double")))
-  def mean: Double = scalar[Double](avg(col))
+  def mean: Double = scalarNaN(avg(col))
   def min_ : Any = scalar[Any](min(col))
   def max_ : Any = scalar[Any](max(col))
-  def std: Double = scalar[Double](stddev_samp(col))
-  def variance: Double = scalar[Double](var_samp(col))
+  def std: Double = scalarNaN(stddev_samp(col))
+  def variance: Double = scalarNaN(var_samp(col))
   def count_ : Long = scalar[Long](count(col))
   def median: Double = quantile(0.5)
   /** Geometric mean via the log-sum identity `exp(mean(ln x))` — the only
@@ -75,12 +90,12 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     * underflows doubles immediately); positive values only, like
     * `scipy.stats.gmean`.
     */
-  def geomean: Double = scalar[Double](exp(avg(log(col.cast("double")))))
+  def geomean: Double = scalarNaN(exp(avg(log(col.cast("double")))))
   /** Harmonic mean `n / Σ(1/x)` (`scipy.stats.hmean`) — one partial-agg
     * pass, map-side combined.
     */
   def harmonicMean: Double =
-    scalar[Double](count(col).cast("double") / sum(lit(1.0) / col.cast("double")))
+    scalarNaN(count(col).cast("double") / sum(lit(1.0) / col.cast("double")))
   /** Winsorize: clip at the exact [pLo, pHi] quantiles (type-7), boundaries
     * from the parallel range sort ([[graft.ops.RankStats.winsorize]]).
     */
@@ -97,7 +112,7 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def quantile(q: Double): Double =
     graft.ops.RankStats.exactQuantiles(df, name, Seq(q)).head
   def quantileApprox(q: Double, accuracy: Int = 10000): Double =
-    scalar[Double](percentile_approx(col, lit(q), lit(accuracy)))
+    scalarNaN(percentile_approx(col, lit(q), lit(accuracy)))
 
   /** pandas `value_counts(bins=n)` — fixed-width histogram: bin ids
     * 0..bins-1 over [min, max] with the top edge inclusive, plus counts.
@@ -108,6 +123,15 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def histogram(bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
     val r = df.agg(min(col.cast("double")), max(col.cast("double"))).head()
+    // empty/all-null column: min/max aggregate to SQL null — return an empty
+    // histogram instead of NPE-ing on getDouble
+    if (r.isNullAt(0) || r.isNullAt(1))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bin", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType,
+            nullable = false))))
     val (mn, mx) = (r.getDouble(0), r.getDouble(1))
     val w = (mx - mn) / bins
     val bin =
@@ -145,13 +169,16 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     val chain = bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
       case ((b, i), rest) => when(x <= b, i).otherwise(rest)
     }
-    when(x.isNull, lit(null)).otherwise(chain)
+    // NaN is missing like null (pandas cut/qcut yield NaN): `NaN <= b` is
+    // false at every level, so NaN would otherwise silently land in the top
+    // overflow bucket alongside legitimate above-top-bound values
+    when(x.isNull || isnan(x), lit(null)).otherwise(chain)
   }
 
   /** Mean absolute deviation (`ScalableSeries.py:912-914`) — two-pass. */
   def mad: Double = {
     val m = mean
-    scalar[Double](avg(abs(col - lit(m))))
+    scalarNaN(avg(abs(col - lit(m))))
   }
 
   /** Fisher (excess) kurtosis, pandas-compatible bias-corrected
@@ -176,8 +203,12 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     else row.getDouble(1) * math.sqrt(n * (n - 1)) / (n - 2)
   }
 
-  /** `mode` (`ScalableSeries.py:932-934`); deterministic=min on ties. */
-  def mode_ : Any = scalar[Any](expr(s"mode($name, true)"))
+  /** `mode` (`ScalableSeries.py:932-934`); deterministic=min on ties. The
+    * name is backtick-escaped (like melt's helper) — a space or dot in the
+    * column name would otherwise break the SQL or resolve a nested field.
+    */
+  def mode_ : Any =
+    scalar[Any](expr(s"mode(`${name.replace("`", "``")}`, true)"))
 
   def nunique(approx: Boolean = false): Long =
     if (approx) scalar[Long](approx_count_distinct(col))
@@ -268,8 +299,18 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   /** pandas `groupby(...).cumcount()` — 0-based position within the group. */
   def cumcount(over: org.apache.spark.sql.expressions.WindowSpec): Column =
     row_number().over(over).cast("long") - 1L
-  def rolling(n: Int, over: org.apache.spark.sql.expressions.WindowSpec): Column =
-    avg(col).over(over.rowsBetween(-(n - 1), 0))
+  /** pandas `rolling(n).mean()`: trailing n-row mean, null until
+    * `minPeriods` non-null observations fill the frame (pandas default
+    * min_periods = window size — a bare windowed avg would emit fabricated
+    * short-window values on the first n−1 rows). Pass `minPeriods = Some(1)`
+    * for the partial-window behavior.
+    */
+  def rolling(n: Int, over: org.apache.spark.sql.expressions.WindowSpec,
+      minPeriods: Option[Int] = None): Column = {
+    val frame = over.rowsBetween(-(n - 1), 0)
+    val mp = minPeriods.getOrElse(n)
+    when(count(col).over(frame) >= mp, avg(col).over(frame))
+  }
   /** `expanding()` family (pandas expanding.mean/sum/min/max/count —
     * unbounded-preceding frames).
     */

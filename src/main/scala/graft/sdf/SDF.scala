@@ -107,7 +107,10 @@ final class SDF private (private var _df: DataFrame) {
     */
   def valid(predicate: Column, sampleFraction: Double = 1.0, seed: Long = 42L): Boolean = {
     val s = if (sampleFraction >= 1.0) _df else _df.sample(sampleFraction, seed)
-    s.agg(coalesce(min(predicate), lit(true))).head().getBoolean(0)
+    // a null-valued predicate counts as FAILING, matching invalidRows — a
+    // bare min(predicate) skips nulls, so valid() would report true on rows
+    // the sibling API returns as invalid
+    s.agg(coalesce(min(coalesce(predicate, lit(false))), lit(true))).head().getBoolean(0)
   }
   def invalidRows(predicate: Column): SDF = SDF(_df.filter(!coalesce(predicate, lit(false))))
 
@@ -367,16 +370,24 @@ final class SDF private (private var _df: DataFrame) {
       .agg(aggs.head, aggs.tail: _*)
     val spans = _df.groupBy(groups.map(col): _*)
       .agg(min(col(on)).as("__mn__"), max(col(on)).as("__mx__"))
-    // one window() per projection (Spark's multi-window restriction)
-    val lo = spans.select(groups.map(col) :+
-      window(col("__mn__"), every).getField("start").as("__lo__"): _*)
-    val hi = spans.select(groups.map(col) :+
-      window(col("__mx__"), every).getField("start").as("__hi__"): _*)
-    val skeleton = lo.join(hi, groups)
+    // one window() per PROJECTION (Spark's multi-window restriction) — two
+    // chained selects on one lineage, NOT a self-join: an equi-join on the
+    // group keys would silently drop every null-keyed group
+    val skeleton = spans
+      .select(groups.map(col) :+ col("__mx__") :+
+        window(col("__mn__"), every).getField("start").as("__lo__"): _*)
+      .select(groups.map(col) :+ col("__lo__") :+
+        window(col("__mx__"), every).getField("start").as("__hi__"): _*)
       .select(groups.map(col) :+ explode(sequence(
         col("__lo__"), col("__hi__"), expr(s"INTERVAL $every"))).as("__bucket__"): _*)
-    SDF(skeleton.join(agged, groups :+ "__bucket__", "left")
-      .withColumnRenamed("__bucket__", on))
+    // null-safe group equality for the same reason (null groups must keep
+    // their aggregated rows); __bucket__ is never null
+    val cond = (groups.map(c => skeleton(c) <=> agged(c)) :+
+      (skeleton("__bucket__") === agged("__bucket__"))).reduce(_ && _)
+    val aggOut = agged.columns.filterNot((groups :+ "__bucket__").contains)
+    SDF(skeleton.join(agged, cond, "left")
+      .select(groups.map(skeleton(_)) ++ Seq(skeleton("__bucket__").as(on)) ++
+        aggOut.map(agged(_)): _*))
   }
 
   /** pandas `pd.crosstab(index, columns)` — contingency counts with the

@@ -26,6 +26,19 @@ class FnvHashSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel matches published canonical FNV-1a 64 test vectors (incl. non-ASCII)") {
+    // regression: `h ^ bytes(i)` sign-extended bytes >= 0x80, diverging from
+    // canonical FNV-1a on every non-ASCII/binary input
+    val vectors = Seq(
+      "" -> -3750763034362895579L, // 0xcbf29ce484222325 (offset basis)
+      "a" -> -5808556873153909620L, // 0xaf63dc4c8601ec8c
+      "foobar" -> -8821353812377114648L, // 0x85944171f73967e8
+      "é中" -> -3520553697061967688L) // 0xcf247b10b1eee8b8 (non-ASCII bytes)
+    vectors.foreach { case (s, expected) =>
+      assert(FnvHash64.hash(s.getBytes("UTF-8")) == expected, s"vector '$s'")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     // via PropertyTestKit.withExecutedMode: a bare factory-mode toggle is
     // VACUOUS here (ConvertToLocalRelation pre-evaluates the projection)

@@ -135,7 +135,21 @@ class SdfSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getAs[Any]("sh"))).toSeq == Seq(None, Some(10.0), Some(20.0)))
     assert(out.last.getAs[Double]("pc") == 1.0)
     assert(out.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L))
-    assert(out.map(_.getAs[Double]("ra")).toSeq == Seq(10.0, 15.0, 30.0))
+    // pandas parity: rolling(2).mean() is null until min_periods=2 rows
+    assert(out.map(r => Option(r.getAs[Any]("ra"))).toSeq ==
+      Seq(None, Some(15.0), Some(30.0)))
+  }
+
+  test("rolling: minPeriods defaults to window size (pandas); Some(1) restores partial windows") {
+    import org.apache.spark.sql.expressions.Window
+    val sdf = SDF(Seq((1, 10.0), (2, 20.0), (3, 40.0)).toDF("i", "v"))
+    val w = Window.orderBy(col("i"))
+    val partial = sdf.df.withColumn("ra", sdf("v").rolling(3, w, minPeriods = Some(1)))
+      .orderBy(col("i")).collect().map(_.getAs[Double]("ra")).toSeq
+    assert(partial == Seq(10.0, 15.0, 70.0 / 3))
+    val strict = sdf.df.withColumn("ra", sdf("v").rolling(3, w))
+      .orderBy(col("i")).collect().map(r => Option(r.getAs[Any]("ra"))).toSeq
+    assert(strict == Seq(None, None, Some(70.0 / 3)))
   }
 
   test("groupApply: arbitrary per-group logic via flatMapGroups") {
@@ -384,5 +398,84 @@ class SdfSpec extends AnyFunSuite {
         .toDF("c1", "c2"), Seq("c1", "c2"), k = 10)
       .head()
     assert((ka.getLong(0), ka.getLong(1), ka.getLong(2), ka.getLong(3)) == ((1L, 3L, 2L, 4L)))
+  }
+
+  test("clip preserves null and NaN (no fabricated upper bound)") {
+    val sdf = SDF(Seq(Option(5.0), Option(50.0), Option(Double.NaN), None)
+      .toDF("x"))
+    // regression: greatest(least(...)) skipped nulls and ordered NaN
+    // greatest, rewriting BOTH into the upper bound
+    val got = sdf.df.select(sdf("x").clip(0.0, 10.0).as("c")).collect()
+      .map(r => Option(r.getAs[Any]("c"))).toSeq
+    assert(got(0) == Some(5.0) && got(1) == Some(10.0))
+    assert(got(2).exists(v => v.asInstanceOf[Double].isNaN), s"NaN must survive clip: $got")
+    assert(got(3).isEmpty, s"null must survive clip: $got")
+  }
+
+  test("double statistics return NaN (not 0.0) on empty/degenerate input") {
+    val empty = SDF(Seq.empty[Double].toDF("x"))
+    assert(empty("x").mean.isNaN, "mean of empty must be NaN")
+    // regression: getAs[Double] unboxed the SQL null to 0.0 — a fake zero
+    val oneRow = SDF(Seq(7.0).toDF("x"))
+    assert(oneRow("x").std.isNaN, "stddev_samp of 1 row must be NaN")
+    assert(oneRow("x").variance.isNaN)
+    assert(empty("x").quantileApprox(0.5).isNaN)
+  }
+
+  test("histogram of an empty or all-null column is an empty frame, not an NPE") {
+    val allNull = SDF(Seq[Option[Double]](None, None).toDF("x"))
+    val h = allNull("x").histogram(4)
+    assert(h.count() == 0L && h.columns.toSeq == Seq("bin", "n"))
+    assert(SDF(Seq.empty[Double].toDF("x"))("x").histogram(3).count() == 0L)
+  }
+
+  test("cut assigns NaN to the null bucket, not the top overflow bucket") {
+    val sdf = SDF(Seq(Option(0.5), Option(99.0), Option(Double.NaN), None).toDF("x"))
+    val got = sdf.df.select(sdf("x").cut(Seq(1.0, 2.0)).as("b")).collect()
+      .map(r => Option(r.getAs[Any]("b"))).toSeq
+    assert(got == Seq(Some(0), Some(2), None, None),
+      s"NaN must be missing like null, got $got")
+  }
+
+  test("mode_ works on non-identifier column names (backtick escaping)") {
+    val df = Seq(1, 1, 2).toDF("my col")
+    assert(SDF(df)("my col").mode_ == 1)
+  }
+
+  test("valid() and invalidRows() agree on null-valued predicates") {
+    val sdf = SDF(Seq(Option(3), None).toDF("x"))
+    val pred = col("x") > 1 // null row evaluates to null
+    // regression: min() skipped the null predicate so valid()==true while
+    // invalidRows() returned the null row as failing
+    assert(!sdf.valid(pred), "null predicate row must count as invalid")
+    assert(sdf.invalidRows(pred).df.count() == 1L)
+  }
+
+  test("resampleBy keeps null-keyed groups (null-safe skeleton + join)") {
+    val df = Seq(
+      (Option("a"), java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+      (Option("a"), java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 2.0),
+      (None: Option[String], java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 5.0))
+      .toDF("k", "t", "v")
+    // regression: the skeleton self-join on the group keys dropped the
+    // null-keyed group entirely (inner join, null keys never match)
+    val out = SDF(df).resampleBy(Seq("k"), "t", "5 minutes",
+      Seq(round(sum(col("v")), 4).as("total"))).df
+    val byKey = out.collect().groupBy(r => Option(r.getAs[String]("k")))
+    assert(byKey.contains(None), s"null group lost: ${out.collect().toSeq}")
+    assert(byKey(None).map(_.getAs[Double]("total")).toSeq == Seq(5.0))
+    assert(byKey(Some("a")).length == 3, "group 'a' spans three 5-min buckets")
+  }
+
+  test("BloomMightContain: structurally identical probes are semantically equal") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bits1 = Array(0x5L, 0x9L)
+    val bits2 = Array(0x5L, 0x9L) // different array instance, same content
+    val e = ColumnBridge.expression(col("h"))
+    val p1 = graft.functions.BloomMightContain(e, bits1.toIndexedSeq, 3)
+    val p2 = graft.functions.BloomMightContain(e, bits2.toIndexedSeq, 3)
+    // regression: an Array field compared by reference, so identical probes
+    // were never equal and CSE/plan-reuse treated them as distinct
+    assert(p1 == p2 && p1.semanticEquals(p2))
   }
 }
