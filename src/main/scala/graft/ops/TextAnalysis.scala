@@ -64,8 +64,10 @@ object TextAnalysis {
     "zh" -> Seq.empty) // CJK detected by charset below
 
   /** Language-ID heuristic: score each profile by stopword hits per token;
-    * CJK characters short-circuit to zh; ties and zero scores → "und"
-    * (undetermined). Deterministic, engine-portable.
+    * CJK characters short-circuit to zh; zero scores → "und" (undetermined);
+    * ties between nonzero scores keep the alphabetically-first language (the
+    * fold only replaces on a STRICTLY greater score — the q58 oracle pins
+    * this tie-break). Deterministic, engine-portable.
     */
   def langId(c: Column): Column = langIdStaged(c, tokens(c))
 

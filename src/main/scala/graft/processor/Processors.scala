@@ -171,9 +171,16 @@ object Processors {
     }
 
     override def state: Map[String, String] =
-      orderedCols.map(c => Map("ordered_cols" -> c.mkString(","))).getOrElse(Map.empty)
+      orderedCols.map { c =>
+        // a comma inside a column name would mis-split on restore
+        c.foreach(n => require(!n.contains(","),
+          s"TextConcatenation state: column name contains ',': $n"))
+        Map("ordered_cols" -> c.mkString(","))
+      }.getOrElse(Map.empty)
     override def restore(s: Map[String, String]): Unit =
-      s.get("ordered_cols").foreach(v => orderedCols = Some(v.split(",").toSeq))
+      // "".split(",") is Array(""), not empty -- keep the round-trip exact
+      s.get("ordered_cols").foreach(v =>
+        orderedCols = Some(if (v.isEmpty) Seq.empty else v.split(",").toSeq))
   }
 
   // ---- categorical (§2.10) ---------------------------------------------
@@ -246,10 +253,19 @@ object Processors {
       element_at(typedLit(enc.map { case (l, i) => i -> l }.toMap), in.cast("long"))
     }
 
-    // state: 0x1f separates label from code, 0x1e separates entries
+    // state: 0x1f separates label from code, 0x1e separates entries.
+    // Labels are arbitrary DATA values -- one containing a separator would
+    // silently corrupt the round-trip (restore would mis-split or
+    // MatchError), so the writer fails loud naming the label instead.
     override def state: Map[String, String] =
-      encoding.map(e => Map("labels" -> e.map { case (l, i) => s"$l\u001f$i" }.mkString("\u001e")))
-        .getOrElse(Map.empty)
+      encoding.map { e =>
+        e.foreach { case (l, _) =>
+          require(!l.exists(c => c == '\u001e' || c == '\u001f'),
+            s"LabelEncoding state: label contains a reserved separator " +
+              s"(0x1e/0x1f): ${l.map(c => f"$c%c(${c.toInt}%#x)").mkString}")
+        }
+        Map("labels" -> e.map { case (l, i) => s"$l\u001f$i" }.mkString("\u001e"))
+      }.getOrElse(Map.empty)
     override def restore(s: Map[String, String]): Unit = s.get("labels").foreach { v =>
       encoding = Some(v.split('\u001e').toSeq.map { kv =>
         val Array(l, i) = kv.split('\u001f'); l -> i.toLong

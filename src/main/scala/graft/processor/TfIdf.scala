@@ -170,8 +170,13 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
     vocab.map(v => Map("vocab" -> v.map { case (t, (i, f)) => s"$t\u001f$i\u001f$f" }
       .mkString("\u001e"))).getOrElse(Map.empty)
   override def restore(s: Map[String, String]): Unit = s.get("vocab").foreach { v =>
-    vocab = Some(v.split('\u001e').toSeq.map { e =>
-      val Array(t, i, f) = e.split('\u001f'); t -> (i.toInt, f.toDouble)
-    })
+    // empty vocabulary (reachable: minDf > doc count leaves zero terms)
+    // serializes to "" -- "".split returns Array(""), whose lone entry would
+    // MatchError on the 3-field split below
+    vocab = Some(
+      if (v.isEmpty) Seq.empty
+      else v.split('\u001e').toSeq.map { e =>
+        val Array(t, i, f) = e.split('\u001f'); t -> (i.toInt, f.toDouble)
+      })
   }
 }

@@ -139,6 +139,37 @@ class ProcessorSpec extends AnyFunSuite {
     assert(v1 == v2)
   }
 
+  test("TfIdf EMPTY vocabulary state round-trips (minDf above doc count)") {
+    val df = Seq("aa bb", "cc dd").toDF("t")
+    val p = new TfIdfVectorization(Map("output_sparse" -> true, "min_df" -> "5"))
+    p.fit(df, "t")
+    assert(p.fittedVocabulary.isEmpty)
+    // regression: "" .split gave Array(""), whose lone entry MatchError'd
+    // on the 3-field parse in restore
+    val p2 = new TfIdfVectorization(Map("output_sparse" -> true))
+    p2.restore(p.state)
+    assert(p2.fittedVocabulary.isEmpty)
+    val out = df.withColumn("v", p2.transform($"t")).select("v.size").head()
+    assert(out.getInt(0) == 0)
+  }
+
+  test("LabelEncoding state fails loud on labels containing reserved separators") {
+    val enc = new LabelEncoding(Map("encoding_range" -> "one_to_n"))
+    // labels are arbitrary data values: a 0x1f inside one would silently
+    // mis-split (or MatchError) on restore — the writer must reject it
+    val df = Seq("ok", "badlabel").toDF("l")
+    enc.fit(df, "l")
+    val e = intercept[IllegalArgumentException](enc.state)
+    assert(e.getMessage.contains("reserved separator"))
+    // clean labels still round-trip
+    val good = new LabelEncoding(Map("encoding_range" -> "one_to_n"))
+    good.fit(Seq("x", "y").toDF("l"), "l")
+    val restored = new LabelEncoding(Map("encoding_range" -> "one_to_n"))
+    restored.restore(good.state)
+    assert(col1(Seq("x", "y", "z").toDF("l")
+      .withColumn("o", restored.transform($"l")), "o") == Seq(1L, 2L, 0L))
+  }
+
   test("pipeline config parsing, MLType pattern matching, save/load state") {
     val yaml =
       """pipeline:
