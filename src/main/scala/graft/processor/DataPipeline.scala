@@ -387,6 +387,9 @@ final class DataPipeline(
       val binds = mapper.createArrayNode()
       s.bindings.foreach { case (ins, proc, o) =>
         val b = mapper.createObjectNode()
+        // a comma inside a column name would mis-split on loadState
+        ins.foreach(n => require(!n.contains(","),
+          s"saveState: input column name contains ',': $n"))
         b.put("inputs", ins.mkString(","))
         b.put("output", o)
         val st = mapper.createObjectNode()
@@ -405,11 +408,22 @@ final class DataPipeline(
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
     val out = Seq.newBuilder[ResolvedStep]
+    // Saved entries are the RESOLVED steps in config order (minus any
+    // missing-column SKIPs), so each entry matches the next not-yet-consumed
+    // config step with its transformer name — a sequential cursor, NOT
+    // `config.steps.find`: find always returns the FIRST occurrence, so a
+    // pipeline with two same-transformer steps (e.g. two StringRemoval
+    // steps with different removal lists) would restore BOTH with the first
+    // step's params, silently changing the second step's behavior.
+    var cursor = 0
     (0 until node.size()).foreach { i =>
       val stepNode = node.get(i)
       val name = stepNode.get("transformer").asText()
-      val cfg = config.steps.find(_.transformer == name).getOrElse(
-        throw new IllegalArgumentException(s"state references unknown step $name"))
+      val found = config.steps.indexWhere(_.transformer == name, cursor)
+      if (found < 0) throw new IllegalArgumentException(
+        s"state references unknown (or out-of-order) step $name at entry $i")
+      val cfg = config.steps(found)
+      cursor = found + 1
       val binds = stepNode.get("bindings")
       out += ResolvedStep(name, (0 until binds.size()).map { j =>
         val b = binds.get(j)

@@ -201,6 +201,34 @@ class ProcessorSpec extends AnyFunSuite {
     assert(out2.select("cat_enc", "up").collect().toSeq == out.select("cat_enc", "up").collect().toSeq)
   }
 
+  test("loadState restores same-name steps by position, not first-match params") {
+    // regression: config.steps.find(_.transformer == name) returned the
+    // FIRST step for every same-transformer entry, so a pipeline with two
+    // StringRemoval steps restored BOTH with step 1's removal_list
+    val yaml =
+      """pipeline:
+        |  - input: ["txt"]
+        |    transformer: StringRemoval
+        |    params: {removal_list: ["aaa"]}
+        |    output: "s1"
+        |  - input: ["s1"]
+        |    transformer: StringRemoval
+        |    params: {removal_list: ["bbb"]}
+        |    output: "s2"
+        |""".stripMargin
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val schema = MLSchema(Map("txt" -> MLType.Text))
+    val df = Seq("aaa bbb ccc").toDF("txt")
+    val pipe = new DataPipeline(cfg)
+    val out = pipe.fitTransform(df, schema)
+    assert(col1(out, "s2") == Seq("  ccc"), "fitted pipeline removes both strings")
+    val tmp = java.nio.file.Files.createTempFile("pipe_dup", ".json").toString
+    pipe.saveState(tmp)
+    val restored = new DataPipeline(cfg).loadState(tmp)
+    assert(col1(restored.transform(df, schema), "s2") == Seq("  ccc"),
+      "restored step 2 must use ITS OWN removal_list, not step 1's")
+  }
+
   test("config writer: fromYaml(toYaml) and fromYaml(toJson) are identity") {
     val yaml =
       """pipeline:
