@@ -262,6 +262,12 @@ object Components {
     * string ids connectedComponents equally supports; a negated-id spelling
     * would implicitly cast strings to double and null the tie key), so
     * selection is deterministic on any partitioning and any id type.
+    * Null scores rank BELOW every real score (an explicit null-last flag in
+    * the ordering struct — struct comparison otherwise sorts null fields
+    * FIRST, so a null-score member would beat every scored one); a
+    * component whose members are ALL null-scored still keeps its min-id
+    * row, never losing the whole component. NaN scores lose to every
+    * finite score (−NaN is NaN, which sorts greatest) but beat null.
     */
   def dedupByCandidatesCanonical(df: DataFrame, idCol: String, scoreCol: Column,
       candidates: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
@@ -271,7 +277,8 @@ object Components {
       Seq("id"))
     val keepers = scored.groupBy(col("component"))
       .agg(min_by(col("id"),
-        struct((-col("__score__")).as("__negs__"), col("id").as("__tie__"))).as("keep_id"))
+        struct(col("__score__").isNull.as("__nulllast__"),
+          (-col("__score__")).as("__negs__"), col("id").as("__tie__"))).as("keep_id"))
       .select(col("keep_id").as(idCol))
     val inGraph = comps.select(col("id").as(idCol))
     df.join(inGraph, Seq(idCol), "left_anti")

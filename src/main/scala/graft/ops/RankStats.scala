@@ -194,7 +194,9 @@ object RankStats {
     val clean = df.select(col(a), col(b))
       .filter(col(a).isNotNull && col(b).isNotNull)
     val ranked = withAverageRank(withAverageRank(clean, a, "__ra__"), b, "__rb__")
-    val r = ranked.agg(corr(col("__ra__"), col("__rb__"))).head()
+    // safeCorr: an all-tied side ranks constant, and built-in corr on a
+    // constant column throws DIVIDE_BY_ZERO under ANSI — pandas yields NaN
+    val r = ranked.agg(graft.sdf.SCol.safeCorr(col("__ra__"), col("__rb__"))).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 

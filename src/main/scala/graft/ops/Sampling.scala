@@ -229,10 +229,18 @@ object Sampling {
     // scored document
     val negScore = when(score.isNull, lit(Double.PositiveInfinity))
       .otherwise(-score.cast("double"))
+    // fail LOUD on null/negative token counts (the weightedNByHash posture):
+    // a null count makes the row's cumsum null — silently dropping the row
+    // without consuming budget — and a negative count deflates every later
+    // row's cumsum, silently over-filling the budget
+    val tok = tokens.cast("long")
+    val checkedTok = when(tok.isNull || tok < 0L,
+      raise_error(concat(lit("selectByTokenBudget: token counts must be non-negative, got "),
+        coalesce(tok.cast("string"), lit("null"))))).otherwise(tok)
     val (ranked, offsets) = Offsets.rangeLayout(
       df.withColumn("__neg__", negScore)
         .withColumn("__sid__", id)
-        .withColumn("__tok__", tokens.cast("long")),
+        .withColumn("__tok__", checkedTok),
       Seq(col("__neg__"), col("__sid__")), col("__tok__"))
     val w = Window.partitionBy(col("__pid__"))
       .orderBy(col("__neg__"), col("__sid__"))

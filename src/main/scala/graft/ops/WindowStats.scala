@@ -269,7 +269,9 @@ object WindowStats {
       .withColumn("__xl__", org.apache.spark.sql.functions.lag(col("__x__"), lag).over(w))
       .filter(col("__xl__").isNotNull)
       .groupBy(keys.map(col): _*)
-      .agg(corr(col("__x__"), col("__xl__")).as(out))
+      // safeCorr: a constant group (zero variance) must yield a null cell,
+      // not an ANSI DIVIDE_BY_ZERO crash of every other group's result
+      .agg(graft.sdf.SCol.safeCorr(col("__x__"), col("__xl__")).as(out))
   }
 
   def rollingCorr(x: Column, y: Column, n: Int,
@@ -281,9 +283,10 @@ object WindowStats {
     val sxy = sum(xd * yd).over(w)
     val sx2 = sum(xd * xd).over(w); val sy2 = sum(yd * yd).over(w)
     val nL = lit(n.toDouble)
-    when(cnt === n,
-      (nL * sxy - sx * sy) /
-        (sqrt(nL * sx2 - sx * sx) * sqrt(nL * sy2 - sy * sy)))
+    // denominator guard: a zero-variance (constant) window is a legitimate
+    // data shape and must yield null, not an ANSI DIVIDE_BY_ZERO crash
+    val den = sqrt(nL * sx2 - sx * sx) * sqrt(nL * sy2 - sy * sy)
+    when(cnt === n && den > 0.0, (nL * sxy - sx * sy) / den)
   }
 
   /** pandas `rolling(n).cov(other)` — sample covariance of the last `n`
@@ -291,6 +294,7 @@ object WindowStats {
     */
   def rollingCov(x: Column, y: Column, n: Int,
       over: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    require(n >= 2, s"sample covariance needs a window of at least 2: $n") // /(n-1) is a literal ANSI divide
     val w = over.rowsBetween(-(n - 1), 0)
     val xd = x.cast("double"); val yd = y.cast("double")
     val cnt = count(when(xd.isNotNull && yd.isNotNull, 1)).over(w)

@@ -37,8 +37,18 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def **(other: Column): Column = pow(col, other)
   /** pandas `//` — floor division (floor of the true quotient, like Python). */
   def floorDiv(other: Column): Column = floor(col / other).cast("long")
-  /** pandas `hasnans`. */
-  def hasnans: Boolean = scalar[Boolean](count(when(col.isNull, 1)) > 0)
+  /** pandas `hasnans` — true for nulls AND, on float/double columns, real
+    * NaN values (pandas counts both; `isNull` alone misses NaN). Non-float
+    * columns skip the `isnan` probe, which only analyzes on fractional types.
+    */
+  def hasnans: Boolean = {
+    val isFloat = df.schema.find(_.name == name).map(_.dataType).exists {
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    val missing = if (isFloat) col.isNull || isnan(col) else col.isNull
+    scalar[Boolean](count(when(missing, 1)) > 0)
+  }
 
   def abs_ : Column = abs(col)
 
@@ -345,10 +355,14 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 
   /** Pearson `corr`/`cov` with another column (`ScalableSeries.py:896-906`);
     * `method="spearman"` via [[graft.ops.RankStats]] (scale-safe ranks).
+    * Degenerate input (a constant column, < 2 complete pairs) aggregates to
+    * SQL null → NaN like pandas — the bare `scalar[Double]` unboxed it to a
+    * fake 0.0, which reads as "uncorrelated" (the mean/std null-unboxing
+    * defect class).
     */
-  def corrWith(other: Column): Double = scalar[Double](corr(col, other))
+  def corrWith(other: Column): Double = scalarNaN(SCol.safeCorr(col, other))
   def spearmanWith(otherName: String): Double = graft.ops.RankStats.spearman(df, name, otherName)
-  def covWith(other: Column): Double = scalar[Double](covar_samp(col, other))
+  def covWith(other: Column): Double = scalarNaN(covar_samp(col, other))
 
   /** `prod` (`NumpyArrayScalableSeries.py:292-302`) — exact native
     * aggregate ([[graft.functions.ProductAgg]], partial-aggregation-correct
@@ -366,7 +380,10 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     */
   def wavg(weight: Column): Double = {
     val both = when(col.isNotNull && weight.isNotNull, 1).otherwise(0)
-    scalar[Double](
+    // scalarNaN: zero complete pairs (or an all-zero weight sum) aggregates
+    // to SQL null — np.average raises there; NaN is the pandas-flavored
+    // scalar, never a fake 0.0
+    scalarNaN(
       sum(when(both === 1, col * weight)).cast("double") /
         sum(when(both === 1, weight)).cast("double"))
   }
@@ -377,17 +394,34 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 object SCol {
   import org.apache.spark.sql.types._
 
+  /** Pearson correlation that returns NULL instead of throwing on a
+    * degenerate side: under Spark 4's default ANSI mode the built-in `corr`
+    * of a CONSTANT column raises DIVIDE_BY_ZERO at aggregate evaluation
+    * (ck / sqrt(0)) — a job-killing crash on data as ordinary as an all-equal
+    * group. Mathematically identical spelling (covar_pop / √(var_pop·var_pop)
+    * = ck / √(xMk·yMk), two extra ÷n that cancel); the CaseWhen evaluates
+    * the ratio only when the denominator is strictly positive, so the ANSI
+    * divide can never see a zero. Null (→ NaN at the scalar surface) for
+    * constant/empty/single-row input — pandas semantics.
+    */
+  def safeCorr(x: Column, y: Column): Column = {
+    val den = sqrt(var_pop(x) * var_pop(y))
+    when(den > 0.0, covar_pop(x, y) / den)
+  }
+
   /** Pandas-style bias-corrected skew/kurt as aggregate Columns (usable per
     * group, unlike the scalar [[SCol.skew]]/[[SCol.kurt]]): the same
-    * G1/G2 corrections applied to Spark's population g1/g2.
+    * G1/G2 corrections applied to Spark's population g1/g2. Groups too small
+    * for the correction (n ≤ 2 / n ≤ 3) yield NULL — the bare division threw
+    * DIVIDE_BY_ZERO under ANSI mode (pandas yields NaN there).
     */
   def sampleSkew(c: Column): Column = {
     val n = count(c).cast("double")
-    skewness(c) * sqrt(n * (n - 1)) / (n - 2)
+    when(n > 2, skewness(c) * sqrt(n * (n - 1)) / (n - 2))
   }
   def sampleKurt(c: Column): Column = {
     val n = count(c).cast("double")
-    ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * kurtosis(c) + lit(6))
+    when(n > 3, ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * kurtosis(c) + lit(6)))
   }
 
   /** Runtime ordering over external (Row-level) values for orderable Spark

@@ -353,7 +353,9 @@ final class SDF private (private var _df: DataFrame) {
     require(shared.nonEmpty, "no shared numeric columns to correlate")
     val l = _df.select(keys.map(col) ++ shared.map(c => col(c).as(s"__l_$c")): _*)
     val r = other.df.select(keys.map(col) ++ shared.map(c => col(c).as(s"__r_$c")): _*)
-    val aggs = shared.map(c => corr(col(s"__l_$c"), col(s"__r_$c")).as(c))
+    // safeCorr: built-in corr throws DIVIDE_BY_ZERO under ANSI on a constant
+    // column; pandas corrwith yields NaN there (null -> NaN downstream)
+    val aggs = shared.map(c => SCol.safeCorr(col(s"__l_$c"), col(s"__r_$c")).as(c))
     val wide = l.join(r, keys).agg(aggs.head, aggs.tail: _*)
     wide.select(explode(array(shared.map(c =>
         struct(lit(c).as("column"), col(c).as(out))): _*)).as("p"))
@@ -615,7 +617,9 @@ final class SDF private (private var _df: DataFrame) {
         s"corr method '$other' not supported here (pearson|spearman; kendall: RankStats.kendall)")
     }
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    // safeCorr: a constant column must yield NaN cells, not an ANSI
+    // DIVIDE_BY_ZERO crash of the whole matrix job
+    val aggs = pairs.map { case (a, b) => SCol.safeCorr(col(a), col(b)).as(s"${a}__${b}") }
     val row = base.agg(aggs.head, aggs.tail: _*).head()
     val m = pairs.zipWithIndex.map { case ((a, b), i) =>
       (a, b) -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))

@@ -1183,6 +1183,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq("c10", "s7"), s"got $kept")
   }
 
+  test("dedupByCandidatesCanonical: null scores lose; all-null component keeps min id") {
+    // regression: struct ordering sorts null fields FIRST, so min_by over
+    // struct(-score, id) picked a NULL-score member as the "best-quality"
+    // survivor of its component; the null-last flag reverses that
+    val df = Seq((1L, Some(0.1)), (2L, None: Option[Double]), (3L, Some(0.9)),
+        (10L, None: Option[Double]), (11L, None: Option[Double]))
+      .toDF("id", "score")
+    // component {1,2,3}: 2 has null score and must NOT win; best real score
+    // is 3. component {10,11}: all null -> keep min id 10, never zero rows.
+    val cand = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Components
+      .dedupByCandidatesCanonical(df, "id", col("score"), cand)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 10L), s"got $kept")
+  }
+
   test("stripHtml: blocks die, tags strip, entities decode with &amp; last") {
     val html = "<html><style>p{}</style><body>A &amp;lt; B<script>if(1<2){}</script>" +
       "<p>x &gt; y &amp; z&nbsp;&#39;q&#39;</p></body></html>"
@@ -1689,6 +1705,24 @@ class OpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(5L, 4L, 3L),
       s"expected the three highest-scored docs, got $got")
+  }
+
+  test("selectByTokenBudget: null/negative token counts fail loud, not silent budget drift") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // null count: the row's cumsum is null -> silently dropped without
+    // consuming budget; negative count: deflates later cumsums -> overfill
+    val withNull = Seq((1L, 2.0, Some(10L)), (2L, 1.0, None: Option[Long]))
+      .toDF("id", "score", "tok")
+    val e1 = intercept[Exception] {
+      Sampling.selectByTokenBudget(withNull, col("id"), col("score"), col("tok"), 30L).collect()
+    }
+    assert(e1.getMessage.contains("token counts must be non-negative"), e1.getMessage)
+    val withNeg = Seq((1L, 2.0, 10L), (2L, 1.0, -5L)).toDF("id", "score", "tok")
+    val e2 = intercept[Exception] {
+      Sampling.selectByTokenBudget(withNeg, col("id"), col("score"), col("tok"), 30L).collect()
+    }
+    assert(e2.getMessage.contains("token counts must be non-negative"), e2.getMessage)
   }
 
   test("exactPrepass with null-text docs links them like the non-prepass path (flag-invariant components)") {

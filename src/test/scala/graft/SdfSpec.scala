@@ -218,6 +218,10 @@ class SdfSpec extends AnyFunSuite {
     assert(out.head._1 == 8.0 && math.abs(out(1)._1 - 1.0 / 49) < 1e-15)
     assert(!s("a").hasnans)
     assert(SDF(Seq(Some(1.0), None).toDF("x"))("x").hasnans)
+    // pandas hasnans counts real NaN, not just null (isNull misses NaN);
+    // string columns must not trip the isnan probe
+    assert(SDF(Seq(1.0, Double.NaN).toDF("x"))("x").hasnans)
+    assert(!SDF(Seq("a", "b").toDF("x"))("x").hasnans)
     assert(!s.isEmpty && SDF(Seq.empty[Double].toDF("x")).isEmpty)
     // equals: multiset of rows, column order sensitive
     val same = SDF(Seq((7.0, -2.0), (2.0, 3.0)).toDF("a", "b"))
@@ -420,6 +424,48 @@ class SdfSpec extends AnyFunSuite {
     assert(oneRow("x").std.isNaN, "stddev_samp of 1 row must be NaN")
     assert(oneRow("x").variance.isNaN)
     assert(empty("x").quantileApprox(0.5).isNaN)
+    // same null-unboxing class, missed by the first sweep: corr of a
+    // CONSTANT column is SQL null -> must surface as NaN, never a fake 0.0
+    // ("uncorrelated"); cov on <2 complete pairs and wavg on zero complete
+    // pairs likewise
+    val const = Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+    assert(SDF(const)("x").corrWith(col("y")).isNaN, "corr of constant must be NaN")
+    assert(SDF(Seq((1.0, 2.0)).toDF("x", "y"))("x").covWith(col("y")).isNaN,
+      "cov of one pair must be NaN")
+    val noPairs = Seq((Some(1.0), None: Option[Double]), (None: Option[Double], Some(2.0)))
+      .toDF("x", "w")
+    assert(SDF(noPairs)("x").wavg(col("w")).isNaN, "wavg with zero complete pairs must be NaN")
+  }
+
+  test("ANSI degenerate statistics: constant/small inputs yield NaN/null, never DIVIDE_BY_ZERO") {
+    // Spark 4 ANSI mode turns the built-in corr of a constant column, and
+    // the bias-correction divisions at n<=2 / n<=3, into job-killing throws
+    val const = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    // per-group corr via safeCorr (the corrMatrix/corrwith/autocorr spelling)
+    val cell = const.agg(graft.sdf.SCol.safeCorr(col("x"), col("y"))).head()
+    assert(cell.isNullAt(0), "corr of a constant column must be null, not a crash")
+    assert(SDF(const)("x").corrWith(col("y")).isNaN)
+    // safeCorr matches built-in corr on healthy input (same math, ~ulp)
+    val healthy = Seq((1.0, 2.0), (2.0, 3.5), (3.0, 5.2), (4.0, 6.1)).toDF("x", "y")
+    val both = healthy.agg(corr(col("x"), col("y")),
+      graft.sdf.SCol.safeCorr(col("x"), col("y"))).head()
+    assert(math.abs(both.getDouble(0) - both.getDouble(1)) < 1e-12)
+    // moments: groups of n=2 / n=3 must not divide by zero
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "x")
+    val m = tiny.groupBy("g").agg(
+        graft.sdf.SCol.sampleSkew(col("x")).as("sk"),
+        graft.sdf.SCol.sampleKurt(col("x")).as("ku"))
+      .orderBy("g").collect()
+    assert(m(0).isNullAt(1) && m(0).isNullAt(2), "n=2: skew and kurt null")
+    assert(!m(1).isNullAt(1) && m(1).isNullAt(2), "n=3: skew defined, kurt null")
+    // rolling corr over a constant window: null cell, not a crash
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1)).orderBy("i")
+    val flat = (1 to 5).map(i => (i, 2.0, i.toDouble)).toDF("i", "x", "y")
+    val rc = flat.select(graft.ops.WindowStats.rollingCorr(col("x"), col("y"), 3, w).as("c"))
+      .collect()
+    assert(rc.forall(_.isNullAt(0)), "constant-x windows must all be null")
   }
 
   test("histogram of an empty or all-null column is an empty frame, not an NPE") {
