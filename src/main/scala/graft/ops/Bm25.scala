@@ -39,7 +39,11 @@ object Bm25 {
           .cast("double").as(s"__df_$i"))
     val stats = staged.agg(statAggs.head, statAggs.tail: _*)
     val scored = staged.crossJoin(broadcast(stats))
-    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("__dl__") / col("__avgdl__"))
+    // avgdl == 0 (every doc tokenized empty) would ANSI-throw on dl/avgdl;
+    // all dl are then 0 too, so the length ratio is 0 by definition
+    val lenRatio = when(col("__avgdl__") > 0.0, col("__dl__") / col("__avgdl__"))
+      .otherwise(lit(0.0))
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * lenRatio)
     val total = terms.indices.map { i =>
       val tf = element_at(col("__tf__"), i + 1)
       idf(col("__N__"), col(s"__df_$i")) * tf * lit(k1 + 1) / (tf + norm)

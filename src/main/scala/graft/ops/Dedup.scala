@@ -364,8 +364,11 @@ object Dedup {
     df.select(TextAnalysis.fingerprint(textCol).as("__d__"))
       .agg(count(lit(1)).as("n_docs"),
         approx_count_distinct(col("__d__")).as("approx_distinct"))
+      // n_docs == 0 (empty corpus) would ANSI-throw on the ratio; the dup
+      // rate of nothing is null, not a crash
       .select(col("n_docs"), col("approx_distinct"),
-        round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4).as("dup_rate"))
+        when(col("n_docs") > 0,
+          round(lit(1.0) - col("approx_distinct") / col("n_docs"), 4)).as("dup_rate"))
 
   /** Snapshot diff — incremental-pipeline observability: per-id status
     * between two corpus snapshots (`added` / `removed` / `changed` /
@@ -418,7 +421,8 @@ object Dedup {
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val l = tagged.as("l"); val r = tagged.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", Similarity.dot(col("l.v"), col("r.v")) / col("l.nrm") / col("r.nrm"))
+      .withColumn("cos", Similarity.cosineWithNorms(
+        Similarity.dot(col("l.v"), col("r.v")), col("l.nrm"), col("r.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -12,10 +12,20 @@ import TextAnalysis.hash60
 object Similarity {
 
   /** Cosine similarity of two double arrays — native codegen'd dot kernel,
-    * no UDF. Inside joins, precompute [[l2norm]] per side first.
+    * no UDF. Inside joins, precompute [[l2norm]] per side first. A zero
+    * vector has no direction: its cosine is NULL (evaluated lazily, so the
+    * zero norm never reaches the divide — under Spark 4's default ANSI mode
+    * a bare `/0` THROWS, and zero embeddings are ordinary data: padding
+    * rows, all-stopword docs).
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    cosineWithNorms(dot(a, b), sqrt(dot(a, a)), sqrt(dot(b, b)))
+
+  /** The shared zero-norm-safe cosine kernel for pair joins with staged
+    * norms: null when either norm is 0 (or null).
+    */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    when(normA > 0.0 && normB > 0.0, dotAB / normA / normB)
 
   /** Dot product — [[graft.functions.DotProduct]], a native Catalyst
     * expression: one fused loop in whole-stage codegen instead of the
@@ -139,7 +149,7 @@ object Similarity {
         transform(col("__qz__.q"), x => x.cast("double") * col("__qz__.scale")))
       .withColumn("__cn__", l2norm(col("__cv__")))
     val scored = q.crossJoin(c)
-      .withColumn("cos", dot(col("__qv__"), col("__cv__")) / col("__qn__") / col("__cn__"))
+      .withColumn("cos", cosineWithNorms(dot(col("__qv__"), col("__cv__")), col("__qn__"), col("__cn__")))
       .filter(col(qId) =!= col(cId))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -159,7 +169,7 @@ object Similarity {
     val c = corpus.withColumn("__cv__", col(cVec).cast("array<double>"))
       .withColumn("__cn__", l2norm(col("__cv__")))
     val scored = q.crossJoin(c)
-      .withColumn("cos", dot(col("__qv__"), col("__cv__")) / col("__qn__") / col("__cn__"))
+      .withColumn("cos", cosineWithNorms(dot(col("__qv__"), col("__cv__")), col("__qn__"), col("__cn__")))
       .filter(col(qId) =!= col(cId))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -214,7 +224,7 @@ object Similarity {
       .withColumn("__qn__", l2norm(col("__qv__")))
 
     val scored = qb.join(cb, "__cell__")
-      .withColumn("cos", dot(col("__qv__"), col("__v__")) / col("__qn__") / col("__cn__"))
+      .withColumn("cos", cosineWithNorms(dot(col("__qv__"), col("__v__")), col("__qn__"), col("__cn__")))
       .filter(col(qId) =!= col(cId))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -260,7 +270,8 @@ object Similarity {
     val l = assigned.as("l"); val r = assigned.as("r")
     val dropped = l.join(r,
         col("l.__cell__") === col("r.__cell__") && col("l.__id__") < col("r.__id__"))
-      .filter(dot(col("l.__v__"), col("r.__v__")) / col("l.__n__") / col("r.__n__") >= eps)
+      .filter(cosineWithNorms(dot(col("l.__v__"), col("r.__v__")),
+        col("l.__n__"), col("r.__n__")) >= eps)
       .select(col("r.__id__").as("__drop__"))
       .distinct()
     assigned.join(dropped, col("__id__") === col("__drop__"), "left_anti")
@@ -283,7 +294,7 @@ object Similarity {
       .withColumn("__cv__", col(cVec).cast("array<double>"))
       .withColumn("__cn__", l2norm(col("__cv__")))
     val scored = qb.join(cb, "__bucket__")
-      .withColumn("cos", dot(col("__qv__"), col("__cv__")) / col("__qn__") / col("__cn__"))
+      .withColumn("cos", cosineWithNorms(dot(col("__qv__"), col("__cv__")), col("__qn__"), col("__cn__")))
       .filter(col(qId) =!= col(cId))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -294,8 +294,19 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     if (n >= 0) lag(col, n).over(over) else lead(col, -n).over(over)
   def diff(over: org.apache.spark.sql.expressions.WindowSpec): Column =
     col - lag(col, 1).over(over)
-  def pctChange(over: org.apache.spark.sql.expressions.WindowSpec): Column =
-    (col - lag(col, 1).over(over)) / lag(col, 1).over(over)
+  /** pandas `pct_change()`: a ZERO previous value is ordinary data, and the
+    * bare ratio throws DIVIDE_BY_ZERO under Spark 4 ANSI mode — pandas
+    * yields +inf/−inf (0 → 0 is NaN), reproduced here with a lazily
+    * evaluated branch so the divide never sees the zero.
+    */
+  def pctChange(over: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val prev = lag(col, 1).over(over)
+    when(prev === 0,
+      when(col > 0, lit(Double.PositiveInfinity))
+        .when(col < 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+      .otherwise((col - prev) / prev)
+  }
   def rank_(over: org.apache.spark.sql.expressions.WindowSpec): Column =
     rank().over(over).cast("long")
   def cummax(over: org.apache.spark.sql.expressions.WindowSpec): Column =

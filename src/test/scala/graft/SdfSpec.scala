@@ -468,6 +468,39 @@ class SdfSpec extends AnyFunSuite {
     assert(rc.forall(_.isNullAt(0)), "constant-x windows must all be null")
   }
 
+  test("ANSI degenerate data: zero vectors, zero pct_change base, empty corpora don't crash") {
+    import org.apache.spark.sql.expressions.Window
+    // cosine of/with a zero vector: null, not DIVIDE_BY_ZERO
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(0.8, 0.6)))
+      .toDF("id", "v")
+    val cos = vecs.select(col("id"),
+      graft.ops.Similarity.cosine(col("v"), typedLit(Seq(1.0, 0.0))).as("c"))
+      .orderBy("id").collect()
+    assert(cos(0).getDouble(1) == 1.0 && cos(1).isNullAt(1) &&
+      math.abs(cos(2).getDouble(1) - 0.8) < 1e-12)
+    // bruteForceTopK with a zero corpus vector: zero-norm rows rank last
+    // (null cos under desc), never crash the scoring job
+    val topk = graft.ops.Similarity.bruteForceTopK(
+      vecs.filter(col("id") === 1L).toDF("qid", "qv"), vecs.toDF("cid", "cv"),
+      "qid", "qv", "cid", "cv", k = 2)
+    assert(topk.select("cid").as[Long].collect().toSet == Set(3L, 2L))
+    // pct_change over a zero base: pandas +inf / NaN, not a throw
+    val w = Window.partitionBy(lit(1)).orderBy("i")
+    val ser = Seq((1, 0.0), (2, 5.0), (3, 0.0), (4, 0.0)).toDF("i", "x")
+    val pc = ser.select(SDF(ser)("x").pctChange(w).as("p")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(pc(0).isEmpty, "first row: null (no previous)")
+    assert(pc(1).contains(Double.PositiveInfinity), "5.0 from 0.0 -> +inf")
+    assert(pc(2).contains(-1.0))
+    assert(pc(3).exists(_.isNaN), "0.0 from 0.0 -> NaN")
+    // BM25 over an all-empty corpus and dup rate of an empty frame: no crash
+    val emptyDocs = Seq("", "").toDF("t")
+    val bm = graft.ops.Bm25.score(emptyDocs, col("t"), Seq("x"), "s").collect()
+    assert(bm.forall(_.getDouble(1) == 0.0))
+    val dr = graft.ops.Dedup.dupRateEstimate(Seq.empty[String].toDF("t"), col("t")).head()
+    assert(dr.getLong(0) == 0L && dr.isNullAt(2))
+  }
+
   test("histogram of an empty or all-null column is an empty frame, not an NPE") {
     val allNull = SDF(Seq[Option[Double]](None, None).toDF("x"))
     val h = allNull("x").histogram(4)
