@@ -8,8 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * delegated to pandas/Dask kernels per layout
   * (`src/bears/core/frame/ScalableDataFrame.py:84`). On Spark the session IS
   * the engine; we pin the settings every oracle comparison depends on
-  * (UTC timestamps, ANSI off for pandas-flavored null semantics) and the
-  * local-mode scale knobs (shuffle partitions = cores, AQE on).
+  * (UTC timestamps) and the local-mode scale knobs (shuffle partitions =
+  * cores, AQE on). Spark 4's default ANSI mode stays ON: pandas-flavored
+  * NaN/null semantics on degenerate input are provided by explicit guards at
+  * each site instead (e.g. [[graft.sdf.SCol.safeCorr]], zero-norm-safe
+  * cosine, lazily-branched pct_change) — disabling ANSI would also silence
+  * real overflow/cast errors the engine WANTS loud at 100 TB.
   */
 object GraftSession {
 

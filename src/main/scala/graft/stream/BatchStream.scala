@@ -44,6 +44,10 @@ object BatchStream {
       seed: Long = 42L,
       reverseSharding: Boolean = false) {
     require(numRows.isDefined ^ numChunks.isDefined, "exactly one of numRows/numChunks")
+    // positivity here, not deep in the bounds math: numRows=0 reaches
+    // `length / (shards * 0)` — a cryptic driver ArithmeticException
+    require(numRows.forall(_ > 0), s"numRows must be positive: $numRows")
+    require(numChunks.forall(_ > 0), s"numChunks must be positive: $numChunks")
     require(shard._1 >= 0 && shard._1 < shard._2, s"shard rank out of range: $shard")
   }
 

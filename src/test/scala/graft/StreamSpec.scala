@@ -219,6 +219,18 @@ class StreamSpec extends AnyFunSuite {
       Seq("x-part-0001-rows-1-3", "x-part-0002-rows-4-6", "x-part-0003-rows-7-7"))
   }
 
+  test("Plan rejects non-positive numRows/numChunks with a clear message") {
+    // 0 used to reach `length / (shards * 0)` deep in the bounds math
+    val e1 = intercept[IllegalArgumentException] {
+      BatchStream.Plan(numRows = Some(0L))
+    }
+    assert(e1.getMessage.contains("numRows must be positive"))
+    val e2 = intercept[IllegalArgumentException] {
+      BatchStream.Plan(numChunks = Some(-3L))
+    }
+    assert(e2.getMessage.contains("numChunks must be positive"))
+  }
+
   test("stream-static incremental dedup == batch anti-join + digest dedup") {
     import graft.streaming.EventStreams
     import graft.core.GraftSession
