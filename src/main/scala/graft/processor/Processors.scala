@@ -16,6 +16,8 @@ object Processors {
     def opt(p: Map[String, Any], k: String): Option[String] = p.get(k).map(_.toString)
     def bool(p: Map[String, Any], k: String, d: Boolean): Boolean =
       p.get(k).map(_.toString.toBoolean).getOrElse(d)
+    /** Backtick-quoted identifier for SQL-string fragments (`` doubling). */
+    def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
     /** A list element must be a scalar — a container (or a pair) here means
       * a corrupt config shape (e.g. a bean-serialized Scala collection) that
       * would otherwise `toString` into a silent no-op; fail loud instead.
@@ -331,8 +333,11 @@ object Processors {
     }
 
     override def fit(df: DataFrame, inputCol: String): this.type = {
+      // backtick-escape (the SCol.mode_ discipline): a space/dot in the
+      // column name would otherwise break the SQL or resolve a nested field
       if (strategy == "mode")
-        imputed = Option(df.select(expr(s"mode($inputCol, true)")).head().get(0)).map(_.toString)
+        imputed = Option(df.select(
+          expr(s"mode(${P.quoted(inputCol)}, true)")).head().get(0)).map(_.toString)
       this
     }
     def transform(in: Column): Column = {
@@ -367,8 +372,9 @@ object Processors {
       val c = col(inputCol)
       val agg = strategy match {
         case "mean" => avg(c)
-        case "median" => expr(s"median($inputCol)")
-        case "mode" => expr(s"mode($inputCol, true)")
+        // backtick-escape: see CategoricalMissingValueImputation.fit
+        case "median" => expr(s"median(${P.quoted(inputCol)})")
+        case "mode" => expr(s"mode(${P.quoted(inputCol)}, true)")
         case "min" => min(c)
         case "max" => max(c)
         case "constant" => return this
@@ -439,12 +445,16 @@ object Processors {
       transform_(size, indices, values)
     }
     private def transform_(size: Column, indices: Column, values: Column): Column =
-      org.apache.spark.sql.functions.transform(
-        sequence(lit(0), size - 1),
-        i => {
-          val pos = array_position(indices, i)
-          when(pos > 0, element_at(values, pos.cast("int"))).otherwise(lit(0.0))
-        })
+      // size == 0 guard: sequence(0, -1) DESCENDS (start > stop steps -1),
+      // so an empty sparse vector would densify to 2-element garbage
+      // [0.0, 0.0] instead of an empty array
+      when(size === 0, array().cast("array<double>"))
+        .otherwise(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), size - 1),
+          i => {
+            val pos = array_position(indices, i)
+            when(pos > 0, element_at(values, pos.cast("int"))).otherwise(lit(0.0))
+          }))
   }
 
   def registerAll(): Unit = if (!registered) {

@@ -229,6 +229,34 @@ class ProcessorSpec extends AnyFunSuite {
       "restored step 2 must use ITS OWN removal_list, not step 1's")
   }
 
+  test("VectorDensifier: empty sparse vector densifies to an empty array, not [0.0, 0.0]") {
+    // regression: sequence(0, size-1) at size=0 is sequence(0, -1), which
+    // DESCENDS — yielding a 2-element zero array for an empty vector
+    val df = Seq((0, Seq.empty[Int], Seq.empty[Double]), (3, Seq(1), Seq(7.0)))
+      .toDF("size", "indices", "values")
+      .select(struct(col("size"), col("indices"), col("values")).as("sv"))
+    val out = df.select(new Processors.VectorDensifier(Map.empty)
+      .transform(col("sv")).as("d")).collect().map(_.getSeq[Double](0))
+    assert(out(0) == Seq.empty, s"empty sparse must densify empty, got ${out(0)}")
+    assert(out(1) == Seq(0.0, 7.0, 0.0))
+  }
+
+  test("imputation fit works on non-identifier column names (backtick escaping)") {
+    // regression: expr(s"mode($inputCol)") broke on spaces / resolved dots
+    val df = Seq(Some("x"), Some("x"), None).toDF("cat col.umn")
+    val p = new Processors.CategoricalMissingValueImputation(Map("strategy" -> "mode"))
+    p.fit(df, "cat col.umn")
+    val filled = df.select(p.transform(col("`cat col.umn`")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(filled == Seq("x", "x", "x"))
+    val nf = Seq(Some(1.0), Some(1.0), None).toDF("num col.umn")
+    val np = new Processors.NumericMissingValueImputation(Map("strategy" -> "median"))
+    np.fit(nf, "num col.umn")
+    val nFilled = nf.select(np.transform(col("`num col.umn`")).as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(nFilled == Seq(1.0, 1.0, 1.0))
+  }
+
   test("config writer: fromYaml(toYaml) and fromYaml(toJson) are identity") {
     val yaml =
       """pipeline:
