@@ -58,6 +58,33 @@ class RankStatsPropertySpec extends AnyFunSuite {
     v.map(firstPos)
   }
 
+  test("safeCorr equals the built-in corr on randomized non-degenerate data") {
+    // the ANSI-safe spelling (covar_pop / sqrt(var_pop*var_pop)) must be the
+    // SAME statistic as built-in corr wherever the built-in is defined; the
+    // guard only changes behavior where the built-in THROWS (zero variance)
+    import org.apache.spark.sql.functions._
+    val pairs = clean
+    val d = pairs.toDF("a", "b")
+    val row = d.agg(corr(col("a"), col("b")),
+      graft.sdf.SCol.safeCorr(col("a"), col("b"))).head()
+    if (row.isNullAt(0)) assert(row.isNullAt(1), "both must agree on undefined")
+    else assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-10,
+      s"corr ${row.getDouble(0)} vs safeCorr ${row.getDouble(1)}")
+    // per-group agreement, including groups the generator makes tiny
+    val g = pairs.zipWithIndex.map { case ((a, b), i) => (i % 7, a, b) }
+      .toDF("g", "a", "b")
+    val both = g.groupBy(col("g")).agg(
+        corr(col("a"), col("b")).as("c1"),
+        graft.sdf.SCol.safeCorr(col("a"), col("b")).as("c2"))
+      .collect()
+    both.foreach { r =>
+      val c1 = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+      val c2 = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+      assert((c1.isNaN && c2.isNaN) || math.abs(c1 - c2) < 1e-10,
+        s"group ${r.getInt(0)}: $c1 vs $c2")
+    }
+  }
+
   test("spearman matches driver average-rank Pearson") {
     val (xs, ys) = clean.unzip
     val (ra, rb) = (averageRanks(xs), averageRanks(ys))
