@@ -97,15 +97,38 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
   def median: Double = quantile(0.5)
   /** Geometric mean via the log-sum identity `exp(mean(ln x))` — the only
     * overflow-safe distributed spelling (a product of 10^9 values over- or
-    * underflows doubles immediately); positive values only, like
-    * `scipy.stats.gmean`.
+    * underflows doubles immediately). Non-positive elements follow
+    * `scipy.stats.gmean`: any zero → 0.0, any negative → NaN. (The bare
+    * `exp(avg(ln x))` silently SKIPPED them — `ln` of a non-positive is SQL
+    * null — quietly computing the gmean of the positive subset.)
     */
-  def geomean: Double = scalarNaN(exp(avg(log(col.cast("double")))))
+  def geomean: Double = {
+    val x = col.cast("double")
+    val r = df.agg(
+      count(when(x === 0.0, 1)).as("z"),
+      count(when(x < 0.0, 1)).as("n"),
+      exp(avg(log(x))).as("g")).head()
+    if (r.getLong(1) > 0) Double.NaN
+    else if (r.getLong(0) > 0) 0.0
+    else if (r.isNullAt(2)) Double.NaN
+    else r.getDouble(2)
+  }
   /** Harmonic mean `n / Σ(1/x)` (`scipy.stats.hmean`) — one partial-agg
-    * pass, map-side combined.
+    * pass, map-side combined. A ZERO element is ordinary data and the bare
+    * `1.0/x` is a per-row ANSI divide-by-zero throw inside the aggregate;
+    * scipy defines hmean = 0 when any element is 0, reproduced with a
+    * row-lazy branch so the divide never sees the zero.
     */
-  def harmonicMean: Double =
-    scalarNaN(count(col).cast("double") / sum(lit(1.0) / col.cast("double")))
+  def harmonicMean: Double = {
+    val x = col.cast("double")
+    val r = df.agg(
+      count(when(x === 0.0, 1)).as("z"),
+      (count(x).cast("double") / sum(when(x =!= 0.0, lit(1.0) / x))).cast("double").as("h"))
+      .head()
+    if (r.getLong(0) > 0) 0.0
+    else if (r.isNullAt(1)) Double.NaN
+    else r.getDouble(1)
+  }
   /** Winsorize: clip at the exact [pLo, pHi] quantiles (type-7), boundaries
     * from the parallel range sort ([[graft.ops.RankStats.winsorize]]).
     */
