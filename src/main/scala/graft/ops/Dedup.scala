@@ -328,8 +328,11 @@ object Dedup {
     * less. Use [[jaccardShingles]] when the exact value is required.
     */
   def jaccardEstimate(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v).cast("double") / size(sigA).cast("double")
+    // empty-signature guard (ANSI 0/0 throws; engine-built signatures have
+    // numHashes >= 1 components, but the function accepts any array)
+    when(size(sigA) > 0,
+      aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v).cast("double") / size(sigA).cast("double"))
 
   def jaccard(a: Column, b: Column, k: Int): Column =
     jaccardShingles(array_distinct(shingles(a, k)), array_distinct(shingles(b, k)))
