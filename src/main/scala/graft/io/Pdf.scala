@@ -40,6 +40,9 @@ object Pdf {
     * wild PDFs go through [[extract]]'s same Flate path.
     */
   def synthesize(pageTexts: Seq[String], compress: Boolean = true): Array[Byte] = {
+    // fail loud, not a mid-escape NPE: a null page is a caller bug (a null
+    // document has no PDF — filter upstream)
+    require(pageTexts.forall(_ != null), "Pdf.synthesize: null page text")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")

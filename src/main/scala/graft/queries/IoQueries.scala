@@ -303,7 +303,8 @@ object IoQueries {
     },
     oracle = Some("""
       SELECT l_orderkey, l_linenumber,
-             least(greatest(l_quantity, 5.0), 40.0) AS qty_clip,
+             CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN l_quantity
+                  ELSE least(greatest(l_quantity, 5.0), 40.0) END AS qty_clip,
              CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
              round(abs(l_discount - 0.05), 4) AS disc_dev,
              CASE WHEN l_extendedprice > 50000 THEN 'high'
@@ -379,12 +380,14 @@ object IoQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      table(s, dir, "lineitem")
-        .filter(col("l_suppkey") <= 3)
+      val base = table(s, dir, "lineitem").filter(col("l_suppkey") <= 3)
+      // SCol.pctChange, not a raw (x-lag)/lag: a zero previous quantity is
+      // ordinary data and the bare ratio is an ANSI DIVIDE_BY_ZERO crash;
+      // the engine method yields pandas +-inf/NaN there (oracle mirrors)
+      base
         .withColumn("roll_avg_qty", round(avg(col("l_quantity")).over(w.rowsBetween(-3, 0)), 4))
         .withColumn("pct_change", round(
-          (col("l_quantity") - lag(col("l_quantity"), 1).over(w)) /
-            lag(col("l_quantity"), 1).over(w), 4))
+          graft.sdf.SDF(base)("l_quantity").pctChange(w), 4))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("roll_avg_qty"), col("pct_change"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
@@ -394,10 +397,17 @@ object IoQueries {
              round(avg(l_quantity) OVER (PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg_qty,
-             round((l_quantity - lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber)) /
-                   lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber), 4) AS pct_change
+             round(CASE
+               WHEN lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber) = 0 THEN
+                 CASE WHEN l_quantity > 0 THEN CAST('infinity' AS DOUBLE)
+                      WHEN l_quantity < 0 THEN CAST('-infinity' AS DOUBLE)
+                      ELSE CAST('nan' AS DOUBLE) END
+               ELSE (l_quantity - lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)) /
+                    lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             END, 4) AS pct_change
       FROM lineitem
       WHERE l_suppkey <= 3
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
@@ -567,7 +577,10 @@ object IoQueries {
   val q98_pdf_extract: Q = Q(
     fn = (s, dir) => {
       import s.implicits._
+      // null text has no PDF to synthesize — filter BEFORE the typed map
+      // (t.length on a null decoded string is an executor-killing NPE)
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
       val assets = docs.as[(Long, String)].map { case (id, t) =>
           val pages = if (t.length > 120) Seq(t.substring(0, 120), t.substring(120)) else Seq(t)
           ("doc://" + id, Pdf.synthesize(pages))
@@ -581,10 +594,10 @@ object IoQueries {
       WITH pages AS (
         SELECT 'doc://' || doc_id AS path, CAST(0 AS BIGINT) AS page,
                CASE WHEN length(text) > 120 THEN substr(text, 1, 120) ELSE text END AS ptext
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
         UNION ALL
         SELECT 'doc://' || doc_id, CAST(1 AS BIGINT), substr(text, 121)
-        FROM documents WHERE length(text) > 120)
+        FROM documents WHERE text IS NOT NULL AND length(text) > 120)
       SELECT path, page, ptext FROM pages ORDER BY path, page"""))
 
   /** Range-partitioned sorted layout ([[Writers.writeRangeSorted]]): each

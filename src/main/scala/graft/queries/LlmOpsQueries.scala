@@ -2099,9 +2099,12 @@ object LlmOpsQueries {
     */
   val q170_token_budget_select: Q = Q(
     fn = (s, dir) => {
+      // coalesce(0): a NULL-text doc costs zero tokens; the op itself fails
+      // loud on null counts (the silent-budget-drift guard), so the CALLER
+      // decides what a missing count means
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
-          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+          coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)).as("n_tok"))
       graft.ops.Sampling.selectByTokenBudget(
           docs, col("doc_id"), col("n_chars"), col("n_tok"), budget = 1000L)
         .select(col("doc_id"), col("n_chars"))
@@ -2110,8 +2113,8 @@ object LlmOpsQueries {
     oracle = Some("""
       WITH lens AS (
         SELECT doc_id, n_chars,
-               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-                               x -> length(x) >= 1)) AS n_tok
+               coalesce(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                               x -> length(x) >= 1)), 0) AS n_tok
         FROM documents),
       c AS (
         SELECT doc_id, n_chars,

@@ -251,12 +251,21 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("value").cast("double")).as[(Long, Double)]
-      .groupByKey(_._1)
+    // Option decode, not (Long, Double): a NULL value (or user) in the
+    // stream is ordinary data and the non-nullable tuple encoder kills the
+    // whole QUERY with NOT_NULL_ASSERT_VIOLATION. SQL-aggregate semantics
+    // instead: null values count toward n but add nothing to the total
+    // (count(*) + sum-skips-nulls); null-user events are dropped map-side
+    // (the typed output row cannot carry a null key).
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Option[Long], Option[Double])]
+      .filter((r: (Option[Long], Option[Double])) => r._1.isDefined)
+      .groupByKey(_._1.get)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+        (user: Long, rows: Iterator[(Option[Long], Option[Double])],
+            state: GroupState[(Long, Double)]) =>
           var (n, total) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { case (_, v) => n += 1; total += v }
+          rows.foreach { case (_, v) => n += 1; total += v.getOrElse(0.0) }
           state.update((n, total))
           UserTotals(user, n, total)
       }
