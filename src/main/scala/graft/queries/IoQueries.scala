@@ -598,7 +598,14 @@ object IoQueries {
         UNION ALL
         SELECT 'doc://' || doc_id, CAST(1 AS BIGINT), substr(text, 121)
         FROM documents WHERE text IS NOT NULL AND length(text) > 120)
-      SELECT path, page, ptext FROM pages ORDER BY path, page"""))
+      -- the extractor skips pages whose content stream shows no text
+      -- (documented heuristic), so an empty-text page never surfaces;
+      -- pages keep their in-document index among SURVIVING pages
+      SELECT path,
+             row_number() OVER (PARTITION BY path ORDER BY page) - 1 AS page,
+             ptext
+      FROM pages WHERE ptext <> ''
+      ORDER BY path, page"""))
 
   /** Range-partitioned sorted layout ([[Writers.writeRangeSorted]]): each
     * parquet file holds a disjoint `l_orderkey` range with monotone row

@@ -27,7 +27,7 @@ object LlmOpsQueries {
         .orderBy(col("doc_id")),
     oracle = Some("""
       SELECT doc_id,
-             len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+             len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                              x -> length(x) >= 1)) AS n_tokens,
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
       FROM documents
@@ -70,7 +70,7 @@ object LlmOpsQueries {
         .orderBy(col("doc_id"), col("h")),
     oracle = Some(s"""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents WHERE doc_id < 100),
       sh AS (
@@ -114,7 +114,7 @@ object LlmOpsQueries {
         SELECT doc_id + 1000000, text || ' appended' FROM documents
         WHERE doc_id < 200 AND doc_id % 2 = 0),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -168,7 +168,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id, u.t
-        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                          x -> length(x) >= 1) AS t
               FROM documents WHERE doc_id < 100) d, UNNEST(d.t) u(t)),
       h AS (SELECT doc_id, ${h60("t")} AS hv FROM toks),
@@ -318,7 +318,7 @@ object LlmOpsQueries {
     oracle = Some("""
       WITH toks AS (
         SELECT doc_id, lang, text,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                            x -> length(x) >= 1) AS t
         FROM documents),
       scores AS (
@@ -541,7 +541,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id,
-               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                x -> length(x) >= 1)) AS n_tok,
                ${h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard
         FROM documents)
@@ -587,7 +587,7 @@ object LlmOpsQueries {
         SELECT doc_id + 1000000, text || ' appended' FROM documents
         WHERE doc_id < 200 AND doc_id % 2 = 0),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -659,7 +659,7 @@ object LlmOpsQueries {
                            x -> length(trim(x)) > 0) AS lines
         FROM documents),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       sh AS (
@@ -716,7 +716,7 @@ object LlmOpsQueries {
       ded AS (SELECT fp.doc_id, fp.text FROM fp JOIN keep USING (doc_id)),
       toks AS (
         SELECT doc_id,
-               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                x -> length(x) >= 1)) AS n_tok
         FROM ded),
       gated AS (SELECT doc_id, n_tok FROM toks WHERE n_tok >= 10),
@@ -782,7 +782,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id, text,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                            x -> length(x) >= 1) AS t
         FROM documents),
       scores AS (
@@ -871,7 +871,7 @@ object LlmOpsQueries {
     },
     oracle = Some(s"""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       sh AS (
@@ -968,7 +968,7 @@ object LlmOpsQueries {
       TextAnalysis.topGrams(table(s, dir, "documents"), col("text"), k = 2, topN = 30),
     oracle = Some("""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       sh AS (
@@ -1034,7 +1034,7 @@ object LlmOpsQueries {
     oracle = Some("""
       WITH toks AS (
         SELECT doc_id, u.t
-        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                          x -> length(x) >= 1) AS ts
               FROM documents), UNNEST(ts) u(t)),
       freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
@@ -1074,7 +1074,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id, text,
-               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                x -> length(x) >= 1)) AS n_tok,
                ${h60("CAST(doc_id AS VARCHAR)")} % 4 AS shard
         FROM documents),
@@ -1194,7 +1194,7 @@ object LlmOpsQueries {
                'new'
         FROM documents WHERE doc_id >= 200 AND doc_id < 300),
       toks AS (
-        SELECT doc_id, side, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, side, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                          x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -1282,7 +1282,7 @@ object LlmOpsQueries {
         UNION ALL
         SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -1332,7 +1332,7 @@ object LlmOpsQueries {
         UNION ALL
         SELECT doc_id + 1000000, text || ' tail words added' FROM documents WHERE doc_id < 20),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -1409,7 +1409,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id, u.t
-        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                          x -> length(x) >= 1) AS t
               FROM documents WHERE doc_id < 100) d, UNNEST(d.t) u(t)),
       b AS (SELECT doc_id, ${h60("t")} % 16 AS j FROM toks),
@@ -1465,7 +1465,7 @@ object LlmOpsQueries {
         FROM kd),
       feat AS (
         SELECT doc_id,
-               len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                x -> length(x) >= 1)) AS n_tok,
                list_reduce(
                  list_prepend(CAST(0 AS DOUBLE),
@@ -1518,7 +1518,7 @@ object LlmOpsQueries {
     },
     oracle = Some(s"""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       sh AS (
@@ -1639,7 +1639,7 @@ object LlmOpsQueries {
     oracle = Some("""
       WITH toks AS (
         SELECT doc_id, text,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                            x -> length(x) >= 1) AS t
         FROM documents)
       SELECT doc_id,
@@ -1708,7 +1708,7 @@ object LlmOpsQueries {
     },
     oracle = Some(s"""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       b AS (
@@ -1757,7 +1757,7 @@ object LlmOpsQueries {
         SELECT doc_id + 1000000, text || ' appended' FROM documents
         WHERE doc_id < 200 AND doc_id % 2 = 0),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -1861,7 +1861,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH lens AS (
         SELECT doc_id,
-               greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               greatest(len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                         x -> length(x) >= 1)), 1) AS n_tok
         FROM documents),
       assigned AS (
@@ -1897,7 +1897,7 @@ object LlmOpsQueries {
         .orderBy(col("doc_id")),
     oracle = Some("""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       d AS (
@@ -1986,7 +1986,7 @@ object LlmOpsQueries {
         .orderBy(col("doc_id")),
     oracle = Some("""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents),
       grams AS (
@@ -2046,7 +2046,7 @@ object LlmOpsQueries {
         SELECT doc_id + 1000000, text || ' appended' FROM documents
         WHERE doc_id < 200 AND doc_id % 2 = 0),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -2113,7 +2113,7 @@ object LlmOpsQueries {
     oracle = Some("""
       WITH lens AS (
         SELECT doc_id, n_chars,
-               coalesce(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               coalesce(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                x -> length(x) >= 1)), 0) AS n_tok
         FROM documents),
       c AS (
@@ -2184,7 +2184,7 @@ object LlmOpsQueries {
         SELECT doc_id + 1000000, text || ' appended' FROM documents
         WHERE doc_id < 200 AND doc_id % 2 = 0),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       sh AS (
@@ -2312,7 +2312,7 @@ object LlmOpsQueries {
         FROM h),
       t AS (
         SELECT doc_id, clean,
-               list_filter(string_split_regex(lower(clean), '[^a-z0-9_]+'),
+               list_filter(string_split_regex(lower(clean), '[^\\p{L}\\p{N}_]+'),
                            x -> length(x) >= 1) AS tk
         FROM c),
       f AS (
@@ -2449,7 +2449,7 @@ object LlmOpsQueries {
                     ELSE text END
         FROM documents WHERE doc_id < 50),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       grams AS (
@@ -2500,7 +2500,7 @@ object LlmOpsQueries {
     oracle = Some(s"""
       WITH toks AS (
         SELECT doc_id, u.tok
-        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                          x -> length(x) >= 1) AS t
               FROM documents) d, UNNEST(d.t) u(tok)),
       bt AS (SELECT doc_id, ${h60("tok")} % 1024 AS b FROM toks),
@@ -2750,7 +2750,7 @@ object LlmOpsQueries {
                     ELSE text END AS text
         FROM documents),
       toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
       grams AS (

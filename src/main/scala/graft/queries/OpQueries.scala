@@ -833,9 +833,15 @@ object OpQueries {
       s.createDataFrame(rows, schema)
     },
     oracle = Some("""
-      SELECT round(exp(avg(ln(l_quantity::DOUBLE))), 4) AS geo_qty,
-             round(CAST(count(l_quantity) AS DOUBLE) /
-                   sum(CAST(1 AS DOUBLE) / l_quantity::DOUBLE), 4) AS harm_qty
+      SELECT round(CASE WHEN count(CASE WHEN l_quantity < 0 THEN 1 END) > 0 THEN CAST('nan' AS DOUBLE)
+                        WHEN count(CASE WHEN l_quantity = 0 THEN 1 END) > 0 THEN 0.0
+                        ELSE exp(avg(CASE WHEN l_quantity > 0 THEN ln(l_quantity::DOUBLE) END))
+                   END, 4) AS geo_qty,
+             round(CASE WHEN count(CASE WHEN l_quantity = 0 THEN 1 END) > 0 THEN 0.0
+                        ELSE CAST(count(l_quantity) AS DOUBLE) /
+                             sum(CASE WHEN l_quantity <> 0
+                                 THEN CAST(1 AS DOUBLE) / l_quantity::DOUBLE END)
+                   END, 4) AS harm_qty
       FROM lineitem"""))
 
   /** §2.2 weighted sampling without replacement (pandas
@@ -1177,7 +1183,7 @@ object OpQueries {
         .orderBy(col("doc_id"), col("tok")),
     oracle = Some("""
       WITH toks AS (
-        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM documents WHERE doc_id < 50)
       SELECT doc_id, u.tok AS tok

@@ -98,7 +98,10 @@ object ProcessorQueries {
       WITH enc AS (
         SELECT lang AS l, row_number() OVER (ORDER BY lang) AS code
         FROM (SELECT DISTINCT lang FROM documents WHERE lang <> 'zh'))
-      SELECT lang, coalesce(enc.code, 0) AS lang_enc, enc.l AS lang_back, count(*) AS n
+      SELECT lang,
+             CASE WHEN lang IS NULL THEN NULL
+                  ELSE coalesce(enc.code, 0) END AS lang_enc,
+             enc.l AS lang_back, count(*) AS n
       FROM documents LEFT JOIN enc ON documents.lang = enc.l
       GROUP BY lang, enc.code, enc.l
       ORDER BY lang"""))
@@ -230,7 +233,7 @@ object ProcessorQueries {
       WITH toks AS (
         SELECT doc_id, u.t
         FROM documents,
-             UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+             UNNEST(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                 x -> length(x) >= 2)) AS u(t)),
       n AS (SELECT count(*) AS n FROM documents),
       dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
@@ -278,7 +281,7 @@ object ProcessorQueries {
       WITH toks AS (
         SELECT doc_id, u.t
         FROM documents,
-             UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+             UNNEST(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                 x -> length(x) >= 2)) AS u(t)),
       n AS (SELECT count(*) AS n FROM documents),
       dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
