@@ -332,6 +332,17 @@ object Bench {
       .map { case (_, txt) => Bench.parsePriorQueries(txt) }
       .getOrElse(Map.empty)
 
+    // JVM priming (r11 lesson — the q01 7.5× anomaly): the FIRST query the
+    // process ever runs absorbs one-time session startup (codegen compiler
+    // warm-up, listener bus, noop-sink classloading, parquet footer cache),
+    // ~4 s on this box regardless of the query. Without this discarded run,
+    // that startup lands in benchNames.head's WARM time, which (a) mis-sorts
+    // the genuinely-cheapest query to the END of the cheapest-first timed
+    // order — in r11 that parked q01 inside the end-of-run degraded window —
+    // and (b) inflates its warm anchor ~13×, muting the warm-anchor heal for
+    // exactly the query most exposed to positional degradation.
+    run(benchNames.head, sfDir)
+
     // warm-up: JIT + parquet footer cache; its times order the timed pass
     // cheapest-first
     val warm = benchNames.map(n => n -> run(n, sfDir))

@@ -104,18 +104,21 @@ final case class MLSchema(fields: Map[String, MLType]) {
 
   /** Keep only schema columns, tolerating missing ones — the reference's
     * post-read `Schema.filter_df` semantic (`src/bears/util/schema.py:655-681`).
+    * The reference defaults `sort_columns=True` and both its post-read and
+    * pre-write call sites use that default, so the projection emits columns
+    * in SORTED name order; `sortColumns = false` keeps the input frame's
+    * column order instead (never `fields.keys` hash order).
     */
-  def filterDf(df: DataFrame, allowMissing: Boolean = true): DataFrame = {
+  def filterDf(df: DataFrame, allowMissing: Boolean = true,
+      sortColumns: Boolean = true): DataFrame = {
     if (!allowMissing) {
       val present = df.columns.toSet
       fields.keys.foreach(c =>
         if (!present.contains(c))
           throw new IllegalArgumentException(s"missing column $c"))
     }
-    // select in the FRAME's column order, not `fields.keys` order — Map
-    // iteration is hash order, which would scramble the projection's column
-    // order relative to the input (the reference's filter_df preserves it)
-    val want = df.columns.filter(fields.contains)
+    val kept = df.columns.filter(fields.contains)
+    val want = if (sortColumns) kept.sorted else kept
     df.select(want.toSeq.map(org.apache.spark.sql.functions.col): _*)
   }
 

@@ -63,9 +63,29 @@ object Compress {
     case other => throw new IllegalArgumentException(s"unknown codec: $other (gzip|zstd)")
   }
 
-  /** Whole frame → one compressed JSON-lines payload (driver-side). */
-  def compress(df: DataFrame, codec: String = Gzip): Array[Byte] =
+  /** Rows above which the driver-side [[compress]] refuses: 5M JSON lines is
+    * hundreds of MB to a few GB of driver heap — already generous for a
+    * "frame → one in-memory payload" API, and anything larger belongs on the
+    * executors ([[compressPerPartition]]).
+    */
+  val DriverCompressRowCeiling: Long = 5000000L
+
+  /** Whole frame → one compressed JSON-lines payload (driver-side — the
+    * reference's `ScalableDataFrame` compress contract, which is also
+    * driver-side). Guarded: the payload materializes ALL rows on the driver,
+    * so frames above [[DriverCompressRowCeiling]] rows refuse loudly and
+    * point at the distributed [[compressPerPartition]] path. The guard costs
+    * one bounded `limit(ceiling+1).count()` job, never a full count.
+    */
+  def compress(df: DataFrame, codec: String = Gzip,
+      rowCeiling: Long = DriverCompressRowCeiling): Array[Byte] = {
+    if (df.limit((rowCeiling + 1).toInt).count() > rowCeiling)
+      throw new IllegalStateException(
+        s"Compress.compress: frame exceeds $rowCeiling rows — a whole-frame " +
+          "driver-side payload at this size risks driver OOM. Use compressPerPartition " +
+          "(distributed, one payload per partition) or write a compressed file format instead.")
     encoder(codec)(df.toJSON.collect().mkString("\n"))
+  }
 
   /** Payload → frame, schema re-inferred from JSON (pass `schema` to pin
     * types exactly, mirroring the reference's layout round-trip).

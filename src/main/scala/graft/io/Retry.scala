@@ -10,6 +10,9 @@ object Retry {
 
   def withRetry[T](attempts: Int = 3, initialWaitMs: Long = 100, backoff: Double = 2.0)
       (f: => T): T = {
+    // attempts < 1 would skip the loop entirely and throw a bare
+    // NullPointerException from `throw last` — refuse loudly instead
+    require(attempts >= 1, s"withRetry needs attempts >= 1, got $attempts")
     // No `return` inside a closure here: in Scala 2 that compiles to a thrown
     // NonLocalReturnControl, which a Throwable catch would intercept — every
     // SUCCESSFUL attempt would register as a failure, re-running `f` (with

@@ -101,25 +101,84 @@ object Multimodal {
       path: String, sampleRate: Float, channels: Int, frames: Long,
       durationSec: Double, checksum: Long)
 
+  /** Pluggable compressed-audio codec — the seam that closes the mp3 story
+    * (`reader/asset/audio/TorchAudioReader.py` decodes mp3 through
+    * torchaudio; no JVM mp3 decoder exists on this classpath, and shipping
+    * one is out of dependency scope). A user with compressed corpora plugs a
+    * decoder WITHOUT forking, in either of two ways:
+    *
+    *   1. drop a `javax.sound.sampled.spi` decoder jar (e.g. mp3spi/vorbisspi)
+    *      on the executor classpath — [[decodeAudio]] already offers every
+    *      non-WAV/AIFF payload to `AudioSystem`, whose ServiceLoader picks
+    *      the SPI up with zero code changes; or
+    *   2. `Multimodal.registerAudioCodec(...)` a custom [[AudioCodec]]
+    *      (any native/JNI decoder); instances must be Serializable — the
+    *      registry snapshot is captured into the decode closure at plan
+    *      time and ships to executors with it.
+    */
+  trait AudioCodec extends Serializable {
+    /** Cheap claim check (magic bytes / extension) — run before [[decode]]. */
+    def accepts(path: String, bytes: Array[Byte]): Boolean
+    /** Full decode; None hands the payload to the next codec / the stub. */
+    def decode(path: String, bytes: Array[Byte]): Option[DecodedAudio]
+  }
+
+  @volatile private var audioCodecs: Seq[AudioCodec] = Nil
+  def registerAudioCodec(codec: AudioCodec): Unit =
+    synchronized { audioCodecs = audioCodecs :+ codec }
+  def clearAudioCodecs(): Unit = synchronized { audioCodecs = Nil }
+
   /** Audio decode: REAL for WAV/AIFF (PCM) payloads via the JDK's
     * `javax.sound.sampled.AudioSystem` (the reference's
     * `reader/asset/audio/TorchAudioReader.py` capability for uncompressed
-    * formats, zero extra dependencies); compressed codecs (mp3/ogg — no JVM
-    * codec in scope) fall back to the deterministic byte-derived fake so the
-    * pipeline shape stays testable. Same mapPartitions batch shape as
-    * [[decodeImages]].
+    * formats, zero extra dependencies). Compressed payloads route through
+    * the [[AudioCodec]] seam: registered codecs first, then an
+    * `AudioSystem` SPI attempt (a classpath decoder jar makes mp3/ogg real
+    * with no code change), then the deterministic byte-derived stub so the
+    * pipeline shape stays testable without any codec. Same mapPartitions
+    * batch shape as [[decodeImages]].
     */
   def decodeAudio(assets: DataFrame, assetCol: String): Dataset[DecodedAudio] = {
     implicit val enc: org.apache.spark.sql.Encoder[DecodedAudio] = Encoders.product[DecodedAudio]
+    // snapshot at PLAN time: the registry is driver-side state, the decode
+    // runs on executors — the captured Seq serializes with the closure
+    val plugged = audioCodecs
     assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
       .mapPartitions { rows =>
         rows.map { r =>
           val path = r.getString(0)
           val bytes = r.getAs[Array[Byte]](1)
-          realDecodeAudio(path, bytes).getOrElse(fakeDecodeAudio(path, bytes))
+          realDecodeAudio(path, bytes)
+            .orElse(plugged.iterator
+              .filter(_.accepts(path, bytes)).flatMap(_.decode(path, bytes))
+              .nextOption())
+            .orElse(spiDecodeAudio(path, bytes))
+            .getOrElse(fakeDecodeAudio(path, bytes))
         }
       }
   }
+
+  /** `AudioSystem` attempt for payloads that are NOT WAV/AIFF (those took
+    * the magic-gated [[realDecodeAudio]] path): succeeds exactly when a
+    * decoder SPI for the format is on the classpath — none ships here, so
+    * in this environment it returns None and the stub follows; a deployment
+    * that adds mp3spi gets real mp3 metadata through this line. Compressed
+    * formats may report unknown frame counts (-1) — normalized to 0.
+    */
+  private[ops] def spiDecodeAudio(path: String, bytes: Array[Byte]): Option[DecodedAudio] =
+    if (bytes == null || bytes.length < 12) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = math.max(0L, in.getFrameLength)
+          val dur = if (fmt.getFrameRate > 0 && frames > 0) frames / fmt.getFrameRate.toDouble else 0.0
+          Some(DecodedAudio(path, fmt.getSampleRate, fmt.getChannels, frames, dur,
+            graft.functions.FnvHash64.hash(bytes)))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
 
   /** WAV (`RIFF….WAVE`) / AIFF (`FORM….AIFF`) header+frame decode through
     * `AudioSystem`. Reads format metadata and the frame count from the

@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Content-derived salt in [0, salts) — deterministic under task retries,
+    * never monotonically_increasing_id: a positional id in a shuffle key is
+    * the SPARK-23207 failure class (a task retry re-fetches inputs in a
+    * different order, re-salts the same rows differently, and reducers
+    * mixing old and new map output double-count or drop rows). MapType
+    * columns are excluded from the hash — Spark disallows hashing maps
+    * (`spark.sql.legacy.allowHashOnMapType` is off by default), so including
+    * one fails analysis; a frame whose EVERY column is a map cannot be
+    * content-salted and is refused loudly. Rows identical in all hashable
+    * columns co-locate on one salt — exact full-row duplicates of a hot key
+    * re-concentrate (common in log-like data); de-duplicate or pre-aggregate
+    * such data before salting.
+    */
+  private[ops] def contentSalt(df: DataFrame, salts: Int): Column = {
+    val hashable = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }
+    require(hashable.nonEmpty,
+      "content salt needs at least one non-MapType column to hash " +
+        s"(all ${df.columns.length} columns are maps — Spark cannot hash MapType)")
+    pmod(xxhash64(hashable.toSeq.map(col): _*), lit(salts))
+  }
+
   /** Two-stage salted aggregation: a hot group key (think: the empty
     * document, the null user) funnels its rows through `salts` partial
     * groups before the final combine, so no single task owns the hot key.
@@ -24,16 +47,9 @@ object Scale {
       keys: Seq[String],
       salts: Int,
       partials: Map[String, (Column, Column => Column)]): DataFrame = {
-    // CONTENT-derived salt, never monotonically_increasing_id: a positional
-    // id in a shuffle key is the SPARK-23207 failure class — a task retry
-    // re-fetches inputs in a different order, re-salts the same rows
-    // differently, and reducers mixing old and new map output double-count
-    // or drop rows. Hashing every column is deterministic under retries;
-    // rows identical in ALL columns co-locate on one salt, but such rows are
-    // indistinguishable anyway and only re-concentrate if the hot key's rows
-    // are exact full-row duplicates.
-    val salted = df.withColumn("__salt__",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+    // content-derived salt (see contentSalt) — retry-deterministic, skips
+    // unhashable MapType columns
+    val salted = df.withColumn("__salt__", contentSalt(df, salts))
     val partial = salted
       .groupBy((keys :+ "__salt__").map(col): _*)
       .agg(partials.head._2._1.as(partials.head._1),
@@ -50,12 +66,11 @@ object Scale {
     * Result equals the plain inner join.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
-    // content-derived salt for retry determinism — see saltedAggregate; any
+    // content-derived salt for retry determinism — see contentSalt; any
     // salt value joins correctly (the right side replicates all of them),
     // but a positional id could re-salt rows on task retry and lose/double
     // rows mid-shuffle (SPARK-23207 class)
-    val l = left.withColumn("__salt__",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)))
+    val l = left.withColumn("__salt__", contentSalt(left, salts))
     val r = right.withColumn("__salt__", explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, keys :+ "__salt__").drop("__salt__")
   }

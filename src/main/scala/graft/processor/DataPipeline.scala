@@ -259,6 +259,9 @@ final class DataPipeline(
               case p: Nto1ColumnProcessor =>
                 p.fit(df, ins)
                 (ins, proc, o)
+              case p: FrameLevelProcessor =>
+                p.fit(df, ins.head)
+                (ins, proc, o)
             }
           }
           perfOut += StepPerf(rs.transformer, cols, (System.nanoTime() - t0) / 1e9)
@@ -285,7 +288,7 @@ final class DataPipeline(
             s"step ${step.transformer}: no columns match ${step.input}")
       }
     } else probe match {
-      case _: SingleColumnProcessor =>
+      case _: SingleColumnProcessor | _: FrameLevelProcessor =>
         // one processor instance per matched column (reference
         // `create_pipeline_step_processors` per-column instantiation)
         Some(ResolvedStep(step.transformer, cols.map { c =>
@@ -302,11 +305,11 @@ final class DataPipeline(
     var cur = df
     var sch = schema.fields
     step.bindings.foreach { case (ins, proc, o) =>
-      val expr = proc match {
-        case p: SingleColumnProcessor => p.transform(col(ins.head))
-        case p: Nto1ColumnProcessor => p.transform(cur, ins)
+      proc match {
+        case p: SingleColumnProcessor => cur = cur.withColumn(o, p.transform(col(ins.head)))
+        case p: Nto1ColumnProcessor => cur = cur.withColumn(o, p.transform(cur, ins))
+        case p: FrameLevelProcessor => cur = p.transformFrame(cur, ins.head, o)
       }
-      cur = cur.withColumn(o, expr)
       sch = sch + (o -> proc.outputMLType)
     }
     (cur, MLSchema(sch))

@@ -75,6 +75,17 @@ trait Nto1ColumnProcessor extends DataProcessor {
   def transform(df: DataFrame, inputCols: Seq[String]): Column
 }
 
+/** 1:1 processor whose transform is a FRAME rewrite, not a per-row Column
+  * expression — for operators whose fitted state is itself distributed (a
+  * join against a fitted table) and therefore cannot compile to one scalar
+  * expression. The pipeline applies these as `df → df` steps; everything
+  * narrow on either side still fuses into single projections.
+  */
+trait FrameLevelProcessor extends DataProcessor {
+  def fit(df: DataFrame, inputCol: String): this.type = this
+  def transformFrame(df: DataFrame, inputCol: String, outputCol: String): DataFrame
+}
+
 /** Name/alias registry — reference `Registry.get_subclass` keyed lookup
   * (`src/bears/reader/Reader.py:83-87`, `util/language/_typing.py:155-371`).
   * Factories take the raw params map from a pipeline config step.
@@ -94,6 +105,7 @@ object ProcessorRegistry {
 
   def known: Seq[String] = factories.keys.toSeq.sorted
 
-  // touch Processors so its registrations run before first lookup
+  // touch the registrant objects so their registrations run before first lookup
   Processors.registerAll()
+  ScalableEncoders.registerAll()
 }

@@ -36,6 +36,10 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
   private val maxFeatures: Option[Int] = opt(params, "max_features").map(_.toInt)
   private val minDf: Long = opt(params, "min_df").map(_.toLong).getOrElse(1L)
   private val outputSparse: Boolean = bool(params, "output_sparse", d = false)
+  private val uncapped: Boolean = bool(params, "uncapped", d = false)
+  // override point for specs (pins the refusal without a 1M-term fixture)
+  private val vocabCeiling: Int = opt(params, "uncapped_vocab_ceiling")
+    .map(_.toInt).getOrElse(TfIdfVectorization.UncappedVocabCeiling)
 
   /** term → (index, idf); index dense over sorted vocabulary. */
   private var vocab: Option[Seq[(String, (Int, Double))]] = None
@@ -67,12 +71,12 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
 
   override def fit(df: DataFrame, inputCol: String): this.type = {
     // Driver-memory contract (the sklearn/Spark-ML CountVectorizer
-    // contract): the fitted vocabulary lives on the driver, and with
-    // max_features UNSET the collect below gathers EVERY distinct term
-    // passing minDf. At web scale (100 TB of raw text, an effectively
-    // unbounded term space) max_features is mandatory — the top-k limit
-    // bounds the collect to k+1 rows; uncapped fits are for vocabularies
-    // known to be small.
+    // contract): the fitted vocabulary lives on the driver. With
+    // max_features set, the top-k limit bounds the collect to k+1 rows.
+    // With max_features UNSET the collect would gather EVERY distinct term
+    // passing minDf — at web scale an effectively unbounded term space — so
+    // it is bounded at UncappedVocabCeiling and refuses loudly past it
+    // unless `uncapped=true` explicitly opts in (vocabularies known small).
     // ONE corpus pass for n AND the document frequencies: every non-null
     // doc emits the sentinel row alongside its distinct tokens, so the
     // doc count rides the same explode → groupBy(term) aggregate instead
@@ -87,11 +91,26 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
     val kept = maxFeatures match {
       // +1: the sentinel provably heads this ordering and occupies row 0
       case Some(k) => dfreq.orderBy(col("df").desc, col("term")).limit(k + 1)
-      // no feature cap → no ordering needed, so don't pay a |vocab|-row
-      // range sort just to position the sentinel; find() scans the collect
-      case None => dfreq
+      // no feature cap AND explicit opt-in → no ordering needed, so don't
+      // pay a |vocab|-row range sort just to position the sentinel; find()
+      // scans the collect
+      case None if uncapped => dfreq
+      // no feature cap WITHOUT opt-in: bound the collect at the ceiling +
+      // sentinel + one witness row — if the witness arrives, the vocabulary
+      // exceeds the ceiling and the fit refuses LOUDLY instead of gathering
+      // an unbounded term space onto the driver (a config-driven pipeline on
+      // a web-scale corpus would otherwise OOM the driver by omission)
+      case None => dfreq.limit(vocabCeiling + 2)
     }
     val rows = kept.collect().map(r => r.getString(0) -> r.getLong(1))
+    if (maxFeatures.isEmpty && !uncapped &&
+        rows.length > vocabCeiling + 1)
+      throw new IllegalStateException(
+        s"$name.fit: vocabulary exceeds $vocabCeiling terms with " +
+          "max_features unset — an unbounded driver collect at this scale. Set max_features " +
+          "(top-k by document frequency, the sklearn contract), pass uncapped=true to opt into " +
+          "the full collect for a vocabulary you know is small, or use the HashedTextVectorization " +
+          "processor (hashing trick — no vocabulary pass, unbounded term space).")
     // minDf > n leaves no terms AND no sentinel (every df ≤ n < minDf):
     // empty vocabulary, n vacuous
     val n = rows.find(_._1 == DocSentinel).map(_._2).getOrElse {
@@ -179,4 +198,14 @@ final class TfIdfVectorization(params: Map[String, Any]) extends SingleColumnPro
         val Array(t, i, f) = e.split('\u001f'); t -> (i.toInt, f.toDouble)
       })
   }
+}
+
+object TfIdfVectorization {
+  /** Ceiling for the max_features-UNSET fit collect: 1M (term, df) rows ≈
+    * tens of MB of driver heap / broadcast — comfortably safe, far above any
+    * vocabulary worth an uncapped dense index, and far below the term space
+    * of a web corpus. Past it the fit refuses and points at `max_features`,
+    * `uncapped=true`, or the hashing-trick `HashedTextVectorization`.
+    */
+  val UncappedVocabCeiling: Int = 1000000
 }

@@ -302,8 +302,55 @@ object ProcessorQueries {
       FROM wtd WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  /** DenseRankLabelEncoding — the distributed-fitted-state LabelEncoding for
+    * unbounded label cardinality (round-12 verdict item 4): all four range
+    * modes on lineitem — one_to_n over the high-cardinality numeric
+    * l_partkey (numeric sort, like np.unique), zero_to_n_minus_one over
+    * l_returnflag, both binary modes over the 2-value l_linestatus. The
+    * oracle re-derives each code table as row_number over sorted distinct
+    * labels and joins — exactly the semantics, independently spelled.
+    */
+  val q214_dense_rank_encoding: Q = Q(
+    fn = (s, dir) => {
+      import graft.processor.ScalableEncoders.DenseRankLabelEncoding
+      val li = table(s, dir, "lineitem")
+      def fitted(range: String, c: String): DenseRankLabelEncoding = {
+        val e = new DenseRankLabelEncoding(Map("encoding_range" -> range))
+        e.fit(li, c); e
+      }
+      val encPart = fitted("one_to_n", "l_partkey")
+      val encMode = fitted("zero_to_n_minus_one", "l_returnflag")
+      val encBin = fitted("binary_zero_one", "l_linestatus")
+      val encPm = fitted("binary_plus_minus_one", "l_linestatus")
+      var out = encPart.transformFrame(li, "l_partkey", "part_code")
+      out = encMode.transformFrame(out, "l_returnflag", "mode_code")
+      out = encBin.transformFrame(out, "l_linestatus", "status01")
+      out = encPm.transformFrame(out, "l_linestatus", "status_pm")
+      out.select(col("l_orderkey"), col("l_linenumber"), col("part_code"),
+          col("mode_code"), col("status01"), col("status_pm"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      WITH pc AS (SELECT k, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS c
+                  FROM (SELECT DISTINCT l_partkey AS k FROM lineitem)),
+           mc AS (SELECT k, CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT) AS c
+                  FROM (SELECT DISTINCT l_returnflag AS k FROM lineitem)),
+           sc AS (SELECT k,
+                         CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT) AS c01,
+                         CAST(CASE WHEN row_number() OVER (ORDER BY k) = 1
+                              THEN -1 ELSE 1 END AS BIGINT) AS cpm
+                  FROM (SELECT DISTINCT l_linestatus AS k FROM lineitem))
+      SELECT l.l_orderkey, l.l_linenumber, pc.c AS part_code, mc.c AS mode_code,
+             sc.c01 AS status01, sc.cpm AS status_pm
+      FROM lineitem l
+      JOIN pc ON l.l_partkey = pc.k
+      JOIN mc ON l.l_returnflag = mc.k
+      JOIN sc ON l.l_linestatus = sc.k
+      ORDER BY l.l_orderkey, l.l_linenumber"""))
+
   val all: Map[String, Q] = Map(
     "q211_keywords" -> q211_keywords,
+    "q214_dense_rank_encoding" -> q214_dense_rank_encoding,
     "q30_text_cleaning" -> q30_text_cleaning,
     "q31_regex_removal" -> q31_regex_removal,
     "q32_text_concat" -> q32_text_concat,

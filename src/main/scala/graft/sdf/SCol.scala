@@ -117,17 +117,22 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     * pass, map-side combined. A ZERO element is ordinary data and the bare
     * `1.0/x` is a per-row ANSI divide-by-zero throw inside the aggregate;
     * scipy defines hmean = 0 when any element is 0, reproduced with a
-    * row-lazy branch so the divide never sees the zero.
+    * row-lazy branch so the divide never sees the zero. A NEGATIVE element
+    * is a domain error in scipy (hmean raises ValueError) — counted in the
+    * same pass and surfaced as NaN (like geomean), never a silently
+    * finite-but-meaningless value.
     */
   def harmonicMean: Double = {
     val x = col.cast("double")
     val r = df.agg(
       count(when(x === 0.0, 1)).as("z"),
+      count(when(x < 0.0, 1)).as("n"),
       (count(x).cast("double") / sum(when(x =!= 0.0, lit(1.0) / x))).cast("double").as("h"))
       .head()
-    if (r.getLong(0) > 0) 0.0
-    else if (r.isNullAt(1)) Double.NaN
-    else r.getDouble(1)
+    if (r.getLong(1) > 0) Double.NaN
+    else if (r.getLong(0) > 0) 0.0
+    else if (r.isNullAt(2)) Double.NaN
+    else r.getDouble(2)
   }
   /** Winsorize: clip at the exact [pLo, pHi] quantiles (type-7), boundaries
     * from the parallel range sort ([[graft.ops.RankStats.winsorize]]).
@@ -247,7 +252,24 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     if (approx) scalar[Long](approx_count_distinct(col))
     else scalar[Long](count_distinct(col))
 
-  def unique: Seq[Any] = df.select(col).distinct().collect().map(_.get(0)).toSeq
+  /** Distinct values as a driver-side Seq (`ScalableSeries.unique` parity).
+    * Guarded: a high-cardinality column (a key column, a text column) makes
+    * this an unbounded collect, so past [[SCol.UniqueCollectCeiling]] values
+    * it refuses loudly — `df.select(col).distinct()` IS the distributed
+    * form, and [[nunique]] answers the usual "how many" question in O(1)
+    * driver memory. The guard costs one extra bounded row, not a count job.
+    */
+  def unique: Seq[Any] = uniqueCapped(SCol.UniqueCollectCeiling)
+
+  private[graft] def uniqueCapped(ceiling: Int): Seq[Any] = {
+    val rows = df.select(col).distinct().limit(ceiling + 1).collect()
+    if (rows.length > ceiling)
+      throw new IllegalStateException(
+        s"SCol.unique on '$name': more than $ceiling distinct values — " +
+          "an unbounded driver collect. Keep the distinct as a DataFrame " +
+          "(df.select(col).distinct()) or use nunique() for the cardinality.")
+    rows.map(_.get(0)).toSeq
+  }
 
   /** `value_counts` (`ScalableSeries.py:991-993`) — returns a frame. */
   def valueCounts(normalize: Boolean = false, ascending: Boolean = false, dropna: Boolean = true): DataFrame = {
@@ -427,6 +449,13 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
 
 object SCol {
   import org.apache.spark.sql.types._
+
+  /** Ceiling for the [[SCol.unique]] driver collect: 1M distinct values is
+    * a generous bound for the pandas-parity "small label/category space"
+    * use; anything larger is key-like cardinality that belongs in a
+    * DataFrame, not a driver Seq.
+    */
+  val UniqueCollectCeiling: Int = 1000000
 
   /** Pearson correlation that returns NULL instead of throwing on a
     * degenerate side: under Spark 4's default ANSI mode the built-in `corr`

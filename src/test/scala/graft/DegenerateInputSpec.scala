@@ -63,6 +63,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(withZero("x").harmonicMean == 0.0, "scipy hmean with a zero is 0")
     assert(withZero("x").geomean == 0.0, "scipy gmean with a zero is 0")
     assert(withNeg("x").geomean.isNaN, "scipy gmean with a negative is NaN")
+    assert(withNeg("x").harmonicMean.isNaN,
+      "hmean with a negative is a scipy domain error — NaN, never a finite lie")
     assert(nanLaced("x").hasnans, "hasnans sees real NaN")
     assert(empty("x").prod == 1.0, "pandas prod of empty is 1.0")
   }

@@ -92,13 +92,16 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
-  test("MLSchema filterDf preserves the FRAME's column order, not map hash order") {
+  test("MLSchema filterDf sorts columns by default (reference sort_columns=True)") {
     val df = Seq((1L, "a", 2.0, true, 5L)).toDF("e", "d", "c", "b", "a")
     val schema = MLSchema(Map(
       "a" -> MLType.Index, "b" -> MLType.Float, "c" -> MLType.Float,
       "d" -> MLType.Text, "e" -> MLType.Index, "ghost" -> MLType.Float))
-    assert(schema.filterDf(df).columns.toSeq == Seq("e", "d", "c", "b", "a"),
-      "projection must keep the input frame's column order")
+    assert(schema.filterDf(df).columns.toSeq == Seq("a", "b", "c", "d", "e"),
+      "default projection must emit SORTED column order (schema.py:655-679 default)")
+    assert(schema.filterDf(df, sortColumns = false).columns.toSeq ==
+      Seq("e", "d", "c", "b", "a"),
+      "sortColumns=false must keep the input frame's column order")
   }
 
   test("base64 compression round-trip") {

@@ -223,6 +223,57 @@ class NativeProbeSpec extends AnyFunSuite {
       s"distributed tier grew ${distAt16 - distAt8} jobs over 8 extra iterations — designed cadence is 2 jobs per round")
   }
 
+  test("pageRank BENCH-SIZED graph (sf0.1 customer↔supplier): driver-local tier engages, 0 jobs/round") {
+    // Round-12 verdict item 2: the spec graphs above prove the tier cadence
+    // in isolation; this proves the FORK DECISION on the exact graph the
+    // bench times (q184's symmetrized purchase graph at sf0.1 — ~7k nodes,
+    // ~120k edges). A silent fall-through to the distributed-gather or SMJ
+    // tier would add >= 1 job per round and read exactly like the r11
+    // 1.84× bench anomaly.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    def edgesOf(): org.apache.spark.sql.DataFrame = {
+      // the exact q184 construction (OpQueries.q184_pagerank)
+      val pairs = spark.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"), col("o_custkey"))
+        .join(spark.read.parquet(s"$dir/lineitem.parquet").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint(true)
+      pairs.select(concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("s")).as("dst"))
+        .unionByName(pairs.select(concat(lit("s"), col("s")).as("src"), concat(lit("c"), col("c")).as("dst")))
+    }
+    def countJobs(iterations: Int): Int = {
+      val edges = edgesOf()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try graft.ops.Graph.pageRank(edges, "src", "dst", iterations = iterations,
+        damping = 0.85, edgesDistinct = true).count()
+      finally {
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) {
+          last = jobs.get(); Thread.sleep(150); spins += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      jobs.get()
+    }
+    val at10 = countJobs(10) // the bench's iteration count
+    val at20 = countJobs(20)
+    assert(at20 - at10 <= 2,
+      s"bench-sized graph grew ${at20 - at10} jobs over 10 extra iterations — " +
+        "the driver-local tier no longer engages at sf0.1 (fork regression)")
+    assert(at10 <= 12,
+      s"bench-sized graph ran $at10 jobs for 10 iterations — setup actions grew " +
+        "(designed: degree+profile+node collect+edge gather+result count ≈ 6-8)")
+  }
+
   // ------------------------------------------------------------- WordTokens
 
   test("word_tokens: hand cases (case, unicode classes, empties, underscore)") {

@@ -432,6 +432,35 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded.values.forall(_.checksum != 0L))
   }
 
+  test("pluggable AudioCodec seam: a registered codec claims compressed payloads") {
+    // a fake "mp3 decoder" claiming the ID3 magic — stands in for any
+    // user-supplied codec (the seam the mp3 non-goal closes with)
+    val mp3ish = "ID3" .getBytes("UTF-8") ++ Array.tabulate(64)(i => (i * 13).toByte)
+    val txt = "not audio".getBytes("UTF-8")
+    val assets = Seq(("song.mp3", mp3ish), ("txt", txt)).toDF("id", "payload")
+      .select(Multimodal.assetStruct(col("id"), col("payload"), map()).as("asset"))
+    Multimodal.registerAudioCodec(new Multimodal.AudioCodec {
+      def accepts(path: String, bytes: Array[Byte]): Boolean =
+        bytes != null && bytes.length >= 3 &&
+          bytes(0) == 'I'.toByte && bytes(1) == 'D'.toByte && bytes(2) == '3'.toByte
+      def decode(path: String, bytes: Array[Byte]): Option[Multimodal.DecodedAudio] =
+        Some(Multimodal.DecodedAudio(path, 44100f, 2, 12345L, 0.28, 7L))
+    })
+    try {
+      val decoded = Multimodal.decodeAudio(assets, "asset")
+        .collect().map(d => d.path -> d).toMap
+      assert(decoded("song.mp3").sampleRate == 44100f &&
+        decoded("song.mp3").frames == 12345L, "registered codec must claim the mp3 payload")
+      // unclaimed payloads still fall through to the stub
+      assert(decoded("txt").sampleRate == 16000f)
+    } finally Multimodal.clearAudioCodecs()
+    // with the registry empty the same payload falls back to the stub
+    // (no SPI decoder on this classpath)
+    val bare = Multimodal.decodeAudio(assets, "asset")
+      .collect().map(d => d.path -> d).toMap
+    assert(bare("song.mp3").sampleRate == 16000f)
+  }
+
   test("WindowStats.ewmVar matches explicit pandas effective-weight formula") {
     import graft.ops.WindowStats
     val xs = Seq(1.0, 2.0, 3.0, 4.0)
@@ -700,6 +729,10 @@ class OpsSpec extends AnyFunSuite {
       graft.io.Retry.withRetry(attempts = 2, initialWaitMs = 1) {
         throw new RuntimeException("always")
       }
+    }
+    // attempts < 1 would skip the loop and NPE on `throw last` — refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.io.Retry.withRetry(attempts = 0, initialWaitMs = 1) { 1 }
     }
   }
 

@@ -26,6 +26,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("content salt skips MapType columns; all-map frames refuse loudly") {
+    // a MapType column in the salt hash fails analysis (Spark disallows
+    // hash-on-map) — the salt must hash only the hashable columns and still
+    // aggregate correctly
+    val df = ((1 to 200).map(_ => ("hot", 1.0)) ++ (1 to 20).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v")
+      .withColumn("m", map(col("k"), col("v")))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Scale.saltedAggregate(df, Seq("k"), salts = 4, partials = Map(
+      "n" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+    val allMaps = Seq(1).toDF("x").select(map(col("x"), col("x")).as("m"))
+    val e = intercept[IllegalArgumentException] {
+      Scale.saltedAggregate(allMaps, Seq("m"), salts = 4, partials = Map(
+        "n" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+    }
+    assert(e.getMessage.contains("MapType"))
+  }
+
   test("saltedJoin equals plain join") {
     val left = ((1 to 500).map(_ => 1) ++ (1 to 50)).map(k => (k, s"l$k")).toDF("k", "lv")
     val right = (1 to 50).map(k => (k, s"r$k")).toDF("k", "rv")
