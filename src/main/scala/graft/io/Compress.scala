@@ -79,7 +79,10 @@ object Compress {
     */
   def compress(df: DataFrame, codec: String = Gzip,
       rowCeiling: Long = DriverCompressRowCeiling): Array[Byte] = {
-    if (df.limit((rowCeiling + 1).toInt).count() > rowCeiling)
+    // limit() takes an Int — clamp so an absurd Long ceiling can't overflow
+    // into a negative limit (the probe then simply checks at Int.MaxValue-1)
+    val probe = math.min(rowCeiling + 1, Int.MaxValue.toLong - 1).toInt
+    if (df.limit(probe).count() > rowCeiling)
       throw new IllegalStateException(
         s"Compress.compress: frame exceeds $rowCeiling rows — a whole-frame " +
           "driver-side payload at this size risks driver OOM. Use compressPerPartition " +

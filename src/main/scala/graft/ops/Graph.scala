@@ -171,6 +171,21 @@ object Graph {
     */
   val defaultSmallGraphMaxBytes: Long = 256L << 20
 
+  /** Local-edge-tier admission, priced at the gather's ACTUAL driver cost:
+    * the local tier never materializes id strings on the driver — ids
+    * resolve to int indexes DISTRIBUTED (broadcast-probe joins) and each
+    * edge arrives as ONE packed long, so the driver peak is chunks
+    * (8 B/edge) + the two int arrays (8 B/edge) = 16 B/edge. The previous
+    * model (2×avgIdLen+24 ≈ 46 B/edge) priced edges as if their STRINGS
+    * crossed the driver — stale since the long-packed gather landed — and
+    * at sf1.0 it pushed the 11.7M-edge bench graph onto the per-round
+    * distributed-gather tier: 2 jobs × 10 rounds of pure scheduling (~10 s
+    * wall) for a loop the driver sweeps in under a second. Both tiers are
+    * exact; the budget only trades driver memory for per-round job latency.
+    */
+  private[graft] def admitsLocalEdgeTier(m: Long, maxBytes: Long): Boolean =
+    m * 16L <= maxBytes
+
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double,
       checkpointEvery: Int, checkpointDir: Option[String],
@@ -528,10 +543,7 @@ object Graph {
     val index = new java.util.HashMap[String, Integer](n * 2)
     j = 0; while (j < n) { index.put(nodes(j), j); j += 1 }
 
-    // edge-tier decision: an edge row is two ids (≈ 2 × avgIdLen chars) +
-    // array/pointer overhead; both tiers are exact, so the byte budget only
-    // trades driver memory for per-round job latency
-    val localEdges = m * (2L * avgIdLen.toLong + 24L) <= smallGraphMaxBytes
+    val localEdges = Graph.admitsLocalEdgeTier(m, smallGraphMaxBytes)
 
     // per-round mass gather, fork-bound once: rank/outdeg weights in `w`
     // (indexed like `nodes`), returns damping-unscaled mass per node index

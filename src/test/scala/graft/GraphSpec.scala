@@ -260,6 +260,20 @@ class GraphSpec extends AnyFunSuite {
     assert(!Graph.admitsBroadcastFork(1L, avgIdLen = 1.0, nodeLimit = 0L))
   }
 
+  test("local-edge-tier admission prices the gather at 16 B/edge (packed longs, not strings)") {
+    val budget = Graph.defaultSmallGraphMaxBytes // 256 MB
+    // the r12 regression case: the sf1.0 bench graph (11.7M edges) must be
+    // ADMITTED — 16 B/edge = 179 MiB actual driver peak; the stale
+    // string-priced model (46 B/edge) bounced it to 2 jobs/round
+    assert(Graph.admitsLocalEdgeTier(11737420L, budget))
+    // exact boundary at the budget; one more edge refuses
+    val mAtBudget = budget / 16L
+    assert(Graph.admitsLocalEdgeTier(mAtBudget, budget))
+    assert(!Graph.admitsLocalEdgeTier(mAtBudget + 1, budget))
+    // forced-distributed spec hook (maxBytes=0) refuses everything
+    assert(!Graph.admitsLocalEdgeTier(1L, 0L))
+  }
+
   test("pageRank byte guard: fat string ids refuse the broadcast fork") {
     // ids ~70kB each: 3 nodes pass any row cap but blow the 64 MB byte
     // budget × |V|... scaled down: the guard multiplies n by avg id length,

@@ -95,4 +95,36 @@ class ProcessorPropertySpec extends AnyFunSuite {
       assert(o == orig.getOrElse(7.5), "constant fill")
     }
   }
+
+  test("DenseRankLabelEncoding == LabelEncoding on random label sets (string + numeric)") {
+    import org.scalacheck.Gen
+    import graft.processor.ScalableEncoders.DenseRankLabelEncoding
+    // string labels with nulls + a fit/transform split so unknowns exercise;
+    // numeric labels so the np.unique numeric sort path differs from lexicographic
+    val strLabels = Vector("kiwi", "apple", "Fig", "banana", "date", "elder", "grape")
+    val strData = Seq.fill(150)(sampled(Gen.frequency(
+      9 -> Gen.oneOf(strLabels), 1 -> Gen.const(null.asInstanceOf[String]))))
+    val numData = Seq.fill(150)(sampled(Gen.chooseNum(-50, 2000))).map(_.toLong)
+    for (range <- Seq("one_to_n", "zero_to_n_minus_one")) {
+      // string column, fit on a subset so some labels are unknown at transform
+      val sdf = strData.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+      val fitDf = sdf.filter(col("i") % 3 =!= 0)
+      val le = new LabelEncoding(Map("encoding_range" -> range)); le.fit(fitDf, "v")
+      val dre = new DenseRankLabelEncoding(Map("encoding_range" -> range)); dre.fit(fitDf, "v")
+      val want = sdf.select(col("i"), le.transform(col("v")).as("c")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      val got = dre.transformFrame(sdf, "v", "c").select(col("i"), col("c")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(got == want, s"string $range")
+      // numeric column (numeric sort order, not lexicographic)
+      val ndf = numData.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+      val len = new LabelEncoding(Map("encoding_range" -> range)); len.fit(ndf, "v")
+      val dren = new DenseRankLabelEncoding(Map("encoding_range" -> range)); dren.fit(ndf, "v")
+      val wantN = ndf.select(col("i"), len.transform(col("v")).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotN = dren.transformFrame(ndf, "v", "c").select(col("i"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotN == wantN, s"numeric $range")
+    }
+  }
 }
