@@ -75,6 +75,62 @@ object Scale {
     l.join(r, keys :+ "__salt__").drop("__salt__")
   }
 
+  /** Spread an under-partitioned frame before COMPUTE-heavy map work.
+    *
+    * Scan parallelism is sized by BYTES (`files.maxPartitionBytes`, bounded
+    * below by parquet row-group granularity), which is the right proxy for
+    * scan-bound plans and the wrong one for compute-bound kernels: a 17 MB
+    * single-row-group text corpus arrives as ONE scan partition, so per-doc
+    * kernels costing ~1 ms/row (tokenization, entropy, n-gram stats) run
+    * single-threaded on a 32-core box — measured 6-9 s single-task stages on
+    * the sf1.0 bench corpus, ~0.5 s once spread. The same mismatch appears
+    * on real clusters whenever text sits in few-but-large files.
+    *
+    * Round-robin repartition to `target` when the planned scan parallelism
+    * is below half of it AND the frame is big enough that one exchange of
+    * its bytes is noise next to the kernel work (`minBytes` gate keeps
+    * 5-row dimension tables from paying a 32-way shuffle). Both checks run
+    * at PLAN time (partition count from the physical scan, bytes from
+    * optimizer stats) — no job. Explicit numPartitions, so AQE never
+    * coalesces it back below the kernel's parallelism.
+    */
+  def spreadForCompute(df: DataFrame, minBytes: Long = 256L << 10,
+      fence: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // planned scan parallelism read off the physical FILE scan directly —
+    // NOT Dataset.rdd, which wraps the conversion in a SQL execution and
+    // polluted the staged-pass budgets (PlanSpec counts executions; the
+    // probe must be listener-silent). Partition computation is driver-side
+    // file splitting: no job, no event. Frames without a file scan (local
+    // relations, post-shuffle inputs) skip the spread — the helper's
+    // contract is scan-parallelism repair, nothing else.
+    val planned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().map(_.getNumPartitions).sum
+    }.reduceOption(_ + _).getOrElse(Int.MaxValue)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (planned >= math.max(2, target / 2) || bytes < minBytes) df
+    else {
+      val spread = df.repartition(target)
+      if (fence.isEmpty) spread
+      else {
+        // Fence the payload column(s) with an optimizer barrier: without
+        // it, a filter over kernel-derived columns is pushed through BOTH
+        // the staging projections and this exchange, dragging the whole
+        // kernel stack back into the single-task scan stage (and inlining
+        // staged subexpressions once per reference) — the exact serialism
+        // this repartition exists to break. See [[graft.functions
+        // .OptBarrier]] for the trade-off (fencing also blocks cheap
+        // scan-column prunes: filter those BEFORE calling this).
+        spread.select(spread.columns.toSeq.map { c =>
+          if (fence.contains(c)) graft.functions.OptBarrier.barrier(col(c)).as(c)
+          else col(c)
+        }: _*)
+      }
+    }
+  }
+
   /** Persist a frame bucketed (and sorted) by join keys: repeated joins on
     * those keys become shuffle-free AND sort-free (bucket-local sort-merge)
     * — the co-location strategy for fact-to-fact joins at 100 TB.

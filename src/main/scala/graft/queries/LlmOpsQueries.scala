@@ -16,6 +16,16 @@ object LlmOpsQueries {
   private def h60(sqlExpr: String): String =
     s"CAST(('0x' || substr(md5($sqlExpr), 1, 15)) AS BIGINT)"
 
+  /** The documents table spread for COMPUTE-heavy per-doc kernels
+    * ([[graft.ops.Scale.spreadForCompute]]): the corpus ships as one parquet
+    * row group, so scan parallelism is 1 task no matter the core count —
+    * tokenization/entropy/n-gram kernels then run single-threaded (measured
+    * 6-9 s single-task stages at sf1.0, ~0.5 s once spread). Used by the
+    * kernel-heavy queries; plain projections keep the bare scan.
+    */
+  private def docsC(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.Scale.spreadForCompute(table(s, dir, "documents"), fence = Seq("text"))
+
   /** Whitespace + BPE-ish token counting. */
   val q50_token_counts: Q = Q(
     fn = (s, dir) =>
@@ -38,7 +48,7 @@ object LlmOpsQueries {
     */
   val q51_exact_dedup: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docsC(s, dir).select(col("doc_id"), col("text"))
       val dupes = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000)
       val corpus = docs.unionByName(dupes)
@@ -94,7 +104,7 @@ object LlmOpsQueries {
     */
   val q53_minhash_lsh_jaccard: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = docsC(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
       val near = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000)
@@ -561,7 +571,7 @@ object LlmOpsQueries {
     */
   val q91_dedup_clusters: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = docsC(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
       val near = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000)
@@ -643,7 +653,7 @@ object LlmOpsQueries {
     */
   val q102_repetition: Q = Q(
     fn = (s, dir) =>
-      table(s, dir, "documents")
+      docsC(s, dir)
         .withColumn("multi", concat_ws("\n", col("text"),
           substring(col("text"), 1, 50), substring(col("text"), 1, 50)))
         .withColumn("grams", TextAnalysis.shingles(col("text"), 2))
@@ -695,7 +705,7 @@ object LlmOpsQueries {
     */
   val q106_training_pipeline: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docsC(s, dir).select(col("doc_id"), col("text"))
       val deduped = Dedup.exactDedupRows(docs, col("text"), col("doc_id"))
       val gated = deduped
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
@@ -760,7 +770,7 @@ object LlmOpsQueries {
     */
   val q95_corpus_clean: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docsC(s, dir)
       // tokens staged ONCE; langId/quality/count all read the staged column
       // (unstaged, each consumer re-tokenizes — 4 regex passes per row)
       docs
@@ -1429,7 +1439,7 @@ object LlmOpsQueries {
     */
   val q141_curation_v2: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docsC(s, dir).select(col("doc_id"), col("text"))
       val dupes = docs.filter(col("doc_id") % 3 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000)
       // stage the synthesized corpus once (the q175 multi-consumer pattern):
@@ -1505,7 +1515,7 @@ object LlmOpsQueries {
     */
   val q144_bloom_decontamination: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docsC(s, dir).select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 5 === 0)
       val cont = TextAnalysis
         .contaminatedIdsBloom(docs, col("text"), col("doc_id"), bench, col("text"), k = 5)
@@ -1660,7 +1670,7 @@ object LlmOpsQueries {
     */
   val q154_line_dedup: Q = Q(
     fn = (s, dir) => {
-      val pages = table(s, dir, "documents").select(col("doc_id"),
+      val pages = docsC(s, dir).select(col("doc_id"),
         concat(lit("shared header line\n"), col("text"),
           when(col("doc_id") % 4 === 0, lit("\ncommunity guidelines apply"))
             .otherwise(concat(lit("\nfooter "), col("doc_id").cast("string")))).as("page"))
@@ -1981,7 +1991,7 @@ object LlmOpsQueries {
     */
   val q168_bigram_lm: Q = Q(
     fn = (s, dir) =>
-      TextAnalysis.bigramNll(table(s, dir, "documents"), col("text"), col("doc_id"))
+      TextAnalysis.bigramNll(docsC(s, dir), col("text"), col("doc_id"))
         .select(col("id").as("doc_id"), (floor(col("nll") * 1e4 + 0.5) / 1e4).as("nll"))
         .orderBy(col("doc_id")),
     oracle = Some("""
@@ -2264,7 +2274,7 @@ object LlmOpsQueries {
   val q175_web_pipeline: Q = Q(
     fn = (s, dir) => {
       val weights = (0 until 16).map(j => (j % 5 - 2) / 10.0)
-      val cleaned = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cleaned = docsC(s, dir).select(col("doc_id"), col("text"))
         .withColumn("html", concat(lit("<html><body><p>"), col("text"),
           lit("</p><script>x()</script> Done &amp; done</body></html>")))
         .withColumn("clean", TextAnalysis.stripHtml(col("html")))
@@ -2721,7 +2731,7 @@ object LlmOpsQueries {
     */
   val q208_curation_v3: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docsC(s, dir).select(col("doc_id"), col("text"))
       val boiler = docs.withColumn("text",
         when(col("doc_id") % 2 === 0,
           concat(col("text"), lit(" subscribe to our newsletter for free updates every day")))
@@ -2729,7 +2739,7 @@ object LlmOpsQueries {
       val cleaned = TextAnalysis.removeDuplicateSpans(boiler, col("doc_id"), col("text"), k = 5)
       val kept = cleaned.filter(col("n_kept") >= 20)
       val withLang = kept.join(
-        table(s, dir, "documents").select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        docsC(s, dir).select(col("doc_id").as("id"), col("lang")), Seq("id"))
       val scores = TextAnalysis.dsirScoresWithin(
         withLang, col("id"), col("clean_text"), col("lang") === "en",
         dim = 1024, alpha = 0.5)

@@ -212,7 +212,10 @@ object ProcessorQueries {
     */
   val q38_tfidf: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents")
+      // spread before the tokenize/HOF kernels — the corpus is one parquet
+      // row group, i.e. ONE scan task (see LlmOpsQueries.docsC)
+      val docs = graft.ops.Scale.spreadForCompute(table(s, dir, "documents"),
+        fence = Seq("text"))
       val tfidf = new TfIdfVectorization(Map("max_features" -> 20, "output_sparse" -> true))
       tfidf.fit(docs, "text")
       // eager cut before the global sort: a range exchange SAMPLES its

@@ -87,7 +87,11 @@ class CodegenPropertySpec extends AnyFunSuite {
       ShinglesFromTokens.shingles_from_tokens(WordTokens.word_tokens(col("s")), 3),
       TopFreqFraction.top_freq_fraction(WordTokens.word_tokens(col("s"))),
       VocabTokenCount.vocab_token_count(col("s"), vocab),
-      VocabTokenCount.vocab_tokenize(col("s"), vocab))
+      VocabTokenCount.vocab_tokenize(col("s"), vocab),
+      // the optimizer barrier must be value-identity in both modes — and
+      // composing a kernel over it must not change the kernel's output
+      OptBarrier.barrier(col("s")),
+      CharEntropy.char_entropy(OptBarrier.barrier(col("s"))))
     val (cg, in) = bothModes(cols, df)
     corpus.indices.foreach { r =>
       assert(cg(r) == in(r),

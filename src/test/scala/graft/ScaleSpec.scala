@@ -47,6 +47,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MapType"))
   }
 
+  test("spreadForCompute: spreads under-split file scans, no-ops below the byte gate; fence keeps filters post-exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Repartition => LRepartition}
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString
+    // one ~1.5MB single-file corpus → ONE scan partition on read-back
+    spark.range(2000).select(col("id"),
+        concat_ws(" ", (0 until 40).map(i => concat(lit(s"tok$i"), col("id"))): _*).as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val spread = Scale.spreadForCompute(docs, fence = Seq("text"))
+    assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "a >256KB single-partition file scan must spread to the core count")
+    assert(spread.count() == 2000)
+
+    // below the byte gate: untouched (identical plan, no exchange)
+    spark.range(5).select(col("id"), lit("x").as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tiny")
+    val tiny = spark.read.parquet(s"$dir/tiny")
+    assert(Scale.spreadForCompute(tiny) eq tiny, "tiny frames must not pay a shuffle")
+
+    // fence: a filter over a derived-from-text column must stay ABOVE the
+    // repartition (unfenced, PushDownPredicates drags it — and the kernel
+    // expressions inside it — below the exchange into the scan stage)
+    def filterBelowRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LRepartition => r.child.collect { case f: LFilter => f }.nonEmpty
+      }.exists(identity)
+    val fenced = spread.filter(length(col("text")) > 10)
+    assert(!filterBelowRepartition(fenced),
+      "fenced payload: the filter must evaluate post-exchange")
+    val unfenced = Scale.spreadForCompute(docs).filter(length(col("text")) > 10)
+    assert(filterBelowRepartition(unfenced),
+      "sanity: without the fence the optimizer pushes the filter below the exchange")
+    // the barrier is value-identity: fenced and unfenced agree exactly
+    assert(fenced.count() == unfenced.count())
+  }
+
   test("saltedJoin equals plain join") {
     val left = ((1 to 500).map(_ => 1) ++ (1 to 50)).map(k => (k, s"l$k")).toDF("k", "lv")
     val right = (1 to 50).map(k => (k, s"r$k")).toDF("k", "rv")
