@@ -105,7 +105,13 @@ object Scale {
     // file splitting: no job, no event. Frames without a file scan (local
     // relations, post-shuffle inputs) skip the spread — the helper's
     // contract is scan-parallelism repair, nothing else.
-    val planned = df.queryExecution.executedPlan.collect {
+    // an AQE-wrapped plan (any frame that already contains an exchange or
+    // subquery) reports no children to collect — descend into its input
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val planned = phys.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.inputRDDs().map(_.getNumPartitions).sum
     }.reduceOption(_ + _).getOrElse(Int.MaxValue)
