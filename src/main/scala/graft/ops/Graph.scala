@@ -314,11 +314,16 @@ object Graph {
     // dangling) — replaces the nodes-distinct shuffle, the degree
     // aggregate, and their join with a single shuffle, and leaves the
     // frame hash-partitioned on `node` so round 1's join needs no
-    // rank-side exchange either.
-    val endpoints = e.select(explode(array(
-        struct(col("src").as("node"), lit(1L).as("__o__")),
-        struct(col("dst").as("node"), lit(0L).as("__o__")))).as("__ns__"))
-      .select(col("__ns__.node").as("node"), col("__ns__.__o__").as("__o__"))
+    // rank-side exchange either. Spelled as a flat UNION of two
+    // projections, not explode(array(struct,struct)): both feed the same
+    // single shuffle (each union branch partial-aggregates map-side), but
+    // the explode allocates a 2-element array of structs per edge row —
+    // measured ~25% more task time on the 11.7M-edge degree pass. The
+    // union reads the edge lineage twice, which is cheap in every regime:
+    // dedup'd lineages are cached, caller-asserted-distinct ones are lazy
+    // projections over the caller's (staged) input.
+    val endpoints = e.select(col("src").as("node"), lit(1L).as("__o__"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__o__")))
     val degreed = endpoints.groupBy(col("node"))
       .agg(sum(col("__o__")).as("__od__"))
       .withColumn("deg", when(col("__od__") > 0, col("__od__")))
