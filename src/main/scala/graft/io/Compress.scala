@@ -74,20 +74,25 @@ object Compress {
     * reference's `ScalableDataFrame` compress contract, which is also
     * driver-side). Guarded: the payload materializes ALL rows on the driver,
     * so frames above [[DriverCompressRowCeiling]] rows refuse loudly and
-    * point at the distributed [[compressPerPartition]] path. The guard costs
-    * one bounded `limit(ceiling+1).count()` job, never a full count.
+    * point at the distributed [[compressPerPartition]] path. Guard and
+    * collect are ONE job over the same `limit(ceiling+1)` plan: the ceiling
+    * is checked on exactly the rows collected (no separate probe scan, no
+    * probe-vs-collect TOCTOU on non-deterministic sources), and the limit
+    * bounds the collect itself so an over-ceiling frame never materializes
+    * more than ceiling+1 rows before refusing.
     */
   def compress(df: DataFrame, codec: String = Gzip,
       rowCeiling: Long = DriverCompressRowCeiling): Array[Byte] = {
     // limit() takes an Int — clamp so an absurd Long ceiling can't overflow
     // into a negative limit (the probe then simply checks at Int.MaxValue-1)
     val probe = math.min(rowCeiling + 1, Int.MaxValue.toLong - 1).toInt
-    if (df.limit(probe).count() > rowCeiling)
+    val lines = df.toJSON.limit(probe).collect()
+    if (lines.length > rowCeiling)
       throw new IllegalStateException(
         s"Compress.compress: frame exceeds $rowCeiling rows — a whole-frame " +
           "driver-side payload at this size risks driver OOM. Use compressPerPartition " +
           "(distributed, one payload per partition) or write a compressed file format instead.")
-    encoder(codec)(df.toJSON.collect().mkString("\n"))
+    encoder(codec)(lines.mkString("\n"))
   }
 
   /** Payload → frame, schema re-inferred from JSON (pass `schema` to pin

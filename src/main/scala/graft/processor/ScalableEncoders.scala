@@ -67,15 +67,21 @@ object ScalableEncoders {
     override def fit(df: DataFrame, inputCol: String): this.type = {
       val c = col(inputCol)
       val filled = missingFill.fold(c)(f => coalesce(c, lit(f)))
-      val numeric = df.schema(inputCol).dataType match {
-        case _: org.apache.spark.sql.types.NumericType => true
-        case _ => false
-      }
       // sort key mirrors LabelEncoding.fit's orderBy (np.unique numeric sort
       // for numeric inputs, lexicographic otherwise); the JOIN key is always
-      // the string form so restore()d tables round-trip type-exactly
+      // the string form so restore()d tables round-trip type-exactly.
+      // Integral inputs sort as decimal(38,0), not double: above 2^53 a
+      // double collapses distinct longs onto one value and the dense codes
+      // would diverge from LabelEncoding's exact numeric order.
+      import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, NumericType, ShortType}
+      val sortKey = df.schema(inputCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => filled.cast("decimal(38,0)")
+        case dt: DecimalType => filled.cast(dt)
+        case _: NumericType => filled.cast("double")
+        case _ => filled.cast("string")
+      }
       val d = df.select(filled.cast("string").as("__dre_label__"),
-          (if (numeric) filled.cast("double") else filled.cast("string")).as("__dre_sort__"))
+          sortKey.as("__dre_sort__"))
         .na.drop("any", Seq("__dre_label__"))
         .dropDuplicates("__dre_label__")
       val (laid, offsets) = graft.ops.Offsets.rangeLayout(d, Seq(col("__dre_sort__")), lit(1L))
@@ -109,18 +115,33 @@ object ScalableEncoders {
       this
     }
 
+    /** First `base`, `base1`, `base2`, … not already taken — the join-side
+      * temp names must not collide with the INPUT frame's columns (an input
+      * that legitimately carries a `__dre_key__` column would otherwise be
+      * silently dropped or make the join ambiguous). The fitted table's own
+      * `__dre_label__`/`__dre_code__` names are a private, parquet-persisted
+      * contract, so they are renamed here rather than at the source.
+      */
+    private def fresh(base: String, taken: Set[String]): String =
+      Iterator.from(0).map(i => if (i == 0) base else base + i).filterNot(taken).next()
+
     def transformFrame(df: DataFrame, inputCol: String, outputCol: String): DataFrame = {
       val table = codes.getOrElse(notFitted("transformFrame"))
+      val taken = df.columns.toSet
+      val keyC = fresh("__dre_key__", taken)
+      val labelC = fresh("__dre_label__", taken + keyC)
+      val codeC = fresh("__dre_code__", taken + keyC + labelC)
+      val renamed = table.toDF(labelC, codeC)
       val in = col(inputCol)
       val filled = missingFill.fold(in)(f => coalesce(in, lit(f)))
-      val keyed = df.withColumn("__dre_key__", filled.cast("string"))
-      val joined = keyed.join(table, keyed("__dre_key__") === table("__dre_label__"), "left")
+      val keyed = df.withColumn(keyC, filled.cast("string"))
+      val joined = keyed.join(renamed, keyed(keyC) === renamed(labelC), "left")
       // null input (no missing fill) stays null; unseen label → unknownValue
       joined
         .withColumn(outputCol,
-          when(col("__dre_key__").isNull, lit(null).cast("long"))
-            .otherwise(coalesce(col("__dre_code__"), lit(unknownValue))))
-        .drop("__dre_key__", "__dre_label__", "__dre_code__")
+          when(col(keyC).isNull, lit(null).cast("long"))
+            .otherwise(coalesce(col(codeC), lit(unknownValue))))
+        .drop(keyC, labelC, codeC)
     }
 
     /** Inverse mapping as a frame rewrite (LabelEncoding
@@ -128,8 +149,12 @@ object ScalableEncoders {
       */
     def inverseTransformFrame(df: DataFrame, inputCol: String, outputCol: String): DataFrame = {
       val table = codes.getOrElse(notFitted("inverseTransformFrame"))
-      val joined = df.join(table, df(inputCol).cast("long") === table("__dre_code__"), "left")
-      joined.withColumn(outputCol, col("__dre_label__")).drop("__dre_label__", "__dre_code__")
+      val taken = df.columns.toSet
+      val labelC = fresh("__dre_label__", taken)
+      val codeC = fresh("__dre_code__", taken + labelC)
+      val renamed = table.toDF(labelC, codeC)
+      val joined = df.join(renamed, df(inputCol).cast("long") === renamed(codeC), "left")
+      joined.withColumn(outputCol, col(labelC)).drop(labelC, codeC)
     }
 
     override def state: Map[String, String] = codes match {

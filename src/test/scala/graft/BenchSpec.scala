@@ -104,6 +104,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeCandidates(Seq("a" -> 1.501), prior) == Seq("a"))
   }
 
+  test("retimeSet re-times >2x-prior queries regardless of sentinel state (r12 q175 lesson)") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    // the r12 failure shape: sentinel IN-BAND (0.72 — not front-degraded),
+    // yet one query sits at 4x the committed healthy anchor. The hard rule
+    // must fire on the prior alone.
+    val now = Seq("a" -> 4.0, "b" -> 1.2, "c" -> 1.8, "d" -> 1.0)
+    assert(Bench.retimeSet(now, prior, sentinel = 0.72) == Seq("a"))
+    // sentinel fully healthy — hard rule still fires
+    assert(Bench.retimeSet(now, prior, sentinel = 1.0) == Seq("a"))
+    // end-of-run degradation (>>1, no front repair) — hard rule still fires
+    assert(Bench.retimeSet(now, prior, sentinel = 3.0) == Seq("a"))
+    // front-degraded sentinel: union of the 1.5x front list and the 2x hard
+    // list, worst-first, deduplicated ("a" appears in both, listed once)
+    assert(Bench.retimeSet(now, prior, sentinel = 0.5) == Seq("a", "c"))
+    // boundary: exactly 2x the prior does not trip the hard rule
+    assert(Bench.retimeSet(Seq("a" -> 2.0), prior, sentinel = 1.0).isEmpty)
+    assert(Bench.retimeSet(Seq("a" -> 2.001), prior, sentinel = 1.0) == Seq("a"))
+    // healthy run, healthy sentinel: no re-times at all
+    assert(Bench.retimeSet(Seq("a" -> 1.1, "b" -> 0.9), prior, sentinel = 1.0).isEmpty)
+    // no anchor → the hard rule is mute (never a false re-time)
+    assert(Bench.retimeSet(now, Map.empty, sentinel = 1.0).isEmpty)
+  }
+
   test("retimeCandidates skips failed runs, missing priors, and bad priors") {
     val prior = Map("a" -> 1.0, "z" -> -1.0, "y" -> 0.0)
     assert(Bench.retimeCandidates(Seq("a" -> -1.0), prior).isEmpty) // this run failed

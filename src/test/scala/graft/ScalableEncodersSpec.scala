@@ -194,4 +194,35 @@ class ScalableEncodersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nunique"))
     assert(sdf("id").uniqueCapped(100).length == 100)
   }
+
+  test("DenseRankLabelEncoding: long labels above 2^53 keep exact numeric code order") {
+    // adjacent longs past double precision — a double sort key collapses
+    // them onto one value and the tie makes code assignment arbitrary; the
+    // decimal(38,0) key must keep the exact native order
+    val base = (1L << 53)
+    val df = Seq(base + 3, base + 1, base + 2, base + 1).toDF("v")
+    val got = enc(df, Map("encoding_range" -> "zero_to_n_minus_one"))
+      .select("v", "code").distinct().orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((base + 1, 0L), (base + 2, 1L), (base + 3, 2L)))
+  }
+
+  test("DenseRankLabelEncoding: input columns named like the temp names survive") {
+    // an input frame that legitimately carries __dre_key__/__dre_label__/
+    // __dre_code__ columns must keep them — the join-side temp names are
+    // generated collision-free, not reserved
+    val df = Seq(("b", "k0", "l0", 7L), ("a", "k1", "l1", 8L))
+      .toDF("v", "__dre_key__", "__dre_label__", "__dre_code__")
+    val p = new DenseRankLabelEncoding(Map("encoding_range" -> "zero_to_n_minus_one"))
+    p.fit(df, "v")
+    val out = p.transformFrame(df, "v", "code")
+    assert(out.columns.toSeq ==
+      Seq("v", "__dre_key__", "__dre_label__", "__dre_code__", "code"))
+    val rows = out.orderBy("v").select("v", "__dre_code__", "code")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("a", 8L, 0L), ("b", 7L, 1L)))
+    // inverse path under the same collision pressure
+    val inv = p.inverseTransformFrame(out, "code", "back")
+    assert(inv.columns.count(_ == "__dre_label__") == 1)
+    assert(inv.orderBy("v").select("back").as[String].collect().toSeq == Seq("a", "b"))
+  }
 }
