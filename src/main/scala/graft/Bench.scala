@@ -108,6 +108,14 @@ object Bench {
     }
   }
 
+  /** The `sf` field of a prior bench record — the anchor is only meaningful
+    * against the SAME scale factor (an sf1.0 run compared to an sf0.1
+    * anchor reads as uniformly 2-5× "inflated" and would fire the hard
+    * re-time rule on every query). Absent field (pre-r3 records) → None.
+    */
+  def parsePriorSf(line: String): Option[String] =
+    """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+
   /** Fraction of prior-matched queries whose min timed run exceeds
     * `factor`× the committed prior-round time. The sentinel can only see
     * POSITIONAL degradation (start vs end of the run); a box that is
@@ -349,9 +357,23 @@ object Bench {
             "the degraded-sentinel repair pass is disabled for this run")
       case _ => ()
     }
-    val prior: Map[String, Double] = resolved
-      .map { case (_, txt) => Bench.parsePriorQueries(txt) }
-      .getOrElse(Map.empty)
+    val prior: Map[String, Double] = resolved match {
+      case None => Map.empty
+      case Some((p, txt)) =>
+        // SF guard: an anchor recorded at a different scale factor is not a
+        // time reference — comparing against it would re-time every query
+        // (hard rule) and report prior_inflated ≈ 1.0 as if the box or the
+        // code were at fault. Records without an sf field (foreign/ancient)
+        // stay usable.
+        Bench.parsePriorSf(txt) match {
+          case Some(psf) if psf != sfDir =>
+            System.err.println(
+              s"[bench] prior anchor $p was recorded at sf=$psf, this run is sf=$sfDir — " +
+                "anchor disabled (repair pass and prior_inflated are SF-local)")
+            Map.empty
+          case _ => Bench.parsePriorQueries(txt)
+        }
+    }
 
     // JVM priming (r11 lesson — the q01 7.5× anomaly): the FIRST query the
     // process ever runs absorbs one-time session startup (codegen compiler

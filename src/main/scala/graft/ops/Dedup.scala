@@ -317,6 +317,59 @@ object Dedup {
     materialize(verified, release)
   }
 
+  /** Star-reduced verified near-dup EDGES for component building — the
+    * collapse-scale companion to [[verifiedNearDupPairs]]. Within every LSH
+    * bucket only (hub = min id) → member candidate edges are emitted and
+    * Jaccard-verified: m−1 edges per bucket instead of the clique's
+    * m(m−1)/2 pairs, so a replica cluster of ANY size costs LINEAR verify
+    * traffic (the clique is quadratic in cluster size — a 10×-replicated
+    * corpus pays 45 shingle-array joins per cluster where the star pays 9).
+    * Buckets above `maxBucketSize` are dropped with a logged count before
+    * any pair forms (the [[lshPairPlan]] cap, mandatory here: a token run
+    * shared by a large corpus fraction — boilerplate — otherwise floods one
+    * bucket and the hub fan-out alone becomes the corpus). Connectivity
+    * through the hub is exactly what connected components consume; the star
+    * loses only the corner where two members verify against each other but
+    * neither verifies against the bucket's min-id doc — for replica
+    * clusters (what collapse exists for) the hub is itself a replica and
+    * the corner is empty. Returns distinct verified (id_a, id_b) with
+    * id_a < id_b, eagerly materialized, all internal caches released.
+    */
+  def verifiedHubEdges(df: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 3, numHashes: Int = 4, bands: Int = 2,
+      threshold: Double = 0.5, maxBucketSize: Long = 64L): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2: $maxBucketSize")
+    val docs = df.select(idCol.as("id"), textCol.as("__text__"))
+    val withBands = bandedSignatures(docs, k, numHashes, bands).persist()
+    val hot = withBands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__bsz__"))
+      .filter(col("__bsz__") > maxBucketSize)
+      .persist()
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"verifiedHubEdges: dropping $nHot LSH bucket(s) over cap=$maxBucketSize " +
+          "(pathological duplicate mass — run exactDedup first)")
+    val pruned = withBands.join(hot.select(col("band"), col("band_hash")),
+      Seq("band", "band_hash"), "left_anti")
+    val hubs = pruned.groupBy(col("band"), col("band_hash")).agg(min(col("id")).as("id_a"))
+    val cands = pruned.join(hubs, Seq("band", "band_hash"))
+      .filter(col("id") > col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
+    // same unstaged-shingle verification discipline as verifiedNearDupPairs
+    // (r7 staging verdict) — the pair frame carries only ids until the
+    // shingle joins, and those joins now see star-linear traffic
+    val sh = df.select(idCol.as("doc_id"), array_distinct(shingles(textCol, k)).as("sh"))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", round(jaccardShingles(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    materialize(verified, Seq(withBands, hot))
+  }
+
   /** Exact n-gram Jaccard similarity of two texts (the verification stage
     * after LSH candidates): |A∩B| / |A∪B| over distinct shingles.
     */

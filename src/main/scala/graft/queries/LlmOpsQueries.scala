@@ -2720,14 +2720,27 @@ object LlmOpsQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  /** Curation pipeline v3 — THIS round's machinery composed end-to-end in
-    * one lazy plan: boilerplate-salted corpus → duplicate-span REMOVAL
-    * (q182) → minimum-surviving-length gate → DSIR importance scoring
-    * against the English subset (q183) → deterministic Gumbel top-150 →
-    * shard-parallel token-budget packing (q90). The oracle stitches the
-    * verified spellings of every stage; the DSIR token stream reuses the
-    * span-removal chain's kept-token rows directly (the canonical
-    * clean-text join/split roundtrip is token-exact).
+  /** Curation pipeline v3 — THIS round's machinery composed end-to-end:
+    * boilerplate-salted corpus → NEAR-DUP COLLAPSE ([[Dedup
+    * .verifiedHubEdges]]: capped LSH buckets, star-reduced hub edges,
+    * exact-Jaccard verify → q91's connected components → min-id survivor
+    * per replica cluster) → duplicate-span REMOVAL (q182) →
+    * minimum-surviving-length gate → DSIR importance scoring against the
+    * English subset (q183) → deterministic Gumbel top-k → shard-parallel
+    * token-budget packing (q90). The collapse runs BEFORE span removal on
+    * purpose — the curation-order lesson the sf1.0 scale point taught:
+    * ExactSubstr-style span removal over a corpus carrying near-identical
+    * replicas marks essentially every 5-gram of every replica duplicated
+    * and shreds ALL of them to nothing; collapsing replica clusters to one
+    * survivor first leaves span removal the within-corpus duplication it is
+    * meant for (the order real curation stacks use for the same reason).
+    * Selection k is scale-adaptive — max(150, 5% of the gated corpus), the
+    * count a near-free job over the span-removal stage's checkpoint — so
+    * the selection stage exerts the same relative pressure at any corpus
+    * size instead of degenerating to a fixed 150 at 100×. The oracle
+    * stitches the verified spellings of every stage; the DSIR token stream
+    * reuses the span-removal chain's kept-token rows directly (the
+    * canonical clean-text join/split roundtrip is token-exact).
     */
   val q208_curation_v3: Q = Q(
     fn = (s, dir) => {
@@ -2736,15 +2749,33 @@ object LlmOpsQueries {
         when(col("doc_id") % 2 === 0,
           concat(col("text"), lit(" subscribe to our newsletter for free updates every day")))
           .otherwise(col("text")))
-      val cleaned = TextAnalysis.removeDuplicateSpans(boiler, col("doc_id"), col("text"), k = 5)
+      // replica-cluster collapse: banded LSH (text never all-pairs),
+      // hot-bucket cap (the shared boilerplate suffix otherwise floods a
+      // bucket), STAR-reduced hub→member edges with exact-Jaccard
+      // verification (linear per cluster, not clique-quadratic), then
+      // pointer-jumping components and a min-id survivor policy
+      val pairs = Dedup.verifiedHubEdges(boiler, col("text"), col("doc_id"),
+        k = 3, numHashes = 4, bands = 2, threshold = 0.5, maxBucketSize = 64L)
+      val comps = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val clusterSurv = comps.groupBy(col("component"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val survivorIds = boiler.select(col("doc_id"))
+        .join(comps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(clusterSurv)
+      val collapsed = boiler.join(survivorIds, Seq("doc_id"), "left_semi")
+      val cleaned = TextAnalysis.removeDuplicateSpans(collapsed, col("doc_id"), col("text"), k = 5)
       val kept = cleaned.filter(col("n_kept") >= 20)
+      // scale-adaptive selection k (the span-removal output is checkpointed,
+      // so this count re-runs none of the text kernels)
+      val kSel = math.max(150L, kept.count() / 20L).toInt
       val withLang = kept.join(
         docsC(s, dir).select(col("doc_id").as("id"), col("lang")), Seq("id"))
       val scores = TextAnalysis.dsirScoresWithin(
         withLang, col("id"), col("clean_text"), col("lang") === "en",
         dim = 1024, alpha = 0.5)
       val sel = graft.ops.Sampling.gumbelTopK(scores, col("id"), col("dsir_score"),
-        n = 150, seed = 11)
+        n = kSel, seed = 11)
       val packed = graft.ops.Packing.packByTokenBudget(
         sel.join(kept.select(col("id"), col("n_kept")), Seq("id")),
         id = col("id"), tokens = col("n_kept"), budget = 500L, shards = 4)
@@ -2753,16 +2784,74 @@ object LlmOpsQueries {
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
-      WITH corpus AS (
+      WITH RECURSIVE corpus AS (
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0
                     THEN text || ' subscribe to our newsletter for free updates every day'
                     ELSE text END AS text
         FROM documents),
-      toks AS (
+      ntoks AS (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
+      nsh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+        FROM ntoks),
+      nex AS (SELECT doc_id, u.s FROM nsh, UNNEST(shingles) u(s)),
+      nsig AS (
+        SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
+        FROM nex CROSS JOIN range(4) r(h)
+        GROUP BY doc_id, r.h),
+      nband AS (
+        SELECT doc_id, h // 2 AS band,
+               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+        FROM nsig
+        GROUP BY doc_id, h // 2),
+      nhot AS (
+        SELECT band, band_hash FROM nband
+        GROUP BY band, band_hash HAVING count(*) > 64),
+      npr AS (
+        SELECT doc_id, band, band_hash FROM nband nb
+        WHERE NOT EXISTS (SELECT 1 FROM nhot h
+                          WHERE h.band = nb.band AND h.band_hash = nb.band_hash)),
+      nhub AS (
+        SELECT band, band_hash, min(doc_id) AS hub
+        FROM npr GROUP BY band, band_hash),
+      ncand AS (
+        SELECT DISTINCT u.hub AS id_a, p.doc_id AS id_b
+        FROM npr p JOIN nhub u USING (band, band_hash)
+        WHERE p.doc_id > u.hub),
+      npairs AS (
+        SELECT id_a, id_b
+        FROM ncand
+        JOIN nsh sa ON sa.doc_id = id_a
+        JOIN nsh sb ON sb.doc_id = id_b
+        WHERE round(
+                len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))::DOUBLE /
+                len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))),
+                4) >= 0.5),
+      nedges AS (SELECT id_a AS a, id_b AS b FROM npairs
+                 UNION SELECT id_b, id_a FROM npairs),
+      reach AS (
+        SELECT doc_id AS n, doc_id AS lbl FROM corpus
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN nedges e ON r.n = e.a),
+      comp AS (SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n),
+      scorpus AS (
+        SELECT c.doc_id, c.text
+        FROM corpus c
+        JOIN comp p USING (doc_id)
+        JOIN (SELECT component, min(doc_id) AS survivor
+              FROM comp GROUP BY component) m
+          ON p.component = m.component
+        WHERE c.doc_id = m.survivor),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
+                                   x -> length(x) >= 1) AS t
+        FROM scorpus),
       grams AS (
         SELECT doc_id, len(t) AS n, gi,
                ${h60("array_to_string(t[gi:CASE WHEN len(t) < 5 THEN len(t) ELSE gi + 4 END], ' ')")} AS g
@@ -2806,9 +2895,12 @@ object LlmOpsQueries {
       sel AS (
         SELECT doc_id, s FROM (
           SELECT doc_id, s,
-                 round(s - ln(-ln((${h60("doc_id || ':11'")} % 1000000000 + CAST(0.5 AS DOUBLE)) / 1e9)), 6) AS gk
+                 row_number() OVER (
+                   ORDER BY round(s - ln(-ln((${h60("doc_id || ':11'")} % 1000000000 + CAST(0.5 AS DOUBLE)) / 1e9)), 6) DESC,
+                            doc_id) AS rn,
+                 count(*) OVER () AS nk
           FROM scores)
-        ORDER BY gk DESC, doc_id LIMIT 150),
+        WHERE rn <= greatest(150, nk // 20)),
       packed AS (
         SELECT sel.doc_id, kp.n_kept, sel.s,
                ${h60("CAST(sel.doc_id AS VARCHAR)")} % 4 AS shard

@@ -127,6 +127,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeSet(now, Map.empty, sentinel = 1.0).isEmpty)
   }
 
+  test("parsePriorSf reads the anchor's scale factor (SF-local anchoring)") {
+    assert(Bench.parsePriorSf("""{"queries":{"a":1.0},"sf":"/root/testdata/sf0.1"}""")
+      .contains("/root/testdata/sf0.1"))
+    assert(Bench.parsePriorSf("""{"queries":{"a":1.0}}""").isEmpty)
+    assert(Bench.parsePriorSf("not json").isEmpty)
+  }
+
   test("retimeCandidates skips failed runs, missing priors, and bad priors") {
     val prior = Map("a" -> 1.0, "z" -> -1.0, "y" -> 0.0)
     assert(Bench.retimeCandidates(Seq("a" -> -1.0), prior).isEmpty) // this run failed

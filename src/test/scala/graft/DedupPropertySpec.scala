@@ -118,6 +118,41 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("verifiedHubEdges: components match the clique's on replica clusters; cap drops hot buckets") {
+    // replica-cluster corpus (the collapse target): every cluster is one
+    // base text plus per-replica suffixes — hub-star edges must yield the
+    // SAME connected components as the quadratic clique pairs
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "machine learning systems process large volumes of text data every single day",
+      "completely different content about cooking pasta with garlic and olive oil")
+    val corpus = (for {
+      (t, c) <- bases.zipWithIndex
+      r <- 0 until 5
+    } yield (c * 100L + r, s"$t rep$r")).toDF("id", "text")
+    val hub = Dedup.verifiedHubEdges(corpus, col("text"), col("id"),
+      k = 3, numHashes = 4, bands = 2, threshold = 0.5, maxBucketSize = 64L)
+    val clique = Dedup.verifiedNearDupPairs(corpus, col("text"), col("id"),
+      k = 3, numHashes = 4, bands = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ops.Components.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps(hub) == comps(clique),
+      "star-reduced components diverge from clique components on replica clusters")
+    // star is linear PER BUCKET: each band may bucket the cluster
+    // differently, so the bound is bands x (m-1) = 8 edges for a 5-replica
+    // cluster — strictly below the clique's m(m-1)/2 = 10, and linear in m
+    val perCluster = hub.collect().groupBy(_.getAs[Long]("id_a") / 100)
+    perCluster.foreach { case (c, es) =>
+      assert(es.length <= 8, s"cluster $c emitted ${es.length} edges — clique leaked through") }
+    // cap: with every doc in one bucket-sized cluster and cap below the
+    // cluster size, the bucket drops and no edges survive
+    val capped = Dedup.verifiedHubEdges(corpus.filter(col("id") < 100), col("text"), col("id"),
+      k = 3, numHashes = 4, bands = 2, threshold = 0.5, maxBucketSize = 3L)
+    assert(capped.count() == 0, "over-cap bucket must be dropped entirely")
+  }
+
   test("bm25 matches the driver formula") {
     val terms = Seq("alpha", "delta", "zulu") // zulu: df=0 exercises the idf guard
     val k1 = 1.2; val b = 0.75

@@ -256,18 +256,24 @@ class PlanSpec extends AnyFunSuite {
     sqlExecutionsOf(QueryCorpus.queries(queryName)(spark, dir)
       .write.format("noop").mode("overwrite").save())
 
-  test("q208 curation pipeline: staged-pass budget — 3 executions end-to-end") {
-    // The r6/r7 staging audits' guard: the composed pipeline runs exactly
-    //   (1) the duplicate-span removal's eager cut,
-    //   (2) the DSIR score cut (the r7 rewrite folded the bucket-stream
-    //       count into the plan as a broadcast scalar — a third execution
-    //       BEFORE the write means that driver barrier came back),
-    //   (3) the final write
-    // — every other stage (gates, lang join, Gumbel top-k, packing) rides
-    // lazily inside one of those. A fourth execution means someone added an
-    // eager pass (a staged multi-consumer frame or a stray action).
+  test("q208 curation pipeline: staged-pass budget — 7 executions end-to-end") {
+    // The r6/r7 staging audits' guard, re-pinned for the r13 near-dup
+    // collapse prepass. The composed pipeline runs exactly
+    //   (1) the hub-edge hot-bucket census count,
+    //   (2) the verified hub-edge checkpoint cut,
+    //   (3) the connected-components pass over the (tiny) edge list
+    //       (driver union-find fast path at this scale: one collect),
+    //   (4) the duplicate-span removal's eager cut,
+    //   (5) the scale-adaptive selection-k count (reads (4)'s checkpoint —
+    //       no text kernel re-runs),
+    //   (6) the DSIR score cut,
+    //   (7) the final write
+    // — every other stage (survivor semi-join, gates, lang join, Gumbel
+    // top-k, packing) rides lazily inside one of those. An eighth execution
+    // means someone added an eager pass (a staged multi-consumer frame or a
+    // stray action).
     val n = sqlExecutions("q208_curation_v3")
-    assert(n <= 3,
+    assert(n <= 7,
       s"q208 ran $n SQL executions — an unstaged pass crept into the pipeline")
   }
 
