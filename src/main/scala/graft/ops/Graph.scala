@@ -30,9 +30,12 @@ object Graph {
   /** One (node, rank/outdeg) contribution row of the driver-held rank
     * vector — a case class so [[pageRankDriverVector]]'s per-round
     * LocalRelation carries its column names without a Project on top (see
-    * the note at its use site).
+    * the note at its use site). Two variants, one per node-id regime (the
+    * loop keeps INTEGRAL ids native end-to-end — see the note at the
+    * idType fork in [[pageRankLoop]]).
     */
   private[graft] final case class RankContribution(node: String, w: Double)
+  private[graft] final case class RankContributionL(node: java.lang.Long, w: Double)
 
   /** In/out degree per node — the one-pass graph profile run before
     * choosing iteration counts and skew mitigations (a power-law hub
@@ -59,10 +62,11 @@ object Graph {
       checkpointEvery: Int = 4, edgesDistinct: Boolean = false,
       checkpointDir: Option[String] = None,
       broadcastNodeLimit: Long = defaultBroadcastNodeLimit,
-      smallGraphMaxBytes: Long = defaultSmallGraphMaxBytes): DataFrame =
+      smallGraphMaxBytes: Long = defaultSmallGraphMaxBytes,
+      precomputedDegrees: Option[DataFrame] = None): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
       checkpointDir, Some(sources), edgesDistinct, broadcastNodeLimit,
-      smallGraphMaxBytes)
+      smallGraphMaxBytes, precomputedDegrees)
 
   /** Damped PageRank over a directed edge list.
     *
@@ -125,16 +129,39 @@ object Graph {
     * caller's session are unaffected, and the result frame is re-bound to
     * the caller's session before returning, so downstream plans see the
     * caller's own conf.
+    *
+    * @param precomputedDegrees caller-supplied `(node, out_degree)` frame —
+    *                      one row per DISTINCT node of the graph (src or
+    *                      dst), out_degree = the exact count of edge rows
+    *                      with that src (0/null = dangling). Skips the
+    *                      engine's endpoints degree pass entirely — the
+    *                      win when the caller can derive degrees from a
+    *                      narrower representation than the edge list (the
+    *                      q184 bipartite graph: degrees fall out of two
+    *                      long-keyed counts over the HALF-size pair table,
+    *                      so node-id strings are built on |V| rows instead
+    *                      of 2|E| endpoint rows — the degree pass was the
+    *                      single largest stage of the sf1.0 profile).
+    *                      Requires `edgesDistinct` (degrees describe the
+    *                      as-given edge list; the dedup path would change
+    *                      |E| under them). TRUSTED input: per-node errors
+    *                      are garbage-in-garbage-out, but any node-set or
+    *                      total-count inconsistency still fails loudly —
+    *                      Σ out_degree is cross-checked against the edges
+    *                      actually gathered/laid out by every tier (the
+    *                      same |E| guards that police nondeterministic
+    *                      lineage).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
       checkpointEvery: Int = 4, checkpointDir: Option[String] = None,
       edgesDistinct: Boolean = false,
       broadcastNodeLimit: Long = defaultBroadcastNodeLimit,
-      smallGraphMaxBytes: Long = defaultSmallGraphMaxBytes): DataFrame =
+      smallGraphMaxBytes: Long = defaultSmallGraphMaxBytes,
+      precomputedDegrees: Option[DataFrame] = None): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, damping, checkpointEvery,
       checkpointDir, None, edgesDistinct, broadcastNodeLimit,
-      smallGraphMaxBytes)
+      smallGraphMaxBytes, precomputedDegrees)
 
   /** 1M short-id nodes ≈ 50 MB of (string node, long deg, double rank)
     * rows — well inside executor broadcast budgets, far under the 8 GB
@@ -191,9 +218,13 @@ object Graph {
       checkpointEvery: Int, checkpointDir: Option[String],
       teleportTo: Option[Seq[String]],
       edgesDistinct: Boolean, broadcastNodeLimit: Long,
-      smallGraphMaxBytes: Long): DataFrame = {
+      smallGraphMaxBytes: Long,
+      precomputedDegrees: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(damping >= 0 && damping < 1, "damping must be in [0,1)")
+    require(precomputedDegrees.isEmpty || edgesDistinct,
+      "precomputedDegrees requires edgesDistinct=true — the dedup path would " +
+        "change |E| underneath the supplied out-degrees")
     val owner = edges.sparkSession
     // One deliberate exception to the conf-scoping story below: an explicit
     // checkpointDir lands on the shared SparkContext (checkpoint dirs have
@@ -232,7 +263,8 @@ object Graph {
     loopSession.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     val ranks = pageRankLoop(rebind(edges, loopSession), srcCol, dstCol,
       iterations, damping, checkpointEvery, checkpointDir, teleportTo,
-      edgesDistinct, broadcastNodeLimit, smallGraphMaxBytes)
+      edgesDistinct, broadcastNodeLimit, smallGraphMaxBytes,
+      precomputedDegrees.map(rebind(_, loopSession)))
     // hand the result back on the CALLER's session — otherwise everything
     // downstream of pageRank would keep planning under the loop's conf
     rebind(ranks, owner)
@@ -277,7 +309,8 @@ object Graph {
       checkpointEvery: Int, checkpointDir: Option[String],
       teleportTo: Option[Seq[String]],
       edgesDistinct: Boolean, broadcastNodeLimit: Long,
-      smallGraphMaxBytes: Long): DataFrame = {
+      smallGraphMaxBytes: Long,
+      precomputedDegrees: Option[DataFrame]): DataFrame = {
 
     // The edge list is shuffled onto its join key ONCE for the whole loop
     // (the bucketed-join layout expressed via cache partitioning — at
@@ -302,8 +335,26 @@ object Graph {
     //     whose edge lineage is itself expensive should stage it before
     //     calling (the q184 checkpoint pattern).
     val shufflePartitions = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val eCast = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
+    // Node-id regime, decided ONCE from the input schema: integral src/dst
+    // (and, when supplied, an integral precomputed-degrees node column)
+    // keep LONG ids through the entire loop — degree maps, shuffles,
+    // broadcast index probes and the driver-held arrays all work on 8-byte
+    // keys instead of building 2|E| id strings and probing string-keyed
+    // hash maps (the q184 sf1.0 profile: the string degree pass and the
+    // string-probe edge gather were the two largest stages). Everything
+    // else casts to string as before; the output `node` column keeps the
+    // chosen type (integral graphs now return BIGINT nodes).
+    val integralType: org.apache.spark.sql.types.DataType => Boolean = {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val integralIds = integralType(edges.schema(srcCol).dataType) &&
+      integralType(edges.schema(dstCol).dataType) &&
+      precomputedDegrees.forall(pd => integralType(pd.schema(pd.columns(0)).dataType))
+    val idType = if (integralIds) "long" else "string"
+    val eCast = edges.select(col(srcCol).cast(idType).as("src"),
+        col(dstCol).cast(idType).as("dst"))
     val e = if (edgesDistinct) eCast
       else eCast.repartition(shufflePartitions, col("src"))
         .dropDuplicates("src", "dst")
@@ -322,12 +373,28 @@ object Graph {
     // union reads the edge lineage twice, which is cheap in every regime:
     // dedup'd lineages are cached, caller-asserted-distinct ones are lazy
     // projections over the caller's (staged) input.
-    val endpoints = e.select(col("src").as("node"), lit(1L).as("__o__"))
-      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__o__")))
-    val degreed = endpoints.groupBy(col("node"))
-      .agg(sum(col("__o__")).as("__od__"))
-      .withColumn("deg", when(col("__od__") > 0, col("__od__")))
-      .drop("__od__")
+    val degreed = precomputedDegrees match {
+      case Some(pd) =>
+        // caller-supplied (node, out_degree): normalize to the loop schema —
+        // string node, LONG deg with null marking dangling. Correctness
+        // guards live downstream: every tier's |E| cross-check compares the
+        // edges it actually gathers/lays out against m = Σ deg from the
+        // profile aggregate, so a degrees frame inconsistent with the edge
+        // list (missing nodes, wrong totals) throws instead of silently
+        // skewing ranks.
+        val c = pd.columns
+        require(c.length == 2,
+          s"precomputedDegrees must have exactly (node, out_degree) columns, got: ${c.mkString(", ")}")
+        pd.select(col(c(0)).cast(idType).as("node"),
+          when(col(c(1)).cast("long") > 0, col(c(1)).cast("long")).as("deg"))
+      case None =>
+        val endpoints = e.select(col("src").as("node"), lit(1L).as("__o__"))
+          .unionByName(e.select(col("dst").as("node"), lit(0L).as("__o__")))
+        endpoints.groupBy(col("node"))
+          .agg(sum(col("__o__")).as("__od__"))
+          .withColumn("deg", when(col("__od__") > 0, col("__od__")))
+          .drop("__od__")
+    }
     val preDeg = degreed.persist()
     val n = preDeg.count() // materializes the cache
     if (n == 0) { e.unpersist(false); preDeg.unpersist(false)
@@ -342,7 +409,11 @@ object Graph {
     // the edge-cache count job disappears too.
     val prof = preDeg.agg(
       sum(when(col("deg").isNull, 1L).otherwise(0L)).as("__dang__"),
-      coalesce(avg(length(col("node"))), lit(0.0)).as("__len__"),
+      // id byte width for the broadcast budget: longs are fixed 8 bytes
+      // (length() is a string function; measuring decimal digits would
+      // under-count the actual row bytes anyway)
+      coalesce(avg(if (integralIds) lit(8.0) else length(col("node")).cast("double")),
+        lit(0.0)).as("__len__"),
       coalesce(sum(coalesce(col("deg"), lit(0L))), lit(0L)).as("__m__")).head()
     // One probe, not one per round: graphs with no dangling nodes (any
     // symmetrized graph) skip the per-iteration dangling aggregate — a
@@ -357,7 +428,12 @@ object Graph {
       case None => lit(1.0 / n.toDouble)
       case Some(srcs) =>
         require(srcs.nonEmpty, "personalized PageRank needs at least one source")
-        when(col("node").isin(srcs: _*), lit(1.0) / lit(srcs.distinct.size.toDouble))
+        // cast-to-string compare: a no-op on the string path, and on the
+        // integral path it matches the caller's (string) source names
+        // against the canonical decimal form — same matching the old
+        // always-string loop performed
+        when(col("node").cast("string").isin(srcs: _*),
+            lit(1.0) / lit(srcs.distinct.size.toDouble))
           .otherwise(lit(0.0))
     }
     // withDeg: every node with its out-degree (null deg = dangling) and
@@ -394,7 +470,8 @@ object Graph {
     // the profile aggregate above).
     if (admitsBroadcastFork(n, avgIdLen, broadcastNodeLimit))
       return pageRankDriverHeld(e, withDeg, preDeg, iterations, damping,
-        hasDangling, shufflePartitions, avgIdLen, m, smallGraphMaxBytes)
+        hasDangling, shufflePartitions, avgIdLen, m, smallGraphMaxBytes,
+        integralIds)
 
     // SMJ loop layout: with a deferred-layout edge cache (edgesDistinct) the
     // default-width partition+sort layout the per-round merge join reuses
@@ -526,27 +603,36 @@ object Graph {
   private def pageRankDriverHeld(e: DataFrame, withDeg: DataFrame,
       preDeg: DataFrame, iterations: Int, damping: Double,
       hasDangling: Boolean, shufflePartitions: Int, avgIdLen: Double,
-      m: Long, smallGraphMaxBytes: Long): DataFrame = {
+      m: Long, smallGraphMaxBytes: Long, integralIds: Boolean): DataFrame = {
     val spark = e.sparkSession
     // |E| arrives from the caller's profile aggregate — no edge-count job.
     // The one |V|-row collect that seeds the driver vector; admission
     // byte-guarded by the caller. deg = 0 marks dangling (null in the frame).
+    // Node ids are held as AnyRef (String or boxed java.lang.Long per the
+    // caller's idType fork) — boxed once at this |V|-row boundary; the
+    // per-edge hot paths below work on int indexes either way.
     val local = withDeg.select(col("node"), col("deg"), col("__t__")).collect()
     preDeg.unpersist(false) // withDeg is a lazy projection over this cache
     val n = local.length
-    val nodes = new Array[String](n)
+    val nodes = new Array[AnyRef](n)
     val degs = new Array[Long](n)
     val tele = new Array[Double](n)
     var j = 0
     while (j < n) {
       val r = local(j)
-      nodes(j) = r.getString(0)
+      nodes(j) = r.get(0).asInstanceOf[AnyRef]
       degs(j) = if (r.isNullAt(1)) 0L else r.getLong(1)
       tele(j) = r.getDouble(2)
       j += 1
     }
-    val index = new java.util.HashMap[String, Integer](n * 2)
+    val index = new java.util.HashMap[AnyRef, Integer](n * 2)
     j = 0; while (j < n) { index.put(nodes(j), j); j += 1 }
+    import spark.implicits._
+    // boxed-Long → Option at the LocalRelation boundary: null node entries
+    // survive on both id regimes (nullable column, matching the join-based
+    // tiers' null semantics)
+    def longNode(j: Int): Option[Long] =
+      Option(nodes(j).asInstanceOf[java.lang.Long]).map(_.longValue)
 
     val localEdges = Graph.admitsLocalEdgeTier(m, smallGraphMaxBytes)
 
@@ -567,8 +653,11 @@ object Graph {
         // left join (a null src matches nothing → −1, it never
         // contributes), dst through a NULL-SAFE inner join (a null dst IS
         // a groupable node there, so it keeps its index here too).
-        val idxDf = spark.createDataFrame(
-          (0 until n).map(j => (nodes(j), j)).toIndexedSeq).toDF("__n__", "__i__")
+        val idxDf =
+          if (integralIds)
+            (0 until n).map(j => (longNode(j), j)).toDF("__n__", "__i__")
+          else
+            (0 until n).map(j => (nodes(j).asInstanceOf[String], j)).toDF("__n__", "__i__")
         val pairs = e
           .join(broadcast(idxDf.select(col("__n__").as("__sn__"), col("__i__").as("__si__"))),
             col("src") === col("__sn__"), "left")
@@ -669,17 +758,34 @@ object Graph {
           }
         loopEdges = eLoop
         w => {
-          val contribs = Array.newBuilder[RankContribution]
-          contribs.sizeHint(n)
-          var k = 0
-          while (k < n) {
-            if (degs(k) > 0L) contribs += RankContribution(nodes(k), w(k))
-            k += 1
-          }
           // the case class names the columns AT the LocalRelation — a
           // toDF/select rename here would wrap it in a Project and cost an
-          // extra per-round job executing it before the broadcast build
-          val rankDf = spark.createDataFrame(contribs.result().toIndexedSeq)
+          // extra per-round job executing it before the broadcast build.
+          // A null node with out-edges can't contribute on any tier (the
+          // contribution equi-join drops null keys), so skipping it here
+          // is a no-op semantically and keeps the boxed-Long unbox safe.
+          val rankDf =
+            if (integralIds) {
+              val contribs = Array.newBuilder[RankContributionL]
+              contribs.sizeHint(n)
+              var k = 0
+              while (k < n) {
+                if (degs(k) > 0L && nodes(k) != null)
+                  contribs += RankContributionL(nodes(k).asInstanceOf[java.lang.Long], w(k))
+                k += 1
+              }
+              spark.createDataFrame(contribs.result().toIndexedSeq)
+            } else {
+              val contribs = Array.newBuilder[RankContribution]
+              contribs.sizeHint(n)
+              var k = 0
+              while (k < n) {
+                if (degs(k) > 0L)
+                  contribs += RankContribution(nodes(k).asInstanceOf[String], w(k))
+                k += 1
+              }
+              spark.createDataFrame(contribs.result().toIndexedSeq)
+            }
           val gathered = broadcast(rankDf)
             .join(eLoop.withColumnRenamed("src", "node"), Seq("node"))
             .groupBy(col("dst"))
@@ -689,7 +795,7 @@ object Graph {
           var g = 0
           while (g < gathered.length) {
             val row = gathered(g)
-            mass(index.get(row.getString(0))) = row.getDouble(1)
+            mass(index.get(row.get(0)).intValue()) = row.getDouble(1)
             g += 1
           }
           mass
@@ -721,7 +827,6 @@ object Graph {
       i += 1
     }
     loopEdges.unpersist(false) // no-op if the local tier already released e
-    val out = (0 until n).map(j => (nodes(j), rank(j)))
     // Slice discipline for the driver-held result: a LocalRelation splits
     // into defaultParallelism slices, so every downstream shuffle/sort runs
     // 32 concurrent tasks over a frame that is ≤ the 64 MB broadcast budget
@@ -732,6 +837,9 @@ object Graph {
     // results run their tail in one task; a budget-limit 1M-node result
     // still spreads 16 ways.
     val slices = math.max(1L, math.min(16L, n / 65536L + 1L)).toInt
-    spark.createDataFrame(out).toDF("node", "rank").coalesce(slices)
+    val out =
+      if (integralIds) (0 until n).map(j => (longNode(j), rank(j))).toDF("node", "rank")
+      else (0 until n).map(j => (nodes(j).asInstanceOf[String], rank(j))).toDF("node", "rank")
+    out.coalesce(slices)
   }
 }

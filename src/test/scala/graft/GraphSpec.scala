@@ -139,6 +139,56 @@ class GraphSpec extends AnyFunSuite {
     for ((k, v) <- safe) assert(math.abs(fast(k) - v) < 1e-12, s"node $k")
   }
 
+  test("pageRank: integral-id graphs keep LONG nodes on all three tiers and match the string path") {
+    // same topology under both id regimes (string "1".."5" vs long 1..5,
+    // node 5 dangling) — ranks must agree to the bit, the integral path's
+    // output node column must be BIGINT, and every tier must take it
+    val sEdges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "4"), ("4", "2"), ("2", "5"))
+    val lEdges = sEdges.map { case (a, b) => (a.toLong, b.toLong) }
+    val want = Graph.pageRank(sEdges.toDF("src", "dst"), "src", "dst", iterations = 9)
+      .collect().map(r => r.getString(0).toLong -> r.getDouble(1)).toMap
+    def run(bLimit: Long, sBytes: Long): Map[Long, Double] = {
+      val out = Graph.pageRank(lEdges.toDF("src", "dst"), "src", "dst", iterations = 9,
+        broadcastNodeLimit = bLimit, smallGraphMaxBytes = sBytes)
+      assert(out.schema("node").dataType == org.apache.spark.sql.types.LongType,
+        s"integral graph must keep LONG node ids, got ${out.schema("node").dataType}")
+      out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val local = run(Graph.defaultBroadcastNodeLimit, Graph.defaultSmallGraphMaxBytes)
+    val gathered = run(Graph.defaultBroadcastNodeLimit, 0L)
+    val smj = run(0L, 0L)
+    assert(local.keySet == want.keySet)
+    for ((k, v) <- want) {
+      assert(math.abs(local(k) - v) < 1e-12, s"local node $k")
+      assert(math.abs(gathered(k) - v) < 1e-12, s"gather node $k")
+      assert(math.abs(smj(k) - v) < 1e-12, s"smj node $k")
+    }
+  }
+
+  test("pageRank: precomputedDegrees matches the engine degree pass; bad degrees refuse") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L), (2L, 5L))
+    val df = edges.toDF("src", "dst")
+    // exact out-degrees incl. the dangling node 5 (deg 0 → null)
+    val degs = Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 0L)).toDF("node", "out_degree")
+    val want = Graph.pageRank(df, "src", "dst", iterations = 9, edgesDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Graph.pageRank(df, "src", "dst", iterations = 9, edgesDistinct = true,
+        precomputedDegrees = Some(degs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k: ${got(k)} vs $v")
+    // requires edgesDistinct (the dedup path would change |E| under them)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", iterations = 2, precomputedDegrees = Some(degs))
+    }
+    // inconsistent totals (Σ deg ≠ |E|) trip the cross-tier guard loudly
+    val wrong = Seq((1L, 9L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 0L)).toDF("node", "out_degree")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", iterations = 2, edgesDistinct = true,
+        precomputedDegrees = Some(wrong)).collect()
+    }
+  }
+
   test("edgesDistinct: cross-tier |E| guard trips loudly on a nondeterministic lineage") {
     // The caller-asserted-distinct contract keeps the edge lineage LAZY, so
     // it evaluates once for the degree pass (which measures m) and again in
