@@ -323,4 +323,62 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 3,
       s"q38 ran $n SQL executions — the fit fusion or the pre-sort cut regressed")
   }
+
+  test("bench-corpus plan-shape census: pinned exchange counts, zero single-partition, zero cartesian") {
+    // The cross-SF plan audit, made a regression gate (r13 verdict item 7):
+    // per bench query, the FINAL plan's shuffle-exchange counts are pinned
+    // at sf0.001 — plan shape is scale-free, so a new Exchange here is a
+    // new shuffle at 100 TB. Checkpointed stages show as scans (their
+    // internal shapes are audited by the per-query tests above); the range
+    // exchange in most entries is the output ORDER BY. The single
+    // cartesian allowance is q55's DOCUMENTED brute-force cosine baseline
+    // (its bucketed variants are the scale path). Ceilings, not equalities:
+    // an optimizer that REMOVES an exchange should not fail the gate.
+    val pinned: Map[String, (Int, Int)] = Map( // name -> (maxHash, maxRange)
+      "q01_agg_pricing_summary" -> ((1, 1)),
+      "q03_join_topk_revenue" -> ((1, 0)),
+      "q07_window_rank" -> ((1, 1)),
+      "q102_repetition" -> ((0, 1)),
+      "q104_qcut" -> ((0, 1)),
+      "q106_training_pipeline" -> ((2, 1)),
+      "q141_curation_v2" -> ((1, 0)),
+      "q144_bloom_decontamination" -> ((0, 1)),
+      "q146_tpch_q5" -> ((1, 1)),
+      "q154_line_dedup" -> ((2, 1)),
+      "q168_bigram_lm" -> ((0, 1)),
+      "q175_web_pipeline" -> ((0, 1)),
+      "q184_pagerank" -> ((0, 0)),
+      "q193_tpch_q3" -> ((1, 0)),
+      "q208_curation_v3" -> ((1, 1)),
+      "q38_tfidf" -> ((0, 1)),
+      "q51_exact_dedup" -> ((1, 1)),
+      "q53_minhash_lsh_jaccard" -> ((0, 1)),
+      "q55_cosine_topk" -> ((1, 1)),
+      "q64_asof_join" -> ((1, 1)),
+      "q90_sequence_packing" -> ((1, 1)),
+      "q91_dedup_clusters" -> ((2, 1)),
+      "q95_corpus_clean" -> ((1, 1)),
+      "q99_ewm_mean" -> ((1, 1)))
+    val missing = QueryCorpus.benchNames.filterNot(pinned.contains)
+    assert(missing.isEmpty,
+      s"bench queries without a pinned plan census (add them): ${missing.mkString(", ")}")
+    for (name <- QueryCorpus.benchNames) {
+      val p = plan(name)
+      val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+      val range = "Exchange rangepartitioning".r.findAllIn(p).length
+      val single = "Exchange SinglePartition".r.findAllIn(p).length
+      val cart = "CartesianProduct".r.findAllIn(p).length +
+        "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      val (maxHash, maxRange) = pinned(name)
+      assert(hash <= maxHash,
+        s"$name: $hash hash exchanges (pinned $maxHash) — a new shuffle crept into the plan:\n$p")
+      assert(range <= maxRange,
+        s"$name: $range range exchanges (pinned $maxRange) — a new global sort crept in:\n$p")
+      assert(single == 0,
+        s"$name: $single Exchange SinglePartition — a single-partition stage crept in:\n$p")
+      val cartAllow = if (name == "q55_cosine_topk") 1 else 0
+      assert(cart <= cartAllow,
+        s"$name: $cart cartesian/nested-loop joins (allowed $cartAllow):\n$p")
+    }
+  }
 }

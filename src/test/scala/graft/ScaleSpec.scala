@@ -147,4 +147,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(approx - trueRank) <= 100000 / 1000 + 1,
       s"approx median $approx outside rank-error bound of true $trueRank")
   }
+
+  test("skewed duplicate mass: guarded LSH candidates stay linear, not quadratic (SKEW_r13 mechanism)") {
+    // the make_skew.py pathology at spec scale: 2000 docs, 6% one
+    // byte-identical template (exact-dup mass) + 4% template-plus-noise
+    // (near-dup mass), rest unique. With exactPrepass + maxBucketSize the
+    // candidate count must stay LINEAR in the duplicate mass — the
+    // structural fact behind the recorded skew-point wall times (the
+    // uncapped clique over the 200-doc template cluster alone would emit
+    // ~C(200,2) ≈ 19900 pairs).
+    val template = "breaking news update please subscribe to our channel and " +
+      "hit the notification bell for more daily content about this developing story"
+    val corpus = (0 until 2000).map { i =>
+      val text =
+        if (i % 100 < 6) template
+        else if (i % 100 < 10) s"$template noise$i"
+        else s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val nExact = 2000 * 6 / 100 // 120 identical docs
+    val nNear = 2000 * 4 / 100 // 80 near-template docs
+    val guarded = graft.ops.Dedup.minhashCandidates(corpus, col("text"), col("doc_id"),
+      k = 3, numHashes = 4, bands = 2, maxBucketSize = Some(64L), exactPrepass = true)
+    val nPairs = guarded.count()
+    // linear bound: the prepass emits (rep, member) CHAINS for the exact
+    // mass (nExact-1 edges), the cap drops the flooded near-template
+    // buckets, and unique docs contribute at most a few accidental
+    // collisions per band — nothing may approach the ~19900-pair clique
+    val quadratic = (nExact + nNear).toLong * (nExact + nNear - 1) / 2
+    assert(nPairs < quadratic / 10,
+      s"$nPairs candidate pairs — duplicate mass went quadratic (clique would be $quadratic)")
+    assert(nPairs >= (nExact - 1).toLong,
+      s"$nPairs pairs cannot even chain the $nExact identical docs — the prepass lost mass")
+    // and the chains keep components whole: all exact-template docs land in
+    // ONE component (the guard bounds pairs without splitting the cluster)
+    val comps = graft.ops.Components.connectedComponents(
+      guarded.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    val exactIds = (0 until 2000).filter(_ % 100 < 6).map(_.toLong).toSet
+    val exactComps = comps.collect()
+      .filter(r => exactIds.contains(r.getAs[Long]("id")))
+      .map(_.getAs[Long]("component")).toSet
+    assert(exactComps.size == 1,
+      s"exact-template docs split across ${exactComps.size} components — member chains broken")
+  }
 }
