@@ -2088,7 +2088,73 @@ object OpQueries {
       WHERE rn = 1
       ORDER BY l_returnflag"""))
 
+  /** pandas `nlargest/nsmallest(keep="all")` ([[graft.sdf.SDF.nlargestAll]]
+    * / [[graft.sdf.SDF.nsmallestAll]], `ScalableSeries.py:936-942` keep
+    * flag): every row tied with the n-th boundary value survives, so the
+    * result exceeds n on tied columns (l_quantity ties heavily). Planned
+    * as a TakeOrdered boundary probe + broadcast filter — no global sort,
+    * no row-number window; the oracle replays the boundary subquery.
+    */
+  val q215_topk_keep_all: Q = Q(
+    fn = (s, dir) => {
+      val sdf = SDF(table(s, dir, "lineitem"))
+      def shape(d: org.apache.spark.sql.DataFrame, side: String) =
+        d.select(lit(side).as("side"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 4).as("qty"))
+      shape(sdf.nlargestAll(5, Seq(col("l_quantity"))).df, "top")
+        .unionByName(shape(sdf.nsmallestAll(5, Seq(col("l_quantity"))).df, "bottom"))
+        .orderBy(col("side"), col("l_orderkey"), col("l_linenumber"))
+    },
+    oracle = Some("""
+      WITH hi AS (SELECT min(q) AS b FROM (
+             SELECT l_quantity AS q FROM lineitem WHERE l_quantity IS NOT NULL
+             ORDER BY q DESC LIMIT 5)),
+           lo AS (SELECT max(q) AS b FROM (
+             SELECT l_quantity AS q FROM lineitem WHERE l_quantity IS NOT NULL
+             ORDER BY q ASC LIMIT 5))
+      SELECT side, l_orderkey, l_linenumber, qty FROM (
+        SELECT 'top' AS side, l_orderkey, l_linenumber, round(l_quantity, 4) AS qty
+        FROM lineitem, hi WHERE l_quantity >= hi.b
+        UNION ALL
+        SELECT 'bottom', l_orderkey, l_linenumber, round(l_quantity, 4)
+        FROM lineitem, lo WHERE l_quantity <= lo.b)
+      ORDER BY side, l_orderkey, l_linenumber"""))
+
+  /** pandas `value_counts(bins=n)` ([[graft.sdf.SCol.valueCountsBins]],
+    * `ScalableSeries.py` value_counts bins flag): equal-width interval
+    * counts with ALL bins present (empty ones count 0), right-closed,
+    * minimum included in bin 0. One min/max broadcast scalar + codegen'd
+    * bin arithmetic + a map-side-combined count — the oracle replays the
+    * identical double arithmetic so edge landings agree bit-for-bit.
+    */
+  val q216_value_counts_bins: Q = Q(
+    fn = (s, dir) =>
+      SDF(table(s, dir, "lineitem"))("l_extendedprice").valueCountsBins(8)
+        .select(col("bin"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("count"))
+        .orderBy(col("count").desc, col("bin")),
+    oracle = Some("""
+      WITH st AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      idx AS (
+        SELECT CASE WHEN (st.mx - st.mn) = 0 THEN 0
+                    ELSE greatest(0, least(7,
+                      CAST(ceil((l_extendedprice - st.mn) / ((st.mx - st.mn) / 8.0)) AS BIGINT) - 1))
+               END AS i
+        FROM lineitem, st WHERE l_extendedprice IS NOT NULL),
+      cnt AS (SELECT i, count(*) AS c FROM idx GROUP BY i),
+      spine AS (SELECT u.i, st.mn, st.mx FROM st, UNNEST(generate_series(0, 7)) u(i))
+      SELECT CAST(i AS BIGINT) AS bin,
+             round(mn + i * ((mx - mn) / 8.0), 4) AS lo,
+             CASE WHEN i = 7 THEN round(mx, 4)
+                  ELSE round(mn + (i + 1) * ((mx - mn) / 8.0), 4) END AS hi,
+             CAST(coalesce(c, 0) AS BIGINT) AS "count"
+      FROM spine LEFT JOIN cnt USING (i)
+      ORDER BY "count" DESC, bin"""))
+
   val all: Map[String, Q] = Map(
+    "q215_topk_keep_all" -> q215_topk_keep_all,
+    "q216_value_counts_bins" -> q216_value_counts_bins,
     "q184_pagerank" -> q184_pagerank,
     "q185_upsert" -> q185_upsert,
     "q191_pivot_multi" -> q191_pivot_multi,

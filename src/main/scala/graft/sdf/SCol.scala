@@ -288,6 +288,49 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     sized.orderBy(if (ascending) functions.col(by).asc else functions.col(by).desc, functions.col(name))
   }
 
+  /** pandas `value_counts(bins=n)`: equal-width interval counts over
+    * [min, max], ALL n bins present (empty ones count 0), ordered by count
+    * desc then bin index — the `pd.cut`-then-count composition as one plan.
+    * Pandas interval semantics: right-closed bins, the minimum included in
+    * bin 0 (`include_lowest`), the displayed first left edge extended by
+    * 0.1% of the range; nulls always dropped (pandas ignores `dropna` with
+    * bins). Scale shape: ONE min/max aggregate rides back as a broadcast
+    * scalar, bin indexes are codegen'd arithmetic (no per-bin scan), counts
+    * partial-aggregate map-side, and the n-bin spine is a 1-row
+    * sequence/explode — nothing driver-side, nothing quadratic. Degenerate
+    * all-equal input lands in bin 0 with lo = hi = the value (the other
+    * bins stay empty), keeping the row-count contract without pandas'
+    * epsilon-widened display edges.
+    */
+  def valueCountsBins(bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(name != "count", s"valueCounts on a column named '$name' would collide; rename first")
+    val base = df.select(col.cast("double").as(name)).filter(functions.col(name).isNotNull)
+    val stats = base.agg(min(functions.col(name)).as("__mn__"), max(functions.col(name)).as("__mx__"))
+    val withStats = base.crossJoin(broadcast(stats))
+    val width = (functions.col("__mx__") - functions.col("__mn__")) / lit(bins.toDouble)
+    // right-closed intervals with include_lowest: idx = ceil((v-mn)/w) - 1,
+    // clamped to [0, bins-1] (v = mn and degenerate w = 0 both land in 0)
+    val idx = greatest(lit(0L), least(lit(bins.toLong - 1),
+      when(width === 0.0, lit(0L))
+        .otherwise((ceil((functions.col(name) - functions.col("__mn__")) / width) - 1L)
+          .cast("long"))))
+    val counted = withStats.withColumn("__i__", idx)
+      .groupBy(functions.col("__i__"))
+      .agg(count(lit(1)).as("count"))
+    // the n-bin spine: every interval present even when empty
+    val spine = stats.select(explode(sequence(lit(0L), lit(bins.toLong - 1))).as("__i__"),
+      functions.col("__mn__"), functions.col("__mx__"))
+    val w2 = (functions.col("__mx__") - functions.col("__mn__")) / lit(bins.toDouble)
+    spine.join(counted, Seq("__i__"), "left")
+      .select(functions.col("__i__").as("bin"),
+        (functions.col("__mn__") + functions.col("__i__") * w2).as("lo"),
+        when(functions.col("__i__") === (bins - 1).toLong, functions.col("__mx__"))
+          .otherwise(functions.col("__mn__") + (functions.col("__i__") + 1L) * w2).as("hi"),
+        coalesce(functions.col("count"), lit(0L)).as("count"))
+      .orderBy(functions.col("count").desc, functions.col("bin"))
+  }
+
   def isUnique: Boolean = scalar[Boolean](count(col) === count_distinct(col))
 
   /** Monotonicity (`ScalableSeries.py:972-989`) along a caller-supplied

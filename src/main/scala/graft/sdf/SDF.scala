@@ -528,6 +528,40 @@ final class SDF private (private var _df: DataFrame) {
   def nlargest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by.map(_.desc): _*).limit(n))
   def nsmallest(n: Int, by: Seq[Column]): SDF = SDF(_df.orderBy(by: _*).limit(n))
 
+  /** pandas `nlargest(keep="all")`: every row tied with the n-th boundary
+    * value survives, so the result may exceed `n` rows. Planned WITHOUT a
+    * global sort at any scale: the boundary is the min of the top-n
+    * by-tuples (TakeOrderedAndProject over `struct(by)` — struct comparison
+    * is lexicographic, matching multi-column nlargest), rides back into the
+    * plan as a broadcast 1-row aggregate, and the result is one filtered
+    * scan (`struct(by) >= boundary`). No driver barrier, no row-number
+    * window. Rows with a null in any `by` column are excluded (null struct
+    * comparisons are null — pandas nlargest likewise drops NaN rows).
+    */
+  def nlargestAll(n: Int, by: Seq[Column]): SDF = topKAll(n, by, largest = true)
+
+  /** pandas `nsmallest(keep="all")` — see [[nlargestAll]]. */
+  def nsmallestAll(n: Int, by: Seq[Column]): SDF = topKAll(n, by, largest = false)
+
+  private def topKAll(n: Int, by: Seq[Column], largest: Boolean): SDF = {
+    require(n > 0, s"n must be positive: $n")
+    val key = struct(by: _*)
+    // explicit null gate: STRUCT ordering ranks a null field smallest
+    // instead of propagating null (unlike scalar comparison), so without
+    // this filter a null-keyed row would sort into the nsmallest probe and
+    // pass the boundary compare — pandas drops NaN rows from both ends
+    val nonNull = by.map(_.isNotNull).reduce(_ && _)
+    val topK = _df.filter(nonNull).select(key.as("__k__"))
+      .orderBy(if (largest) col("__k__").desc else col("__k__").asc)
+      .limit(n)
+    val boundary = topK.agg(
+      (if (largest) min(col("__k__")) else max(col("__k__"))).as("__b__"))
+    val kept = _df.crossJoin(broadcast(boundary))
+      .filter(nonNull && (if (largest) key >= col("__b__") else key <= col("__b__")))
+      .drop("__b__")
+    SDF(kept)
+  }
+
   /** pandas `sort_values(by).groupby(keys).head(n)` — top-n rows per group
     * by `order` (desc), ties broken by `tieBreak` for determinism. One
     * keyed window shuffle; no global sort, no per-group collect.

@@ -557,4 +557,50 @@ class SdfSpec extends AnyFunSuite {
     // were never equal and CSE/plan-reuse treated them as distinct
     assert(p1 == p2 && p1.semanticEquals(p2))
   }
+
+  test("nlargestAll/nsmallestAll: keep=all tie semantics (boundary ties survive, nulls drop)") {
+    import graft.sdf.SDF
+    val df = Seq(
+      (1L, 10.0), (2L, 9.0), (3L, 9.0), (4L, 9.0), (5L, 8.0),
+      (6L, 1.0), (7L, 1.0), (8L, 2.0), (9L, 3.0)).toDF("id", "v")
+      .unionByName(Seq((10L, Option.empty[Double])).toDF("id", "v"))
+    // n=2 largest: boundary is 9.0 — ALL three 9.0 rows survive (4 rows > n)
+    val top = SDF(df).nlargestAll(2, Seq(col("v"))).df
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L), s"got $top")
+    // n=3 smallest: boundary is 2.0 — rows {1.0, 1.0, 2.0}; null never ties
+    val bottom = SDF(df).nsmallestAll(3, Seq(col("v"))).df
+      .select("id").as[Long].collect().toSet
+    assert(bottom == Set(6L, 7L, 8L), s"got $bottom")
+    // multi-column: lexicographic boundary on (v, id) — exact n rows when
+    // the full tuple is unique
+    val multi = SDF(df).nlargestAll(2, Seq(col("v"), col("id"))).df
+      .select("id").as[Long].collect().toSet
+    assert(multi == Set(1L, 4L), s"got $multi")
+    // pandas reference, pd.Series([...]).nlargest(2, keep='all') analog:
+    // n >= rows keeps every non-null row
+    assert(SDF(df).nlargestAll(99, Seq(col("v"))).df.count() == 9)
+  }
+
+  test("valueCountsBins: pandas value_counts(bins=) semantics on a hand-checked series") {
+    import graft.sdf.SDF
+    // pd.Series([1, 2, 10]).value_counts(bins=3):
+    //   (0.991, 4.0] -> 2, (7.0, 10.0] -> 1, (4.0, 7.0] -> 0
+    val out = SDF(Seq(1.0, 2.0, 10.0).toDF("v"))("v").valueCountsBins(3)
+      .select("bin", "lo", "hi", "count")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq((0L, 1.0, 4.0, 2L), (2L, 7.0, 10.0, 1L), (1L, 4.0, 7.0, 0L)),
+      s"got $out")
+    // minimum lands in bin 0 (include_lowest), maximum in the last bin;
+    // empty bins present; count-desc-then-bin ordering — all asserted above.
+    // degenerate all-equal input: one occupied bin, lo = hi = the value
+    val degen = SDF(Seq(5.0, 5.0).toDF("v"))("v").valueCountsBins(4)
+      .select("bin", "lo", "hi", "count")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(degen.head == ((0L, 5.0, 5.0, 2L)) && degen.map(_._4).sum == 2L, s"got $degen")
+    // nulls dropped (pandas ignores dropna with bins)
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(SDF(withNull)("v").valueCountsBins(2)
+      .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0) == 2L)
+  }
 }
