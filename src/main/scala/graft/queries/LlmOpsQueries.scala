@@ -2783,8 +2783,13 @@ object LlmOpsQueries {
           col("shard"), col("bin"), round(col("dsir_score"), 4).as("dsir_score"))
         .orderBy(col("doc_id"))
     },
+    // MATERIALIZED on every multi-referenced CTE: inside a WITH RECURSIVE,
+    // DuckDB stops auto-materializing shared CTEs, so `comp`/`toks`/`bt`
+    // (referenced 2-4x each) would re-evaluate the whole upstream collapse
+    // chain multiplicatively — measured >75 min at sf1.0 unhinted, ~3 min
+    // hinted, identical results (and identical sf0.01/0.001 gate output).
     oracle = Some(s"""
-      WITH RECURSIVE corpus AS (
+      WITH RECURSIVE corpus AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0
                     THEN text || ' subscribe to our newsletter for free updates every day'
@@ -2794,7 +2799,7 @@ object LlmOpsQueries {
         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM corpus),
-      nsh AS (
+      nsh AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
@@ -2824,7 +2829,7 @@ object LlmOpsQueries {
         SELECT DISTINCT u.hub AS id_a, p.doc_id AS id_b
         FROM npr p JOIN nhub u USING (band, band_hash)
         WHERE p.doc_id > u.hub),
-      npairs AS (
+      npairs AS MATERIALIZED (
         SELECT id_a, id_b
         FROM ncand
         JOIN nsh sa ON sa.doc_id = id_a
@@ -2839,8 +2844,8 @@ object LlmOpsQueries {
         SELECT doc_id AS n, doc_id AS lbl FROM corpus
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN nedges e ON r.n = e.a),
-      comp AS (SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n),
-      scorpus AS (
+      comp AS MATERIALIZED (SELECT n AS doc_id, min(lbl) AS component FROM reach GROUP BY n),
+      scorpus AS MATERIALIZED (
         SELECT c.doc_id, c.text
         FROM corpus c
         JOIN comp p USING (doc_id)
@@ -2848,11 +2853,11 @@ object LlmOpsQueries {
               FROM comp GROUP BY component) m
           ON p.component = m.component
         WHERE c.doc_id = m.survivor),
-      toks AS (
+      toks AS MATERIALIZED (
         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
                                    x -> length(x) >= 1) AS t
         FROM scorpus),
-      grams AS (
+      grams AS MATERIALIZED (
         SELECT doc_id, len(t) AS n, gi,
                ${h60("array_to_string(t[gi:CASE WHEN len(t) < 5 THEN len(t) ELSE gi + 4 END], ' ')")} AS g
         FROM toks, UNNEST(generate_series(1,
@@ -2865,15 +2870,15 @@ object LlmOpsQueries {
       tp AS (
         SELECT doc_id, i - 1 AS p, t[i] AS tok
         FROM toks, UNNEST(generate_series(1, len(t))) u(i)),
-      ktoks AS (
+      ktoks AS MATERIALIZED (
         SELECT tp.doc_id, tp.p, tp.tok
         FROM tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
         WHERE c.p IS NULL),
-      keepers AS (
+      keepers AS MATERIALIZED (
         SELECT k.doc_id, count(*) AS n_kept
         FROM ktoks k GROUP BY k.doc_id
         HAVING count(*) >= 20),
-      bt AS (
+      bt AS MATERIALIZED (
         SELECT k.doc_id, ${h60("k.tok")} % 1024 AS b
         FROM ktoks k JOIN keepers USING (doc_id)),
       tgt AS (
@@ -2889,7 +2894,7 @@ object LlmOpsQueries {
                ln((coalesce(t.ct, 0) + CAST(0.5 AS DOUBLE)) / (tots.tt + CAST(0.5 AS DOUBLE) * 1024)) -
                ln((r.cr + CAST(0.5 AS DOUBLE)) / (tots.rt + CAST(0.5 AS DOUBLE) * 1024)) AS lr
         FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots),
-      scores AS (
+      scores AS MATERIALIZED (
         SELECT doc_id, sum(lr) AS s
         FROM bt JOIN ratio USING (b) GROUP BY doc_id),
       sel AS (
