@@ -166,14 +166,31 @@ object Bench {
     * and at worst re-times a genuine 2× code regression once — the re-time
     * merges into min(), so a real regression keeps its (still-slow) time
     * and stays visible; only noise gets repaired. Worst-inflation-first,
-    * deduplicated, cap inherited from [[retimeCandidates]].
+    * deduplicated, and capped ONCE after the union (r13 ADVICE: capping the
+    * front and hard lists independently let the combined repair list reach
+    * 2×cap — double the intended budget).
+    *
+    * Sub-second anchors trip the hard rule at the tighter `subSecondFactor`
+    * (r13 q99 lesson: a single 0.2 s hiccup on a 0.29 s query is 1.8× —
+    * under the 2× bar, so the official record carried it unexplained).
+    * Re-timing a sub-second query costs almost nothing, and the min() merge
+    * keeps any real regression visible either way.
     */
   def retimeSet(results: Seq[(String, Double)], prior: Map[String, Double],
-      sentinel: Double, hardFactor: Double = 2.0): Seq[String] = {
+      sentinel: Double, hardFactor: Double = 2.0,
+      subSecondFactor: Double = 1.5, cap: Int = 8): Seq[String] = {
     val front =
-      if (frontDegraded(sentinel)) retimeCandidates(results, prior) else Seq.empty
-    val hard = retimeCandidates(results, prior, factor = hardFactor)
-    (front ++ hard).distinct
+      if (frontDegraded(sentinel)) retimeCandidates(results, prior, cap = cap)
+      else Seq.empty
+    val hard = results.iterator.flatMap { case (n, t) =>
+      prior.get(n) match {
+        case Some(p) if t > 0 && p > 0 =>
+          val f = if (p < 1.0) subSecondFactor else hardFactor
+          if (t > f * p) Some(n -> t / p) else None
+        case _ => None
+      }
+    }.toSeq.sortBy(-_._2).map(_._1)
+    (front ++ hard).distinct.take(cap)
   }
 
   /** Minimal JSON string escape (backslash, quote, control chars) for the

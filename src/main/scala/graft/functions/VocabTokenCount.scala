@@ -20,8 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * The vocabulary is a plan-time constant (the broadcast-literal discipline
   * of the IVF centroids / hyperplane planes): expression size stays O(1) in
   * the plan regardless of vocab size, and the first-char index is built
-  * once per executor, not per row. Matching is by UTF-16 code unit — exact
-  * for the ASCII/BMP vocabularies BPE-style token budgeting uses.
+  * once per executor, not per row. The char unit is the Unicode CODEPOINT:
+  * vocab prefix matches compare full strings (codepoint == surrogate-pair
+  * equality), and the no-match fallback consumes ONE codepoint — so an
+  * astral emoji counts 1 token, matching Python `len(str)` / the reference's
+  * tokenizers and DuckDB's `substring`/`length` (the engine-wide char
+  * contract, unified round 14).
   *
   * Replayable: the same greedy scan runs as a DuckDB recursive CTE
   * (per-position LATERAL longest-match advance — q198's oracle) and as the
@@ -77,27 +81,26 @@ object VocabTokenCount {
   }
 
   /** Scalar kernel shared by interpreted eval and codegen: one forward scan,
-    * longest vocab prefix at each position or a single-char fallback.
+    * longest vocab prefix at each position or a single-CODEPOINT fallback
+    * (an unmatched astral char consumes its whole surrogate pair and counts
+    * one token — the Python-reference char contract).
     */
   def count(s: String, index: java.util.HashMap[Character, Array[String]]): Long = {
     var p = 0
     var n = 0L
     val len = s.length
     while (p < len) {
-      var advance = 1
+      var advance = 0
       val cands = index.get(s.charAt(p))
       if (cands != null) {
         var i = 0
-        var found = false
-        while (!found && i < cands.length) {
+        while (advance == 0 && i < cands.length) {
           val c = cands(i)
-          if (c.length <= len - p && s.startsWith(c, p)) {
-            advance = c.length
-            found = true
-          }
+          if (c.length <= len - p && s.startsWith(c, p)) advance = c.length
           i += 1
         }
       }
+      if (advance == 0) advance = Character.charCount(s.codePointAt(p))
       n += 1L
       p += advance
     }
@@ -122,7 +125,7 @@ object VocabTokenCount {
           i += 1
         }
       }
-      if (piece == null) piece = s.substring(p, p + 1)
+      if (piece == null) piece = s.substring(p, p + Character.charCount(s.codePointAt(p)))
       out += piece
       p += piece.length
     }

@@ -145,12 +145,21 @@ object Graph {
     *                      Requires `edgesDistinct` (degrees describe the
     *                      as-given edge list; the dedup path would change
     *                      |E| under them). TRUSTED input: per-node errors
-    *                      are garbage-in-garbage-out, but any node-set or
-    *                      total-count inconsistency still fails loudly —
-    *                      Σ out_degree is cross-checked against the edges
-    *                      actually gathered/laid out by every tier (the
-    *                      same |E| guards that police nondeterministic
-    *                      lineage).
+    *                      are garbage-in-garbage-out. Total-count
+    *                      inconsistencies fail loudly — Σ out_degree is
+    *                      cross-checked against the edges actually
+    *                      gathered/laid out by every tier (the same |E|
+    *                      guards that police nondeterministic lineage) —
+    *                      and a degrees frame MISSING a node that appears
+    *                      only as a dst (zero out-degree, so it slips the
+    *                      Σdeg=|E| check) fails the driver/broadcast tiers
+    *                      with a named require at the gather. The SMJ tier
+    *                      cannot detect that case without re-deriving the
+    *                      node set from 2|E| endpoint rows (the exact pass
+    *                      this parameter exists to skip): there a missing
+    *                      dst-only node is silently absent from the output
+    *                      and shifts teleport mass — supply a COMPLETE
+    *                      node set.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
@@ -795,7 +804,15 @@ object Graph {
           var g = 0
           while (g < gathered.length) {
             val row = gathered(g)
-            mass(index.get(row.get(0)).intValue()) = row.getDouble(1)
+            val slot = index.get(row.get(0))
+            // a dst-only node absent from precomputedDegrees passes every
+            // Σdeg=|E| cross-check (it contributes 0 out-degree) but has no
+            // slot here — fail with the cause, not an anonymous NPE
+            require(slot != null,
+              s"pageRank: edge dst '${row.get(0)}' is absent from precomputedDegrees — " +
+                "the degrees frame must carry one row per DISTINCT node (src or dst), " +
+                "including zero-out-degree dangling nodes")
+            mass(slot.intValue()) = row.getDouble(1)
             g += 1
           }
           mass

@@ -25,6 +25,11 @@ final class SDF private (private var _df: DataFrame) {
 
   def df: DataFrame = _df
   def columns: Seq[String] = _df.columns.toSeq
+  /** pandas `df.shape` parity. COST NOTE: unlike pandas (a stored field),
+    * the row count here is a full distributed `count()` JOB per call — at
+    * 100 TB that's a whole scan unless the plan is cached. Call once and
+    * reuse; prefer `columns.length` alone when only the width is needed.
+    */
   def shape: (Long, Int) = (_df.count(), _df.columns.length)
 
   // ---- selection (§2.2) -------------------------------------------------
@@ -545,20 +550,29 @@ final class SDF private (private var _df: DataFrame) {
 
   private def topKAll(n: Int, by: Seq[Column], largest: Boolean): SDF = {
     require(n > 0, s"n must be positive: $n")
+    require(by.nonEmpty, "nlargest/nsmallest(keep=all) needs at least one by column")
+    // collision-free temp names (the ScalableEncoders fresh() discipline):
+    // an input frame already carrying `__k__`/`__b__` would otherwise make
+    // the boundary crossJoin+filter reference ambiguous
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else base + i)
+        .filterNot(_df.columns.toSet).next()
+    val kC = fresh("__k__")
+    val bC = fresh("__b__")
     val key = struct(by: _*)
     // explicit null gate: STRUCT ordering ranks a null field smallest
     // instead of propagating null (unlike scalar comparison), so without
     // this filter a null-keyed row would sort into the nsmallest probe and
     // pass the boundary compare — pandas drops NaN rows from both ends
     val nonNull = by.map(_.isNotNull).reduce(_ && _)
-    val topK = _df.filter(nonNull).select(key.as("__k__"))
-      .orderBy(if (largest) col("__k__").desc else col("__k__").asc)
+    val topK = _df.filter(nonNull).select(key.as(kC))
+      .orderBy(if (largest) col(kC).desc else col(kC).asc)
       .limit(n)
     val boundary = topK.agg(
-      (if (largest) min(col("__k__")) else max(col("__k__"))).as("__b__"))
+      (if (largest) min(col(kC)) else max(col(kC))).as(bC))
     val kept = _df.crossJoin(broadcast(boundary))
-      .filter(nonNull && (if (largest) key >= col("__b__") else key <= col("__b__")))
-      .drop("__b__")
+      .filter(nonNull && (if (largest) key >= col(bC) else key <= col(bC)))
+      .drop(bC)
     SDF(kept)
   }
 

@@ -127,6 +127,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeSet(now, Map.empty, sentinel = 1.0).isEmpty)
   }
 
+  test("retimeSet: combined front+hard list is capped once (r13 ADVICE)") {
+    // 12 queries, all 3x their prior: front list (sentinel degraded) and
+    // hard list each see all 12; the union must still honor the single cap.
+    val prior = (1 to 12).map(i => f"q$i%02d" -> 1.0).toMap
+    val now = (1 to 12).map(i => f"q$i%02d" -> 3.0)
+    assert(Bench.retimeSet(now, prior, sentinel = 0.5).size == 8)
+    assert(Bench.retimeSet(now, prior, sentinel = 0.5, cap = 3).size == 3)
+  }
+
+  test("retimeSet: sub-second anchors trip the hard rule at 1.5x (r13 q99 lesson)") {
+    // the q99 shape: 0.29 s anchor, 0.52 s run = 1.81x — must now re-time
+    val prior = Map("q99" -> 0.29, "sub" -> 0.5, "big" -> 5.0)
+    assert(Bench.retimeSet(Seq("q99" -> 0.52), prior, sentinel = 1.0) == Seq("q99"))
+    // boundary: exactly 1.5x a sub-second anchor does not trip
+    // (binary-exact operands: 0.5 * 1.5 == 0.75 exactly)
+    assert(Bench.retimeSet(Seq("sub" -> 0.75), prior, sentinel = 1.0).isEmpty)
+    assert(Bench.retimeSet(Seq("sub" -> 0.76), prior, sentinel = 1.0) == Seq("sub"))
+    // >=1 s anchors keep the 2x bar: 1.8x on a 5 s query is NOT re-timed
+    assert(Bench.retimeSet(Seq("big" -> 9.0), prior, sentinel = 1.0).isEmpty)
+    assert(Bench.retimeSet(Seq("big" -> 10.1), prior, sentinel = 1.0) == Seq("big"))
+  }
+
   test("parsePriorSf reads the anchor's scale factor (SF-local anchoring)") {
     assert(Bench.parsePriorSf("""{"queries":{"a":1.0},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))

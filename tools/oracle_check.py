@@ -29,6 +29,52 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _jval(v):
+    """JSON-safe scalar for evidence payloads (numpy types, NaT, bytes)."""
+    try:
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, (int, float, bool, str)):
+            return v
+        return repr(v)[:120]
+    except Exception:
+        return "<unrepr>"
+
+
+def row_evidence(got: pd.DataFrame, want: pd.DataFrame, limit: int = 3):
+    """Membership diff for a row-count mismatch: example rows present on
+    only one side (first `limit` each, as column dicts)."""
+    g = got.astype(str).apply("|".join, axis=1) if len(got) else pd.Series(dtype=str)
+    w = want.astype(str).apply("|".join, axis=1) if len(want) else pd.Series(dtype=str)
+    only_g = got.loc[~g.isin(set(w))].head(limit)
+    only_w = want.loc[~w.isin(set(g))].head(limit)
+    return {
+        "only_in_engine": [{c: _jval(r[c]) for c in got.columns} for _, r in only_g.iterrows()],
+        "only_in_oracle": [{c: _jval(r[c]) for c in want.columns} for _, r in only_w.iterrows()],
+    }
+
+
+def value_evidence(got: pd.DataFrame, want: pd.DataFrame):
+    """First differing cell of an equal-shape value mismatch: row index,
+    column, both values, and the row's identifying columns from each side."""
+    for c in got.columns:
+        g, w = got[c], want[c]
+        neq = ~((g == w) | (g.isna() & w.isna()))
+        if neq.any():
+            i = int(neq.idxmax())
+            return {
+                "first_diff_col": c,
+                "row_index": i,
+                "engine_value": _jval(g.iloc[i]),
+                "oracle_value": _jval(w.iloc[i]),
+                "engine_row": {k: _jval(got[k].iloc[i]) for k in got.columns},
+                "diff_cells": int(neq.sum()),
+            }
+    return {"first_diff_col": None}
+
+
 def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -44,18 +90,26 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             )
             want = canon(con.execute(sql).df())
         except Exception as e:
+            # an exception here is a CRASH (engine output unreadable or the
+            # oracle SQL itself failing) — flag it explicitly so the
+            # adversarial gate can fail on it regardless of triage state
             failures.append((name, f"error: {e}"))
-            record[name] = {"match": False, "err": str(e)[:300]}
+            record[name] = {"match": False, "crashed": True, "shape": "crash",
+                            "err": str(e)[:300]}
             print(f"FAIL {name}: {e}")
             continue
         if list(got.columns) != list(want.columns):
             failures.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
-            record[name] = {"match": False, "err": f"columns {list(got.columns)} vs {list(want.columns)}"}
+            record[name] = {"match": False, "crashed": False, "shape": "columns",
+                            "err": f"columns {list(got.columns)} vs {list(want.columns)}"}
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             continue
         if len(got) != len(want):
             failures.append((name, f"rows {len(got)} != {len(want)}"))
-            record[name] = {"match": False, "err": f"rows {len(got)} vs {len(want)}"}
+            record[name] = {"match": False, "crashed": False, "shape": "rows",
+                            "err": f"rows {len(got)} vs {len(want)}",
+                            "rows_engine": len(got), "rows_oracle": len(want),
+                            "evidence": row_evidence(got, want)}
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             continue
         try:
@@ -67,7 +121,9 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             print(f"PASS {name} ({len(got)} rows){flag}")
         except AssertionError as e:
             failures.append((name, "value mismatch"))
-            record[name] = {"match": False, "err": "value mismatch"}
+            record[name] = {"match": False, "crashed": False, "shape": "value",
+                            "err": "value mismatch", "rows_engine": len(got),
+                            "evidence": value_evidence(got, want)}
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
     if json_out:
