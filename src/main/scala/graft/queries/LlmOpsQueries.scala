@@ -85,7 +85,7 @@ object LlmOpsQueries {
         FROM documents WHERE doc_id < 100),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -94,8 +94,14 @@ object LlmOpsQueries {
         SELECT doc_id, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
         FROM ex CROSS JOIN range(4) r(h)
         GROUP BY doc_id, r.h)
-      SELECT doc_id, h, sig FROM salted
-      ORDER BY doc_id, h"""))
+      -- full doc x h grid: a null-text doc has NULL shingles (dropped by the
+      -- UNNEST above) but the engine still emits its 4 (h, NULL-sig) rows —
+      -- transform() over the literal hash sequence is null-tolerant
+      SELECT d.doc_id, r.h, s.sig
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      CROSS JOIN range(4) r(h)
+      LEFT JOIN salted s ON s.doc_id = d.doc_id AND s.h = r.h
+      ORDER BY d.doc_id, r.h"""))
 
   /** MinHash LSH banding → candidate pairs (band bucket join), then exact
     * n-gram Jaccard verification of each candidate — the full near-dup
@@ -129,7 +135,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -189,10 +195,16 @@ object LlmOpsQueries {
         FROM h CROSS JOIN range(16) r(k)
         GROUP BY doc_id, r.k),
       sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
-      SELECT doc_id, simhash,
-             CAST(bit_count(xor(simhash, (SELECT simhash FROM sh WHERE doc_id = 0))) AS BIGINT) AS ham
-      FROM sh
-      ORDER BY doc_id"""))
+      -- full doc set: a null/empty-token doc has no token rows (dropped by
+      -- the UNNEST) but the engine's simhash is the all-zero bit vector (no
+      -- bit sum goes positive) — emit simhash 0, not a dropped row
+      SELECT a.doc_id,
+             coalesce(s.simhash, 0) AS simhash,
+             CAST(bit_count(xor(coalesce(s.simhash, 0),
+               (SELECT coalesce(max(simhash), 0) FROM sh WHERE doc_id = 0))) AS BIGINT) AS ham
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) a
+      LEFT JOIN sh s USING (doc_id)
+      ORDER BY a.doc_id"""))
 
   /** Brute-force cosine top-k over embeddings (queries = vec_id < 3): the
     * exact ANN baseline. The oracle computes the dot products with the same
@@ -602,7 +614,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -674,7 +686,7 @@ object LlmOpsQueries {
         FROM documents),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 2 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 1),
                                         i -> array_to_string(t[i:i+1], ' ')) END AS grams
         FROM toks),
@@ -686,11 +698,11 @@ object LlmOpsQueries {
         SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
         FROM freq GROUP BY doc_id)
       SELECT l.doc_id,
-             round(CASE WHEN len(l.lines) = 0 THEN 0.0
+             round(CASE WHEN l.lines IS NULL OR len(l.lines) = 0 THEN 0.0
                         ELSE 1.0 - len(list_distinct(l.lines))::DOUBLE / len(l.lines) END,
                    4) AS dup_line_frac,
-             t.top_bigram_frac
-      FROM lf l JOIN tops t USING (doc_id)
+             coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+      FROM lf l LEFT JOIN tops t USING (doc_id)
       ORDER BY l.doc_id"""),
     bench = true)
 
@@ -886,7 +898,7 @@ object LlmOpsQueries {
         FROM documents),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 5 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 4),
                                         i -> array_to_string(t[i:i+4], ' ')) END AS gs
         FROM toks),
@@ -983,7 +995,7 @@ object LlmOpsQueries {
         FROM documents),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 2 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 1),
                                         i -> array_to_string(t[i:i+1], ' ')) END AS gs
         FROM toks)
@@ -1023,11 +1035,13 @@ object LlmOpsQueries {
         SELECT ${h60("l")} AS lh
         FROM perdoc GROUP BY ${h60("l")} HAVING count(*) >= 40),
       bps AS (SELECT coalesce(list(lh), []) AS hs FROM bp)
+      -- coalesce: a NULL page (null text, concat propagates) reassembles to
+      -- '' in the engine (concat_ws skips nulls, never yields null)
       SELECT doc_id,
-             array_to_string(
+             coalesce(array_to_string(
                list_filter(string_split(page, chr(10)),
                            l -> NOT list_contains(hs, ${h60("l")})),
-               chr(10)) AS clean
+               chr(10)), '') AS clean
       FROM docs CROSS JOIN bps
       ORDER BY doc_id"""))
 
@@ -1209,7 +1223,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id, side,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -1297,7 +1311,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 5 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 4),
                                         i -> array_to_string(t[i:i+4], ' ')) END AS shingles
         FROM toks),
@@ -1347,7 +1361,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -1396,11 +1410,12 @@ object LlmOpsQueries {
                len(chars) AS n
         FROM c)
       SELECT doc_id,
+             CASE WHEN n IS NULL THEN NULL ELSE
              floor(list_reduce(
                list_prepend(CAST(0 AS DOUBLE),
                  list_transform(uniq, ch ->
                    CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)),
-               (acc, p) -> acc - p * ln(p)) * 1e4 + 0.5) / 1e4 AS char_entropy
+               (acc, p) -> acc - p * ln(p)) * 1e4 + 0.5) / 1e4 END AS char_entropy
       FROM u
       ORDER BY doc_id"""))
 
@@ -1425,7 +1440,8 @@ object LlmOpsQueries {
       b AS (SELECT doc_id, ${h60("t")} % 16 AS j FROM toks),
       g AS (SELECT doc_id, j, count(*) AS cnt FROM b GROUP BY doc_id, j)
       SELECT d.doc_id, r.j, COALESCE(g.cnt, CAST(0 AS BIGINT)) AS cnt
-      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id < 100 AND text IS NOT NULL) d
       CROSS JOIN range(16) r(j)
       LEFT JOIN g ON g.doc_id = d.doc_id AND g.j = r.j
       ORDER BY d.doc_id, r.j"""))
@@ -1533,7 +1549,7 @@ object LlmOpsQueries {
         FROM documents),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 5 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 4),
                                         i -> array_to_string(t[i:i+4], ' ')) END AS gs
         FROM toks),
@@ -1723,7 +1739,10 @@ object LlmOpsQueries {
         FROM documents),
       b AS (
         SELECT doc_id, list_transform(t, x -> ${h60("x")} % 16) AS bk,
-               greatest(len(t), 1)::DOUBLE AS n
+               -- null text scores NULL in the engine (null passthrough);
+               -- a NULL n poisons z the same way
+               CASE WHEN t IS NULL THEN NULL
+                    ELSE greatest(len(t), 1)::DOUBLE END AS n
         FROM toks),
       z AS (
         SELECT doc_id,
@@ -1772,7 +1791,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -2003,7 +2022,7 @@ object LlmOpsQueries {
         SELECT doc_id, u.bg,
                string_split(u.bg, ' ')[1] AS ctx
         FROM (SELECT doc_id,
-                     CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                     CASE WHEN len(t) < 2 THEN [coalesce(array_to_string(t, ' '), '')]
                           ELSE list_transform(generate_series(1, len(t) - 1),
                                               i -> array_to_string(t[i:i+1], ' ')) END AS bgs
               FROM toks), UNNEST(bgs) u(bg)),
@@ -2061,7 +2080,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -2199,7 +2218,7 @@ object LlmOpsQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
@@ -2246,8 +2265,13 @@ object LlmOpsQueries {
         .orderBy(col("doc_id")),
     oracle = Some("""
       WITH m AS (
+        -- split the REJOINED string on newlines (not the 4 components as a
+        -- list): a text carrying its own newlines makes the two differ, and
+        -- the engine folds over real lines — concat_ws skips NULLs in both
+        -- engines, so a null text becomes '' -> [''] -> '' on both sides
         SELECT doc_id,
-               [text, substr(text, 1, 50), text, substr(text, 1, 50)] AS ls
+               string_split(concat_ws(chr(10), text, substr(text, 1, 50),
+                                      text, substr(text, 1, 50)), chr(10)) AS ls
         FROM documents)
       SELECT doc_id,
              array_to_string(
@@ -2673,9 +2697,11 @@ object LlmOpsQueries {
           SELECT max(len(v)) AS adv FROM vocab
           WHERE v = substr(d.t, s.pos, len(v))) m ON true
         WHERE s.pos <= len(d.t))
-      SELECT d.doc_id, CAST(max(s.n) AS BIGINT) AS n_tokens,
+      SELECT d.doc_id,
+             CASE WHEN d.t IS NULL THEN NULL
+                  ELSE CAST(max(s.n) AS BIGINT) END AS n_tokens,
              CAST(len(d.t) AS BIGINT) AS n_chars,
-             CASE WHEN max(s.n) = 0 THEN NULL
+             CASE WHEN d.t IS NULL OR max(s.n) = 0 THEN NULL
                   ELSE round(CAST(len(d.t) AS DOUBLE) / max(s.n), 4) END AS chars_per_token
       FROM step s JOIN docs d USING (doc_id)
       GROUP BY d.doc_id, d.t
@@ -2714,11 +2740,14 @@ object LlmOpsQueries {
           WHERE v = substr(d.t, s.pos, len(v))
           ORDER BY len(v) DESC LIMIT 1) m ON true
         WHERE s.pos <= len(d.t))
-      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_pieces,
-             coalesce(max_by(acc, pos), '') AS pieces_str
-      FROM step
-      GROUP BY doc_id
-      ORDER BY doc_id"""))
+      SELECT s.doc_id,
+             CASE WHEN d.t IS NULL THEN NULL
+                  ELSE CAST(max(s.n) AS BIGINT) END AS n_pieces,
+             CASE WHEN d.t IS NULL THEN NULL
+                  ELSE coalesce(max_by(s.acc, s.pos), '') END AS pieces_str
+      FROM step s JOIN docs d USING (doc_id)
+      GROUP BY s.doc_id, d.t
+      ORDER BY s.doc_id"""))
 
   /** Curation pipeline v3 — THIS round's machinery composed end-to-end:
     * boilerplate-salted corpus → NEAR-DUP COLLAPSE ([[Dedup
@@ -2801,7 +2830,7 @@ object LlmOpsQueries {
         FROM corpus),
       nsh AS MATERIALIZED (
         SELECT doc_id,
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
                     ELSE list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM ntoks),

@@ -72,7 +72,7 @@ object ProcessorQueries {
     },
     oracle = Some("""
       SELECT doc_id,
-             'lang=' || lang || ' | ' || 'src=' ||
+             'lang=' || coalesce(lang, '') || ' | ' || 'src=' ||
              coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END, '') AS combined
       FROM documents
       ORDER BY doc_id"""))
@@ -238,7 +238,9 @@ object ProcessorQueries {
         FROM documents,
              UNNEST(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                 x -> length(x) >= 2)) AS u(t)),
-      n AS (SELECT count(*) AS n FROM documents),
+      -- n counts NON-NULL docs: the engine's fit filters null text before
+      -- emitting its doc-count sentinel (sklearn would raise on None)
+      n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
       dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
       vocab AS (
         SELECT t, df, row_number() OVER (ORDER BY t) - 1 AS idx
@@ -286,7 +288,9 @@ object ProcessorQueries {
         FROM documents,
              UNNEST(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                 x -> length(x) >= 2)) AS u(t)),
-      n AS (SELECT count(*) AS n FROM documents),
+      -- n counts NON-NULL docs: the engine's fit filters null text before
+      -- emitting its doc-count sentinel (sklearn would raise on None)
+      n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
       dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
       vocab AS (
         SELECT t, df, row_number() OVER (ORDER BY t) - 1 AS idx

@@ -509,10 +509,21 @@ object SCol {
     * the ratio only when the denominator is strictly positive, so the ANSI
     * divide can never see a zero. Null (→ NaN at the scalar surface) for
     * constant/empty/single-row input — pandas semantics.
+    *
+    * PAIRWISE-COMPLETE deletion (pandas `df.corr()` / SQL `corr()`
+    * semantics, fixed round 14): both inputs are masked to rows where BOTH
+    * are non-null before the variances, otherwise `var_pop(x)` sums over
+    * x's own non-null rows while `covar_pop` drops pairwise — inconsistent
+    * populations that made the r14 adversarial replay's corr matrix drift
+    * 2e-5 from the oracle on null-perturbed measures (not a rounding ulp;
+    * a genuinely different estimator). No-op on null-free input.
     */
   def safeCorr(x: Column, y: Column): Column = {
-    val den = sqrt(var_pop(x) * var_pop(y))
-    when(den > 0.0, covar_pop(x, y) / den)
+    val both = x.isNotNull && y.isNotNull
+    val xp = when(both, x)
+    val yp = when(both, y)
+    val den = sqrt(var_pop(xp) * var_pop(yp))
+    when(den > 0.0, covar_pop(xp, yp) / den)
   }
 
   /** Pandas-style bias-corrected skew/kurt as aggregate Columns (usable per

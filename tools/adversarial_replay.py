@@ -129,6 +129,39 @@ TRIAGE = {
 }
 
 
+# The mismatch SHAPES (from oracle_check.py's per-query record) each class
+# may legitimately produce. A classified query whose observed shape falls
+# outside its class's set fails the gate — the r13 verdict's complaint was
+# that 32/39 classifications were inherited by kernel family with no
+# per-query evidence; the shape check plus the embedded row-diff evidence
+# makes every classification mechanically confirmed per query, per run.
+CLASS_SHAPES = {
+    "tokenizer-unicode": {"rows", "value"},
+    "utf16-vs-codepoint": {"rows", "value"},
+    "null-text-contract": {"rows", "value"},
+    "null-measure-agg": {"rows", "value"},
+    "null-field-contract": {"rows", "value"},
+    "null-rank-ties": {"value"},
+    "dup-mass-bucket-cap": {"rows"},
+}
+
+# Known non-crash err prefixes from oracle_check.py, used only as a
+# fallback when an old check json lacks the explicit `crashed` flag.
+_MISMATCH_SHAPES = ("value mismatch", "rows ", "columns ")
+
+
+def _is_crash(v: dict) -> bool:
+    """Crash detection (r13 ADVICE, medium): trust the explicit `crashed`
+    flag oracle_check.py now records; for old-format records fall back to
+    'err is non-null and is not one of the known mismatch shapes' — raw
+    exception text ('Binder Error: …', 'No such file…') carries no
+    'error:' prefix, which is exactly why the old [:6] probe never fired."""
+    if "crashed" in v:
+        return bool(v["crashed"])
+    err = v.get("err")
+    return err is not None and not str(err).startswith(_MISMATCH_SHAPES)
+
+
 def report(check_path: str, out_path: str, round_no: str) -> int:
     check = json.load(open(check_path))
     rec = check.get("queries", check)
@@ -136,22 +169,61 @@ def report(check_path: str, out_path: str, round_no: str) -> int:
         k for k, v in rec.items() if isinstance(v, dict) and not v.get("match", False))
     crashes = sorted(
         k for k, v in rec.items()
-        if isinstance(v, dict) and not v.get("match", False)
-        and "error" in str(v.get("err", "")).lower()[:6])
-    unclassified = [q for q in mismatches if q not in TRIAGE]
+        if isinstance(v, dict) and not v.get("match", False) and _is_crash(v))
+    unclassified = [q for q in mismatches if q not in TRIAGE and q not in crashes]
     bad_class = [q for q in mismatches
                  if q in TRIAGE and TRIAGE[q][0] not in DIVERGENCE_CLASSES]
     stale = sorted(q for q in TRIAGE if q not in mismatches)
     if stale:
         print(f"note: {len(stale)} triaged queries now match (stale entries, "
               f"perturbation seeds move): {', '.join(stale)}", file=sys.stderr)
-    if unclassified or bad_class:
-        for q in unclassified:
-            print(f"GATE FAIL: {q} diverges with NO divergence_class — triage it "
-                  "(row-diff the outputs, pick/extend a class in TRIAGE)", file=sys.stderr)
-        for q in bad_class:
-            print(f"GATE FAIL: {q} carries class '{TRIAGE[q][0]}' which is not in "
-                  "the closed DIVERGENCE_CLASSES list", file=sys.stderr)
+    gate_fail = False
+    # A crash is an ENGINE DEFECT and fails the gate unconditionally — TRIAGE
+    # only ever excuses semantic divergences, never exceptions (r13 ADVICE:
+    # a query that starts crashing while listed in TRIAGE must not pass).
+    for q in crashes:
+        print(f"GATE FAIL: {q} CRASHED ({str(rec[q].get('err'))[:160]}) — crashes are "
+              "engine defects; fix the engine, never triage a crash", file=sys.stderr)
+        gate_fail = True
+    for q in unclassified:
+        print(f"GATE FAIL: {q} diverges with NO divergence_class — triage it "
+              "(row-diff the outputs, pick/extend a class in TRIAGE)", file=sys.stderr)
+        gate_fail = True
+    for q in bad_class:
+        print(f"GATE FAIL: {q} carries class '{TRIAGE[q][0]}' which is not in "
+              "the closed DIVERGENCE_CLASSES list", file=sys.stderr)
+        gate_fail = True
+    # Per-query evidence gate: every mismatch must carry the row-diff
+    # evidence oracle_check.py records (shape + first diverging row/cell or
+    # membership examples). Evidence is recomputed every run — a
+    # classification can no longer be inherited from a kernel family.
+    mismatch_entries = []
+    for q in mismatches:
+        if q in crashes:
+            continue
+        v = rec[q]
+        shape = v.get("shape")
+        evidence = v.get("evidence")
+        if shape is None or (shape in ("rows", "value") and not evidence):
+            print(f"GATE FAIL: {q} has no row-diff evidence in {check_path} — "
+                  "regenerate it with the current tools/oracle_check.py",
+                  file=sys.stderr)
+            gate_fail = True
+            continue
+        allowed = CLASS_SHAPES.get(TRIAGE[q][0], set()) if q in TRIAGE else set()
+        if q in TRIAGE and shape not in allowed:
+            print(f"GATE FAIL: {q} is classified '{TRIAGE[q][0]}' (allowed shapes "
+                  f"{sorted(allowed)}) but diverged with shape '{shape}' — the "
+                  "classification does not match the observed diff; re-triage",
+                  file=sys.stderr)
+            gate_fail = True
+            continue
+        mismatch_entries.append({
+            "query": q, "divergence_class": TRIAGE[q][0], "reason": TRIAGE[q][1],
+            "shape": shape,
+            "rows_engine": v.get("rows_engine"), "rows_oracle": v.get("rows_oracle"),
+            "evidence": evidence})
+    if gate_fail:
         return 1
     artifact = {
         "round": round_no,
@@ -163,20 +235,20 @@ def report(check_path: str, out_path: str, round_no: str) -> int:
         "hash_mismatches": len(mismatches),
         "crash_list": crashes,
         "divergence_classes": DIVERGENCE_CLASSES,
-        "mismatch_list": [
-            {"query": q, "divergence_class": TRIAGE[q][0], "reason": TRIAGE[q][1]}
-            for q in mismatches],
+        "mismatch_list": mismatch_entries,
         "note": (
-            "0 crashes = 0 engine defects on adversarial data (the gate). Every "
-            "hash mismatch carries a divergence_class from the CLOSED list above "
-            "— all are engine-vs-DuckDB semantic differences on OUT-OF-CONTRACT "
-            "input, none an engine defect. An unclassified divergence fails this "
-            "generator (exit 1), so future rounds never re-audit these 39."),
+            "0 crashes = 0 engine defects on adversarial data (the gate; a crash "
+            "fails generation unconditionally, triaged or not). Every hash "
+            "mismatch carries a divergence_class from the CLOSED list above AND "
+            "per-query row-diff evidence recomputed THIS run (first diverging "
+            "cell/membership examples, shape-checked against the class) — all "
+            "are engine-vs-DuckDB semantic differences on OUT-OF-CONTRACT "
+            "input, none an engine defect."),
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {out_path}: {artifact['hash_matches']}/{artifact['queries']} match, "
-          f"{len(mismatches)} classified divergences, {len(crashes)} crashes")
+          f"{len(mismatch_entries)} classified divergences, {len(crashes)} crashes")
     return 0
 
 HOSTILE_TEXTS = [
