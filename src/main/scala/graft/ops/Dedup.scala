@@ -434,15 +434,22 @@ object Dedup {
     */
   def snapshotDiff(before: DataFrame, after: DataFrame,
       idCol: Column, textCol: Column): DataFrame = {
+    // presence flags, NOT digest nullness: a null-text row carries a null
+    // digest while still PRESENT in its snapshot — testing __db__.isNull
+    // for "absent from before" misclassified such rows as 'added' (r14
+    // adversarial replay, 33 null-text docs). The digest compare is
+    // null-safe (<=>): identical null texts are 'unchanged'.
     def digests(df: DataFrame) =
       df.select(idCol.as("id"), TextAnalysis.fingerprint(textCol).as("d"))
     val b = digests(before).withColumnRenamed("d", "__db__")
+      .withColumn("__inb__", lit(true))
     val a = digests(after).withColumnRenamed("d", "__da__")
+      .withColumn("__ina__", lit(true))
     b.join(a, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__db__").isNull, "added")
-          .when(col("__da__").isNull, "removed")
-          .when(col("__da__") === col("__db__"), "unchanged")
+        when(col("__inb__").isNull, "added")
+          .when(col("__ina__").isNull, "removed")
+          .when(col("__da__") <=> col("__db__"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -108,11 +108,15 @@ object TextAnalysis {
     val stop = size(filter(toks, t => t.isin(LangProfiles.values.flatten.toSeq.distinct.map(lit): _*)))
       .cast("double")
     val stopRatio = stop / greatest(nWords, lit(1.0))
-    val score =
+    // null gate: Spark's least()/greatest() SKIP null operands, so without
+    // it a NULL document scored 0.8 — every least() clause silently
+    // resolved to its 1.0 ceiling and a contentless doc outranked real
+    // prose through any quality filter (r14 adversarial replay find)
+    val score = when(c.isNull, lit(null).cast("double")).otherwise(
       least(nWords / 100.0, lit(1.0)) * 0.4 +
         least(meanWordLen / 8.0, lit(1.0)) * 0.2 +
         (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2 +
-        least(stopRatio * 4.0, lit(1.0)) * 0.2
+        least(stopRatio * 4.0, lit(1.0)) * 0.2)
     struct(
       nWords.cast("long").as("n_words"),
       round(meanWordLen, 4).as("mean_word_len"),

@@ -360,9 +360,16 @@ object LlmOpsQueries {
         FROM scores),
       pred AS (
         SELECT doc_id, lang,
-               CASE WHEN best_score > 0 THEN best_lang ELSE 'und' END AS pred_lang,
+               -- CJK short-circuit first, mirroring the engine's langId
+               -- (a mixed-script doc with zero Latin stopwords is 'zh',
+               -- never 'und')
+               CASE WHEN regexp_matches(text, '[\p{Han}\p{Hiragana}\p{Katakana}]') THEN 'zh'
+                    WHEN best_score > 0 THEN best_lang ELSE 'und' END AS pred_lang,
                len(t)::DOUBLE AS n_words,
-               list_sum(list_transform(t, x -> length(x)))::DOUBLE /
+               -- coalesce 0: list_sum([]) is NULL in DuckDB and least()
+               -- SKIPS nulls, so a zero-token doc would otherwise score a
+               -- phantom word-length credit the engine's 0.0 never pays
+               coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE /
                  greatest(len(t)::DOUBLE, 1.0) AS mean_word_len,
                (length(text) - length(regexp_replace(text,
                   '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')))::DOUBLE /
@@ -372,11 +379,15 @@ object LlmOpsQueries {
                  greatest(len(t)::DOUBLE, 1.0) AS stop_ratio
         FROM folded),
       quality AS (
+        -- null text -> NULL quality (the engine's explicit null gate;
+        -- least() in BOTH engines skips null operands, so the formula
+        -- alone would award a contentless doc its 1.0 ceilings)
         SELECT lang, pred_lang,
+               CASE WHEN n_words IS NULL THEN NULL ELSE
                round(least(n_words / 100.0, 1.0) * 0.4 +
                      least(mean_word_len / 8.0, 1.0) * 0.2 +
                      (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
-                     least(stop_ratio * 4.0, 1.0) * 0.2, 4) AS q,
+                     least(stop_ratio * 4.0, 1.0) * 0.2, 4) END AS q,
                round(stop_ratio, 4) AS sr
         FROM pred)
       SELECT lang, pred_lang, count(*) AS n,
@@ -406,7 +417,9 @@ object LlmOpsQueries {
     oracle = Some("""
       SELECT 'doc://' || doc_id AS path,
              greatest(1, octet_length(encode(text)) % 640) AS width,
-             (octet_length(encode(text)) // 640) % 480 + 1 AS height,
+             -- null text -> the engine's 1x1 placeholder asset (width falls
+             -- out of greatest already, DuckDB greatest ignores NULLs)
+             coalesce((octet_length(encode(text)) // 640) % 480 + 1, 1) AS height,
              CAST(3 AS BIGINT) AS channels
       FROM documents
       ORDER BY path"""))
@@ -519,7 +532,10 @@ object LlmOpsQueries {
       SELECT doc_id, k AS chunk_idx, substr(text, CAST(k * 150 AS INT) + 1, 200) AS chunk
       FROM documents,
            UNNEST(generate_series(0, (length(text) - 1) // 150)) AS t(k)
-      WHERE doc_id < 50
+      -- length > 0: the engine's chunkWindows('') is the EMPTY array (no
+      -- chunk rows), while DuckDB's truncating -1 // 150 = 0 would emit a
+      -- phantom ''-chunk for an empty doc
+      WHERE doc_id < 50 AND length(text) > 0
       ORDER BY doc_id, chunk_idx"""))
 
   /** PII scrubbing (emails + phone-like digit runs) over synthesized
@@ -827,7 +843,10 @@ object LlmOpsQueries {
                CASE WHEN best_score > 0 THEN best_lang ELSE 'und' END AS pred_lang,
                len(t) AS n_tok,
                len(t)::DOUBLE AS n_words,
-               list_sum(list_transform(t, x -> length(x)))::DOUBLE /
+               -- coalesce 0: list_sum([]) is NULL in DuckDB and least()
+               -- SKIPS nulls, so a zero-token doc would otherwise score a
+               -- phantom word-length credit the engine's 0.0 never pays
+               coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE /
                  greatest(len(t)::DOUBLE, 1.0) AS mean_word_len,
                (length(text) - length(regexp_replace(text,
                   '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]', '', 'g')))::DOUBLE /
@@ -931,7 +950,10 @@ object LlmOpsQueries {
     },
     oracle = Some(s"""
       WITH existing AS (
-        SELECT DISTINCT ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS digest
+        -- coalesce(-1): the engine's joinDigest sentinel for null text —
+        -- a raw NULL digest here would poison NOT IN for EVERY batch row
+        -- (the SQL three-valued-logic trap) and empty the whole result
+        SELECT DISTINCT coalesce(${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}, -1) AS digest
         FROM documents WHERE doc_id < 250),
       batch AS (
         SELECT doc_id, text FROM documents WHERE doc_id >= 200
@@ -941,9 +963,9 @@ object LlmOpsQueries {
       keepers AS (
         SELECT min(doc_id) AS keep_id
         FROM batch
-        WHERE ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}
+        WHERE coalesce(${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}, -1)
               NOT IN (SELECT digest FROM existing)
-        GROUP BY ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")})
+        GROUP BY coalesce(${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}, -1))
       SELECT keep_id AS doc_id FROM keepers
       ORDER BY doc_id"""))
 
@@ -1111,7 +1133,8 @@ object LlmOpsQueries {
       SELECT shard, bin,
              count(*) AS n_docs,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             string_agg(text, '<eos>' ORDER BY doc_id) AS seq
+             -- all-null-text group: engine array_join skips nulls -> ''
+             coalesce(string_agg(text, '<eos>' ORDER BY doc_id), '') AS seq
       FROM binned
       GROUP BY shard, bin
       ORDER BY shard, bin"""))
@@ -1228,13 +1251,27 @@ object LlmOpsQueries {
                                         i -> array_to_string(t[i:i+2], ' ')) END AS shingles
         FROM toks),
       ex AS (SELECT doc_id, side, u.s FROM sh, UNNEST(shingles) u(s)),
-      sig AS (
+      sigx AS (
         SELECT doc_id, side, r.h, min(${h60("(r.h || ':' || s)")}) AS sig
         FROM ex CROSS JOIN range(4) r(h)
         GROUP BY doc_id, side, r.h),
+      -- full doc x h grid (the q52 discipline): a null-text doc has NULL
+      -- shingles but the engine still bands its all-null signature — the
+      -- band hash degrades to hash60('') (concat_ws skips nulls), making
+      -- null-text docs mutual candidates BY CONTRACT (they are mutual
+      -- exact duplicates; see Dedup.candidatePlan). array_to_string skips
+      -- NULLs the same way, so the grid reproduces that constant.
+      sig AS (
+        SELECT c.doc_id, c.side, r.h, s.sig
+        FROM (SELECT DISTINCT doc_id, side FROM corpus) c
+        CROSS JOIN range(4) r(h)
+        LEFT JOIN sigx s ON s.doc_id = c.doc_id AND s.h = r.h),
       band AS (
+        -- coalesce '': list() skips NULL sigs entirely, and the engine's
+        -- concat_ws over an all-null band slice is '' — hash60('') is the
+        -- shared band key that makes null-text docs mutual candidates
         SELECT doc_id, side, h // 2 AS band,
-               ${h60("array_to_string(list(sig ORDER BY h), ',')")} AS band_hash
+               ${h60("coalesce(array_to_string(list(sig ORDER BY h), ','), '')")} AS band_hash
         FROM sig
         GROUP BY doc_id, side, h // 2)
       SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
@@ -1371,18 +1408,21 @@ object LlmOpsQueries {
         FROM ex CROSS JOIN range(8) r(h)
         GROUP BY doc_id, r.h),
       sigv AS (SELECT doc_id, list(sig ORDER BY h) AS sig FROM sig GROUP BY doc_id)
+      -- LEFT JOIN sigv + coalesce 0.0: a null-text doc has no sig rows here
+      -- but the engine's all-null signature pair scores est 0.0 (null ==
+      -- null matches no position) with a NULL exact jaccard — the row stays
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             floor(CAST(list_sum(list_transform(generate_series(1, 8),
+             coalesce(floor(CAST(list_sum(list_transform(generate_series(1, 8),
                      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-                   / CAST(8 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS jac_est,
+                   / CAST(8 AS DOUBLE) * 1e4 + 0.5) / 1e4, 0.0) AS jac_est,
              floor(len(list_intersect(list_distinct(ha.shingles), list_distinct(hb.shingles)))::DOUBLE /
                    len(list_distinct(list_concat(list_distinct(ha.shingles), list_distinct(hb.shingles))))
                    * 1e4 + 0.5) / 1e4 AS jac_true
       FROM (SELECT doc_id FROM corpus WHERE doc_id < 20) a
       JOIN (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) b
         ON b.doc_id = a.doc_id + 1000000
-      JOIN sigv sa ON sa.doc_id = a.doc_id
-      JOIN sigv sb ON sb.doc_id = b.doc_id
+      LEFT JOIN sigv sa ON sa.doc_id = a.doc_id
+      LEFT JOIN sigv sb ON sb.doc_id = b.doc_id
       JOIN sh ha ON ha.doc_id = a.doc_id
       JOIN sh hb ON hb.doc_id = b.doc_id
       ORDER BY id_a"""))
@@ -1587,7 +1627,14 @@ object LlmOpsQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
     oracle = Some(s"""
-      WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents)
+      WITH h AS (
+        -- null/empty payloads hash to the engine's md5Hash60 zero sentinel
+        -- (Multimodal.md5Hash60: null or empty bytes -> 0L); non-empty text
+        -- bytes replay as the same md5-prefix the engine computes
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR text = '' THEN 0
+                    ELSE ${h60("text")} END AS h
+        FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -2411,7 +2458,8 @@ object LlmOpsQueries {
       st AS (
         SELECT CASE WHEN db.doc_id IS NULL THEN 'added'
                     WHEN da.doc_id IS NULL THEN 'removed'
-                    WHEN da.d = db.d THEN 'unchanged'
+                    -- null-safe: identical null texts are 'unchanged'
+                    WHEN da.d IS NOT DISTINCT FROM db.d THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM db FULL OUTER JOIN da ON db.doc_id = da.doc_id)
       SELECT status, count(*) AS n FROM st GROUP BY status ORDER BY status"""))

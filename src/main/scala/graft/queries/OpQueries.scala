@@ -314,7 +314,11 @@ object OpQueries {
                  + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
                rank() OVER (ORDER BY l_extendedprice)
                  + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
-        FROM lineitem)"""))
+        -- pairwise-complete FIRST, then rank (pandas Series.corr(spearman)
+        -- and the engine both drop incomplete pairs before ranking; ranking
+        -- the full table shifts every rank by the null rows' mass)
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)"""))
 
   /** pandas `expanding()` family (parity-plus §2.5): running mean/sum/count
     * per supplier — one window spec, three frames, single shuffle.
@@ -738,7 +742,10 @@ object OpQueries {
     oracle = Some("""
       WITH f AS (
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               count(*) OVER w AS cnt,
+               -- pairwise-complete count (the engine's pandas contract: a
+               -- window holding ANY incomplete pair yields NULL, it never
+               -- silently computes over the surviving pairs)
+               count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) OVER w AS cnt,
                sum(x) OVER w AS sx, sum(y) OVER w AS sy,
                sum(x * y) OVER w AS sxy,
                sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
@@ -1187,7 +1194,10 @@ object OpQueries {
                                    x -> length(x) >= 1) AS t
         FROM documents WHERE doc_id < 50)
       SELECT doc_id, u.tok AS tok
-      FROM toks, UNNEST(CASE WHEN len(t) = 0 THEN [NULL] ELSE t END) u(tok)
+      -- t IS NULL (null text) keeps its explode_outer null row exactly like
+      -- the empty token list — len(NULL)=0 is NULL, so the bare len() CASE
+      -- silently dropped null-text docs
+      FROM toks, UNNEST(CASE WHEN t IS NULL OR len(t) = 0 THEN [NULL] ELSE t END) u(tok)
       ORDER BY doc_id, tok"""))
 
   /** pandas `a.combine_first(b)` keyed on the customer key: a's non-null
@@ -1301,7 +1311,10 @@ object OpQueries {
         FROM mm)
       SELECT skel.event_type AS event_type, skel.ts AS ts,
              coalesce(b.n, 0) AS n, b.sum_v
-      FROM skel LEFT JOIN b ON skel.event_type = b.event_type AND skel.ts = b.ts
+      -- null-safe group key: a NULL event_type group must rejoin its own
+      -- skeleton (the engine's relational groupBy treats nulls as one group)
+      FROM skel LEFT JOIN b ON skel.event_type IS NOT DISTINCT FROM b.event_type
+                           AND skel.ts = b.ts
       ORDER BY 1, 2"""))
 
   /** Incremental aggregation state ([[graft.ops.AggState]]): per-status
@@ -1981,11 +1994,14 @@ object OpQueries {
           round(col("low"), 4).as("low"), round(col("close"), 4).as("close"))
         .orderBy(col("event_type"), col("w_start")),
     oracle = Some("""
+      -- struct-packed arg_min/arg_max: bare arg_min(value, ...) SKIPS rows
+      -- whose value is NULL, but the engine's min_by/max_by return the
+      -- bucket's strict first/last event value, null included
       SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS w_start,
-             round(arg_min(value, epoch_us(ts)), 4) AS open,
+             round(arg_min({'v': value}, epoch_us(ts)).v, 4) AS open,
              round(max(value), 4) AS high,
              round(min(value), 4) AS low,
-             round(arg_max(value, epoch_us(ts)), 4) AS close
+             round(arg_max({'v': value}, epoch_us(ts)).v, 4) AS close
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2"""))

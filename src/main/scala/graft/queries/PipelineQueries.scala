@@ -58,8 +58,10 @@ object PipelineQueries {
              substr(upper(text), 1, 40) AS text_uc40,
              'c:' || lang AS lang_tag,
              'c:' || source AS source_tag,
-             enc.code AS lang_enc
-      FROM documents JOIN enc ON documents.lang = enc.l
+             CASE WHEN lang IS NULL THEN NULL ELSE enc.code END AS lang_enc
+      -- LEFT join: the engine keeps null-lang rows (LabelAffix/LabelEncoding
+      -- pass null through); an inner join would drop them
+      FROM documents LEFT JOIN enc ON documents.lang = enc.l
       ORDER BY doc_id"""))
 
   /** missing_column_behavior=SKIP (`_DataProcessor.py:11-30`): LabelEncoding

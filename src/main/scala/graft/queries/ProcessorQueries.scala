@@ -201,7 +201,10 @@ object ProcessorQueries {
       SELECT vec_id,
              CAST(1.0 AS DOUBLE) AS d0,
              CAST(CASE WHEN label % 8 = 2 THEN 2.0 ELSE 0.0 END AS DOUBLE) AS d2,
-             CAST(CASE WHEN label % 8 = 0 THEN 1.0 ELSE 3.0 END AS DOUBLE) AS total
+             -- null label -> null second index: the densifier skips it, so
+             -- only the index-0 write (1.0) lands
+             CAST(CASE WHEN label IS NULL OR label % 8 = 0 THEN 1.0
+                       ELSE 3.0 END AS DOUBLE) AS total
       FROM embeddings
       ORDER BY vec_id"""))
 

@@ -230,11 +230,13 @@ object StreamingQueries {
         .orderBy(col("w_start"), col("event_type"))
     },
     oracle = Some("""
+      -- struct-packed arg_min/arg_max (the q204 discipline): the engine's
+      -- min_by/max_by return the strict first/last value, null included
       SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
-             round(arg_min(value, ts), 4) AS open,
+             round(arg_min({'v': value}, ts).v, 4) AS open,
              round(max(value), 4) AS high,
              round(min(value), 4) AS low,
-             round(arg_max(value, ts), 4) AS close
+             round(arg_max({'v': value}, ts).v, 4) AS close
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2"""))

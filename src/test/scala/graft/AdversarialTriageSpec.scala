@@ -47,14 +47,28 @@ class AdversarialTriageSpec extends AnyFunSuite {
       "adversarial crashes are engine defects — fix them, never commit a crashing artifact")
     val classes = (j \ "divergence_classes").extract[Map[String, String]].keySet
     assert(classes.nonEmpty)
-    val mm = (j \ "mismatch_list").extract[List[Map[String, String]]]
+    // r14 onward each entry also carries nested row-diff `evidence` and
+    // numeric row counts — extract the string fields individually instead
+    // of forcing the whole entry into Map[String, String]
+    val mm = (j \ "mismatch_list") match {
+      case JArray(xs) => xs
+      case JNothing => Nil
+      case other => fail(s"mismatch_list has unexpected shape: $other")
+    }
     assert(mm.size == (j \ "hash_mismatches").extract[Int],
       "mismatch_list must enumerate every hash mismatch")
     mm.foreach { m =>
-      val q = m.getOrElse("query", "?")
-      assert(classes.contains(m.getOrElse("divergence_class", "")),
+      val q = (m \ "query").extractOpt[String].getOrElse("?")
+      assert(classes.contains((m \ "divergence_class").extractOpt[String].getOrElse("")),
         s"$q carries no class from the artifact's closed divergence_classes list")
-      assert(m.getOrElse("reason", "").nonEmpty, s"$q carries no triage reason")
+      assert((m \ "reason").extractOpt[String].exists(_.nonEmpty),
+        s"$q carries no triage reason")
+      // r14 contract: every divergence entry embeds per-query row-diff
+      // evidence (the shape is always recorded; rows/value mismatches
+      // carry the diff payload)
+      if ((j \ "round").extractOpt[String].flatMap(_.toIntOption).exists(_ >= 14))
+        assert((m \ "shape").extractOpt[String].nonEmpty,
+          s"$q carries no observed mismatch shape")
     }
   }
 }

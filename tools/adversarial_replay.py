@@ -33,8 +33,7 @@ divergences get triaged when they appear, not re-audited round after
 round. A triaged query that now MATCHES is reported as stale (warning
 only — perturbation seeds move).
 
-Expected state after round 12: 0 crashes, 166/205 hash-match, all 39
-divergences classified.
+Expected state after round 14: 0 crashes, 207/207 hash-match, TRIAGE empty.
 """
 import json
 import random
@@ -83,83 +82,18 @@ DIVERGENCE_CLASSES = {
         "blocks, identical hostile texts) diverges by design"),
 }
 
-# query -> (divergence_class, one-line reason). Diffed = the mechanism was
-# confirmed by a row-level diff of the adversarial outputs this round;
-# kernel-family = same kernel as a diffed query, inherited classification.
-TRIAGE = {
-    "q102_repetition": ("tokenizer-unicode", "row count tracks docs whose token set empties on hostile text (kernel-family)"),
-    "q107_decontamination": ("tokenizer-unicode", "contamination grams derive from tokenized hostile text (kernel-family)"),
-    "q108_incremental_dedup": ("null-text-contract", "oracle side returns 0 rows: null digests fall out of its incremental join; engine keeps null-text rows per contract (diffed r12)"),
-    "q111_boilerplate": ("tokenizer-unicode", "line/token normalization on hostile text (kernel-family)"),
-    "q114_packed_sequences": ("tokenizer-unicode", "packing keys off token counts of hostile text (kernel-family)"),
-    "q118_incremental_minhash": ("tokenizer-unicode", "band state derives from shingle sets of hostile text (kernel-family)"),
-    "q121_rolling_corr": ("null-measure-agg", "engine yields NaN on windows poisoned by null quantities; oracle pairwise-drops (diffed r13)"),
-    "q129_dup_spans": ("tokenizer-unicode", "span grams derive from tokenized hostile text (kernel-family)"),
-    "q135_jaccard_estimate": ("tokenizer-unicode", "signature estimate over shingles of hostile text (kernel-family)"),
-    "q136_char_entropy": ("utf16-vs-codepoint", "entropy over UTF-16 code units vs codepoints on emoji docs (diffed r13)"),
-    "q139_hashed_features": ("tokenizer-unicode", "row count tracks docs whose token set empties (kernel-family)"),
-    "q144_bloom_decontamination": ("tokenizer-unicode", "bloom-filtered gram membership over tokenized hostile text (kernel-family)"),
-    "q145_image_neardup": ("dup-mass-bucket-cap", "identical hostile texts synthesize identical assets; engine's banded cap bounds pairs, oracle joins uncapped: 1441 vs 125 rows (diffed r13)"),
-    "q148_explode": ("tokenizer-unicode", "exploded token rows differ by 3 on emoji/CJK docs (diffed r13)"),
-    "q153_grouped_resample": ("null-measure-agg", "resampled buckets over nulled event values (kernel-family)"),
-    "q157_quality_classifier": ("tokenizer-unicode", "classifier features hash tokenized hostile text (kernel-family)"),
-    "q158_canonical_dedup": ("null-text-contract", "canonical digest of null text keys rows differently across the sides (kernel-family)"),
-    "q168_bigram_lm": ("tokenizer-unicode", "bigram stream from tokenized hostile text (kernel-family)"),
-    "q169_cluster_sizes": ("tokenizer-unicode", "cluster membership derives from shingle LSH of hostile text (diffed r13: one 4-cluster flips)"),
-    "q173_containment": ("tokenizer-unicode", "containment over shingle sets of hostile text (kernel-family)"),
-    "q174_within_doc_lines": ("tokenizer-unicode", "line splitting/trim on whitespace-only hostile docs (kernel-family)"),
-    "q176_snapshot_diff": ("null-text-contract", "null-text digest: engine null-safe join says 'changed', oracle null keys say 'added'+'removed' (diffed r13)"),
-    "q198_vocab_tokens": ("utf16-vs-codepoint", "greedy substr/len scan over UTF-16 units vs DuckDB codepoints on emoji docs (kernel-family)"),
-    "q200_vocab_pieces": ("utf16-vs-codepoint", "same scan as q198, piece-level (kernel-family)"),
-    "q204_ohlc": ("null-measure-agg", "open/close min_by-max_by over windows with nulled values (diffed r13)"),
-    "q209_autocorr": ("null-measure-agg", "lagged self-join arithmetic under nulled values (kernel-family)"),
-    "q210_stream_ohlc": ("null-measure-agg", "streaming OHLC, same aggregation as q204 (kernel-family)"),
-    "q211_keywords": ("tokenizer-unicode", "tf-idf keyword extraction over tokenized hostile text (kernel-family)"),
-    "q32_text_concat": ("null-field-contract", "null lang: engine null-skip concat emits 'lang=', oracle CASE emits the label (diffed r13)"),
-    "q37_vector_densifier": ("null-field-contract", "null-label embedding rows enter/leave the densified set differently (diffed r13)"),
-    "q38_tfidf": ("tokenizer-unicode", "vocabulary and tf vectors from tokenized hostile text (kernel-family)"),
-    "q39_pipeline_e2e": ("null-text-contract", "engine processors pass null text through (row kept), oracle chain drops: 500 vs 458 rows (diffed r12)"),
-    "q52_minhash_signature": ("tokenizer-unicode", "signature rows for docs whose shingle set empties (kernel-family)"),
-    "q53_minhash_lsh_jaccard": ("tokenizer-unicode", "verified pairs over shingles of hostile text (kernel-family)"),
-    "q54_simhash_hamming": ("tokenizer-unicode", "simhash bits from token hashes of hostile text (kernel-family)"),
-    "q58_langid_quality": ("tokenizer-unicode", "language-ID n-gram profile over hostile text shifts one lang bucket (kernel-family)"),
-    "q59_multimodal_assets": ("null-text-contract", "null text synthesizes a width-1 placeholder asset in the engine; oracle expression yields different dims (diffed r13)"),
-    "q80_spearman_corr": ("null-rank-ties", "fractional ranks under nulled/zeroed quantities: -0.0201 vs -0.0206 (diffed r13)"),
-    "q91_dedup_clusters": ("tokenizer-unicode", "component membership from shingle LSH of hostile text (kernel-family)"),
-}
-
-
-# The mismatch SHAPES (from oracle_check.py's per-query record) each class
-# may legitimately produce. A classified query whose observed shape falls
-# outside its class's set fails the gate — the r13 verdict's complaint was
-# that 32/39 classifications were inherited by kernel family with no
-# per-query evidence; the shape check plus the embedded row-diff evidence
-# makes every classification mechanically confirmed per query, per run.
-CLASS_SHAPES = {
-    "tokenizer-unicode": {"rows", "value"},
-    "utf16-vs-codepoint": {"rows", "value"},
-    "null-text-contract": {"rows", "value"},
-    "null-measure-agg": {"rows", "value"},
-    "null-field-contract": {"rows", "value"},
-    "null-rank-ties": {"value"},
-    "dup-mass-bucket-cap": {"rows"},
-}
-
-# Known non-crash err prefixes from oracle_check.py, used only as a
-# fallback when an old check json lacks the explicit `crashed` flag.
-_MISMATCH_SHAPES = ("value mismatch", "rows ", "columns ")
-
-
-def _is_crash(v: dict) -> bool:
-    """Crash detection (r13 ADVICE, medium): trust the explicit `crashed`
-    flag oracle_check.py now records; for old-format records fall back to
-    'err is non-null and is not one of the known mismatch shapes' — raw
-    exception text ('Binder Error: …', 'No such file…') carries no
-    'error:' prefix, which is exactly why the old [:6] probe never fired."""
-    if "crashed" in v:
-        return bool(v["crashed"])
-    err = v.get("err")
-    return err is not None and not str(err).startswith(_MISMATCH_SHAPES)
+# query -> (divergence_class, one-line reason). EMPTY as of round 14: the
+# r14 char-unit unification (codepoint vocab scans), the engine fixes it
+# surfaced (pairwise-complete safeCorr, snapshotDiff presence flags,
+# qualityStruct null gate), and ~25 oracle-replay alignments (degenerate
+# shingle grams, null-text propagation, struct-packed arg_min/arg_max,
+# null-safe joins, NOT-IN null traps, CJK langid branch, list_sum([]) and
+# least(NULL) quirks) emptied every divergence class — the replay now
+# matches 207/207 on the canonical seed. A future mismatch is NEW: row-diff
+# it (oracle_check.py embeds the evidence) and either fix the engine (any
+# crash or genuine defect) or, for a true out-of-contract semantic gap,
+# triage it here with a class from DIVERGENCE_CLASSES.
+TRIAGE = {}
 
 
 def report(check_path: str, out_path: str, round_no: str) -> int:
