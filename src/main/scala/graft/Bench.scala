@@ -116,6 +116,15 @@ object Bench {
   def parsePriorSf(line: String): Option[String] =
     """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
 
+  /** SF-keyed anchor filename for a bench data dir: the committed healthy
+    * record AT THAT SCALE (e.g. `bench_prior_sf1.0.json` for /tmp/sf1.0) —
+    * tried before the generic `bench_prior.json`, which carries the sf0.1
+    * record and is SF-guard-rejected everywhere else. This is what arms the
+    * hard >2x retime rule at the sf1.0 scale point (r13 verdict item 3).
+    */
+  def sfKeyedAnchorName(sfDir: String): String =
+    s"bench_prior_${new java.io.File(sfDir).getName}.json"
+
   /** Fraction of prior-matched queries whose min timed run exceeds
     * `factor`× the committed prior-round time. The sentinel can only see
     * POSITIONAL degradation (start vs end of the run); a box that is
@@ -327,9 +336,15 @@ object Bench {
     // passes the stat check but fails readString (deleted mid-flight,
     // non-UTF-8 bytes) warns and hands resolution to the NEXT candidate
     // instead of silently disabling the repair pass.
+    // SF-keyed anchor first (r13 verdict item 3: no sf1.0 anchor was ever
+    // committed, so the hard >2x retime rule was mute at exactly the scale
+    // point where the heavy queries live): bench_prior_<sfname>.json (e.g.
+    // bench_prior_sf1.0.json) outranks the generic bench_prior.json, which
+    // carries the sf0.1 record and is SF-guard-rejected at other scales.
+    val sfKeyedAnchor = Bench.sfKeyedAnchorName(sfDir)
     val resolved: Option[(java.nio.file.Path, String)] =
       (sys.env.get("GRAFT_BENCH_PRIOR").toSeq ++
-          Seq("bench_prior.json", "bench_out.json"))
+          Seq(sfKeyedAnchor, "bench_prior.json", "bench_out.json"))
         .map(java.nio.file.Paths.get(_))
         .filter(usableAnchor)
         .iterator

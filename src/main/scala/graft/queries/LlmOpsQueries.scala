@@ -2506,7 +2506,12 @@ object LlmOpsQueries {
     */
   val q182_remove_dup_spans: Q = Q(
     fn = (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // spread before the tokenize/gram kernels (the docsC discipline):
+      // removeDuplicateSpans re-derives tokens over its input THREE times
+      // (grams twice + rebuild), and an un-spread scan pins all three
+      // passes to the parquet file-split count — measured 10 tasks on 32
+      // cores at the sf3 spot point, 3x the wall of the spread plan
+      val docs = docsC(s, dir).select(col("doc_id"), col("text"))
       val boiler = docs.withColumn("text",
         when(col("doc_id") % 2 === 0,
           concat(col("text"), lit(" subscribe to our newsletter for free updates every day")))

@@ -136,6 +136,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeSet(now, prior, sentinel = 0.5, cap = 3).size == 3)
   }
 
+  test("sf1.0 anchor: committed SF-keyed record parses and arms the hard rule (r13 item 3)") {
+    assert(Bench.sfKeyedAnchorName("/tmp/sf1.0") == "bench_prior_sf1.0.json")
+    assert(Bench.sfKeyedAnchorName("/root/testdata/sf0.1") == "bench_prior_sf0.1.json")
+    val p = java.nio.file.Paths.get("bench_prior_sf1.0.json")
+    assume(java.nio.file.Files.isRegularFile(p), "sf1.0 anchor not committed in this checkout")
+    val txt = java.nio.file.Files.readString(p)
+    // the anchor must carry the sf1.0 data dir (SF guard accepts it at the
+    // scale point) and a non-empty per-query map (the hard rule has teeth)
+    assert(Bench.parsePriorSf(txt).contains("/tmp/sf1.0"))
+    val qs = Bench.parsePriorQueries(txt)
+    assert(qs.size >= 20, s"sf1.0 anchor carries only ${qs.size} query times")
+    assert(qs.values.forall(t => t > 0 && t < 120), "anchor times must be sane seconds")
+    // the r13-healthy heavy queries are present — the exact ones the sf1.0
+    // retime rule exists to police
+    assert(qs.contains("q184_pagerank") && qs.contains("q208_curation_v3"))
+  }
+
   test("retimeSet: sub-second anchors trip the hard rule at 1.5x (r13 q99 lesson)") {
     // the q99 shape: 0.29 s anchor, 0.52 s run = 1.81x — must now re-time
     val prior = Map("q99" -> 0.29, "sub" -> 0.5, "big" -> 5.0)

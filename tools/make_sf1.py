@@ -14,21 +14,21 @@ queries see 10x the corpus, not 10 exact copies of it — 10 identical copies
 would square the per-bucket candidate pairs and measure an artifact, not
 scaling. region/nation are dimension tables and copy through unchanged.
 
-Usage: python3 tools/make_sf1.py [/root/testdata/sf0.1 /tmp/sf1.0]
+Usage: python3 tools/make_sf1.py [/root/testdata/sf0.1 /tmp/sf1.0 [copies]]
 """
 import os
 import sys
 
 import duckdb
 
-COPIES = 10
+COPIES = 10  # default; third CLI arg overrides (e.g. 30 -> an sf3.0 point)
 OFF = 10_000_000  # per-copy key offset; sf0.1 keys are all < 1M
 
 
-def main(src: str, dst: str) -> None:
+def main(src: str, dst: str, copies: int = COPIES) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    rep = f"CROSS JOIN range({COPIES}) r(i)"
+    rep = f"CROSS JOIN range({copies}) r(i)"
 
     def emit(table: str, select: str, scaled: bool = True) -> None:
         frm = f"read_parquet('{src}/{table}.parquet') {rep if scaled else ''}"
@@ -68,4 +68,5 @@ def main(src: str, dst: str) -> None:
 
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(a[0] if a else "/root/testdata/sf0.1", a[1] if len(a) > 1 else "/tmp/sf1.0")
+    main(a[0] if a else "/root/testdata/sf0.1", a[1] if len(a) > 1 else "/tmp/sf1.0",
+         int(a[2]) if len(a) > 2 else COPIES)
