@@ -436,6 +436,77 @@ object Multimodal {
       }
   }
 
+  final case class DecodedVideo(
+      path: String, width: Int, height: Int, frames: Long, fps: Double,
+      durationSec: Double, checksum: Long)
+
+  /** Pluggable video codec — the seam that closes the video story the way
+    * [[AudioCodec]] closed mp3 (reference: `asset.py:19-149` video assets
+    * decode through torchvision/ffmpeg; no JVM video decoder exists on this
+    * classpath and shipping one is out of dependency scope — r14
+    * verified-absent: zero hits for jcodec / javacv / ffmpeg / humble /
+    * xuggle / jaffree / vlcj / JavaFX-media across ivy2, coursier, m2 and
+    * /opt/spark/jars, zero egress to fetch one). Unlike audio there is no
+    * JDK-built-in SPI analog of `AudioSystem`, so the registry is the ONLY
+    * integration point: a deployment drops a decoder jar and registers a
+    * codec — `Multimodal.registerVideoCodec(...)` — without forking.
+    * Instances must be Serializable: the registry snapshot is captured
+    * into the decode closure at plan time and ships to executors with it.
+    */
+  trait VideoCodec extends Serializable {
+    /** Cheap claim check (magic bytes / extension) — run before [[decode]]. */
+    def accepts(path: String, bytes: Array[Byte]): Boolean
+    /** Full decode; None hands the payload to the next codec / the stub. */
+    def decode(path: String, bytes: Array[Byte]): Option[DecodedVideo]
+  }
+
+  @volatile private var videoCodecs: Seq[VideoCodec] = Nil
+  def registerVideoCodec(codec: VideoCodec): Unit =
+    synchronized { videoCodecs = videoCodecs :+ codec }
+  def clearVideoCodecs(): Unit = synchronized { videoCodecs = Nil }
+
+  /** Video decode through the [[VideoCodec]] seam: registered codecs first
+    * (claim-checked in registration order), then the deterministic
+    * byte-derived stub — the pipeline shape (schema, partitioning, batch
+    * form) stays real and testable without any codec, exactly the
+    * [[decodeAudio]] contract. Null payloads yield the 1-frame placeholder,
+    * the same null-in/placeholder-out rule as [[decodeImages]]. The stub's
+    * frame count uses the [[frameSampleExpr]] 1024-bytes-per-frame model so
+    * the two stub surfaces agree.
+    */
+  def decodeVideo(assets: DataFrame, assetCol: String): Dataset[DecodedVideo] = {
+    implicit val enc: org.apache.spark.sql.Encoder[DecodedVideo] = Encoders.product[DecodedVideo]
+    // snapshot at PLAN time: the registry is driver-side state, the decode
+    // runs on executors — the captured Seq serializes with the closure
+    val plugged = videoCodecs
+    assets.select(col(s"$assetCol.path"), col(s"$assetCol.data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val path = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          plugged.iterator
+            .filter(_.accepts(path, bytes)).flatMap(_.decode(path, bytes))
+            .nextOption()
+            .getOrElse(fakeDecodeVideo(path, bytes))
+        }
+      }
+  }
+
+  /** Deterministic stub decode: dimensions/frames derived from the byte
+    * length (frames = the [[frameSampleExpr]] 1024-byte model, 24 fps),
+    * checksum = FNV over the payload — same construction as the image/audio
+    * stubs so composed pipelines stay cross-checkable.
+    */
+  private[ops] def fakeDecodeVideo(path: String, bytes: Array[Byte]): DecodedVideo = {
+    val n = if (bytes == null) 0 else bytes.length
+    val frames = math.max(1L, n / 1024L)
+    val checksum = if (n == 0) 0L else graft.functions.FnvHash64.hash(bytes)
+    DecodedVideo(path, width = math.max(1, n % 640),
+      height = math.max(1, (n / 640) % 480 + 1),
+      frames = frames, fps = 24.0, durationSec = frames / 24.0,
+      checksum = checksum)
+  }
+
   /** Frame-sample stub for video payloads: pick every `stride`-th synthetic
     * frame index from a byte-length-derived frame count.
     */

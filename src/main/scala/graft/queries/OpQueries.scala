@@ -50,6 +50,37 @@ object OpQueries {
       FROM customer LEFT JOIN o ON customer.c_custkey = o.c_custkey
       ORDER BY customer.c_custkey"""))
 
+  /** §2.3 merge(sort=True) (pandas `DataFrame.merge` sort flag — the last
+    * untested merge flag family): result ordered by the join keys. The
+    * key is UNIQUE on both sides (1:1), so head-after-sort is fully
+    * deterministic and the oracle's ORDER BY + LIMIT replays it exactly.
+    * Plan shape: the sort=True range exchange fuses with the head() into
+    * ONE TakeOrderedAndProject — no full global sort materializes for a
+    * head-of-sorted-merge, at any scale.
+    */
+  val q217_merge_sort: Q = Q(
+    fn = (s, dir) => {
+      val o = SDF(table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")))
+      val li = SDF(table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("qty")))
+      o.merge(li, on = Seq("o_orderkey"), how = "inner", sort = true,
+          validate = Some("1:1"))
+        .head(50)
+        .df
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"),
+          col("n_items"), col("qty"))
+    },
+    oracle = Some("""
+      WITH agg AS (
+        SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_quantity), 4) AS qty
+        FROM lineitem GROUP BY 1)
+      SELECT o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice, agg.n_items, agg.qty
+      FROM orders o JOIN agg USING (o_orderkey)
+      ORDER BY o_orderkey
+      LIMIT 50"""))
+
   /** §2.4 drop_duplicates(subset, keep="last")
     * (`ScalableDataFrame.py:1732-1738`): latest lineitem per supplier via one
     * hash-partitioned window (no global sort; scales per-key).
@@ -2171,6 +2202,7 @@ object OpQueries {
   val all: Map[String, Q] = Map(
     "q215_topk_keep_all" -> q215_topk_keep_all,
     "q216_value_counts_bins" -> q216_value_counts_bins,
+    "q217_merge_sort" -> q217_merge_sort,
     "q184_pagerank" -> q184_pagerank,
     "q185_upsert" -> q185_upsert,
     "q191_pivot_multi" -> q191_pivot_multi,

@@ -134,7 +134,8 @@ final class SDF private (private var _df: DataFrame) {
       how: String = "inner",
       suffixes: (String, String) = ("_x", "_y"),
       indicator: Boolean = false,
-      validate: Option[String] = None): SDF = {
+      validate: Option[String] = None,
+      sort: Boolean = false): SDF = {
     require(on.nonEmpty, "merge requires join keys")
     validate.foreach(v => SDF.validateMerge(_df, right.df, on, v))
 
@@ -145,20 +146,28 @@ final class SDF private (private var _df: DataFrame) {
       case "outer" => "full_outer"
       case h => h
     }
-    if (!indicator) SDF(l0.join(r0, on, sparkHow))
-    else {
-      // presence sentinels survive outer-join nulls, unlike key columns
-      val l1 = l0.withColumn("__l__", lit(1))
-      val r1 = r0.withColumn("__r__", lit(1))
-      val j = l1.join(r1, on, sparkHow)
-      SDF(
-        j.withColumn(
-          "_merge",
-          when(col("__l__").isNotNull && col("__r__").isNotNull, "both")
-            .when(col("__l__").isNotNull, "left_only")
-            .otherwise("right_only"))
-          .drop("__l__", "__r__"))
-    }
+    val joined =
+      if (!indicator) l0.join(r0, on, sparkHow)
+      else {
+        // presence sentinels survive outer-join nulls, unlike key columns
+        val l1 = l0.withColumn("__l__", lit(1))
+        val r1 = r0.withColumn("__r__", lit(1))
+        l1.join(r1, on, sparkHow)
+          .withColumn(
+            "_merge",
+            when(col("__l__").isNotNull && col("__r__").isNotNull, "both")
+              .when(col("__l__").isNotNull, "left_only")
+              .otherwise("right_only"))
+          .drop("__l__", "__r__")
+      }
+    // pandas merge(sort=True): result ordered lexicographically by the join
+    // keys — planned as ONE range exchange (sample + repartition-by-range +
+    // local sort), the standard distributed total order; pay it only when
+    // asked. sort=False makes NO order promise: pandas preserves left-frame
+    // order there, which a shuffled join cannot and does not replicate —
+    // callers needing pandas' tie order should carry an explicit position
+    // column (the engine-wide contract for order-sensitive ops).
+    SDF(if (sort) joined.orderBy(on.map(col): _*) else joined)
   }
 
   /** EXISTS / NOT EXISTS — absent in bears (SURVEY §2.3), first-class here. */

@@ -461,6 +461,43 @@ class OpsSpec extends AnyFunSuite {
     assert(bare("song.mp3").sampleRate == 16000f)
   }
 
+  test("pluggable VideoCodec seam: registered codec claims, stub is deterministic, null -> placeholder") {
+    // the AudioCodec pattern applied to video (r13 verdict item 6): no JVM
+    // video decoder exists on this classpath (verified-absent in COVERAGE),
+    // so the registry is the only integration point and the stub keeps the
+    // pipeline shape testable
+    val mp4ish = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("UTF-8") ++
+      Array.tabulate(4096)(i => (i * 7).toByte)
+    val txt = "not video".getBytes("UTF-8")
+    val assets = Seq(("clip.mp4", mp4ish), ("txt", txt), ("nul", null: Array[Byte]))
+      .toDF("id", "payload")
+      .select(Multimodal.assetStruct(col("id"), col("payload"), map()).as("asset"))
+    // stub path: byte-derived dims, 1024-bytes-per-frame (the
+    // frameSampleExpr model), 24 fps, FNV checksum — fully deterministic
+    val bare = Multimodal.decodeVideo(assets, "asset").collect().map(d => d.path -> d).toMap
+    assert(bare("clip.mp4").frames == (mp4ish.length / 1024).toLong)
+    assert(bare("clip.mp4").fps == 24.0 && bare("clip.mp4").checksum != 0L)
+    assert(math.abs(bare("clip.mp4").durationSec - bare("clip.mp4").frames / 24.0) < 1e-12)
+    assert(bare("txt").width == txt.length % 640 && bare("txt").frames == 1L)
+    // null payload -> 1-frame 1x1 placeholder, row kept (the decodeImages rule)
+    assert(bare("nul").width == 1 && bare("nul").height == 1 &&
+      bare("nul").frames == 1L && bare("nul").checksum == 0L)
+    // a registered codec claims its magic; unclaimed payloads keep the stub
+    Multimodal.registerVideoCodec(new Multimodal.VideoCodec {
+      def accepts(path: String, bytes: Array[Byte]): Boolean =
+        bytes != null && bytes.length >= 12 &&
+          new String(bytes, 4, 4, "UTF-8") == "ftyp"
+      def decode(path: String, bytes: Array[Byte]): Option[Multimodal.DecodedVideo] =
+        Some(Multimodal.DecodedVideo(path, 1920, 1080, 240L, 30.0, 8.0, 42L))
+    })
+    try {
+      val decoded = Multimodal.decodeVideo(assets, "asset").collect().map(d => d.path -> d).toMap
+      assert(decoded("clip.mp4").width == 1920 && decoded("clip.mp4").frames == 240L,
+        "registered codec must claim the mp4 payload")
+      assert(decoded("txt").frames == 1L, "unclaimed payloads keep the stub")
+    } finally Multimodal.clearVideoCodecs()
+  }
+
   test("WindowStats.ewmVar matches explicit pandas effective-weight formula") {
     import graft.ops.WindowStats
     val xs = Seq(1.0, 2.0, 3.0, 4.0)
