@@ -37,8 +37,9 @@ object Format {
   case object Binary extends Format(Seq(".bin", ".png", ".jpg", ".jpeg", ".pdf", ".wav", ".mp3", ".mp4"))
   case object Npz extends Format(Seq(".npz", ".npy"))
   case object Orc extends Format(Seq(".orc"))
+  case object Pickle extends Format(Seq(".pickle", ".pkl"))
 
-  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz, Orc)
+  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz, Orc, Pickle)
 
   /** Longest-matching file ending (`FileMetadata.py:122-147`). */
   def detect(path: String): Format = {
@@ -87,6 +88,7 @@ object Readers {
       case Format.JsonLines | Format.Json => spark.read.json(path)
       case Format.Binary => spark.read.format("binaryFile").load(path)
       case Format.Npz => Npz.read(spark, path)
+      case Format.Pickle => Pickle.readRecords(spark, path)
       case Format.Yaml =>
         throw new IllegalArgumentException("YAML is a config format; use Config.load")
     }
@@ -200,6 +202,7 @@ object Writers {
       case Format.Orc => w.orc(meta.path)
       case Format.JsonLines | Format.Json => w.json(meta.path)
       case Format.Npz => Npz.write(out, meta.path) // driver-side single-file sink
+      case Format.Pickle => Pickle.writeRecords(out, meta.path) // driver-side single-file sink
       case other => throw new IllegalArgumentException(s"unwritable format $other")
     }
   }

@@ -140,6 +140,30 @@ object IoQueries {
       FROM supplier
       ORDER BY s_suppkey"""))
 
+  /** Pickle sink → pickle scan round-trip (`reader/binary/PickleReader.py:20-34`
+    * `pickle.load` / `writer/binary/PickleWriter.py:20-27` `pickle.dump`):
+    * pure-JVM codec for the documented pickle protocol (read 0–5, write 4),
+    * container-blob contract — a DataFrame travels as a Python list-of-dicts.
+    * Driver-local interchange format exactly as in the reference; bulk data
+    * stays parquet.
+    */
+  val q218_pickle_roundtrip: Q = Q(
+    fn = (s, dir) => {
+      val out = scratch("nation_pickle") + ".pkl"
+      new java.io.File(out).getParentFile.mkdirs()
+      val subset = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Writers.write(subset, FileMetadata.of(out))
+      Readers.read(s, out)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    oracle = Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation
+      ORDER BY n_nationkey"""))
+
   /** ORC sink → ORC scan round-trip (parity-plus: ORC ships inside
     * spark-sql; a columnar alternative to parquet with the same pushdown/
     * pruning story — relevant wherever a lakehouse standardized on ORC).
@@ -698,6 +722,7 @@ object IoQueries {
     "q71_jsonl_roundtrip" -> q71_jsonl_roundtrip,
     "q72_compress_roundtrip" -> q72_compress_roundtrip,
     "q79_npz_roundtrip" -> q79_npz_roundtrip,
+    "q218_pickle_roundtrip" -> q218_pickle_roundtrip,
     "q64_asof_join" -> q64_asof_join,
     "q96_asof_tolerance" -> q96_asof_tolerance,
     "q65_scalar_funcs" -> q65_scalar_funcs,
