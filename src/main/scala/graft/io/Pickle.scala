@@ -339,17 +339,36 @@ object Pickle {
     normalize(result)
   }
 
-  /** Freeze the mutable build containers into immutable Scala values. */
-  private def normalize(v: Any): Any = v match {
-    case b: mutable.ArrayBuffer[_] => b.toVector.map(normalize)
-    case t: Vector[_] => t.map(normalize)
-    case m: mutable.LinkedHashMap[_, _] =>
-      // LinkedHashMap → VectorMap preserves Python 3.7+ dict insertion order
-      scala.collection.immutable.VectorMap.from(
-        m.iterator.map { case (k, x) => (normalize(k), normalize(x)) })
-    case s: mutable.LinkedHashSet[_] =>
-      scala.collection.immutable.ListSet.from(s.iterator.map(normalize))
-    case other => other
+  /** Freeze the mutable build containers into immutable Scala values.
+    * Cycle guard: pickle can encode self-referential containers
+    * (`l.append(l)`); a data blob never does, so refuse loudly instead of
+    * overflowing the stack.
+    */
+  private def normalize(v: Any): Any = {
+    val inFlight = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def go(x: Any): Any = x match {
+      case c: AnyRef if (c.isInstanceOf[mutable.ArrayBuffer[_]] ||
+          c.isInstanceOf[mutable.LinkedHashMap[_, _]] ||
+          c.isInstanceOf[mutable.LinkedHashSet[_]] || c.isInstanceOf[Vector[_]]) &&
+          !inFlight.add(c) =>
+        throw new IllegalArgumentException(
+          "pickle: self-referential container unsupported (container-blob contract)")
+      case b: mutable.ArrayBuffer[_] =>
+        val r = b.toVector.map(go); inFlight.remove(b); r
+      case t: Vector[_] =>
+        val r = t.map(go); inFlight.remove(t); r
+      case m: mutable.LinkedHashMap[_, _] =>
+        // LinkedHashMap → VectorMap preserves Python 3.7+ dict insertion order
+        val r = scala.collection.immutable.VectorMap.from(
+          m.iterator.map { case (k, y) => (go(k), go(y)) }.toIndexedSeq)
+        inFlight.remove(m); r
+      case s: mutable.LinkedHashSet[_] =>
+        val r = scala.collection.immutable.ListSet.from(s.iterator.map(go).toIndexedSeq)
+        inFlight.remove(s); r
+      case other => other
+    }
+    go(v)
   }
 
   // -------------------------------------------------------------- write side
@@ -454,40 +473,41 @@ object Pickle {
     */
   def readRecords(spark: SparkSession, path: String): DataFrame = {
     val blob = load(path)
-    val records: Seq[Map[String, Any]] = blob match {
+    // rows as ORDERED (key, value) pairs — the unpickled dicts are VectorMaps,
+    // so iteration order IS Python insertion order; keep it that way
+    val records: Seq[IndexedSeq[(String, Any)]] = blob match {
       case rows: Seq[_] => rows.map {
         case m: collection.Map[_, _] =>
-          m.asInstanceOf[collection.Map[Any, Any]].map { case (k, v) => (k.toString, v) }.toMap
+          m.asInstanceOf[collection.Map[Any, Any]].iterator
+            .map { case (k, v) => (k.toString, v) }.toIndexedSeq
         case other => throw new IllegalArgumentException(
           s"pickle records blob: expected dict rows, got ${other.getClass.getSimpleName}")
       }
       case cols: collection.Map[_, _] =>
         val cm = cols.asInstanceOf[collection.Map[Any, Any]].iterator.map {
-          case (k, v: Seq[_]) => (k.toString, v)
+          case (k, v: collection.Seq[_]) => (k.toString, v.toIndexedSeq)
           case (k, other) => throw new IllegalArgumentException(
             s"pickle columns blob: column $k is ${other.getClass.getSimpleName}, want list")
         }.toIndexedSeq
         val n = cm.headOption.map(_._2.size).getOrElse(0)
         cm.foreach { case (k, v) => require(v.size == n, s"pickle column $k ragged: ${v.size} vs $n") }
-        (0 until n).map(i => cm.iterator.map { case (k, v) => (k, v(i)) }.toMap)
+        (0 until n).map(i => cm.map { case (k, v) => (k, v(i)) })
       case other => throw new IllegalArgumentException(
         s"pickle blob is ${if (other == null) "None" else other.getClass.getSimpleName}; " +
           "DataFrame bridge needs list-of-dicts or dict-of-lists (use Pickle.load for raw blobs)")
     }
     // first-seen column order across all rows (rows may omit keys)
     val names = mutable.LinkedHashSet.empty[String]
-    records.foreach(r => blob match {
-      case _: collection.Map[_, _] => r.keys.foreach(names += _) // already ordered per construction
-      case _ => r.keys.foreach(names += _)
-    })
+    records.foreach(_.foreach { case (k, _) => names += k })
     val cols = names.toIndexedSeq
+    val recordMaps: Seq[Map[String, Any]] = records.map(_.toMap)
     val fields = cols.map { c =>
-      val firstNonNull = records.iterator.map(_.getOrElse(c, null)).find(_ != null)
-      val tpe = inferType(c, firstNonNull, records)
+      val firstNonNull = recordMaps.iterator.map(_.getOrElse(c, null)).find(_ != null)
+      val tpe = inferType(c, firstNonNull, recordMaps)
       StructField(c, tpe, nullable = true)
     }
     val schema = StructType(fields)
-    val rows = records.map { r =>
+    val rows = recordMaps.map { r =>
       Row.fromSeq(cols.zip(fields).map { case (c, f) => toSparkValue(r.getOrElse(c, null), f.dataType, c) })
     }
     spark.createDataFrame(

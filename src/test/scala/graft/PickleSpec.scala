@@ -156,6 +156,23 @@ class PickleSpec extends AnyFunSuite {
     assert(Pickle.loads(Files.readAllBytes(Paths.get(out))).asInstanceOf[Seq[_]].size == 5)
   }
 
+  test("self-referential pickle is refused, not a stack overflow") {
+    val e = intercept[IllegalArgumentException](Pickle.loads(fixture("self_ref.pkl")))
+    assert(e.getMessage.contains("self-referential"))
+  }
+
+  test("records column order is first-seen key order, not hash order") {
+    // 6+ columns defeats Scala's small-Map insertion-order accident; rows
+    // carry shuffled key orders and a late-appearing key
+    val df = Pickle.readRecords(spark, resourcePath("records_order_p4.pkl"))
+    assert(df.columns.toSeq == Seq("c1", "c2", "c3", "c4", "c5", "c6", "late"))
+    val rows = df.orderBy("c1").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(6) && rows(2).getString(6) == "tail")
+    // row 2's reversed key order still lands values in the right columns
+    assert(rows(1).getString(1) == "b" && rows(1).getLong(4) == 20L)
+  }
+
   test("protocol-0 raw-unicode-escape astral text decodes to codepoints") {
     val got = Pickle.loads(fixture("blob_p0.pkl")).asInstanceOf[collection.Map[Any, Any]]
     val s = got("astral").asInstanceOf[String]
