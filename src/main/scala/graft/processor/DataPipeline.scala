@@ -410,31 +410,88 @@ final class DataPipeline(
   def loadState(path: String): this.type = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-    val out = Seq.newBuilder[ResolvedStep]
-    // Saved entries are the RESOLVED steps in config order (minus any
-    // missing-column SKIPs), so each entry matches the next not-yet-consumed
-    // config step with its transformer name — a sequential cursor, NOT
-    // `config.steps.find`: find always returns the FIRST occurrence, so a
-    // pipeline with two same-transformer steps (e.g. two StringRemoval
-    // steps with different removal lists) would restore BOTH with the first
-    // step's params, silently changing the second step's behavior.
-    var cursor = 0
-    (0 until node.size()).foreach { i =>
+    restoreEntries((0 until node.size()).map { i =>
       val stepNode = node.get(i)
-      val name = stepNode.get("transformer").asText()
+      val binds = stepNode.get("bindings")
+      (stepNode.get("transformer").asText(), (0 until binds.size()).map { j =>
+        val b = binds.get(j)
+        val stateMap = b.get("state").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+        (b.get("inputs").asText().split(",").toSeq, stateMap, b.get("output").asText())
+      })
+    })
+  }
+
+  /** Fitted state as a pickle blob — the reference serializes whole
+    * pipelines with (cloud)pickle (`_DataPipeline.py:1040-1064`); the JVM
+    * analog pickles the explicit fitted STATE (data, not code — the
+    * container-blob contract of `io.Pickle`), so a bears-side Python tool
+    * can `pickle.load` a graft pipeline's state and vice versa. Structure:
+    * `[{"transformer": str, "bindings": [{"inputs": [str], "output": str,
+    * "state": {str: str}}]}]` — same shape as the JSON form, but inputs
+    * travel as a real list (no comma-join restriction on column names).
+    */
+  def saveStatePickle(path: String): Unit = {
+    val blob = steps.map { s =>
+      scala.collection.immutable.VectorMap[Any, Any](
+        "transformer" -> s.transformer,
+        "bindings" -> s.bindings.map { case (ins, proc, o) =>
+          scala.collection.immutable.VectorMap[Any, Any](
+            "inputs" -> ins, "output" -> o,
+            "state" -> scala.collection.immutable.VectorMap.from[Any, Any](proc.state))
+        })
+    }
+    graft.io.Pickle.dump(blob, path)
+  }
+
+  /** Restore fitted state from a pickle blob written by [[saveStatePickle]]
+    * (or by Python `pickle.dump` of the same structure).
+    */
+  def loadStatePickle(path: String): this.type = {
+    val blob = graft.io.Pickle.load(path) match {
+      case rows: Seq[_] => rows
+      case other => throw new IllegalArgumentException(
+        s"pipeline state pickle: expected a list of step dicts, got " +
+          s"${if (other == null) "None" else other.getClass.getSimpleName}")
+    }
+    restoreEntries(blob.map { step =>
+      val m = step.asInstanceOf[collection.Map[Any, Any]]
+      (m("transformer").toString,
+        m("bindings").asInstanceOf[Seq[Any]].map { bind =>
+          val b = bind.asInstanceOf[collection.Map[Any, Any]]
+          (b("inputs").asInstanceOf[Seq[Any]].map(_.toString),
+            b("state").asInstanceOf[collection.Map[Any, Any]]
+              .map { case (k, v) => k.toString -> v.toString }.toMap,
+            b("output").toString)
+        })
+    })
+  }
+
+  /** Shared restore: entries are `(transformer, bindings)` with each binding
+    * `(inputCols, fittedState, outputCol)`.
+    *
+    * Saved entries are the RESOLVED steps in config order (minus any
+    * missing-column SKIPs), so each entry matches the next not-yet-consumed
+    * config step with its transformer name — a sequential cursor, NOT
+    * `config.steps.find`: find always returns the FIRST occurrence, so a
+    * pipeline with two same-transformer steps (e.g. two StringRemoval
+    * steps with different removal lists) would restore BOTH with the first
+    * step's params, silently changing the second step's behavior.
+    */
+  private def restoreEntries(
+      entries: Seq[(String, Seq[(Seq[String], Map[String, String], String)])]): this.type = {
+    val out = Seq.newBuilder[ResolvedStep]
+    var cursor = 0
+    entries.zipWithIndex.foreach { case ((name, binds), i) =>
       val found = config.steps.indexWhere(_.transformer == name, cursor)
       if (found < 0) throw new IllegalArgumentException(
         s"state references unknown (or out-of-order) step $name at entry $i")
       val cfg = config.steps(found)
       cursor = found + 1
-      val binds = stepNode.get("bindings")
-      out += ResolvedStep(name, (0 until binds.size()).map { j =>
-        val b = binds.get(j)
+      out += ResolvedStep(name, binds.map { case (ins, stateMap, o) =>
         val proc = ProcessorRegistry.create(name, cfg.params)
-        val st = b.get("state")
-        val stateMap = st.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
         proc.restore(stateMap)
-        (b.get("inputs").asText().split(",").toSeq, proc, b.get("output").asText())
+        (ins, proc, o)
       })
     }
     resolved = Some(out.result())

@@ -201,6 +201,41 @@ class ProcessorSpec extends AnyFunSuite {
     assert(out2.select("cat_enc", "up").collect().toSeq == out.select("cat_enc", "up").collect().toSeq)
   }
 
+  test("pipeline fitted state round-trips through a pickle blob") {
+    // reference parity: `_DataPipeline.py:1040-1064` pickles the pipeline;
+    // the JVM analog pickles the explicit fitted state as a container blob
+    // a Python tool can `pickle.load` directly
+    val yaml =
+      """pipeline:
+        |  - input: [categorical]
+        |    transformer: LabelEncoding
+        |    output: "{col_name}_enc"
+        |  - input: ["t.*t"]
+        |    transformer: CaseTransformation
+        |    params: {case: upper}
+        |    output: "up"
+        |""".stripMargin
+    val cfg = PipelineConfig.fromYaml(yaml)
+    val schema = MLSchema(Map("txt" -> MLType.Text, "cat" -> MLType.Categorical))
+    val df = Seq(("x", "a"), ("y", "b")).toDF("txt", "cat")
+    val pipe = new DataPipeline(cfg)
+    val out = pipe.fitTransform(df, schema)
+    val tmp = java.nio.file.Files.createTempFile("pipe", ".pkl").toString
+    pipe.saveStatePickle(tmp)
+    // the blob IS the documented structure (list of step dicts, inputs as a
+    // real list — no comma-join restriction)
+    val blob = graft.io.Pickle.load(tmp).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[collection.Map[Any, Any]])
+    assert(blob.map(_("transformer")) == Seq("LabelEncoding", "CaseTransformation"))
+    val binds = blob.head("bindings").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[collection.Map[Any, Any]])
+    assert(binds.head("inputs").isInstanceOf[Seq[_]])
+    val pipe2 = new DataPipeline(cfg).loadStatePickle(tmp)
+    val out2 = pipe2.transform(df, schema)
+    assert(out2.select("cat_enc", "up").collect().toSeq ==
+      out.select("cat_enc", "up").collect().toSeq)
+  }
+
   test("loadState restores same-name steps by position, not first-match params") {
     // regression: config.steps.find(_.transformer == name) returned the
     // FIRST step for every same-transformer entry, so a pipeline with two
