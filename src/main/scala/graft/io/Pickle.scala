@@ -127,6 +127,11 @@ object Pickle {
       sb.result()
     }
     def readN(n: Int): Array[Byte] = {
+      // corrupt input can claim a multi-GB payload length; check against the
+      // remaining stream BEFORE allocating (available() is exact for the
+      // byte-array path and file-remaining for the buffered-file path)
+      if (n > (1 << 20))
+        require(n <= in.available() + (1 << 20), s"pickle: length $n exceeds remaining input")
       val b = new Array[Byte](n); in.readFully(b); b
     }
     def u1(): Int = in.readUnsignedByte()
