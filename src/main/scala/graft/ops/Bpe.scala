@@ -1,0 +1,214 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING at corpus scale — the op a
+  * 100 TB training-data pipeline runs once per dataset release to fit the
+  * tokenizer the rest of the pipeline counts/packs with. The reference has
+  * token *counting* utilities but no trainer; this follows the published
+  * BPE algorithm (Sennrich, Haddow & Birch 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units" — the algorithm every
+  * production trainer implements).
+  *
+  * Scale shape — the two-phase design every real trainer uses:
+  *   1. `wordCounts` (DISTRIBUTED): corpus → (word, count). Text crosses
+  *      the wire exactly once into one hash aggregation; Heaps' law keeps
+  *      the distinct-word table orders of magnitude smaller than the
+  *      corpus (~1M distinct words for 100 GB of English), and it shrinks
+  *      RELATIVE to corpus size as the corpus grows.
+  *   2. `train` (DRIVER-LOCAL, EXACT): the merge loop on the collected
+  *      word table, under a hard `maxDistinctWords` ceiling with a loud
+  *      refusal (the TF-IDF driver-vocab ceiling policy). This is not a
+  *      compromise: HuggingFace `tokenizers` and SentencePiece train from
+  *      an in-memory word-frequency table too — per-round arg-max over
+  *      mutating state is inherently sequential, and the corpus-sized work
+  *      is all in phase 1. The loop is the standard incremental algorithm:
+  *      a pair→count table plus a pair→words inverted index, so each merge
+  *      touches only the words containing the merged pair.
+  *
+  * Determinism: ties on pair count break by (left, right) lexicographic
+  * order — same table, same merges, any partitioning, any round.
+  *
+  * NO DuckDB ORACLE for the training query (q219): each round is an
+  * arg-max aggregation over state mutated by the previous round, and SQL
+  * recursive CTEs prohibit aggregation over the recursive term — this is
+  * the documented non-SQL-expressible case. Correctness is pinned instead
+  * by BpeSpec: the published toy-corpus merge sequence, a naive-reference
+  * differential on random corpora, and distributed-vs-local word-count
+  * equivalence.
+  */
+object Bpe {
+
+  /** End-of-word marker, as in the original algorithm — lets the tokenizer
+    * distinguish "est" inside a word from "est" ending one.
+    */
+  val EndOfWord = "</w>"
+
+  /** One learned merge: `left + right → token`, with the pair count at the
+    * time of the merge (monotonically useful diagnostics: counts never
+    * increase along the rank order on a fixed table).
+    */
+  final case class Merge(rank: Int, left: String, right: String, token: String, pairCount: Long)
+
+  // ------------------------------------------------------- phase 1 (cluster)
+
+  /** Corpus → (word, count): the distributed pass. Pre-tokenizer is the
+    * engine's word tokenizer ([[TextAnalysis.tokens]] — lowercase, split on
+    * non-letter/number); one explode + one hash aggregation, map-side
+    * combined, no text re-shuffle.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  // -------------------------------------------------------- phase 2 (driver)
+
+  /** Exact BPE merge loop over a (word, count) table. Words are symbol
+    * sequences of Unicode CODEPOINTS (the engine-wide char-unit contract —
+    * an astral emoji is ONE base symbol) plus [[EndOfWord]].
+    *
+    * @param maxDistinctWords hard driver ceiling — loud refusal, never a
+    *   silent truncation. 2M words × ~10 symbols ≈ 160 MB of driver state.
+    */
+  def train(wordCounts: DataFrame, numMerges: Int,
+      maxDistinctWords: Long = 2000000L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges $numMerges < 0")
+    val total = wordCounts.count()
+    require(total <= maxDistinctWords,
+      s"BPE train: $total distinct words exceeds the $maxDistinctWords driver ceiling — " +
+        "raise maxDistinctWords deliberately or pre-filter rare words " +
+        "(e.g. wordCounts.filter(col(\"n\") >= 2))")
+    val rows = wordCounts.select(col("word").cast("string"), col("n").cast("long")).collect()
+    val words: Array[(Array[String], Long)] = rows.iterator
+      .filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
+      .map { r =>
+        val w = r.getString(0)
+        val syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        ((syms :+ EndOfWord), r.getLong(1))
+      }.toArray
+    trainLocal(words, numMerges)
+  }
+
+  /** The exact incremental merge loop over pre-built symbol sequences —
+    * public both for the spec differential and for callers that already
+    * hold a local word table.
+    */
+  def trainLocal(words: Array[(Array[String], Long)], numMerges: Int): Seq[Merge] = {
+    // mutable word state + pair stats + inverted index pair→word ids
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      words.map { case (s, _) => mutable.ArrayBuffer.from(s) }
+    val cnt: Array[Long] = words.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def addPair(p: (String, String), c: Long, w: Int): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + c
+      if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+      if (c > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+    }
+    syms.indices.foreach { w =>
+      val s = syms(w)
+      var i = 0
+      while (i < s.length - 1) { addPair((s(i), s(i + 1)), cnt(w), w); i += 1 }
+    }
+
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    while (rank < numMerges && pairCount.nonEmpty) {
+      // deterministic arg-max: count desc, then (left, right) lexicographic
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      pairCount.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (bestC <= 0) { rank = numMerges } // only dead pairs left
+      else {
+        val token = best._1 + best._2
+        out += Merge(rank, best._1, best._2, token, bestC)
+        // merge in affected words only, updating pair stats incrementally
+        val affected = pairWords.getOrElse(best, mutable.HashSet.empty).toArray
+        affected.foreach { w =>
+          val s = syms(w); val c = cnt(w)
+          var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == best._1 && s(i + 1) == best._2) {
+              // retire neighbors of the two merged symbols...
+              if (i > 0) addPair((s(i - 1), s(i)), -c, w)
+              addPair((s(i), s(i + 1)), -c, w)
+              if (i + 2 < s.length) addPair((s(i + 1), s(i + 2)), -c, w)
+              s(i) = token
+              s.remove(i + 1)
+              // ...and enroll the new ones around the merged token
+              if (i > 0) addPair((s(i - 1), s(i)), c, w)
+              if (i + 1 < s.length) addPair((s(i), s(i + 1)), c, w)
+              // do NOT advance: "a a a" with merge (a,a) greedily left-folds,
+              // matching the reference algorithm's re-scan semantics
+            } else i += 1
+          }
+        }
+        pairCount.remove(best)
+        pairWords.remove(best)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- outputs
+
+  /** Learned merges as a DataFrame `(rank, left, right, token, pair_count)`
+    * — broadcastable state for downstream joins, and the q219 result shape.
+    */
+  def merges(spark: SparkSession, ms: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    ms.map(m => (m.rank, m.left, m.right, m.token, m.pairCount))
+      .toDF("rank", "left", "right", "token", "pair_count")
+  }
+
+  /** Full vocabulary in id order: base symbols (sorted, codepoint order)
+    * then merge tokens by rank — the (token → id) table a tokenizer ships.
+    * Base symbols are CODEPOINTS (char-unit contract): the word table is
+    * collected under the same ceiling as [[train]] and split driver-side —
+    * a `split(word, "")` Column would cut astral chars into surrogate
+    * halves (the exact UTF-16 bug class r14 unified away).
+    */
+  def vocabulary(spark: SparkSession, wordCounts: DataFrame, ms: Seq[Merge],
+      maxDistinctWords: Long = 2000000L): DataFrame = {
+    import spark.implicits._
+    val total = wordCounts.count()
+    require(total <= maxDistinctWords,
+      s"BPE vocabulary: $total distinct words exceeds the $maxDistinctWords driver ceiling")
+    val base = mutable.SortedSet.empty[String]
+    wordCounts.select("word").collect().foreach { r =>
+      if (!r.isNullAt(0))
+        r.getString(0).codePoints().toArray
+          .foreach(cp => base += new String(Character.toChars(cp)))
+    }
+    val toks = (base.toSeq :+ EndOfWord) ++ ms.map(_.token)
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "token")
+  }
+
+  /** Exact merge-order application to one word (spec + record-regime use;
+    * the corpus-scale APPLY path is the native greedy
+    * [[graft.functions.VocabTokenCount]] over [[vocabulary]] — the
+    * greedy-vs-merge-order difference is documented there).
+    */
+  def applyWord(word: String, ms: Seq[Merge]): Seq[String] = {
+    val s = mutable.ArrayBuffer.from(
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))) :+ EndOfWord
+    ms.foreach { m =>
+      var i = 0
+      while (i < s.length - 1) {
+        if (s(i) == m.left && s(i + 1) == m.right) { s(i) = m.token; s.remove(i + 1) }
+        else i += 1
+      }
+    }
+    s.toSeq
+  }
+}

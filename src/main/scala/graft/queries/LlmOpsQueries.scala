@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.GraftSession.table
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data operator corpus (SURVEY.md §7 M5b; graded first-class):
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
@@ -3001,7 +3001,26 @@ object LlmOpsQueries {
       ORDER BY doc_id"""),
     bench = true)
 
+  /** BPE tokenizer training ([[graft.ops.Bpe]]): the distributed word-count
+    * pass + the exact driver merge loop (Sennrich et al. 2016). NO DuckDB
+    * ORACLE BY DESIGN — each merge round is an arg-max aggregation over
+    * state mutated by the previous round, and SQL recursive CTEs prohibit
+    * aggregation over the recursive term (the sanctioned
+    * non-SQL-expressible case: the driver records the rows-only check).
+    * Correctness is spec-pinned instead: the published toy-corpus merge
+    * sequence, a naive-reference differential on random corpora, and
+    * distributed-vs-local word-count equivalence (BpeSpec).
+    */
+  val q219_bpe_train: Q = Q(
+    fn = (s, dir) => {
+      val wc = Bpe.wordCounts(table(s, dir, "documents"), "text")
+      val ms = Bpe.train(wc, numMerges = 40)
+      Bpe.merges(s, ms).orderBy(col("rank"))
+    },
+    oracle = None)
+
   val all: Map[String, Q] = Map(
+    "q219_bpe_train" -> q219_bpe_train,
     "q208_curation_v3" -> q208_curation_v3,
     "q200_vocab_pieces" -> q200_vocab_pieces,
     "q198_vocab_tokens" -> q198_vocab_tokens,
