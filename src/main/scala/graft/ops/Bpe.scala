@@ -103,31 +103,48 @@ object Bpe {
     val cnt: Array[Long] = words.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // lazy max-heap over (count, pair) SNAPSHOTS: entries go stale when a
+    // count changes; pop discards any entry that disagrees with pairCount.
+    // Keeps each round's arg-max at O(log) amortized instead of a full
+    // pair-table scan — the difference between minutes and hours at a real
+    // 32k-merge vocabulary. Order: count desc, then (left, right) ASC —
+    // the deterministic tie-break law.
+    val heap = mutable.PriorityQueue.empty[((String, String), Long)](
+      Ordering.by[((String, String), Long), (Long, String, String)] {
+        case ((l, r), c) => (c, l, r)
+      }(Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse)))
 
     def addPair(p: (String, String), c: Long, w: Int): Unit = {
       val nc = pairCount.getOrElse(p, 0L) + c
       if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+      if (nc > 0L) heap.enqueue((p, nc))
       if (c > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
     }
+    // init WITHOUT the heap (every position would enqueue an intermediate
+    // snapshot — corpus-symbol-count entries); seed it once afterwards
     syms.indices.foreach { w =>
       val s = syms(w)
       var i = 0
-      while (i < s.length - 1) { addPair((s(i), s(i + 1)), cnt(w), w); i += 1 }
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCount(p) = pairCount.getOrElse(p, 0L) + cnt(w)
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += w
+        i += 1
+      }
     }
+    pairCount.foreach { case (p, c) => heap.enqueue((p, c)) }
 
     val out = Seq.newBuilder[Merge]
     var rank = 0
     while (rank < numMerges && pairCount.nonEmpty) {
-      // deterministic arg-max: count desc, then (left, right) lexicographic
+      // deterministic arg-max via the lazy heap: discard stale snapshots
       var best: (String, String) = null
       var bestC = Long.MinValue
-      pairCount.foreach { case (p, c) =>
-        if (c > bestC || (c == bestC &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
-          best = p; bestC = c
-        }
+      while (best == null && heap.nonEmpty) {
+        val (p, c) = heap.dequeue()
+        if (pairCount.get(p).contains(c)) { best = p; bestC = c }
       }
-      if (bestC <= 0) { rank = numMerges } // only dead pairs left
+      if (best == null || bestC <= 0) { rank = numMerges } // only dead pairs left
       else {
         val token = best._1 + best._2
         out += Merge(rank, best._1, best._2, token, bestC)
