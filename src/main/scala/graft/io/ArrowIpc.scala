@@ -1,0 +1,201 @@
+package graft.io
+
+import java.io.{FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC stream source/sink — the interchange closure for the
+  * reference's torch `ScalableDataFrameDataset` adapter
+  * (`core/frame/ScalableDataFrameDataset.py:13-72`): the JVM cannot host
+  * torch, but every Python DataLoader stack consumes Arrow zero-copy
+  * (`pyarrow.ipc.open_stream` → `to_batches` → tensors), so emitting the
+  * standard IPC stream format IS the adapter. Uses the arrow-vector
+  * library Spark itself ships — no new dependency.
+  *
+  * Scale note: this is the LAST-HOP feed format (one stream per training
+  * worker), not a bulk store — the sink iterates `toLocalIterator` with
+  * bounded memory (one batch materialized at a time) and the read side
+  * mirrors it. Bulk data stays parquet; shard upstream with
+  * [[graft.stream.BatchStream]] / `shard=(rank,k)` and write one stream
+  * per shard.
+  *
+  * Types: the DataLoader surface — integral/floating scalars, boolean,
+  * string, binary, and `array<numeric>` embeddings. Anything else refuses
+  * loudly (no silent casts).
+  */
+object ArrowIpc {
+
+  /** Write `df` as ONE Arrow IPC stream file (driver-side, bounded memory:
+    * `batchRows` rows per record batch, one batch in flight).
+    */
+  def writeStream(df: DataFrame, path: String, batchRows: Int = 8192): Unit = {
+    require(batchRows > 0, s"batchRows $batchRows <= 0")
+    require(Storage.detect(path) == Storage.Local,
+      s"Arrow IPC sink writes a driver-local stream (got: $path)")
+    val sparkSchema = df.schema
+    sparkSchema.fields.foreach(f => arrowField(f)) // validate types up front
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val schema = new ArrowSchema(java.util.Arrays.asList(
+        sparkSchema.fields.map(arrowField): _*))
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        val out = new FileOutputStream(path)
+        val writer = new ArrowStreamWriter(root, null, out.getChannel)
+        try {
+          writer.start()
+          val it = df.toLocalIterator()
+          val buf = mutable.ArrayBuffer.empty[Row]
+          def flush(): Unit = if (buf.nonEmpty) {
+            fillRoot(root, sparkSchema, buf)
+            writer.writeBatch()
+            buf.clear()
+          }
+          while (it.hasNext) {
+            buf += it.next()
+            if (buf.size >= batchRows) flush()
+          }
+          flush()
+          writer.end()
+        } finally { writer.close(); out.close() }
+      } finally root.close()
+    } finally alloc.close()
+  }
+
+  /** Read an Arrow IPC stream file back as a DataFrame (driver-side parse,
+    * parallelized out to `defaultParallelism`).
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val in = new FileInputStream(path)
+      val reader = new ArrowStreamReader(in.getChannel, alloc)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val sparkSchema = StructType(
+          root.getSchema.getFields.toArray(Array.empty[Field]).map(sparkField))
+        val rows = mutable.ArrayBuffer.empty[Row]
+        while (reader.loadNextBatch()) {
+          val n = root.getRowCount
+          (0 until n).foreach { i =>
+            rows += Row.fromSeq(sparkSchema.indices.map(j =>
+              readCell(root.getVector(j), i)))
+          }
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq,
+            math.max(1, spark.sparkContext.defaultParallelism)), sparkSchema)
+      } finally { reader.close(); in.close() }
+    } finally alloc.close()
+  }
+
+  // ------------------------------------------------------------ type mapping
+
+  private def arrowField(f: StructField): Field = {
+    def prim(t: ArrowType): Field =
+      new Field(f.name, new FieldType(f.nullable, t, null), null)
+    f.dataType match {
+      case LongType => prim(new ArrowType.Int(64, true))
+      case IntegerType => prim(new ArrowType.Int(32, true))
+      case DoubleType => prim(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case FloatType => prim(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+      case BooleanType => prim(ArrowType.Bool.INSTANCE)
+      case StringType => prim(ArrowType.Utf8.INSTANCE)
+      case BinaryType => prim(ArrowType.Binary.INSTANCE)
+      case ArrayType(et, _) =>
+        val child = arrowField(StructField("item", et, nullable = true))
+        new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+          java.util.Arrays.asList(child))
+      case other => throw new IllegalArgumentException(
+        s"Arrow IPC sink for $other unsupported (column ${f.name}) — the DataLoader " +
+          "surface is scalars, strings, binary, and array<numeric> embeddings")
+    }
+  }
+
+  private def sparkField(f: Field): StructField = {
+    val dt = f.getType match {
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.List =>
+        ArrayType(sparkField(f.getChildren.get(0)).dataType, containsNull = true)
+      case other => throw new IllegalArgumentException(s"Arrow IPC read: $other unsupported")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  // ---------------------------------------------------------------- writing
+
+  private def fillRoot(root: VectorSchemaRoot, schema: StructType,
+      rows: mutable.ArrayBuffer[Row]): Unit = {
+    root.allocateNew()
+    schema.indices.foreach { j =>
+      val vec = root.getVector(j)
+      rows.indices.foreach { i =>
+        val v = rows(i).get(j)
+        writeCell(vec, i, v, schema(j).name)
+      }
+      vec.setValueCount(rows.size)
+    }
+    root.setRowCount(rows.size)
+  }
+
+  private def writeCell(vec: ValueVector, i: Int, v: Any, col: String): Unit = vec match {
+    case x: BigIntVector => if (v == null) x.setNull(i) else x.setSafe(i, v.asInstanceOf[Long])
+    case x: IntVector => if (v == null) x.setNull(i) else x.setSafe(i, v.asInstanceOf[Int])
+    case x: Float8Vector => if (v == null) x.setNull(i) else x.setSafe(i, v.asInstanceOf[Double])
+    case x: Float4Vector => if (v == null) x.setNull(i) else x.setSafe(i, v.asInstanceOf[Float])
+    case x: BitVector => if (v == null) x.setNull(i) else x.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+    case x: VarCharVector =>
+      if (v == null) x.setNull(i)
+      else x.setSafe(i, v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+    case x: VarBinaryVector =>
+      if (v == null) x.setNull(i) else x.setSafe(i, v.asInstanceOf[Array[Byte]])
+    case x: ListVector =>
+      if (v == null) x.setNull(i)
+      else {
+        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        val start = x.startNewValue(i)
+        val child = x.getDataVector
+        xs.zipWithIndex.foreach { case (e, k) => writeCell(child, start + k, e, col) }
+        x.endValue(i, xs.size)
+      }
+    case other => throw new IllegalArgumentException(
+      s"Arrow IPC: no writer for ${other.getClass.getSimpleName} (column $col)")
+  }
+
+  // ---------------------------------------------------------------- reading
+
+  private def readCell(vec: ValueVector, i: Int): Any =
+    if (vec.isNull(i)) null
+    else vec match {
+      case x: BigIntVector => x.get(i)
+      case x: IntVector => x.get(i)
+      case x: Float8Vector => x.get(i)
+      case x: Float4Vector => x.get(i)
+      case x: BitVector => x.get(i) == 1
+      case x: VarCharVector => new String(x.get(i), StandardCharsets.UTF_8)
+      case x: VarBinaryVector => x.get(i)
+      case x: ListVector =>
+        val start = x.getOffsetBuffer.getInt(i.toLong * 4)
+        val end = x.getOffsetBuffer.getInt((i + 1).toLong * 4)
+        val child = x.getDataVector
+        (start until end).map(k => readCell(child, k))
+      case other => throw new IllegalArgumentException(
+        s"Arrow IPC: no reader for ${other.getClass.getSimpleName}")
+    }
+}
