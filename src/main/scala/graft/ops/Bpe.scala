@@ -211,6 +211,19 @@ object Bpe {
     toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "token")
   }
 
+  /** Apply-ready piece list for the native greedy scan
+    * ([[graft.functions.VocabTokenCount]]/`VocabTokenize`): merge tokens
+    * with the [[EndOfWord]] marker STRIPPED (raw text never contains the
+    * marker, so "est</w>" would match nothing) and the bare marker dropped,
+    * deduplicated, longest-first for inspection (the native scan
+    * longest-matches regardless of order). Marker-stripped greedy matching
+    * is the documented approximation of exact merge-order apply
+    * ([[applyWord]] is the exact form).
+    */
+  def applyVocabulary(ms: Seq[Merge]): Seq[String] =
+    ms.map(_.token.stripSuffix(EndOfWord)).filter(_.nonEmpty)
+      .distinct.sortBy(t => (-t.length, t))
+
   /** Exact merge-order application to one word (spec + record-regime use;
     * the corpus-scale APPLY path is the native greedy
     * [[graft.functions.VocabTokenCount]] over [[vocabulary]] — the

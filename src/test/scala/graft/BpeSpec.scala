@@ -117,6 +117,22 @@ class BpeSpec extends AnyFunSuite {
       s"astral base symbol must stay one codepoint: $toks")
   }
 
+  test("applyVocabulary strips the end-of-word marker for the greedy scan") {
+    val corpus = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val ms = Bpe.trainLocal(localWords(corpus), 5)
+    val vocab = Bpe.applyVocabulary(ms)
+    // "est</w>" -> "est" (dedup with the bare "est" merge), no marker remnants
+    assert(vocab.toSet == Set("es", "est", "lo", "low"))
+    assert(!vocab.exists(_.contains("</w>")))
+    // the native greedy scan accepts it directly
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("lowest").toDF("t")
+      .select(graft.functions.VocabTokenCount.vocab_tokenize(org.apache.spark.sql.functions.col("t"), vocab).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("low", "est"))
+  }
+
   test("ceiling refusal and merge-count exhaustion") {
     import spark.implicits._
     val wc = Seq(("ab", 2L), ("cd", 1L)).toDF("word", "n")
