@@ -201,7 +201,10 @@ object Bpe {
     val total = wordCounts.count()
     require(total <= maxDistinctWords,
       s"BPE vocabulary: $total distinct words exceeds the $maxDistinctWords driver ceiling")
-    val base = mutable.SortedSet.empty[String]
+    // explicit codepoint ordering: default String order is UTF-16
+    // code-UNIT order, which files astral symbols (surrogate range)
+    // BEFORE BMP chars in U+E000..U+FFFF — not codepoint order
+    val base = mutable.SortedSet.empty[String](Ordering.by((s: String) => s.codePointAt(0)))
     wordCounts.select("word").collect().foreach { r =>
       if (!r.isNullAt(0))
         r.getString(0).codePoints().toArray
