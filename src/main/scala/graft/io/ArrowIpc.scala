@@ -124,6 +124,13 @@ object ArrowIpc {
 
   private def sparkField(f: Field): StructField = {
     val dt = f.getType match {
+      // signedness matters: a uint64 column cannot live in LongType (values
+      // >= 2^63) and readCell has no unsigned vector path — refuse at
+      // schema time with a clear message, not mid-read
+      case i: ArrowType.Int if !i.getIsSigned =>
+        throw new IllegalArgumentException(
+          s"Arrow IPC read: unsigned int${i.getBitWidth} column ${f.getName} unsupported — " +
+            "cast to a signed type (or float) on the writer side")
       case i: ArrowType.Int if i.getBitWidth == 64 => LongType
       case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
       case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType

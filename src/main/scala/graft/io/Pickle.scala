@@ -532,10 +532,16 @@ object Pickle {
       case Some(_: Array[Byte]) => BinaryType
       case Some(_: BigInt) => DecimalType(38, 0)
       case Some(xs: Seq[_]) =>
-        val elem = records.iterator
+        // same widening law as scalar columns: a Python [1, 2.5] list is a
+        // float list regardless of element order
+        val elems = records.iterator
           .flatMap(_.getOrElse(col, null) match { case s: Seq[_] => s.iterator; case _ => Iterator.empty })
-          .find(_ != null)
-        ArrayType(elem.map(e => inferType(col, Some(e), Nil)).getOrElse(StringType), containsNull = true)
+          .filter(_ != null).toIndexedSeq
+        val et = elems.headOption.map {
+          case _: Long => if (elems.exists(_.isInstanceOf[Double])) DoubleType else LongType
+          case e => inferType(col, Some(e), Nil)
+        }.getOrElse(StringType)
+        ArrayType(et, containsNull = true)
       case Some(other) => throw new IllegalArgumentException(
         s"pickle column $col: ${other.getClass.getSimpleName} has no DataFrame mapping " +
           "(nested dicts stay blobs — use Pickle.load)")
@@ -563,17 +569,18 @@ object Pickle {
   def writeRecords(df: DataFrame, path: String): Unit = {
     require(Storage.detect(path) == Storage.Local,
       s"pickle sink writes a driver-local file (got: $path)")
-    val n = df.count()
-    require(n <= MaxSinkRows,
-      s"pickle sink: $n rows exceeds the $MaxSinkRows driver ceiling — " +
-        "pickle is a driver-interchange format; write parquet for bulk data")
+    // single pass: collect at most ceiling+1 rows — the +1 row proves the
+    // overflow without a separate count() job re-running the upstream plan
     val names = df.schema.fieldNames
-    val rows = df.collect().map { r =>
+    val rows = df.limit((MaxSinkRows + 1).toInt).collect().map { r =>
       val m = mutable.LinkedHashMap.empty[Any, Any]
       var i = 0
       while (i < names.length) { m(names(i)) = fromSparkValue(r.get(i)); i += 1 }
       m
     }
+    require(rows.length <= MaxSinkRows,
+      s"pickle sink: over $MaxSinkRows rows exceeds the driver ceiling — " +
+        "pickle is a driver-interchange format; write parquet for bulk data")
     dump(mutable.ArrayBuffer.from(rows), path)
   }
 

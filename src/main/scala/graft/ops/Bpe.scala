@@ -76,12 +76,14 @@ object Bpe {
   def train(wordCounts: DataFrame, numMerges: Int,
       maxDistinctWords: Long = 2000000L): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges $numMerges < 0")
-    val total = wordCounts.count()
-    require(total <= maxDistinctWords,
-      s"BPE train: $total distinct words exceeds the $maxDistinctWords driver ceiling — " +
-        "raise maxDistinctWords deliberately or pre-filter rare words " +
-        "(e.g. wordCounts.filter(col(\"n\") >= 2))")
-    val rows = wordCounts.select(col("word").cast("string"), col("n").cast("long")).collect()
+    val rows = withPinned(wordCounts) { wc =>
+      val total = wc.count()
+      require(total <= maxDistinctWords,
+        s"BPE train: $total distinct words exceeds the $maxDistinctWords driver ceiling — " +
+          "raise maxDistinctWords deliberately or pre-filter rare words " +
+          "(e.g. wordCounts.filter(col(\"n\") >= 2))")
+      wc.select(col("word").cast("string"), col("n").cast("long")).collect()
+    }
     val words: Array[(Array[String], Long)] = rows.iterator
       .filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
       .map { r =>
@@ -90,6 +92,18 @@ object Bpe {
         ((syms :+ EndOfWord), r.getLong(1))
       }.toArray
     trainLocal(words, numMerges)
+  }
+
+  /** Persist `df` around `body` unless the caller already cached it — the
+    * ceiling count() and the collect() would otherwise each re-run the
+    * corpus-scale aggregation (the expensive pass at the 100 TB design
+    * point). Callers running train + vocabulary should still `.cache()` the
+    * word table themselves to share ONE materialization across both calls.
+    */
+  private def withPinned[T](df: DataFrame)(body: DataFrame => T): T = {
+    val wasCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!wasCached) df.persist()
+    try body(df) finally { if (!wasCached) df.unpersist() }
   }
 
   /** The exact incremental merge loop over pre-built symbol sequences —
@@ -198,14 +212,16 @@ object Bpe {
   def vocabulary(spark: SparkSession, wordCounts: DataFrame, ms: Seq[Merge],
       maxDistinctWords: Long = 2000000L): DataFrame = {
     import spark.implicits._
-    val total = wordCounts.count()
-    require(total <= maxDistinctWords,
-      s"BPE vocabulary: $total distinct words exceeds the $maxDistinctWords driver ceiling")
     // explicit codepoint ordering: default String order is UTF-16
     // code-UNIT order, which files astral symbols (surrogate range)
     // BEFORE BMP chars in U+E000..U+FFFF — not codepoint order
     val base = mutable.SortedSet.empty[String](Ordering.by((s: String) => s.codePointAt(0)))
-    wordCounts.select("word").collect().foreach { r =>
+    withPinned(wordCounts) { wc =>
+      val total = wc.count()
+      require(total <= maxDistinctWords,
+        s"BPE vocabulary: $total distinct words exceeds the $maxDistinctWords driver ceiling")
+      wc.select("word").collect()
+    }.foreach { r =>
       if (!r.isNullAt(0))
         r.getString(0).codePoints().toArray
           .foreach(cp => base += new String(Character.toChars(cp)))

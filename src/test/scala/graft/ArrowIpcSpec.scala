@@ -54,6 +54,25 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back2.count() == 0 && back2.columns.toSeq == Seq("id", "d", "l"))
   }
 
+  test("pyarrow-written stream reads back (cross-direction pin)") {
+    val path = java.nio.file.Paths.get(
+      getClass.getResource("/arrow/py_feed.arrow").toURI).toString
+    val df = ArrowIpc.readStream(spark, path)
+    val rows = df.collect()
+    assert(df.schema.map(_.dataType.typeName) == Seq("long", "array", "string"))
+    assert(rows(0).getLong(0) == 1L && rows(0).getSeq[Float](1) == Seq(0.5f, 1.5f))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(0) && rows(2).getSeq[Float](1).isEmpty &&
+      rows(2).getString(2) == "emoji 😀")
+  }
+
+  test("unsigned Arrow ints refuse at schema time, not mid-read") {
+    val path = java.nio.file.Paths.get(
+      getClass.getResource("/arrow/unsigned.arrow").toURI).toString
+    val e = intercept[IllegalArgumentException](ArrowIpc.readStream(spark, path))
+    assert(e.getMessage.contains("unsigned int64"))
+  }
+
   test("unsupported type refuses loudly") {
     import spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")

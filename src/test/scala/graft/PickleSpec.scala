@@ -173,6 +173,20 @@ class PickleSpec extends AnyFunSuite {
     assert(rows(1).getString(1) == "b" && rows(1).getLong(4) == 20L)
   }
 
+  test("mixed int/float lists widen to double regardless of element order") {
+    val blob = Vector(
+      scala.collection.immutable.VectorMap[Any, Any]("v" -> Vector(1L, 2.5)),
+      scala.collection.immutable.VectorMap[Any, Any]("v" -> Vector(3L)))
+    val p = java.nio.file.Files.createTempDirectory("pkl").resolve("mix.pkl").toString
+    Pickle.dump(blob, p)
+    val df = Pickle.readRecords(spark, p)
+    assert(df.schema("v").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.typeName == "double")
+    import org.apache.spark.sql.functions.{col, size}
+    assert(df.orderBy(size(col("v")).desc)
+      .collect().head.getSeq[Double](0) == Seq(1.0, 2.5))
+  }
+
   test("protocol-0 raw-unicode-escape astral text decodes to codepoints") {
     val got = Pickle.loads(fixture("blob_p0.pkl")).asInstanceOf[collection.Map[Any, Any]]
     val s = got("astral").asInstanceOf[String]

@@ -95,6 +95,31 @@ DIVERGENCE_CLASSES = {
 # triage it here with a class from DIVERGENCE_CLASSES.
 TRIAGE = {}
 
+# class -> oracle_check shapes ("rows" | "value" | "columns") the class can
+# legitimately produce; a classified mismatch whose observed shape is not
+# allowed contradicts its classification and fails the gate. Row-count
+# shapes are allowed only for classes whose divergence can re-key or drop
+# rows (token/gram joins, null-row contracts, capped buckets).
+CLASS_SHAPES = {
+    "tokenizer-unicode": {"value", "rows"},
+    "utf16-vs-codepoint": {"value"},
+    "null-text-contract": {"value", "rows"},
+    "null-measure-agg": {"value"},
+    "null-field-contract": {"value", "rows"},
+    "null-rank-ties": {"value"},
+    "dup-mass-bucket-cap": {"value", "rows"},
+}
+assert set(CLASS_SHAPES) == set(DIVERGENCE_CLASSES), \
+    "CLASS_SHAPES must cover exactly the closed class list"
+
+
+def _is_crash(v: dict) -> bool:
+    """oracle_check.py records an explicit crashed flag (r14); fall back to
+    the legacy 'error:' err prefix for old check files."""
+    if "crashed" in v:
+        return bool(v["crashed"])
+    return str(v.get("err", "")).startswith("error:")
+
 
 def report(check_path: str, out_path: str, round_no: str) -> int:
     check = json.load(open(check_path))
@@ -144,8 +169,10 @@ def report(check_path: str, out_path: str, round_no: str) -> int:
                   file=sys.stderr)
             gate_fail = True
             continue
-        allowed = CLASS_SHAPES.get(TRIAGE[q][0], set()) if q in TRIAGE else set()
-        if q in TRIAGE and shape not in allowed:
+        if q not in TRIAGE:
+            continue  # already GATE FAILed above as unclassified
+        allowed = CLASS_SHAPES.get(TRIAGE[q][0], set())
+        if shape not in allowed:
             print(f"GATE FAIL: {q} is classified '{TRIAGE[q][0]}' (allowed shapes "
                   f"{sorted(allowed)}) but diverged with shape '{shape}' — the "
                   "classification does not match the observed diff; re-triage",
