@@ -103,6 +103,36 @@ object Pickle {
   def loads(bytes: Array[Byte]): Any =
     loads(new DataInputStream(new java.io.ByteArrayInputStream(bytes)))
 
+  /** Protocol-0 FLOAT lines carry `repr(float)`: CPython writes non-finite
+    * values as `inf` / `-inf` / `nan`, which Java's parseDouble rejects
+    * (it wants `Infinity` / `NaN`).
+    */
+  def parseProtocol0Float(s: String): Double = s.trim.toLowerCase match {
+    case "inf" | "infinity" => Double.PositiveInfinity
+    case "-inf" | "-infinity" => Double.NegativeInfinity
+    case "nan" | "-nan" => Double.NaN
+    case t => t.toDouble
+  }
+
+  /** Bytes in dict-KEY or set-ELEMENT position would carry `Array[Byte]`'s
+    * reference equality into Scala collections: content-equal keys would
+    * silently miss on lookup and sets would fail to dedupe. Refuse loudly
+    * per the container-blob contract (bytes VALUES are fine — they map to
+    * BinaryType). Recurses through tuples, whose Vector equality is
+    * element-wise and would smuggle the same defect in as a tuple key.
+    */
+  private def checkKeyable(v: Any, where: String): Any = {
+    v match {
+      case _: Array[Byte] => throw new IllegalArgumentException(
+        s"pickle: bytes object in $where position unsupported — JVM byte arrays " +
+          "have reference equality, so content-equal keys/elements would silently " +
+          "misbehave; re-key with str (hex/base64) on the Python side")
+      case t: Vector[_] => t.foreach(checkKeyable(_, where))
+      case _ => ()
+    }
+    v
+  }
+
   def loads(in: DataInputStream): Any = {
     val stack = mutable.ArrayBuffer.empty[Any]
     val memo = mutable.HashMap.empty[Int, Any]
@@ -127,12 +157,25 @@ object Pickle {
       sb.result()
     }
     def readN(n: Int): Array[Byte] = {
-      // corrupt input can claim a multi-GB payload length; check against the
-      // remaining stream BEFORE allocating (available() is exact for the
-      // byte-array path and file-remaining for the buffered-file path)
-      if (n > (1 << 20))
-        require(n <= in.available() + (1 << 20), s"pickle: length $n exceeds remaining input")
-      val b = new Array[Byte](n); in.readFully(b); b
+      // corrupt input can claim a multi-GB payload length. Don't gate on
+      // available() — it underreports on gzip/socket/chunked streams, which
+      // would spuriously reject legitimate large payloads on the public
+      // loads(DataInputStream) overload. Instead read large payloads in
+      // bounded chunks: a lying length hits EOF after consuming only the
+      // bytes that actually exist, never pre-allocating the claimed size.
+      if (n <= (1 << 20)) { val b = new Array[Byte](n); in.readFully(b); b }
+      else {
+        val out = new java.io.ByteArrayOutputStream(1 << 20)
+        val buf = new Array[Byte](1 << 20)
+        var remaining = n
+        while (remaining > 0) {
+          val r = in.read(buf, 0, math.min(buf.length, remaining))
+          if (r < 0) throw new EOFException(
+            s"pickle: EOF after ${n - remaining} of $n claimed payload bytes")
+          out.write(buf, 0, r); remaining -= r
+        }
+        out.toByteArray
+      }
     }
     def u1(): Int = in.readUnsignedByte()
     def u2(): Int = { val b = readN(2); ((b(1) & 0xff) << 8) | (b(0) & 0xff) }
@@ -252,7 +295,7 @@ object Pickle {
         case Op.BININT2 => push(u2().toLong)
         case Op.LONG1 => push(decodeLong(readN(u1())))
         case Op.LONG4 => push(decodeLong(readN(lenN(u4()))))
-        case Op.FLOAT => push(readLine().toDouble)
+        case Op.FLOAT => push(parseProtocol0Float(readLine()))
         case Op.BINFLOAT =>
           push(java.lang.Double.longBitsToDouble(ByteBuffer.wrap(readN(8)).getLong)) // big-endian
 
@@ -292,21 +335,23 @@ object Pickle {
         case Op.DICT =>
           val kv = popToMark()
           val m = mutable.LinkedHashMap.empty[Any, Any]
-          kv.grouped(2).foreach { p => m(p(0)) = p(1) }
+          kv.grouped(2).foreach { p => m(checkKeyable(p(0), "dict-key")) = p(1) }
           push(m)
         case Op.SETITEM =>
-          val v = pop(); val k = pop()
+          val v = pop(); val k = checkKeyable(pop(), "dict-key")
           stack.last.asInstanceOf[mutable.LinkedHashMap[Any, Any]](k) = v
         case Op.SETITEMS =>
           val kv = popToMark()
           val m = stack.last.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
-          kv.grouped(2).foreach { p => m(p(0)) = p(1) }
+          kv.grouped(2).foreach { p => m(checkKeyable(p(0), "dict-key")) = p(1) }
 
         case Op.EMPTY_SET => push(mutable.LinkedHashSet.empty[Any])
-        case Op.FROZENSET => push(mutable.LinkedHashSet.from(popToMark()))
+        case Op.FROZENSET =>
+          push(mutable.LinkedHashSet.from(popToMark().map(checkKeyable(_, "set-element"))))
         case Op.ADDITEMS =>
           val items = popToMark()
-          stack.last.asInstanceOf[mutable.LinkedHashSet[Any]] ++= items
+          stack.last.asInstanceOf[mutable.LinkedHashSet[Any]] ++=
+            items.map(checkKeyable(_, "set-element"))
 
         case Op.PUT => memo(readLine().toInt) = stack.last
         case Op.BINPUT => memo(u1()) = stack.last
@@ -566,20 +611,28 @@ object Pickle {
     * the reference PickleWriter's shape for tabular blobs. Driver-side
     * single-file sink with a hard row ceiling; the scale path is parquet.
     */
-  def writeRecords(df: DataFrame, path: String): Unit = {
+  def writeRecords(df: DataFrame, path: String): Unit =
+    writeRecords(df, path, MaxSinkRows)
+
+  /** Ceiling-parameterized form — package-private so the spec can exercise
+    * the over-ceiling refusal path with a tiny frame against a tiny ceiling
+    * (the production entry point above always passes [[MaxSinkRows]]).
+    */
+  private[graft] def writeRecords(df: DataFrame, path: String, maxRows: Long): Unit = {
     require(Storage.detect(path) == Storage.Local,
       s"pickle sink writes a driver-local file (got: $path)")
+    require(maxRows > 0 && maxRows < Int.MaxValue, s"pickle sink ceiling $maxRows out of range")
     // single pass: collect at most ceiling+1 rows — the +1 row proves the
     // overflow without a separate count() job re-running the upstream plan
     val names = df.schema.fieldNames
-    val rows = df.limit((MaxSinkRows + 1).toInt).collect().map { r =>
+    val rows = df.limit((maxRows + 1).toInt).collect().map { r =>
       val m = mutable.LinkedHashMap.empty[Any, Any]
       var i = 0
       while (i < names.length) { m(names(i)) = fromSparkValue(r.get(i)); i += 1 }
       m
     }
-    require(rows.length <= MaxSinkRows,
-      s"pickle sink: over $MaxSinkRows rows exceeds the driver ceiling — " +
+    require(rows.length <= maxRows,
+      s"pickle sink: over $maxRows rows exceeds the driver ceiling — " +
         "pickle is a driver-interchange format; write parquet for bulk data")
     dump(mutable.ArrayBuffer.from(rows), path)
   }

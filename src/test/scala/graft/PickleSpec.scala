@@ -147,13 +147,62 @@ class PickleSpec extends AnyFunSuite {
   test("sink ceiling refuses loudly above MaxSinkRows") {
     import spark.implicits._
     val df = spark.range(5).toDF("id")
-    // exercise the require with a tiny frame against the real ceiling check:
-    // the ceiling itself is a constant; assert the message shape via a
-    // stubbed path (count > ceiling can't be built cheaply in-test)
     assert(Pickle.MaxSinkRows == 1000000L)
     val out = Files.createTempDirectory("pkl").resolve("ok.pkl").toString
     Pickle.writeRecords(df.toDF(), out) // under ceiling: fine
     assert(Pickle.loads(Files.readAllBytes(Paths.get(out))).asInstanceOf[Seq[_]].size == 5)
+    // and the REFUSAL path actually executes (r14 ADVICE: the old test only
+    // asserted the constant): same require/limit interplay, tiny ceiling
+    val over = Files.createTempDirectory("pkl").resolve("over.pkl").toString
+    val e = intercept[IllegalArgumentException](
+      Pickle.writeRecords(df.toDF(), over, maxRows = 3L))
+    assert(e.getMessage.contains("exceeds the driver ceiling"))
+    assert(!Files.exists(Paths.get(over))) // refusal happens before any write
+  }
+
+  test("protocol-0 FLOAT parses CPython's inf/-inf/nan reprs") {
+    // hand-built protocol-0 streams: 'F' + repr + '\n' + STOP
+    def p0(repr: String): Array[Byte] = s"F$repr\n.".getBytes("ISO-8859-1")
+    assert(Pickle.loads(p0("inf")) == Double.PositiveInfinity)
+    assert(Pickle.loads(p0("-inf")) == Double.NegativeInfinity)
+    assert(Pickle.loads(p0("nan")).asInstanceOf[Double].isNaN)
+    assert(Pickle.loads(p0("2.5")) == 2.5)
+    intercept[NumberFormatException](Pickle.loads(p0("bogus")))
+  }
+
+  test("bytes in dict-key / set-element position refuse loudly (JVM reference equality)") {
+    // {b'k': 1} via MARK, SHORT_BINBYTES, BININT1, DICT
+    val dictKey = Array[Byte]('(', 'C', 1, 'k', 'K', 1, 'd', '.')
+    val e1 = intercept[IllegalArgumentException](Pickle.loads(dictKey))
+    assert(e1.getMessage.contains("dict-key"))
+    // frozenset({b'k'}) via MARK, SHORT_BINBYTES, FROZENSET
+    val setElem = Array[Byte]('(', 'C', 1, 'k', 0x91.toByte, '.')
+    val e2 = intercept[IllegalArgumentException](Pickle.loads(setElem))
+    assert(e2.getMessage.contains("set-element"))
+    // a tuple key smuggling bytes refuses too (Vector equality is element-wise)
+    val tupleKey = Array[Byte]('(', 'C', 1, 'k', 0x85.toByte, 'K', 1, 'd', '.')
+    val e3 = intercept[IllegalArgumentException](Pickle.loads(tupleKey))
+    assert(e3.getMessage.contains("dict-key"))
+    // bytes VALUES stay fine
+    val dictVal = Array[Byte]('(', 'K', 1, 'C', 1, 'k', 'd', '.')
+    val m = Pickle.loads(dictVal).asInstanceOf[collection.Map[Any, Any]]
+    assert(m(1L).asInstanceOf[Array[Byte]].toSeq == Seq('k'.toByte))
+  }
+
+  test("corrupt multi-GB claimed length hits EOF without pre-allocating") {
+    // BINUNICODE claiming ~2 GB with 3 real bytes behind it: the chunked
+    // reader must consume what exists and throw EOF, not allocate 2 GB or
+    // spuriously reject via available() (which underreports on gzip/socket)
+    val huge = Array[Byte]('X', 0x00, 0xff.toByte, 0xff.toByte, 0x7f, 'a', 'b', 'c')
+    val e = intercept[java.io.EOFException](Pickle.loads(huge))
+    assert(e.getMessage.contains("claimed payload"))
+    // and a legitimate >1 MiB payload still loads through the chunked path
+    val n = (1 << 20) + 17
+    val body = Array.fill[Byte](n)('x')
+    val big = Array[Byte]('X') ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array() ++
+      body ++ Array[Byte]('.')
+    assert(Pickle.loads(big).asInstanceOf[String].length == n)
   }
 
   test("self-referential pickle is refused, not a stack overflow") {
