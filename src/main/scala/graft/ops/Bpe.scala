@@ -236,17 +236,67 @@ object Bpe {
     * marker, so "est</w>" would match nothing) and the bare marker dropped,
     * deduplicated, longest-first for inspection (the native scan
     * longest-matches regardless of order). Marker-stripped greedy matching
-    * is the documented approximation of exact merge-order apply
-    * ([[applyWord]] is the exact form).
+    * is a documented approximation of exact merge-order apply — the exact
+    * corpus-scale form is [[exactPieces]] / [[graft.functions.BpeEncode]]
+    * (r15), with [[greedyExactDivergence]] measuring the gap.
     */
   def applyVocabulary(ms: Seq[Merge]): Seq[String] =
     ms.map(_.token.stripSuffix(EndOfWord)).filter(_.nonEmpty)
       .distinct.sortBy(t => (-t.length, t))
 
-  /** Exact merge-order application to one word (spec + record-regime use;
-    * the corpus-scale APPLY path is the native greedy
-    * [[graft.functions.VocabTokenCount]] over [[vocabulary]] — the
-    * greedy-vs-merge-order difference is documented there).
+  /** Rank-ordered (left, right) pairs — the plan-time constant
+    * [[graft.functions.BpeEncode]] takes.
+    */
+  def mergePairs(ms: Seq[Merge]): Seq[(String, String)] =
+    ms.sortBy(_.rank).map(m => (m.left, m.right))
+
+  /** EXACT corpus-scale apply (r15 — closes the train→apply loop): the
+    * native min-rank merge-loop expression over one pre-tokenized word
+    * (apply after `explode(TextAnalysis.tokens(text))`). Identical to
+    * rank-order replay ([[applyWord]]) on every table [[train]] produces —
+    * see the equivalence argument on [[graft.functions.BpeEncode]]. The
+    * greedy longest-match scan ([[applyVocabulary]] +
+    * `VocabTokenize`) remains as the documented approximation for callers
+    * that want a marker-free flat vocabulary.
+    */
+  def exactPieces(wordCol: Column, ms: Seq[Merge]): Column =
+    graft.functions.BpeEncode.bpe_encode(wordCol, mergePairs(ms))
+
+  /** Greedy-vs-exact divergence over a (word[, n]) table: per distinct
+    * word, the exact merge-order pieces vs the r14 greedy longest-match
+    * scan (both marker-stripped for comparability — greedy runs on the
+    * marker-free [[applyVocabulary]] list by construction). Returns one row
+    * `(n_words, n_diverged, divergence_rate)` — the measured rate the
+    * verdict asked the apply closure to carry.
+    */
+  def greedyExactDivergence(words: DataFrame, ms: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val greedyVocab = applyVocabulary(ms)
+    if (greedyVocab.isEmpty)
+      // zero learned tokens: both segmentations are the bare codepoints
+      return words.agg(count(lit(1)).as("n_words"),
+        lit(0L).as("n_diverged"), lit(0.0).as("divergence_rate"))
+    // strip the marker from the exact pieces (drop a bare "</w>" piece,
+    // strip the suffix from a merged one) — the greedy scan never sees it
+    val exactStr = array_join(
+      filter(
+        transform(exactPieces(col("word"), ms),
+          p => regexp_replace(p, lit("</w>$"), lit(""))),
+        p => p =!= ""), "|")
+    val greedyStr = array_join(
+      graft.functions.VocabTokenCount.vocab_tokenize(col("word"), greedyVocab), "|")
+    words.select(col("word"), exactStr.as("e"), greedyStr.as("g"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("e") =!= col("g"), 1L).otherwise(0L)).as("n_diverged"),
+        round(sum(when(col("e") =!= col("g"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("divergence_rate"))
+  }
+
+  /** Exact merge-order application to one word — rank-order REPLAY, the
+    * Sennrich-paper form and the spec differential for the production
+    * min-rank loop ([[graft.functions.BpeEncode]]; the two coincide on
+    * every trained table).
     */
   def applyWord(word: String, ms: Seq[Merge]): Seq[String] = {
     val s = mutable.ArrayBuffer.from(

@@ -3017,10 +3017,95 @@ object LlmOpsQueries {
       val ms = Bpe.train(wc, numMerges = 40)
       Bpe.merges(s, ms).orderBy(col("rank"))
     },
-    oracle = None)
+    oracle = None,
+    bench = true)
+
+  /** The BPE phase-1 word table, oracle-paired (r14 verdict item 3: the
+    * merge loop is legitimately non-SQL-expressible, but the distributed
+    * word-count pass it trains from IS — this pins it against DuckDB, so
+    * the corpus's one sanctioned oracle-less entry narrows to the merge
+    * loop alone).
+    */
+  val q220_bpe_word_counts: Q = Q(
+    fn = (s, dir) =>
+      Bpe.wordCounts(table(s, dir, "documents"), "text")
+        .select(col("word"), col("n"))
+        .orderBy(col("word")),
+    oracle = Some("""
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}_]+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY word"""))
+
+  /** Fixed trained-CONSISTENT merge table for the exact-apply oracle
+    * (every merge's constituents are base symbols or tokens created at an
+    * earlier rank — the invariant [[graft.ops.Bpe.train]] always upholds,
+    * under which the native min-rank loop and rank-order replay provably
+    * coincide; see [[graft.functions.BpeEncode]]). Literal by necessity:
+    * the oracle cannot run the trainer.
+    */
+  private val ExactMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "an" -> "d", "o" -> "n", "e" -> "</w>", "s" -> "</w>", "the" -> "</w>",
+    "i" -> "s", "er" -> "</w>", "in" -> "g", "ing" -> "</w>", "o" -> "r",
+    "t" -> "e</w>")
+
+  /** EXACT merge-order BPE apply at corpus scale (r14 verdict item 2 — the
+    * train→apply closure): the native [[graft.functions.BpeEncode]]
+    * min-rank loop over every distinct corpus word, piece-level verified.
+    * The oracle replays the merges in RANK ORDER as a recursive CTE over a
+    * space-joined symbol string (leftmost-restart single replacement ==
+    * left-fold: merging a pair never creates an earlier occurrence of
+    * itself), so the query pins exactly the equivalence the expression's
+    * Scaladoc argues.
+    */
+  val q221_bpe_exact_encode: Q = Q(
+    fn = (s, dir) =>
+      Bpe.wordCounts(table(s, dir, "documents"), "text")
+        .select(col("word"),
+          graft.functions.BpeEncode.bpe_encode(col("word"), ExactMerges).as("p"))
+        .select(col("word"),
+          size(col("p")).cast("long").as("n_pieces"),
+          array_join(col("p"), "|").as("pieces_str"))
+        .orderBy(col("word")),
+    oracle = Some(s"""
+      WITH RECURSIVE merges(rk, pat, rep) AS (
+        SELECT * FROM (VALUES ${ExactMerges.zipWithIndex.map {
+          case ((l, r), i) => s"($i, ' $l $r ', ' $l$r ')"
+        }.mkString(", ")}) t(rk, pat, rep)),
+      words AS (
+        SELECT DISTINCT word FROM (
+          SELECT unnest(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      init AS (
+        SELECT word,
+               ' ' || array_to_string(
+                 list_transform(range(1, length(word) + 1),
+                   i -> substr(word, CAST(i AS INTEGER), 1)), ' ') || ' </w> ' AS st
+        FROM words),
+      step(word, st, rk) AS (
+        SELECT word, st, 0 FROM init
+        UNION ALL
+        SELECT s.word,
+               CASE WHEN strpos(s.st, m.pat) > 0
+                    THEN substr(s.st, 1, strpos(s.st, m.pat) - 1) || m.rep ||
+                         substr(s.st, strpos(s.st, m.pat) + length(m.pat))
+                    ELSE s.st END,
+               s.rk + CASE WHEN strpos(s.st, m.pat) > 0 THEN 0 ELSE 1 END
+        FROM step s JOIN merges m ON m.rk = s.rk)
+      SELECT word,
+             CAST(len(string_split(trim(st), ' ')) AS BIGINT) AS n_pieces,
+             replace(trim(st), ' ', '|') AS pieces_str
+      FROM step WHERE rk = ${ExactMerges.size}
+      ORDER BY word"""))
 
   val all: Map[String, Q] = Map(
     "q219_bpe_train" -> q219_bpe_train,
+    "q220_bpe_word_counts" -> q220_bpe_word_counts,
+    "q221_bpe_exact_encode" -> q221_bpe_exact_encode,
     "q208_curation_v3" -> q208_curation_v3,
     "q200_vocab_pieces" -> q200_vocab_pieces,
     "q198_vocab_tokens" -> q198_vocab_tokens,

@@ -350,6 +350,10 @@ class PlanSpec extends AnyFunSuite {
       "q184_pagerank" -> ((0, 0)),
       "q193_tpch_q3" -> ((1, 0)),
       "q208_curation_v3" -> ((1, 1)),
+      // q219: ONE hash exchange (the distributed word-count groupBy; the
+      // merge loop is driver-local on the ceilinged table) + the output
+      // ORDER BY rank on the local merges frame
+      "q219_bpe_train" -> ((1, 1)),
       "q38_tfidf" -> ((0, 1)),
       "q51_exact_dedup" -> ((1, 1)),
       "q53_minhash_lsh_jaccard" -> ((0, 1)),
