@@ -54,6 +54,45 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back2.count() == 0 && back2.columns.toSeq == Seq("id", "d", "l"))
   }
 
+  test("sharded sink: K files, complement property, determinism, empty shards") {
+    import spark.implicits._
+    val df = (1L to 97L).map(i => (i, s"doc $i", Seq(i * 0.5f, -i * 0.25f)))
+      .toDF("id", "text", "emb")
+      .repartition(7) // deliberately unrelated to the shard count
+    val dir = Files.createTempDirectory("arrowsh").toString
+    val paths = ArrowIpc.writeStreamSharded(df, dir, numShards = 4, shardBy = Seq("id"))
+    assert(paths.size == 4 && paths.forall(p => new java.io.File(p).isFile))
+    // complement: shards are disjoint and union back to the full frame
+    val shards = paths.map(p => ArrowIpc.readStream(spark, p))
+    val perShard = shards.map(_.select("id").as[Long].collect().toSet)
+    assert(perShard.map(_.size).sum == 97)
+    assert(perShard.reduce(_ union _) == (1L to 97L).toSet)
+    perShard.combinations(2).foreach { case Seq(a, b) => assert((a intersect b).isEmpty) }
+    // non-key columns travel intact
+    val s0 = shards.head.orderBy("id").collect()
+    assert(s0.forall(r => r.getString(1) == s"doc ${r.getLong(0)}"))
+    assert(s0.forall(r => r.getSeq[Float](2) == Seq(r.getLong(0) * 0.5f, -r.getLong(0) * 0.25f)))
+    // deterministic assignment: a second write (different partitioning)
+    // produces the same shard membership
+    val dir2 = Files.createTempDirectory("arrowsh2").toString
+    val paths2 = ArrowIpc.writeStreamSharded(df.repartition(3), dir2, 4, Seq("id"))
+    val perShard2 = paths2.map(p =>
+      ArrowIpc.readStream(spark, p).select("id").as[Long].collect().toSet)
+    assert(perShard == perShard2)
+    // empty shards still write a valid schema-bearing zero-batch stream
+    val one = Seq((1L, "x", Seq(1f))).toDF("id", "text", "emb")
+    val dir3 = Files.createTempDirectory("arrowsh3").toString
+    val paths3 = ArrowIpc.writeStreamSharded(one, dir3, 3, Seq("id"))
+    val counts = paths3.map(p => ArrowIpc.readStream(spark, p))
+    assert(counts.map(_.count()).sum == 1)
+    assert(counts.forall(_.columns.toSeq == Seq("id", "text", "emb")))
+    // guards: unknown shard column, empty shardBy
+    intercept[IllegalArgumentException](
+      ArrowIpc.writeStreamSharded(one, dir3, 2, Seq("nope")))
+    intercept[IllegalArgumentException](
+      ArrowIpc.writeStreamSharded(one, dir3, 2, Seq.empty))
+  }
+
   test("pyarrow-written stream reads back (cross-direction pin)") {
     val path = java.nio.file.Paths.get(
       getClass.getResource("/arrow/py_feed.arrow").toURI).toString
