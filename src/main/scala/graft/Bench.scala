@@ -202,6 +202,34 @@ object Bench {
     (front ++ hard).distinct.take(cap)
   }
 
+  /** Whole-run secondary sentinel (r14 lesson: the official sf0.1 record
+    * shipped a 1.23× ACROSS-THE-BOARD drift under a healthy per-query
+    * sentinel of 0.89 — the first-vs-last sentinel only sees POSITIONAL
+    * degradation, and `prior_inflated`'s 1.5× per-query bar misses a
+    * uniform ~1.2× slowdown entirely). This is the run-total ratio against
+    * the committed prior anchor over MATCHED queries only (both sides
+    * > 0, so a failed query or an anchor gap can't skew the sum); -1.0
+    * when nothing matches (anchor absent/foreign — the label then stays
+    * quiet, never false-fires).
+    */
+  def totalVsPrior(results: Seq[(String, Double)],
+      prior: Map[String, Double]): Double = {
+    val matched = results.flatMap { case (n, t) =>
+      prior.get(n).collect { case p if t > 0 && p > 0 => (t, p) }
+    }
+    if (matched.isEmpty) -1.0 else matched.map(_._1).sum / matched.map(_._2).sum
+  }
+
+  /** The label rule for [[totalVsPrior]]: a run whose matched total
+    * exceeds `limit`× the anchor total is flagged `run_inflated` even when
+    * every per-query check is quiet — the box (or the code, uniformly) was
+    * slower for the WHOLE window, and the record should not become the
+    * next anchor. Pure observability, like `prior_inflated`: a uniform
+    * slowdown can also be a real regression, and no re-time executed
+    * inside the same window can tell the two apart.
+    */
+  def runInflated(ratio: Double, limit: Double = 1.2): Boolean = ratio > limit
+
   /** Minimal JSON string escape (backslash, quote, control chars) for the
     * path/dir fields interpolated into the record and summary lines — both
     * are env-var-controlled, and an unescaped quote in a path would
@@ -234,11 +262,12 @@ object Bench {
     if (java.lang.Double.isFinite(d)) d.toString else "null"
 
   def summaryLine(total: Double, sharedTotal: Double, sentinel: Double,
-      sentinelDegraded: Boolean, priorInflated: Double, sf: String,
-      see: String): String =
+      sentinelDegraded: Boolean, priorInflated: Double, totalVsPrior: Double,
+      runInflated: Boolean, sf: String, see: String): String =
     s"""{"metric":"total","value":${jnum(total)},"unit":"sec","r1_shared_total":${jnum(sharedTotal)},""" +
       s""""noise_sentinel":${jnum(sentinel)},"sentinel_degraded":$sentinelDegraded,""" +
-      s""""prior_inflated":${jnum(priorInflated)},"sf":${jstr(sf)},"see":${jstr(see)}}"""
+      s""""prior_inflated":${jnum(priorInflated)},"total_vs_prior":${jnum(totalVsPrior)},""" +
+      s""""run_inflated":$runInflated,"sf":${jstr(sf)},"see":${jstr(see)}}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -500,8 +529,18 @@ object Bench {
         f"[bench] WARNING: prior_inflated=$priorInflated%.2f after repair — more than 10%% of " +
           "queries still exceed 1.5x the committed prior anchor. The box was likely " +
           "contended for this entire run; RE-RUN this bench before committing the record.")
+    // whole-run secondary sentinel (r14 lesson — see totalVsPrior): a
+    // uniform ~1.2x drift slips both the positional sentinel and the
+    // per-query 1.5x bar; the matched-total ratio catches it
+    val totalRatio = Bench.totalVsPrior(results, prior)
+    val runInfl = Bench.runInflated(totalRatio)
+    if (runInfl)
+      System.err.println(
+        f"[bench] WARNING: run total is $totalRatio%.2fx the committed prior anchor's matched " +
+          "total despite per-query checks — the whole window was slow (box or uniform " +
+          "regression). Do NOT promote this record to bench_prior.json; re-run in a quiet window.")
     val sentDegraded = Bench.sentinelDegraded(sentinel)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":${jstr(sfDir)},"r1_shared_total":$sharedTotal$curve}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"total_vs_prior":${Bench.jnum(totalRatio)},"run_inflated":$runInfl,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":${jstr(sfDir)},"r1_shared_total":$sharedTotal$curve}"""
     // The FILE is the primary artifact (stdout gets truncated/regex-
     // reconstructed by log capture — every BENCH_r1-r8 artifact carries
     // "parsed": null). Write it first, print the full record line, then
@@ -518,7 +557,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] could not write $absOut: $e") }
     println(line)
     println(summaryLine(total, sharedTotal, sentinel, sentDegraded,
-      priorInflated, sfDir, absOut.toString))
+      priorInflated, totalRatio, runInfl, sfDir, absOut.toString))
     spark.stop()
   }
 }

@@ -205,6 +205,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retimeCandidates(Seq("a" -> 1.0), Map("a" -> 2.0)).isEmpty)
   }
 
+  test("whole-run secondary sentinel: uniform drift is flagged even when per-query checks are quiet (r14 lesson)") {
+    // the r14 shape: every query ~1.23x its anchor — under the 1.5x
+    // per-query bar (prior_inflated = 0) and invisible to the positional
+    // sentinel, yet the run total is plainly inflated
+    val prior = Map("a" -> 2.0, "b" -> 4.0, "c" -> 6.0)
+    val drifted = Seq("a" -> 2.46, "b" -> 4.92, "c" -> 7.38)
+    val r = Bench.totalVsPrior(drifted, prior)
+    assert(math.abs(r - 1.23) < 1e-9)
+    assert(Bench.runInflated(r))
+    assert(Bench.priorInflatedFraction(drifted, prior) == 0.0) // the blind spot
+    // healthy run: ratio ~1, no flag; boundary: exactly 1.2 is not > 1.2
+    assert(!Bench.runInflated(Bench.totalVsPrior(Seq("a" -> 2.0, "b" -> 4.1), prior)))
+    assert(!Bench.runInflated(1.2))
+    assert(Bench.runInflated(1.201))
+    // matched-only: failed queries and anchor gaps drop out of both sums
+    val partial = Seq("a" -> 2.0, "zz" -> 99.0, "b" -> -1.0)
+    assert(Bench.totalVsPrior(partial, prior) == 1.0)
+    // no anchor → -1 sentinel value, label stays quiet
+    assert(Bench.totalVsPrior(drifted, Map.empty) == -1.0)
+    assert(!Bench.runInflated(-1.0))
+  }
+
   test("summaryLine is short, complete JSON carrying the headline numbers") {
     // The driver keeps the TAIL of stdout (r8 lesson: eight consecutive
     // `parsed: null` records) — the contract is that the summary is the
@@ -213,6 +235,7 @@ class BenchSpec extends AnyFunSuite {
     // path to the full record).
     val s = Bench.summaryLine(total = 21.2134, sharedTotal = 6.0912,
       sentinel = 0.93, sentinelDegraded = false, priorInflated = 0.0,
+      totalVsPrior = 1.04, runInflated = false,
       sf = "/root/testdata/sf0.1", see = "/root/repo/bench_out.json")
     assert(s.length < 1024, s"summary must stay well under truncation size: ${s.length}")
     assert(!s.contains("\n"))
@@ -241,6 +264,7 @@ class BenchSpec extends AnyFunSuite {
     // one line whose entire purpose is guaranteed parseability
     val s = Bench.summaryLine(total = 1.0, sharedTotal = 0.5, sentinel = 1.0,
       sentinelDegraded = false, priorInflated = 0.0,
+      totalVsPrior = 1.0, runInflated = false,
       sf = "/weird\"dir\\name\t", see = "/out\"file.json")
     assert(s.contains("/weird\\\"dir\\\\name\\" + "u0009"))
     assert(s.contains("/out\\\"file.json"))
@@ -260,7 +284,8 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.jnum(Double.NegativeInfinity) == "null")
     val s = Bench.summaryLine(total = Double.NaN, sharedTotal = 6.0,
       sentinel = Double.PositiveInfinity, sentinelDegraded = true,
-      priorInflated = 0.0, sf = "sf0.1", see = "/x.json")
+      priorInflated = 0.0, totalVsPrior = Double.NaN, runInflated = false,
+      sf = "sf0.1", see = "/x.json")
     assert(s.contains(""""value":null"""))
     assert(s.contains(""""noise_sentinel":null"""))
     assert(s.contains(""""r1_shared_total":6.0"""))

@@ -189,6 +189,11 @@ def report(check_path: str, out_path: str, round_no: str) -> int:
     artifact = {
         "round": round_no,
         "seed": check.get("seed", None),
+        "replay": (
+            f"python3 tools/adversarial_replay.py /root/testdata/sf0.001 /tmp/advdata "
+            f"{check.get('seed', '<seed>')} && "
+            "sbt -batch 'runMain graft.Verify /tmp/advdata /tmp/verify_adv' && "
+            "python3 tools/oracle_check.py /tmp/advdata /tmp/verify_adv /tmp/adv_check.json"),
         "source": check.get("sf_dir", None),
         "queries": len(rec),
         "crashes": len(crashes),
@@ -311,7 +316,18 @@ def main():
         sys.exit(f"usage: {sys.argv[0]} <fixture-dir> <out-dir> [seed]  |  "
                  f"{sys.argv[0]} --report <oracle_check.json> <out.json> [round]")
     src, dst = sys.argv[1], sys.argv[2]
-    random.seed(int(sys.argv[3]) if len(sys.argv) > 3 else 1311)
+    # Seed-logged property discipline (r14 verdict item 7): a FRESH seed per
+    # run by default, so each round's sweep explores a new hostile corpus
+    # instead of re-verifying the same two fixed ones. The seed is recorded
+    # in the dataset dir (oracle_check copies it into its JSON, the report
+    # carries it + replay instructions) — any finding replays exactly by
+    # passing the recorded seed as argv[3].
+    if len(sys.argv) > 3:
+        seed = int(sys.argv[3])
+    else:
+        seed = random.SystemRandom().randrange(2**31)
+        print(f"fresh adversarial seed: {seed} (replay: pass it as the 3rd arg)")
+    random.seed(seed)
     import os
     os.makedirs(dst, exist_ok=True)
     perturb_documents(src, dst)
@@ -320,7 +336,10 @@ def main():
     perturb_lineitem(src, dst)
     for t in PASSTHROUGH:
         shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
-    print(f"adversarial dataset written to {dst}")
+    with open(f"{dst}/adversarial_seed.json", "w") as f:
+        json.dump({"seed": seed, "source": src,
+                   "replay": f"python3 tools/adversarial_replay.py {src} <dst> {seed}"}, f)
+    print(f"adversarial dataset written to {dst} (seed {seed})")
 
 
 if __name__ == "__main__":
