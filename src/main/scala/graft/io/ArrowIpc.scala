@@ -84,6 +84,10 @@ object ArrowIpc {
     sparkSchema.fields.foreach(f => arrowField(f)) // validate types up front, driver-side
     val missing = shardBy.filterNot(sparkSchema.fieldNames.contains)
     require(missing.isEmpty, s"shardBy columns absent from frame: ${missing.mkString(", ")}")
+    // withColumn REPLACES an existing column in place (not appended last),
+    // which would silently misread the shard id below
+    require(!sparkSchema.fieldNames.contains(ShardTag),
+      s"frame already carries a $ShardTag column — rename it before sharding")
     new java.io.File(dir).mkdirs()
     val dirStr = new java.io.File(dir).getAbsolutePath
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}

@@ -38,8 +38,12 @@ object Format {
   case object Npz extends Format(Seq(".npz", ".npy"))
   case object Orc extends Format(Seq(".orc"))
   case object Pickle extends Format(Seq(".pickle", ".pkl"))
+  /** Arrow IPC STREAM format (the DataLoader feed) — `.arrows` is the
+    * stream convention; bare `.arrow` accepted for the feed files this
+    * engine itself writes. */
+  case object Arrow extends Format(Seq(".arrow", ".arrows"))
 
-  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz, Orc, Pickle)
+  val values: Seq[Format] = Seq(Csv, Tsv, Parquet, JsonLines, Json, Yaml, Binary, Npz, Orc, Pickle, Arrow)
 
   /** Longest-matching file ending (`FileMetadata.py:122-147`). */
   def detect(path: String): Format = {
@@ -89,6 +93,7 @@ object Readers {
       case Format.Binary => spark.read.format("binaryFile").load(path)
       case Format.Npz => Npz.read(spark, path)
       case Format.Pickle => Pickle.readRecords(spark, path)
+      case Format.Arrow => ArrowIpc.readStream(spark, path)
       case Format.Yaml =>
         throw new IllegalArgumentException("YAML is a config format; use Config.load")
     }
@@ -203,6 +208,7 @@ object Writers {
       case Format.JsonLines | Format.Json => w.json(meta.path)
       case Format.Npz => Npz.write(out, meta.path) // driver-side single-file sink
       case Format.Pickle => Pickle.writeRecords(out, meta.path) // driver-side single-file sink
+      case Format.Arrow => ArrowIpc.writeStream(out, meta.path) // last-hop feed stream (sharded variant: ArrowIpc.writeStreamSharded)
       case other => throw new IllegalArgumentException(s"unwritable format $other")
     }
   }

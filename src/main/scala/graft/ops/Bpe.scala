@@ -262,6 +262,20 @@ object Bpe {
   def exactPieces(wordCol: Column, ms: Seq[Merge]): Column =
     graft.functions.BpeEncode.bpe_encode(wordCol, mergePairs(ms))
 
+  /** Per-document EXACT token count in one shuffle-free pass: pre-tokenize
+    * the text and sum each word's exact piece count, all inside the row's
+    * projection ([[graft.functions.BpeEncode]] nests in the `transform`
+    * lambda, so no explode and no re-shuffle — the counting shape a 100 TB
+    * pipeline wants). NULL text → NULL, matching [[TextAnalysis.tokens]].
+    */
+  def exactTokenCount(textCol: Column, ms: Seq[Merge]): Column = {
+    import org.apache.spark.sql.functions.{aggregate, lit, size, transform}
+    aggregate(
+      transform(TextAnalysis.tokens(textCol),
+        w => size(exactPieces(w, ms)).cast("long")),
+      lit(0L), (acc, n) => acc + n)
+  }
+
   /** Greedy-vs-exact divergence over a (word[, n]) table: per distinct
     * word, the exact merge-order pieces vs the r14 greedy longest-match
     * scan (both marker-stripped for comparability — greedy runs on the

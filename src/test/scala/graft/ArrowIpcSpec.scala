@@ -112,6 +112,17 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsigned int64"))
   }
 
+  test("format dispatch: .arrows routes through Readers/Writers") {
+    import spark.implicits._
+    import graft.io.{FileMetadata, Format, Readers, Writers}
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val out = Files.createTempDirectory("arrowfmt").resolve("feed.arrows").toString
+    assert(Format.detect(out) == Format.Arrow)
+    Writers.write(df, FileMetadata.of(out))
+    val back = Readers.read(spark, out).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("unsupported type refuses loudly") {
     import spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")

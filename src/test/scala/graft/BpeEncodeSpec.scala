@@ -128,6 +128,31 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(z.getLong(0) == 3L && z.getLong(1) == 0L && z.getDouble(2) == 0.0)
   }
 
+  test("exactTokenCount: one-pass doc counting == explode-and-sum, null-safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val ms = Bpe.trainLocal(corpus.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))) :+ Bpe.EndOfWord, c)
+    }.toArray, 5)
+    val docs = Seq(
+      (1L, "the lowest low"),
+      (2L, "newest newest widest"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Bpe.exactTokenCount(col("text"), ms).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // independent spelling: explode words, encode each, sum sizes
+    val ref = docs.select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), size(Bpe.exactPieces(col("w"), ms)).cast("long").as("k"))
+      .groupBy("doc_id").agg(sum("k").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == ref(1L) && got(2L) == ref(2L))
+    assert(got(3L) == 0L) // empty text: zero tokens, not null
+    assert(got(4L) == -1L) // null text propagates null
+  }
+
   test("corpus divergence rate at sf0.001: measured, bounded, reported") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val wc = Bpe.wordCounts(docs, "text").cache()
