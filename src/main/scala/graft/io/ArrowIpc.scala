@@ -44,11 +44,8 @@ object ArrowIpc {
       s"Arrow IPC sink writes a driver-local stream (got: $path)")
     val sparkSchema = df.schema
     sparkSchema.fields.foreach(f => arrowField(f)) // validate types up front
-    val it = df.toLocalIterator()
-    writeRows(new Iterator[Row] {
-      override def hasNext: Boolean = it.hasNext
-      override def next(): Row = it.next()
-    }, sparkSchema, path, batchRows)
+    import scala.jdk.CollectionConverters._
+    writeRows(df.toLocalIterator().asScala, sparkSchema, path, batchRows)
   }
 
   /** DISTRIBUTED shard sink (r15 — the K-worker scale path the r14 verdict
@@ -102,8 +99,20 @@ object ArrowIpc {
       .map(_._2)
     val bRows = batchRows
     parted.foreachPartition { (it: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      writeRows(it, sparkSchema, shardPath(dirStr, pid), bRows)
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val path = shardPath(dirStr, pid)
+      // task-commit protocol: write to an attempt-unique temp and rename
+      // ATOMICALLY on success — a retry or speculative twin never
+      // interleaves bytes into the live shard file, and a reader only ever
+      // sees a complete stream (last successful attempt wins whole)
+      val tmp = java.nio.file.Paths.get(s"$path.inprogress-${tc.taskAttemptId()}")
+      try {
+        writeRows(it, sparkSchema, tmp.toString, bRows)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
     (0 until numShards).map(shardPath(dirStr, _))
   }

@@ -127,7 +127,14 @@ object Pickle {
         s"pickle: bytes object in $where position unsupported — JVM byte arrays " +
           "have reference equality, so content-equal keys/elements would silently " +
           "misbehave; re-key with str (hex/base64) on the Python side")
-      case t: Vector[_] => t.foreach(checkKeyable(_, where))
+      // recurse through every container shape a hostile (non-CPython-
+      // producible but well-formed) stream can park in key position: tuples
+      // (Vector), lists (ArrayBuffer), sets, dicts — their Scala equality is
+      // element-wise, so a nested Array[Byte] smuggles the same defect in
+      case t: collection.Seq[_] => t.foreach(checkKeyable(_, where))
+      case s: collection.Set[_] => s.foreach(checkKeyable(_, where))
+      case m: collection.Map[_, _] =>
+        m.foreach { case (k, x) => checkKeyable(k, where); checkKeyable(x, where) }
       case _ => ()
     }
     v

@@ -299,12 +299,15 @@ object Bpe {
         p => p =!= ""), "|")
     val greedyStr = array_join(
       graft.functions.VocabTokenCount.vocab_tokenize(col("word"), greedyVocab), "|")
+    // coalesce: sum() over ZERO rows is NULL — an empty word table must
+    // return typed zeros like the zero-merge branch, not nulls
     words.select(col("word"), exactStr.as("e"), greedyStr.as("g"))
       .agg(
         count(lit(1)).as("n_words"),
-        sum(when(col("e") =!= col("g"), 1L).otherwise(0L)).as("n_diverged"),
-        round(sum(when(col("e") =!= col("g"), 1L).otherwise(0L)).cast("double") /
-          count(lit(1)), 6).as("divergence_rate"))
+        coalesce(sum(when(col("e") =!= col("g"), 1L).otherwise(0L)), lit(0L))
+          .as("n_diverged"),
+        coalesce(round(sum(when(col("e") =!= col("g"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6), lit(0.0)).as("divergence_rate"))
   }
 
   /** Exact merge-order application to one word — rank-order REPLAY, the

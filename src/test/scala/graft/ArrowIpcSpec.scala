@@ -62,6 +62,9 @@ class ArrowIpcSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("arrowsh").toString
     val paths = ArrowIpc.writeStreamSharded(df, dir, numShards = 4, shardBy = Seq("id"))
     assert(paths.size == 4 && paths.forall(p => new java.io.File(p).isFile))
+    // task-commit protocol left no .inprogress temps: exactly K files
+    assert(new java.io.File(dir).list().sorted.toSeq ==
+      (0 until 4).map(i => f"shard-$i%05d.arrows"))
     // complement: shards are disjoint and union back to the full frame
     val shards = paths.map(p => ArrowIpc.readStream(spark, p))
     val perShard = shards.map(_.select("id").as[Long].collect().toSet)

@@ -126,6 +126,11 @@ class BpeEncodeSpec extends AnyFunSuite {
     // zero-merge table: trivially zero divergence
     val z = Bpe.greedyExactDivergence(words, Nil).collect().head
     assert(z.getLong(0) == 3L && z.getLong(1) == 0L && z.getDouble(2) == 0.0)
+    // EMPTY word table + non-empty merges: typed zeros, never NULLs
+    // (sum over zero rows is NULL without the coalesce)
+    val e = Bpe.greedyExactDivergence(words.filter(col("word") === "nope"), ms)
+      .collect().head
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.getDouble(2) == 0.0)
   }
 
   test("exactTokenCount: one-pass doc counting == explode-and-sum, null-safe") {

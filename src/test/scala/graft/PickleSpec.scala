@@ -183,6 +183,11 @@ class PickleSpec extends AnyFunSuite {
     val tupleKey = Array[Byte]('(', 'C', 1, 'k', 0x85.toByte, 'K', 1, 'd', '.')
     val e3 = intercept[IllegalArgumentException](Pickle.loads(tupleKey))
     assert(e3.getMessage.contains("dict-key"))
+    // a LIST key smuggling bytes refuses too (ArrayBuffer equality is
+    // element-wise; hostile non-CPython-producible but well-formed stream)
+    val listKey = Array[Byte]('}', ']', 'C', 1, 'k', 'a', 'K', 1, 's', '.')
+    val e4 = intercept[IllegalArgumentException](Pickle.loads(listKey))
+    assert(e4.getMessage.contains("dict-key"))
     // bytes VALUES stay fine
     val dictVal = Array[Byte]('(', 'K', 1, 'C', 1, 'k', 'd', '.')
     val m = Pickle.loads(dictVal).asInstanceOf[collection.Map[Any, Any]]

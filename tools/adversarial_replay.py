@@ -186,12 +186,15 @@ def report(check_path: str, out_path: str, round_no: str) -> int:
             "evidence": evidence})
     if gate_fail:
         return 1
+    seed = check.get("seed")
+    adv_source = check.get("adv_source")
     artifact = {
         "round": round_no,
-        "seed": check.get("seed", None),
-        "replay": (
-            f"python3 tools/adversarial_replay.py /root/testdata/sf0.001 /tmp/advdata "
-            f"{check.get('seed', '<seed>')} && "
+        "seed": seed,
+        # exact replay only when the dataset recorded its provenance —
+        # a fabricated command would regenerate a DIFFERENT corpus
+        "replay": (None if seed is None or adv_source is None else
+            f"python3 tools/adversarial_replay.py {adv_source} /tmp/advdata {seed} && "
             "sbt -batch 'runMain graft.Verify /tmp/advdata /tmp/verify_adv' && "
             "python3 tools/oracle_check.py /tmp/advdata /tmp/verify_adv /tmp/adv_check.json"),
         "source": check.get("sf_dir", None),

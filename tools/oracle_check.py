@@ -127,17 +127,20 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
     if json_out:
-        # adversarial datasets carry their generator seed (seed-logged
-        # property discipline) — pass it through so the report artifact can
-        # record it with replay instructions
-        seed = None
+        # adversarial datasets carry their generator seed + source fixture
+        # (seed-logged property discipline) — pass both through so the
+        # report artifact can record exact replay instructions
+        seed, adv_source = None, None
         try:
             with open(f"{sf_dir}/adversarial_seed.json") as f:
-                seed = json.load(f).get("seed")
+                marker = json.load(f)
+                seed = marker.get("seed")
+                adv_source = marker.get("source")
         except (OSError, ValueError):
             pass
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "seed": seed, "total": len(oracle),
+            json.dump({"sf_dir": sf_dir, "seed": seed, "adv_source": adv_source,
+                       "total": len(oracle),
                        "passed": len(oracle) - len(failures),
                        "queries": record}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
