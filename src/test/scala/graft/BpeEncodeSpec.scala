@@ -158,6 +158,41 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(got(4L) == -1L) // null text propagates null
   }
 
+  test("production-vocab scale: train 1k merges on 100k Zipf words, exact-apply via the DF path") {
+    // the testdata corpus holds 31 distinct words, so a REAL merge table
+    // can't come from it — synthesize a Zipf-ish word table at the scale
+    // a production tokenizer trains on (ceiling-bounded), then drive the
+    // full train→exact-apply loop end-to-end and report throughput
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(97)
+    val alphabet = "etaoinshrdlcumwf"
+    val words = (1 to 100000).map { i =>
+      val len = 2 + rnd.nextInt(9)
+      val w = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w, (100000.0 / i).toLong.max(1L)) // Zipf-ish counts
+    }.distinct
+    val local = words.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))) :+ Bpe.EndOfWord, c)
+    }.toArray
+    val t0 = System.nanoTime()
+    val ms = Bpe.trainLocal(local, 1000)
+    val trainS = (System.nanoTime() - t0) / 1e9
+    assert(ms.size == 1000)
+    val df = words.map(_._1).toDF("word")
+    val t1 = System.nanoTime()
+    val n = df.select(Bpe.exactPieces(col("word"), ms).as("p"))
+      .agg(sum(size(col("p")))).collect().head.getLong(0)
+    val applyS = (System.nanoTime() - t1) / 1e9
+    assert(n > words.size) // at least one piece + marker per word
+    // spot-exactness at this scale: a sample of words must equal replay
+    words.take(50).foreach { case (w, _) =>
+      assert(enc(w, Bpe.mergePairs(ms)) == Bpe.applyWord(w, ms))
+    }
+    info(f"${words.size} distinct words: train(1000 merges)=$trainS%.1f s, " +
+      f"exact apply=$applyS%.1f s (${words.size / applyS}%.0f words/s), $n total pieces")
+  }
+
   test("corpus divergence rate at sf0.001: measured, bounded, reported") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val wc = Bpe.wordCounts(docs, "text").cache()
