@@ -936,13 +936,20 @@ object TextAnalysis {
       .otherwise(folded.cast("double") / size(grams))
   }
 
-  /** PII redaction (training-data scrubbing): emails then phone-like digit
-    * runs, patterns chosen to mean the same thing in Java and RE2 regex
-    * dialects so the scrub is engine-portable.
+  /** PII redaction (training-data scrubbing): emails, then IPv4 addresses,
+    * then phone-like digit runs (the Dolma/C4 scrub set) — patterns chosen
+    * to mean the same thing in Java and RE2 regex dialects so the scrub is
+    * engine-portable. Order matters: email first (it may contain digits and
+    * dots), IP before phone (dots break the phone charclass so an IP can
+    * never match as a phone, but scrubbing IPs first keeps octets out of
+    * any future phone-pattern widening).
     */
   def scrubPii(c: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
     val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-    regexp_replace(regexp_replace(c, email, "[EMAIL]"), phone, "[PHONE]")
+    regexp_replace(
+      regexp_replace(regexp_replace(c, email, "[EMAIL]"), ip, "[IP]"),
+      phone, "[PHONE]")
   }
 }

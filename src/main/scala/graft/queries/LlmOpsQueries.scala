@@ -538,8 +538,9 @@ object LlmOpsQueries {
       WHERE doc_id < 50 AND length(text) > 0
       ORDER BY doc_id, chunk_idx"""))
 
-  /** PII scrubbing (emails + phone-like digit runs) over synthesized
-    * contact strings — replacement text identical across engines.
+  /** PII scrubbing (emails + IPv4 + phone-like digit runs — the Dolma/C4
+    * scrub set) over synthesized contact strings — replacement text
+    * identical across engines.
     */
   val q89_pii_scrub: Q = Q(
     fn = (s, dir) => {
@@ -547,7 +548,9 @@ object LlmOpsQueries {
         col("c_name"), lit(" <"),
         lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
         lit("@example.com> call +1 (555) 010-"),
-        lpad(col("c_custkey").cast("string"), 4, "0"))
+        lpad(col("c_custkey").cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("c_custkey"), lit(256)).cast("string"),
+        lit(".0.99 logged"))
       table(s, dir, "customer")
         .select(col("c_custkey"), TextAnalysis.scrubPii(synth).as("scrubbed"))
         .orderBy(col("c_custkey"))
@@ -556,9 +559,12 @@ object LlmOpsQueries {
       SELECT c_custkey,
              regexp_replace(
                regexp_replace(
-                 c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
-                   || '@example.com> call +1 (555) 010-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0'),
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 regexp_replace(
+                   c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+                     || '@example.com> call +1 (555) 010-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+                     || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.99 logged',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
                '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
       FROM customer
       ORDER BY c_custkey"""))

@@ -1857,4 +1857,25 @@ class OpsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1.2),
       s"all chain nodes must label to the min id 1.2: $labels")
   }
+
+  test("scrubPii redacts emails, IPv4 addresses, and phone runs (Dolma/C4 set)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "mail bob.smith+x@sub.example.co.uk now",
+      "server at 192.168.1.100 port 8080",
+      "call +1 (555) 010-0042 today",
+      "version 1.2.3 stays, 10.0.0.1.5 scrubs its first four octets",
+      "clean text untouched")
+      .toDF("t").select(graft.ops.TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows(0) == "mail [EMAIL] now")
+    assert(rows(1) == "server at [IP] port 8080")
+    assert(rows(2) == "call [PHONE] today")
+    // documented pragmatic-bound behavior: a 3-octet version string is NOT
+    // an IP; a 5-octet run scrubs its leading 4 (boundary at the 4th)
+    assert(rows(3) == "version 1.2.3 stays, [IP].5 scrubs its first four octets")
+    assert(rows(4) == "clean text untouched")
+  }
 }
