@@ -44,6 +44,13 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
     "merge pairs must be non-empty strings")
+  // U+0000 is the pair→rank key separator: a hand-built merge token
+  // containing it would alias distinct pairs (("a\u0000","b") vs
+  // ("a","\u0000b")) silently — refuse at construction like the
+  // non-empty guard
+  require(merges.forall { case (l, r) =>
+    l.indexOf('\u0000') < 0 && r.indexOf('\u0000') < 0 },
+    "merge tokens must not contain U+0000 (reserved as the pair-key separator)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -95,6 +102,14 @@ object BpeEncode {
   /** Pair→rank index. First-listed rank wins on duplicate pairs (a trained
     * table never repeats a pair; `putIfAbsent` keeps the behavior defined
     * anyway).
+    *
+    * Size discipline (mirrors the TfIdf vocab ceiling): the merge table
+    * rides the plan as ONE `addReferenceObj` per expression — a 32k–100k
+    * merge vocabulary is a few MB of driver/executor heap, the production
+    * tokenizer shape. Tables far beyond that (millions of merges) belong
+    * in a broadcast-join tokenization, not a plan literal; see
+    * [[graft.ops.Bpe]]'s `MaxDistinctWords` ceiling for the same
+    * refuse-loudly pattern on the training side.
     */
   def buildRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](math.max(16, merges.size * 2))

@@ -1,6 +1,5 @@
 package graft.io
 
-import java.io.{FileInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
@@ -11,8 +10,10 @@ import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Arrow IPC stream source/sink — the interchange closure for the
   * reference's torch `ScalableDataFrameDataset` adapter
@@ -36,16 +37,21 @@ import org.apache.spark.sql.types._
 object ArrowIpc {
 
   /** Write `df` as ONE Arrow IPC stream file (driver-side, bounded memory:
-    * `batchRows` rows per record batch, one batch in flight).
+    * `batchRows` rows per record batch, one batch in flight). Storage-
+    * dispatched through Hadoop `FileSystem` — local paths, `hdfs://` and
+    * `s3a://` all work (the reference's writer stack is storage-dispatched
+    * the same way, `writer/Writer.py:26-387`).
     */
   def writeStream(df: DataFrame, path: String, batchRows: Int = 8192): Unit = {
     require(batchRows > 0, s"batchRows $batchRows <= 0")
-    require(Storage.detect(path) == Storage.Local,
-      s"Arrow IPC sink writes a driver-local stream (got: $path)")
     val sparkSchema = df.schema
     sparkSchema.fields.foreach(f => arrowField(f)) // validate types up front
     import scala.jdk.CollectionConverters._
-    writeRows(df.toLocalIterator().asScala, sparkSchema, path, batchRows)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val p = new HadoopPath(path)
+    val out = p.getFileSystem(conf).create(p, /*overwrite=*/ true)
+    try writeRows(df.toLocalIterator().asScala, sparkSchema, out, batchRows)
+    finally out.close()
   }
 
   /** DISTRIBUTED shard sink (r15 — the K-worker scale path the r14 verdict
@@ -65,9 +71,15 @@ object ArrowIpc {
     * batches, not a corrupt file). Within-shard row order is task arrival
     * order — shuffle upstream (seeded) if the feed wants a specific order.
     *
-    * `dir` must be a path every executor can write (local mode: any local
-    * dir; cluster: a shared mount — the object-store PUT variant is the
-    * deployment-time swap, same row kernel). Returns the K file paths.
+    * `dir` is any Hadoop-`FileSystem` path every executor can reach —
+    * local dir (local mode / shared mount), `hdfs://`, `s3a://`. Each task
+    * opens the filesystem from a broadcast Hadoop conf and streams its
+    * shard through `FileSystem.create` (the reference's writer stack is
+    * storage-dispatched the same way, `writer/Writer.py:26-387`,
+    * `util/aws/s3.py`). After the job the driver re-checks that all K
+    * shard files exist on `dir`'s filesystem and fails loudly if any are
+    * missing — the "executors and driver see the same storage" assumption
+    * is a checked invariant, not a doc comment. Returns the K file paths.
     */
   def writeStreamSharded(df: DataFrame, dir: String, numShards: Int,
       shardBy: Seq[String], batchRows: Int = 8192, seed: Long = 42L): Seq[String] = {
@@ -75,8 +87,6 @@ object ArrowIpc {
     require(batchRows > 0, s"batchRows $batchRows <= 0")
     require(shardBy.nonEmpty,
       "shardBy columns required — content-hash sharding is the deterministic assignment law")
-    require(Storage.detect(dir) == Storage.Local,
-      s"sharded Arrow IPC sink writes filesystem files (got: $dir)")
     val sparkSchema = df.schema
     sparkSchema.fields.foreach(f => arrowField(f)) // validate types up front, driver-side
     val missing = shardBy.filterNot(sparkSchema.fieldNames.contains)
@@ -85,8 +95,16 @@ object ArrowIpc {
     // which would silently misread the shard id below
     require(!sparkSchema.fieldNames.contains(ShardTag),
       s"frame already carries a $ShardTag column — rename it before sharding")
-    new java.io.File(dir).mkdirs()
-    val dirStr = new java.io.File(dir).getAbsolutePath
+    val sc = df.sparkSession.sparkContext
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dirPath = {
+      val raw = new HadoopPath(dir)
+      val fs = raw.getFileSystem(conf)
+      fs.mkdirs(raw)
+      fs.makeQualified(raw) // absolute + scheme, so executors resolve the SAME location
+    }
+    val dirStr = dirPath.toString
+    val serConf = new SerializableConfiguration(conf)
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val shardCol = pmod(xxhash64(shardBy.map(col) :+ lit(seed): _*), lit(numShards.toLong))
     val keyed = df.withColumn(ShardTag, shardCol).rdd
@@ -100,27 +118,42 @@ object ArrowIpc {
     val bRows = batchRows
     parted.foreachPartition { (it: Iterator[Row]) =>
       val tc = org.apache.spark.TaskContext.get()
-      val pid = tc.partitionId()
-      val path = shardPath(dirStr, pid)
-      // task-commit protocol: write to an attempt-unique temp and rename
-      // ATOMICALLY on success — a retry or speculative twin never
-      // interleaves bytes into the live shard file, and a reader only ever
-      // sees a complete stream (last successful attempt wins whole)
-      val tmp = java.nio.file.Paths.get(s"$path.inprogress-${tc.taskAttemptId()}")
+      val path = shardPath(dirStr, tc.partitionId())
+      // unwrap ChecksumFileSystem (the local-FS default) so the feed dir
+      // holds exactly the K shard files, no .crc sidecars a DataLoader
+      // glob would trip on — and without mutating the shared cached FS
+      val fs = path.getFileSystem(serConf.value) match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case x => x
+      }
+      // task-commit protocol: write to an attempt-unique temp and rename on
+      // success — a retry or speculative twin never interleaves bytes into
+      // the live shard file, and a reader only ever sees a complete stream
+      // (rename is atomic on HDFS/local; on object stores the readers-see-
+      // whole-files property comes from PUT semantics instead)
+      val tmp = new HadoopPath(s"$path.inprogress-${tc.taskAttemptId()}")
       try {
-        writeRows(it, sparkSchema, tmp.toString, bRows)
-        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally java.nio.file.Files.deleteIfExists(tmp)
+        val out = fs.create(tmp, /*overwrite=*/ true)
+        try writeRows(it, sparkSchema, out, bRows) finally out.close()
+        fs.delete(path, false) // Hadoop rename refuses to overwrite
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"shard commit rename failed: $tmp -> $path")
+      } finally fs.delete(tmp, false)
     }
-    (0 until numShards).map(shardPath(dirStr, _))
+    val outPaths = (0 until numShards).map(shardPath(dirStr, _))
+    val fsCheck = dirPath.getFileSystem(conf)
+    val lost = outPaths.filterNot(fsCheck.exists)
+    if (lost.nonEmpty) throw new java.io.IOException(
+      s"sharded Arrow IPC sink: ${lost.size}/$numShards shard files missing after commit " +
+        s"(first: ${lost.head}) — executors wrote to storage the driver cannot see; " +
+        "on a multi-node cluster `dir` must be shared storage (hdfs://, s3a://, NFS mount)")
+    outPaths.map(_.toString)
   }
 
   private val ShardTag = "__graft_arrow_shard"
 
-  private def shardPath(dir: String, shard: Int): String =
-    new java.io.File(dir, f"shard-$shard%05d.arrows").toString
+  private def shardPath(dir: String, shard: Int): HadoopPath =
+    new HadoopPath(dir, f"shard-$shard%05d.arrows")
 
   /** The row→IPC-stream kernel shared by the driver sink and the
     * executor-side shard sink: bounded memory (`batchRows` rows per record
@@ -128,15 +161,15 @@ object ArrowIpc {
     * iterator yields a valid zero-batch stream.
     */
   private[io] def writeRows(rows: Iterator[Row], sparkSchema: StructType,
-      path: String, batchRows: Int): Unit = {
+      out: java.io.OutputStream, batchRows: Int): Unit = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
       val schema = new ArrowSchema(java.util.Arrays.asList(
         sparkSchema.fields.map(arrowField): _*))
       val root = VectorSchemaRoot.create(schema, alloc)
       try {
-        val out = new FileOutputStream(path)
-        val writer = new ArrowStreamWriter(root, null, out.getChannel)
+        val writer = new ArrowStreamWriter(root, null,
+          java.nio.channels.Channels.newChannel(out))
         try {
           writer.start()
           val buf = mutable.ArrayBuffer.empty[Row]
@@ -151,19 +184,34 @@ object ArrowIpc {
           }
           flush()
           writer.end()
-        } finally { writer.close(); out.close() }
+        } finally writer.close()
       } finally root.close()
     } finally alloc.close()
   }
 
   /** Read an Arrow IPC stream file back as a DataFrame (driver-side parse,
-    * parallelized out to `defaultParallelism`).
+    * parallelized out to `defaultParallelism`; any Hadoop-`FileSystem`
+    * path). Refuses the Arrow random-access FILE format (`ARROW1` magic +
+    * footer) up front with a pointed message — a bare `.arrow` extension
+    * conventionally means the file format, and feeding one to the stream
+    * reader would otherwise fail with whatever the stream parser trips on.
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
-      val in = new FileInputStream(path)
-      val reader = new ArrowStreamReader(in.getChannel, alloc)
+      val p = new HadoopPath(path)
+      val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+      val magic = new Array[Byte](6)
+      val got = in.read(magic, 0, 6)
+      if (got == 6 && java.util.Arrays.equals(magic, "ARROW1".getBytes(StandardCharsets.US_ASCII)))
+        try throw new IllegalArgumentException(
+          s"$path is an Arrow random-access FILE (ARROW1 magic + footer), not an IPC " +
+            "STREAM — this reader speaks the stream format (.arrows); rewrite the file " +
+            "with an IPC stream writer (pyarrow.ipc.new_stream) or read it with a " +
+            "file-format reader")
+        finally in.close()
+      in.seek(0L)
+      val reader = new ArrowStreamReader(in, alloc)
       try {
         val root = reader.getVectorSchemaRoot
         val sparkSchema = StructType(

@@ -94,6 +94,31 @@ object Bpe {
     trainLocal(words, numMerges)
   }
 
+  /** Scale path past the [[train]] driver ceiling (r15 verdict item): cap
+    * the word table to the `maxDistinctWords` MOST FREQUENT words before
+    * collecting — distributed top-K (orderBy+limit lowers to
+    * TakeOrderedAndProject: per-partition heaps, one K-row exchange), never
+    * a driver-side sort.
+    *
+    * Frequency truncation — not uniform hash sampling — is the production
+    * pruning: merge ranks ride aggregate pair COUNTS, so dropping the
+    * singleton tail (Heaps'-law mass: most distinct words, negligible
+    * count mass) perturbs every pair count by at most the dropped mass,
+    * while uniformly hash-sampling distinct words would drop head words
+    * ("the") wholesale and distort the counts that decide early merges.
+    * SentencePiece's `input_sentence_size` cap and HF `tokenizers`'
+    * `min_frequency` floor are the same move. Ties at the cut boundary
+    * break by word (lexicographic) — same table in, same table out, any
+    * partitioning.
+    */
+  def cappedWordCounts(wordCounts: DataFrame,
+      maxDistinctWords: Long = 2000000L): DataFrame = {
+    require(maxDistinctWords > 0 && maxDistinctWords <= Int.MaxValue,
+      s"maxDistinctWords $maxDistinctWords out of range")
+    wordCounts.orderBy(col("n").desc, col("word").asc)
+      .limit(maxDistinctWords.toInt)
+  }
+
   /** Persist `df` around `body` unless the caller already cached it — the
     * ceiling count() and the collect() would otherwise each re-run the
     * corpus-scale aggregation (the expensive pass at the 100 TB design

@@ -3008,14 +3008,22 @@ object LlmOpsQueries {
     bench = true)
 
   /** BPE tokenizer training ([[graft.ops.Bpe]]): the distributed word-count
-    * pass + the exact driver merge loop (Sennrich et al. 2016). NO DuckDB
-    * ORACLE BY DESIGN — each merge round is an arg-max aggregation over
-    * state mutated by the previous round, and SQL recursive CTEs prohibit
-    * aggregation over the recursive term (the sanctioned
-    * non-SQL-expressible case: the driver records the rows-only check).
-    * Correctness is spec-pinned instead: the published toy-corpus merge
-    * sequence, a naive-reference differential on random corpora, and
-    * distributed-vs-local word-count equivalence (BpeSpec).
+    * pass + the exact driver merge loop (Sennrich et al. 2016).
+    *
+    * ORACLED BY UNROLLING (r15 verdict item 7 — retires the corpus's last
+    * `no_oracle` entry): a recursive CTE cannot aggregate over the
+    * recursive term, but the merge count is a FIXED constant, so the loop
+    * unrolls into 40 chained CTE rounds — each round recomputes pair
+    * counts from the symbol state, takes the deterministic arg-max
+    * (count DESC, left ASC, right ASC), and applies the merge through the
+    * parity law: within a maximal run of consecutive mergeable positions
+    * (only possible when left==right), the engine's left-scan-no-advance
+    * loop merges exactly the odd-indexed streak members — a
+    * gaps-and-islands window, no recursion. Every round CTE is
+    * MATERIALIZED: multiply-referenced CTEs otherwise inline
+    * exponentially across 40 rounds. Verified identical to the engine
+    * output at sf0.001/sf0.01/sf0.1 (~9 s in DuckDB at sf0.1; the word
+    * table grows Heaps-sublinearly, so sf1 stays tractable).
     */
   val q219_bpe_train: Q = Q(
     fn = (s, dir) => {
@@ -3023,8 +3031,69 @@ object LlmOpsQueries {
       val ms = Bpe.train(wc, numMerges = 40)
       Bpe.merges(s, ms).orderBy(col("rank"))
     },
-    oracle = None,
+    oracle = Some(bpeReplayOracleSql(40)),
     bench = true)
+
+  /** The unrolled per-round BPE replay (see [[q219_bpe_train]]). One round:
+    * adjacent pairs via `lead`, pair counts via SUM(word count) per
+    * occurrence (overlaps included — the trainer's per-position law),
+    * arg-max with the lexicographic tie-break, then the parity-law merge
+    * application and a row_number re-index.
+    */
+  private def bpeReplayOracleSql(numMerges: Int): String = {
+    def round(k: Int): String = s"""
+      p$k AS MATERIALIZED (
+        SELECT w, n, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM s${k - 1}),
+      c$k AS MATERIALIZED (
+        SELECT sym AS l, nxt AS r, SUM(n) AS cnt
+        FROM p$k WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      m$k AS MATERIALIZED (
+        SELECT l, r, cnt FROM c$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+      f$k AS MATERIALIZED (
+        SELECT p.w, p.n, p.pos, p.sym, p.nxt,
+               (p.sym = m.l AND p.nxt = m.r) AS mg
+        FROM p$k p CROSS JOIN m$k m),
+      j$k AS MATERIALIZED (
+        SELECT w, pos,
+               (row_number() OVER (PARTITION BY w, isl ORDER BY pos) % 2 = 1) AS dm
+        FROM (SELECT w, pos,
+                     pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+              FROM f$k WHERE mg)),
+      s$k AS MATERIALIZED (
+        SELECT w, n,
+               row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+               CASE WHEN dm THEN sym || nxt ELSE sym END AS sym
+        FROM (SELECT f.w, f.n, f.pos, f.sym, f.nxt,
+                     coalesce(j.dm, false) AS dm,
+                     coalesce(jp.dm, false) AS consumed
+              FROM f$k f
+              LEFT JOIN j$k j ON j.w = f.w AND j.pos = f.pos
+              LEFT JOIN j$k jp ON jp.w = f.w AND jp.pos = f.pos - 1)
+        WHERE NOT consumed),
+      r$k AS MATERIALIZED (
+        SELECT ${k - 1} AS rank, l AS "left", r AS "right", l || r AS token,
+               CAST(cnt AS BIGINT) AS pair_count FROM m$k)"""
+    val rounds = (1 to numMerges).map(round).mkString(",")
+    val union = (1 to numMerges).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"""
+      WITH words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word),
+      base AS MATERIALIZED (
+        SELECT word AS w, n,
+               list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+        FROM words),
+      s0 AS MATERIALIZED (
+        SELECT w, n, i AS pos, syms[i] AS sym
+        FROM base, UNNEST(generate_series(1, len(syms))) AS u(i)),
+      $rounds
+      SELECT CAST(rank AS INTEGER) AS rank, "left", "right", token, pair_count
+      FROM ($union) ORDER BY rank"""
+  }
 
   /** The BPE phase-1 word table, oracle-paired (r14 verdict item 3: the
     * merge loop is legitimately non-SQL-expressible, but the distributed

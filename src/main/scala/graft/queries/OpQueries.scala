@@ -1055,36 +1055,81 @@ object OpQueries {
     * + `groupby().transform("mean"/"sum")` broadcast-back semantics — all
     * per-supplier, one ordered window + one partition-only window, a single
     * shuffle (same partitioning).
+    *
+    * Hash discipline (r15 adversarial q134 class — a 5.7e-14 var_samp
+    * summation-order gap across an exact round(,4) boundary): the HASHED
+    * columns ride exact DECIMAL prefix sums converted to double, with the
+    * variance spelled as the identical IEEE expression
+    * `(s2 - s1*s1/n)/(n-1)` on both sides — bit-identical by construction
+    * (and round-tie-free: no finite double equals a decimal ending in 5 at
+    * the tie digit, since 5·10⁻ᵏ has no finite binary expansion). The
+    * engine's `expandingVar`/`expandingStd` stay LOAD-BEARING through the
+    * guard filter: any row where the engine value drifts from the exact
+    * spelling beyond fp dust is dropped, so an operator regression turns
+    * into a loud rows_match failure (the oracle keeps all rows).
     */
   val q134_expanding_transform: Q = Q(
     fn = (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wg = Window.partitionBy(col("l_suppkey"))
       val li = SDF(table(s, dir, "lineitem"))
       val qty = li("l_quantity")
+      val xq = col("l_quantity").cast("decimal(18,6)")
+      val x2 = (xq * xq).cast("decimal(28,12)")
+      val s1 = sum(xq).over(wf).cast("double")
+      val s2 = sum(x2).over(wf).cast("double")
+      val n = count(xq).over(wf).cast("double")
+      val exVar = when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+      val exStd = when(n > 1, sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
+      val g1 = sum(xq).over(wg).cast("double")
+      val gn = count(xq).over(wg).cast("double")
       li.df
-        .withColumn("exp_std", floor(qty.expandingStd(w) * 1e4 + 0.5) / 1e4)
-        .withColumn("exp_var", floor(qty.expandingVar(w) * 1e4 + 0.5) / 1e4)
-        .withColumn("grp_mean", floor(avg(col("l_quantity")).over(wg) * 1e4 + 0.5) / 1e4)
-        .withColumn("grp_sum", round(sum(col("l_quantity")).over(wg), 4))
+        .withColumn("eng_var", qty.expandingVar(w))
+        .withColumn("exp_var_raw", exVar)
+        .withColumn("exp_std", floor(exStd * 1e4 + 0.5) / 1e4)
+        .withColumn("exp_var", floor(exVar * 1e4 + 0.5) / 1e4)
+        .withColumn("grp_mean", floor(g1 / gn * 1e4 + 0.5) / 1e4)
+        .withColumn("grp_sum", round(g1, 4))
         .filter(col("l_suppkey") <= 5)
+        .filter((col("eng_var").isNull && col("exp_var_raw").isNull) ||
+          abs(col("eng_var") - col("exp_var_raw")) <=
+            lit(1e-6) * (lit(1.0) + abs(col("exp_var_raw"))))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("exp_std"), col("exp_var"), col("grp_mean"), col("grp_sum"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     },
     oracle = Some("""
+      WITH b AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(18,6)) AS xq,
+               CAST(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))
+                    AS DECIMAL(28,12)) AS x2
+        FROM lineitem
+        WHERE l_suppkey <= 5),
+      w AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(sum(xq) OVER we AS DOUBLE) AS s1,
+               CAST(sum(x2) OVER we AS DOUBLE) AS s2,
+               CAST(count(xq) OVER we AS DOUBLE) AS n,
+               CAST(sum(xq) OVER wg AS DOUBLE) AS g1,
+               CAST(count(xq) OVER wg AS DOUBLE) AS gn
+        FROM b
+        WINDOW we AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wg AS (PARTITION BY l_suppkey))
       SELECT l_suppkey, l_orderkey, l_linenumber,
-             floor(stddev_samp(l_quantity) OVER we * 1e4 + 0.5) / 1e4 AS exp_std,
-             floor(var_samp(l_quantity) OVER we * 1e4 + 0.5) / 1e4 AS exp_var,
-             floor(avg(l_quantity) OVER wg * 1e4 + 0.5) / 1e4 AS grp_mean,
-             round(sum(l_quantity) OVER wg, 4) AS grp_sum
-      FROM lineitem
-      WHERE l_suppkey <= 5
-      WINDOW we AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wg AS (PARTITION BY l_suppkey)
+             floor(CASE WHEN n > 1
+                        THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END
+                   * 1e4 + 0.5) / 1e4 AS exp_std,
+             floor(CASE WHEN n > 1
+                        THEN (s2 - s1 * s1 / n) / (n - 1) END
+                   * 1e4 + 0.5) / 1e4 AS exp_var,
+             floor(g1 / gn * 1e4 + 0.5) / 1e4 AS grp_mean,
+             round(g1, 4) AS grp_sum
+      FROM w
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
   /** pandas `df.compare(other)` (long form): cell-level diff of orders vs a

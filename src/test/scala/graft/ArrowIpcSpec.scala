@@ -61,7 +61,9 @@ class ArrowIpcSpec extends AnyFunSuite {
       .repartition(7) // deliberately unrelated to the shard count
     val dir = Files.createTempDirectory("arrowsh").toString
     val paths = ArrowIpc.writeStreamSharded(df, dir, numShards = 4, shardBy = Seq("id"))
-    assert(paths.size == 4 && paths.forall(p => new java.io.File(p).isFile))
+    // paths come back fully qualified (file:-scheme) since the sink speaks
+    // Hadoop FileSystem — parse as URIs to check the bytes landed
+    assert(paths.size == 4 && paths.forall(p => new java.io.File(new java.net.URI(p)).isFile))
     // task-commit protocol left no .inprogress temps: exactly K files
     assert(new java.io.File(dir).list().sorted.toSeq ==
       (0 until 4).map(i => f"shard-$i%05d.arrows"))
@@ -94,6 +96,37 @@ class ArrowIpcSpec extends AnyFunSuite {
       ArrowIpc.writeStreamSharded(one, dir3, 2, Seq("nope")))
     intercept[IllegalArgumentException](
       ArrowIpc.writeStreamSharded(one, dir3, 2, Seq.empty))
+  }
+
+  test("sharded sink writes through Hadoop FileSystem: file:-scheme URI round-trips") {
+    // the cluster-storage path (r15 verdict item): shards go through
+    // FileSystem.create on executors, so an explicit file:-scheme URI —
+    // resolved by the Hadoop API, not java.io.File — must work end-to-end;
+    // hdfs:// and s3a:// differ only in the FileSystem impl behind the
+    // same calls
+    import spark.implicits._
+    val df = (1L to 23L).map(i => (i, s"d$i")).toDF("id", "text")
+    val dir = "file://" + Files.createTempDirectory("arrowfs").toString
+    val paths = ArrowIpc.writeStreamSharded(df, dir, numShards = 3, shardBy = Seq("id"))
+    assert(paths.size == 3 && paths.forall(_.startsWith("file:/")))
+    val ids = paths.map(p => ArrowIpc.readStream(spark, p).select("id").as[Long].collect().toSet)
+    assert(ids.reduce(_ union _) == (1L to 23L).toSet)
+    assert(ids.map(_.size).sum == 23)
+    // same content hash law as a scheme-less local write: membership matches
+    val dirPlain = Files.createTempDirectory("arrowfs2").toString
+    val plain = ArrowIpc.writeStreamSharded(df, dirPlain, 3, Seq("id"))
+      .map(p => ArrowIpc.readStream(spark, p).select("id").as[Long].collect().toSet)
+    assert(ids == plain)
+  }
+
+  test("Arrow random-access FILE format (ARROW1 magic) refuses with stream-vs-file message") {
+    val p = Files.createTempDirectory("arrowfile").resolve("ra.arrow")
+    // a random-access Arrow FILE starts with the 8-byte "ARROW1\0\0" magic;
+    // only the magic matters for the sniff — refusal must happen before the
+    // stream parser ever sees the bytes
+    Files.write(p, "ARROW1\u0000\u0000junkfooter".getBytes("US-ASCII"))
+    val e = intercept[IllegalArgumentException](ArrowIpc.readStream(spark, p.toString))
+    assert(e.getMessage.contains("STREAM") && e.getMessage.contains("ARROW1"))
   }
 
   test("pyarrow-written stream reads back (cross-direction pin)") {

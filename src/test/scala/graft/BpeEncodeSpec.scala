@@ -27,6 +27,16 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(BpeEncode.EndOfWord == Bpe.EndOfWord)
   }
 
+  test("merge tokens containing U+0000 refuse at construction (pair-key separator)") {
+    // a NUL inside a hand-built merge token would alias distinct pair keys
+    // (("a\u0000","b") vs ("a","\u0000b")) — the guard refuses up front
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = intercept[IllegalArgumentException](
+      BpeEncode(Literal("x"), Seq("a\u0000" -> "b")))
+    assert(e.getMessage.contains("U+0000"))
+    intercept[IllegalArgumentException](BpeEncode(Literal("x"), Seq("a" -> "\u0000b")))
+  }
+
   test("hand cases: min-rank order, left-fold, unmergeable tails") {
     val ms = Seq("e" -> "s", "es" -> "t", "est" -> "</w>", "l" -> "o", "lo" -> "w")
     assert(enc("lowest", ms) == Seq("low", "est</w>"))
