@@ -101,15 +101,12 @@ DIVERGENCE_CLASSES = {
 # it (oracle_check.py embeds the evidence) and either fix the engine (any
 # crash or genuine defect) or, for a true out-of-contract semantic gap,
 # triage it here with a class from DIVERGENCE_CLASSES.
-TRIAGE = {
-    "q134_expanding_transform": (
-        "float-ulp-round-boundary",
-        "seed 1331474535: ONE cell (l_suppkey=3, l_orderkey=66, "
-        "l_linenumber=4) exp_var 242.7813 vs 242.7812; DuckDB's unrounded "
-        "expanding var_samp is 242.78124999999994 — 5.7e-14 BELOW the "
-        ".78125 boundary — while Spark's running variance lands an ulp "
-        "above; verified by recomputing the window unrounded in DuckDB"),
-}
+# EMPTY since r16: the one remaining entry (q134 float-ulp-round-boundary,
+# a 5.7e-14 var_samp summation-order gap across an exact round(,4) edge)
+# was retired by respelling the q134 oracle pair on exact DECIMAL prefix
+# sums with bit-identical IEEE arithmetic on both sides — the class is
+# structurally empty now, not just unobserved on this seed.
+TRIAGE = {}
 
 # class -> oracle_check shapes ("rows" | "value" | "columns") the class can
 # legitimately produce; a classified mismatch whose observed shape is not
