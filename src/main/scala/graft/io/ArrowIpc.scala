@@ -197,15 +197,58 @@ object ArrowIpc {
     * reader would otherwise fail with whatever the stream parser trips on.
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
+    val (sparkSchema, rows) =
+      parseShard(new HadoopPath(path), spark.sessionState.newHadoopConf())
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, spark.sparkContext.defaultParallelism)), sparkSchema)
+  }
+
+  /** DISTRIBUTED shard source — the symmetric scale path to
+    * [[writeStreamSharded]]: every `shard-*.arrows` file in `dir` parses in
+    * its OWN task (one file = one partition, no driver pass), so
+    * re-ingesting a K-worker feed directory costs one parallel scan instead
+    * of K serial driver parses. Memory per task = one shard — the
+    * DataLoader shard granularity, bounded by construction. Shards must
+    * agree on schema (checked per task against the driver-read header;
+    * loud refusal names the divergent file). Empty zero-batch shards
+    * contribute zero rows, not errors.
+    */
+  def readStreamSharded(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new HadoopPath(dir)
+    val fs = d.getFileSystem(conf)
+    val files = fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.matches("shard-\\d{5}\\.arrows"))
+      .sortBy(_.getName).map(_.toString).toSeq
+    require(files.nonEmpty, s"no shard-*.arrows files under $dir")
+    // schema from shard 0, driver-side (header parse only — cheap)
+    val sparkSchema = readSchemaOnly(new HadoopPath(files.head), conf)
+    val serConf = new SerializableConfiguration(conf)
+    val schemaBc = spark.sparkContext.broadcast(sparkSchema)
+    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      val (sch, rows) = parseShard(new HadoopPath(f), serConf.value)
+      if (sch != schemaBc.value) throw new IllegalArgumentException(
+        s"shard schema mismatch: $f reads $sch, shard 0 read ${schemaBc.value}")
+      rows
+    }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Open + fully parse one IPC stream shard (runs driver-side for
+    * [[readStream]], executor-side for [[readStreamSharded]]). Applies the
+    * ARROW1 file-format sniff before handing bytes to the stream parser.
+    */
+  private def parseShard(p: HadoopPath,
+      conf: org.apache.hadoop.conf.Configuration): (StructType, Seq[Row]) = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
-      val p = new HadoopPath(path)
-      val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+      val in = p.getFileSystem(conf).open(p)
       val magic = new Array[Byte](6)
       val got = in.read(magic, 0, 6)
       if (got == 6 && java.util.Arrays.equals(magic, "ARROW1".getBytes(StandardCharsets.US_ASCII)))
         try throw new IllegalArgumentException(
-          s"$path is an Arrow random-access FILE (ARROW1 magic + footer), not an IPC " +
+          s"$p is an Arrow random-access FILE (ARROW1 magic + footer), not an IPC " +
             "STREAM — this reader speaks the stream format (.arrows); rewrite the file " +
             "with an IPC stream writer (pyarrow.ipc.new_stream) or read it with a " +
             "file-format reader")
@@ -224,10 +267,21 @@ object ArrowIpc {
               readCell(root.getVector(j), i)))
           }
         }
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toSeq,
-            math.max(1, spark.sparkContext.defaultParallelism)), sparkSchema)
+        (sparkSchema, rows.toSeq)
       } finally { reader.close(); in.close() }
+    } finally alloc.close()
+  }
+
+  /** Parse just the stream header for the schema — no batch loads. */
+  private def readSchemaOnly(p: HadoopPath,
+      conf: org.apache.hadoop.conf.Configuration): StructType = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val in = p.getFileSystem(conf).open(p)
+      val reader = new ArrowStreamReader(in, alloc)
+      try StructType(reader.getVectorSchemaRoot.getSchema.getFields
+        .toArray(Array.empty[Field]).map(sparkField))
+      finally { reader.close(); in.close() }
     } finally alloc.close()
   }
 

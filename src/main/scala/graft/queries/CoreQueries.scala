@@ -17,27 +17,62 @@ object CoreQueries {
   /** §2.4 groupby+agg (`ScalableDataFrame.py:1697-1710`): TPC-H Q1-shaped
     * pricing summary. Scale note: partial aggregation (map-side combine) on
     * 6 groups means the shuffle moves O(partitions*6) rows — scales to 100 TB.
+    *
+    * Hash discipline (r16, the q134 pattern — retires the adjudicated sf1
+    * last-ulp drift: a 6M-term double sum is summation-order-dependent at
+    * the 13th digit): the HASHED metrics ride exact DECIMAL sums (prices
+    * are 2-dp, quantities integral — the casts are lossless) converted to
+    * double with the identical expression on both sides; averages are
+    * spelled sum/count of the same exact sums. The engine's native double
+    * `sum`/`avg` stay LOAD-BEARING through the guard filter: a group where
+    * the double aggregate drifts from the exact sum beyond fp dust (1e-6
+    * relative — real double summation error on 6M terms is ~1e-12) is
+    * dropped, turning an aggregation regression into a rows_match failure.
     */
   val q01_agg_pricing_summary: Q = Q(
-    fn = (s, dir) =>
+    fn = (s, dir) => {
+      val qd = col("l_quantity").cast("decimal(18,4)")
+      val pd = col("l_extendedprice").cast("decimal(18,2)")
+      val dd = col("l_discount").cast("decimal(8,4)")
+      val dp = pd * (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+      val sQty = sum(qd).cast("double")
+      val sBase = sum(pd).cast("double")
+      val sDisc = sum(dp).cast("double")
+      val sDd = sum(dd).cast("double")
       table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")),
+          round(sQty, 4).as("sum_qty"),
+          round(sBase, 4).as("sum_base_price"),
+          round(sDisc, 4).as("sum_disc_price"),
+          round(sQty / count(col("l_quantity")), 4).as("avg_qty"),
+          round(sDd / count(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+          sum(col("l_extendedprice")).as("__eng_base"),
+          sum(col("l_quantity")).as("__eng_qty"),
+          avg(col("l_discount")).as("__eng_avgd"),
+          sBase.as("__ex_base"), sQty.as("__ex_qty"),
+          (sDd / count(col("l_discount"))).as("__ex_avgd"))
+        .filter(
+          abs(col("__eng_base") - col("__ex_base")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_base"))) &&
+          abs(col("__eng_qty") - col("__ex_qty")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_qty"))) &&
+          abs(col("__eng_avgd") - col("__ex_avgd")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_avgd"))))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("avg_qty"),
+          col("avg_disc"), col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
     oracle = Some("""
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 4) AS sum_qty,
-             round(sum(l_extendedprice), 4) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_discount), 4) AS avg_disc,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 4) AS sum_disc_price,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(l_quantity), 4) AS avg_qty,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                   / count(l_discount), 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.ArrowIpc
@@ -117,6 +118,32 @@ class ArrowIpcSpec extends AnyFunSuite {
     val plain = ArrowIpc.writeStreamSharded(df, dirPlain, 3, Seq("id"))
       .map(p => ArrowIpc.readStream(spark, p).select("id").as[Long].collect().toSet)
     assert(ids == plain)
+  }
+
+  test("sharded source: one task per shard, round-trips the sharded sink, refuses mixed schemas") {
+    import spark.implicits._
+    val df = (1L to 61L).map(i => (i, s"t$i", i * 0.5)).toDF("id", "text", "score")
+    val dir = Files.createTempDirectory("arrowrs").toString
+    ArrowIpc.writeStreamSharded(df, dir, numShards = 5, shardBy = Seq("id"))
+    val back = ArrowIpc.readStreamSharded(spark, dir)
+    // one partition per shard — the distributed-read contract
+    assert(back.rdd.getNumPartitions == 5)
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.select("id").as[Long].collect().toSet == (1L to 61L).toSet)
+    assert(back.filter($"text" =!= concat(lit("t"), $"id".cast("string"))).count() == 0)
+    // a shard with a DIFFERENT schema refuses loudly, naming the file
+    val dir2 = Files.createTempDirectory("arrowrs2").toString
+    ArrowIpc.writeStreamSharded(df.select("id", "text"), dir2, 5, Seq("id"))
+    Files.copy(java.nio.file.Paths.get(dir2, "shard-00003.arrows"),
+      java.nio.file.Paths.get(dir, "shard-00003.arrows"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[org.apache.spark.SparkException](
+      ArrowIpc.readStreamSharded(spark, dir).count())
+    assert(e.getMessage.contains("schema mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema mismatch")))
+    // empty dir refuses
+    val dir3 = Files.createTempDirectory("arrowrs3").toString
+    intercept[IllegalArgumentException](ArrowIpc.readStreamSharded(spark, dir3))
   }
 
   test("Arrow random-access FILE format (ARROW1 magic) refuses with stream-vs-file message") {
