@@ -49,9 +49,20 @@ object ArrowIpc {
     import scala.jdk.CollectionConverters._
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val p = new HadoopPath(path)
-    val out = p.getFileSystem(conf).create(p, /*overwrite=*/ true)
-    try writeRows(df.toLocalIterator().asScala, sparkSchema, out, batchRows)
-    finally out.close()
+    // same commit protocol as the sharded sink: stream into an .inprogress
+    // temp and rename on success, so a mid-write failure never leaves a
+    // truncated file at the final path for a DataLoader to half-read
+    val fs = p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case x => x
+    }
+    val tmp = new HadoopPath(s"$p.inprogress")
+    try {
+      val out = fs.create(tmp, /*overwrite=*/ true)
+      try writeRows(df.toLocalIterator().asScala, sparkSchema, out, batchRows)
+      finally out.close()
+      commitRename(fs, tmp, p)
+    } finally fs.delete(tmp, false)
   }
 
   /** DISTRIBUTED shard sink (r15 — the K-worker scale path the r14 verdict
@@ -129,15 +140,14 @@ object ArrowIpc {
       // task-commit protocol: write to an attempt-unique temp and rename on
       // success — a retry or speculative twin never interleaves bytes into
       // the live shard file, and a reader only ever sees a complete stream
-      // (rename is atomic on HDFS/local; on object stores the readers-see-
-      // whole-files property comes from PUT semantics instead)
+      // (rename is atomic on HDFS/local; on s3a rename is a non-atomic
+      // copy+delete, where the readers-see-whole-files property comes from
+      // PUT semantics instead)
       val tmp = new HadoopPath(s"$path.inprogress-${tc.taskAttemptId()}")
       try {
         val out = fs.create(tmp, /*overwrite=*/ true)
         try writeRows(it, sparkSchema, out, bRows) finally out.close()
-        fs.delete(path, false) // Hadoop rename refuses to overwrite
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"shard commit rename failed: $tmp -> $path")
+        commitRename(fs, tmp, path)
       } finally fs.delete(tmp, false)
     }
     val outPaths = (0 until numShards).map(shardPath(dirStr, _))
@@ -151,6 +161,25 @@ object ArrowIpc {
   }
 
   private val ShardTag = "__graft_arrow_shard"
+
+  /** Rename-commit a finished temp onto the destination WITHOUT an
+    * unconditional pre-delete: the common path is a bare rename (no window
+    * in which the destination is missing). Only when rename refuses because
+    * a destination already exists — a prior successful attempt of this same
+    * deterministic write — is the stale file deleted and the rename retried,
+    * so a task killed mid-commit can never leave a previously-committed file
+    * deleted-but-not-replaced.
+    */
+  private def commitRename(fs: FileSystem, tmp: HadoopPath, dest: HadoopPath): Unit =
+    if (!fs.rename(tmp, dest)) {
+      // Hadoop rename refuses to overwrite; content is deterministic, so the
+      // existing committed file is equivalent — replace it, never gap it
+      if (!fs.exists(dest)) throw new java.io.IOException(
+        s"commit rename failed with no existing destination: $tmp -> $dest")
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"commit rename failed: $tmp -> $dest")
+    }
 
   private def shardPath(dir: String, shard: Int): HadoopPath =
     new HadoopPath(dir, f"shard-$shard%05d.arrows")
@@ -195,10 +224,27 @@ object ArrowIpc {
     * footer) up front with a pointed message — a bare `.arrow` extension
     * conventionally means the file format, and feeding one to the stream
     * reader would otherwise fail with whatever the stream parser trips on.
+    *
+    * DRIVER-MEMORY CEILING (same discipline as the TfIdf vocab / BPE
+    * word-table ceilings): this path materializes the WHOLE feed as
+    * `Seq[Row]` in driver heap — it exists for re-ingesting one training
+    * worker's feed file, not bulk data. Files larger than `maxBytes`
+    * (default 1 GiB of on-disk IPC bytes; row-ized heap is a small multiple
+    * of that) are refused with a pointer to [[readStreamSharded]], the
+    * distributed one-shard-per-task scale path. Raise `maxBytes` explicitly
+    * only with a driver heap sized for it.
     */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
-    val (sparkSchema, rows) =
-      parseShard(new HadoopPath(path), spark.sessionState.newHadoopConf())
+  def readStream(spark: SparkSession, path: String,
+      maxBytes: Long = 1L << 30): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HadoopPath(path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    require(len <= maxBytes,
+      s"$path is $len bytes > maxBytes $maxBytes — readStream parses the whole feed " +
+        "driver-side (one-worker feed granularity); use readStreamSharded on a " +
+        "sharded feed dir for distributed ingest, or raise maxBytes with a driver " +
+        "heap sized for the row-ized feed")
+    val (sparkSchema, rows) = parseShard(p, conf)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows,
         math.max(1, spark.sparkContext.defaultParallelism)), sparkSchema)
@@ -238,14 +284,23 @@ object ArrowIpc {
   /** Open + fully parse one IPC stream shard (runs driver-side for
     * [[readStream]], executor-side for [[readStreamSharded]]). Applies the
     * ARROW1 file-format sniff before handing bytes to the stream parser.
+    *
+    * Memory bound: the whole shard row-izes into one `Seq[Row]` in the
+    * calling JVM — a DataLoader shard (one worker's slice), not bulk data.
+    * [[readStream]] enforces a byte ceiling driver-side;
+    * [[readStreamSharded]] bounds it to one shard per executor task.
     */
   private def parseShard(p: HadoopPath,
       conf: org.apache.hadoop.conf.Configuration): (StructType, Seq[Row]) = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
       val in = p.getFileSystem(conf).open(p)
+      // loop to 6 bytes or EOF — a single read() may short-read on HDFS/s3a
+      // streams, which would silently skip the pointed file-format refusal
       val magic = new Array[Byte](6)
-      val got = in.read(magic, 0, 6)
+      var got = 0
+      var r = 0
+      while (got < 6 && { r = in.read(magic, got, 6 - got); r > 0 }) got += r
       if (got == 6 && java.util.Arrays.equals(magic, "ARROW1".getBytes(StandardCharsets.US_ASCII)))
         try throw new IllegalArgumentException(
           s"$p is an Arrow random-access FILE (ARROW1 magic + footer), not an IPC " +

@@ -3039,6 +3039,18 @@ object LlmOpsQueries {
     * occurrence (overlaps included — the trainer's per-position law),
     * arg-max with the lexicographic tie-break, then the parity-law merge
     * application and a row_number re-index.
+    *
+    * Tie-break unicode contract: `ORDER BY cnt DESC, l ASC, r ASC` compares
+    * strings in DuckDB's UTF-8/codepoint order, while the engine's merge
+    * heap uses `Ordering.String` — UTF-16 code-UNIT order. The two orders
+    * diverge only when a count-tied pair compares an astral token
+    * (U+10000+, surrogate code units 0xD800–0xDFFF) against one in
+    * U+E000–U+FFFF. That corner is part of the tokenizer's documented
+    * hostile-unicode out-of-contract class (same adjudication as
+    * [[graft.ops.Bpe]]'s vocabulary note): corpora whose count-tied merge
+    * candidates straddle the astral boundary are outside the hash-exact
+    * contract. The testdata and adversarial corpora are BMP-only at merge
+    * depth, so both sides agree everywhere exercised.
     */
   private def bpeReplayOracleSql(numMerges: Int): String = {
     def round(k: Int): String = s"""

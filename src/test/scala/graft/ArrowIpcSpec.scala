@@ -186,6 +186,38 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("readStream refuses a feed above the driver-memory byte ceiling") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val out = Files.createTempDirectory("arrowcap").resolve("feed.arrows").toString
+    ArrowIpc.writeStream(df, out)
+    val e = intercept[IllegalArgumentException](
+      ArrowIpc.readStream(spark, out, maxBytes = 10L))
+    assert(e.getMessage.contains("readStreamSharded") && e.getMessage.contains("maxBytes"))
+    // explicit raise reads fine
+    assert(ArrowIpc.readStream(spark, out, maxBytes = 1L << 20).count() == 2L)
+  }
+
+  test("re-writing an existing feed (dest present) commits cleanly, new content wins") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrowrw").toString
+    ArrowIpc.writeStreamSharded((1L to 6L).toDF("id"), dir, 2, Seq("id"))
+    // second write: rename meets an existing destination per shard — the
+    // commit must replace it (delete-on-refusal path), never gap or fail
+    ArrowIpc.writeStreamSharded((10L to 16L).toDF("id"), dir, 2, Seq("id"))
+    val back = ArrowIpc.readStreamSharded(spark, dir).as[Long].collect().toSet
+    assert(back == (10L to 16L).toSet)
+    // no temp leftovers in the feed dir
+    val leftovers = new java.io.File(dir).list().filter(_.contains("inprogress"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    // single-file driver sink: same protocol, no .inprogress residue
+    val single = Files.createTempDirectory("arrowrw1").resolve("feed.arrows")
+    ArrowIpc.writeStream((1L to 3L).toDF("id"), single.toString)
+    ArrowIpc.writeStream((4L to 7L).toDF("id"), single.toString)
+    assert(ArrowIpc.readStream(spark, single.toString).as[Long].collect().toSet == (4L to 7L).toSet)
+    assert(!Files.exists(single.resolveSibling("feed.arrows.inprogress")))
+  }
+
   test("unsupported type refuses loudly") {
     import spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
