@@ -230,6 +230,24 @@ object Bench {
     */
   def runInflated(ratio: Double, limit: Double = 1.2): Boolean = ratio > limit
 
+  /** Whole-run self-heal merge law (r16 lesson: the official record shipped
+    * `run_inflated=true` three rounds running — the per-query retime loop
+    * cannot repair UNIFORM contention, because every extra run it schedules
+    * samples the same loaded window a query at a time; only re-running the
+    * complete timed pass once, after the window has had the whole bench
+    * duration to clear, can). The second pass's runs APPEND to each query's
+    * raw record (evidence is never rewritten) and the min-estimator picks
+    * per query across both passes, so the merged record is at least as good
+    * as either pass and a genuine uniform code regression stays visible
+    * (both passes measure it slow). Bounded at ONE re-pass — a box
+    * degraded for both windows should stay visibly degraded (the final
+    * `run_inflated` label is recomputed on the merged results), not retry
+    * forever.
+    */
+  def mergeRerun(first: Seq[(String, Seq[Double])],
+      rerun: Map[String, Seq[Double]]): Seq[(String, Seq[Double])] =
+    first.map { case (n, rs) => n -> (rs ++ rerun.getOrElse(n, Seq.empty)) }
+
   /** Minimal JSON string escape (backslash, quote, control chars) for the
     * path/dir fields interpolated into the record and summary lines — both
     * are env-var-controlled, and an unescaped quote in a path would
@@ -497,9 +515,29 @@ object Bench {
       System.err.println(s"[bench] sentinel $sentinel / prior-anchor check — re-timing: ${retimeNames.mkString(", ")}")
     val extra: Map[String, Seq[Double]] =
       retimeNames.map(n => n -> timedRuns(n, sfDir)).toMap
-    val raw = rawBase.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Seq.empty)) }
+    val rawRepaired = rawBase.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Seq.empty)) }
+    val resultsRepaired = resultsOf(rawRepaired)
+
+    // Whole-run self-heal (r16 lesson — see mergeRerun): when the matched
+    // total is still >1.2x the committed prior anchor AFTER the per-query
+    // repairs, the whole first window was loaded; re-run the complete timed
+    // pass ONCE (same cheapest-first order, same warm anchors, same
+    // per-query healing) and merge by min. The first pass's total is kept
+    // in the record (`total_first_pass`) so the rerun is auditable.
+    val firstPassRatio = Bench.totalVsPrior(resultsRepaired, prior)
+    val rerunNeeded = Bench.runInflated(firstPassRatio)
+    val rerunRaw: Map[String, Seq[Double]] =
+      if (!rerunNeeded) Map.empty
+      else {
+        System.err.println(
+          f"[bench] run total is $firstPassRatio%.2fx the prior anchor after per-query " +
+            "repairs — uniform contention; re-running the complete timed pass once")
+        names.map(n => n -> timedRuns(n, sfDir, warmByName(n))).toMap
+      }
+    val raw = Bench.mergeRerun(rawRepaired, rerunRaw)
     val results = resultsOf(raw)
     val total = results.map(_._2).sum
+    val firstPassTotal = resultsRepaired.map(_._2).sum
 
     // the 9 queries BENCH_r01 timed — their subtotal makes the
     // round-over-round ratio directly readable as the bench list grows
@@ -537,10 +575,13 @@ object Bench {
     if (runInfl)
       System.err.println(
         f"[bench] WARNING: run total is $totalRatio%.2fx the committed prior anchor's matched " +
-          "total despite per-query checks — the whole window was slow (box or uniform " +
-          "regression). Do NOT promote this record to bench_prior.json; re-run in a quiet window.")
+          "total despite per-query checks AND a full re-pass — both windows were slow (box " +
+          "or uniform regression). Do NOT promote this record to bench_prior.json.")
     val sentDegraded = Bench.sentinelDegraded(sentinel)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min","healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"total_vs_prior":${Bench.jnum(totalRatio)},"run_inflated":$runInfl,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":${jstr(sfDir)},"r1_shared_total":$sharedTotal$curve}"""
+    val rerunField =
+      if (rerunNeeded) s""""rerun":true,"total_first_pass":$firstPassTotal,"""
+      else """"rerun":false,"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"timing":"min",$rerunField"healed":$healed,"retimed":$retimed,"sentinel_degraded":$sentDegraded,"prior_anchor":$priorStr,"prior_inflated":$priorInflated,"total_vs_prior":${Bench.jnum(totalRatio)},"run_inflated":$runInfl,"queries":${fmt(results)},"queries_raw":${fmtRaw(raw)},"queries_warm":${fmt(warm)},"noise_sentinel":$sentinel,"noise_sentinel_query":"$sentinelName","sf":${jstr(sfDir)},"r1_shared_total":$sharedTotal$curve}"""
     // The FILE is the primary artifact (stdout gets truncated/regex-
     // reconstructed by log capture — every BENCH_r1-r8 artifact carries
     // "parsed": null). Write it first, print the full record line, then

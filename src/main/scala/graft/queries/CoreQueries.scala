@@ -28,17 +28,39 @@ object CoreQueries {
     * the double aggregate drifts from the exact sum beyond fp dust (1e-6
     * relative — real double summation error on 6M terms is ~1e-12) is
     * dropped, turning an aggregation regression into a rows_match failure.
+    *
+    * Shave (r17, verdict item 3), two parts:
+    * 1. the physical aggregate dedups to 8 buffers, down from 11 — ONE
+    *    shared `count(1)` feeds count_order and both averages (lineitem's
+    *    quantity/discount are non-null, so `count(col)` == `count(*)` — the
+    *    oracle is spelled count(*) the same way), and the avg-discount
+    *    guard rides the already-computed `sum(l_discount)` double against
+    *    the exact sum instead of a separate `avg` (its own sum+count).
+    * 2. the exact spellings ride SCALED-INTEGER arithmetic instead of
+    *    per-row double→decimal casts: quantity is integral and
+    *    price/discount are 2-dp, so `round(x·10^k)` recovers the exact
+    *    scaled integer as a cheap codegen long (the double is within 1e-9
+    *    of the integer — no rounding ambiguity on either engine), and the
+    *    sums accumulate in decimal(38,0) — compact-long fast path until 18
+    *    digits, graceful BigDecimal promotion beyond, so a 100 TB sum
+    *    (disc_price units of 1e-6 dollars pass 10^18 around sf15k) stays
+    *    exact where a bare long sum would silently wrap. Dividing the
+    *    exact integer back down in DOUBLE is spelled identically in the
+    *    oracle, so the hash rides arithmetic both engines compute
+    *    bit-identically. Guards stay load-bearing on all three
+    *    engine-native double sums.
     */
   val q01_agg_pricing_summary: Q = Q(
     fn = (s, dir) => {
-      val qd = col("l_quantity").cast("decimal(18,4)")
-      val pd = col("l_extendedprice").cast("decimal(18,2)")
-      val dd = col("l_discount").cast("decimal(8,4)")
-      val dp = pd * (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
-      val sQty = sum(qd).cast("double")
-      val sBase = sum(pd).cast("double")
-      val sDisc = sum(dp).cast("double")
-      val sDd = sum(dd).cast("double")
+      val qtyE4 = round(col("l_quantity") * 1e4).cast("long").cast("decimal(38,0)")
+      val centsP = round(col("l_extendedprice") * 1e2).cast("long")
+      val discE4 = round(col("l_discount") * 1e4).cast("long")
+      val dpE6 = (centsP * (lit(10000L) - discE4)).cast("decimal(38,0)")
+      val sQty = sum(qtyE4).cast("double") / 1e4
+      val sBase = sum(centsP.cast("decimal(38,0)")).cast("double") / 1e2
+      val sDisc = sum(dpE6).cast("double") / 1e6
+      val sDd = sum(discE4.cast("decimal(38,0)")).cast("double") / 1e4
+      val n = count(lit(1))
       table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -46,18 +68,17 @@ object CoreQueries {
           round(sQty, 4).as("sum_qty"),
           round(sBase, 4).as("sum_base_price"),
           round(sDisc, 4).as("sum_disc_price"),
-          round(sQty / count(col("l_quantity")), 4).as("avg_qty"),
-          round(sDd / count(col("l_discount")), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"),
+          round(sQty / n, 4).as("avg_qty"),
+          round(sDd / n, 4).as("avg_disc"),
+          n.as("count_order"),
           sum(col("l_extendedprice")).as("__eng_base"),
           sum(col("l_quantity")).as("__eng_qty"),
-          avg(col("l_discount")).as("__eng_avgd"),
-          sBase.as("__ex_base"), sQty.as("__ex_qty"),
-          (sDd / count(col("l_discount"))).as("__ex_avgd"))
+          sum(col("l_discount")).as("__eng_sumd"),
+          sBase.as("__ex_base"), sQty.as("__ex_qty"), sDd.as("__ex_sumd"))
         .filter(
           abs(col("__eng_base") - col("__ex_base")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_base"))) &&
           abs(col("__eng_qty") - col("__ex_qty")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_qty"))) &&
-          abs(col("__eng_avgd") - col("__ex_avgd")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_avgd"))))
+          abs(col("__eng_sumd") - col("__ex_sumd")) <= lit(1e-6) * (lit(1.0) + abs(col("__ex_sumd"))))
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
           col("sum_base_price"), col("sum_disc_price"), col("avg_qty"),
           col("avg_disc"), col("count_order"))
@@ -65,14 +86,14 @@ object CoreQueries {
     },
     oracle = Some("""
       SELECT l_returnflag, l_linestatus,
-             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 4) AS sum_disc_price,
-             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                   / count(l_quantity), 4) AS avg_qty,
-             round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
-                   / count(l_discount), 4) AS avg_disc,
+             round(CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS sum_qty,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4) AS sum_base_price,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000, 4) AS sum_disc_price,
+             round(CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   / count(*), 4) AS avg_qty,
+             round(CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                   / count(*), 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -75,6 +75,25 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.frontDegraded(0.0))
   }
 
+  test("whole-run self-heal: rerun fires on run_inflated, merges by append, min wins (r16 lesson)") {
+    // decision: the rerun is gated by the same runInflated(totalVsPrior)
+    // label that three rounds of official records shipped true — >1.2x the
+    // matched prior total after per-query repairs
+    val prior = Map("a" -> 1.0, "b" -> 1.0)
+    val uniform = Seq("a" -> 1.3, "b" -> 1.3) // uniform 1.3x: per-query 1.5x bar silent
+    assert(Bench.runInflated(Bench.totalVsPrior(uniform, prior)))
+    assert(!Bench.runInflated(Bench.totalVsPrior(Seq("a" -> 1.1, "b" -> 1.1), prior)))
+    // merge law: second-pass runs APPEND per query (raw evidence never
+    // rewritten), queries without a rerun entry pass through untouched
+    val first = Seq("a" -> Seq(1.3, 1.25), "b" -> Seq(1.3, 1.35))
+    val merged = Bench.mergeRerun(first, Map("a" -> Seq(0.9, 1.0)))
+    assert(merged == Seq("a" -> Seq(1.3, 1.25, 0.9, 1.0), "b" -> Seq(1.3, 1.35)))
+    // min across both passes: the merged record is at least as good as
+    // either pass, and a regression slow in BOTH windows stays visible
+    val best = merged.map { case (n, rs) => n -> rs.filter(_ >= 0).min }
+    assert(best == Seq("a" -> 0.9, "b" -> 1.3))
+  }
+
   test("parsePriorQueries reads the bench's own one-line record format") {
     val line = """{"metric":"total","value":22.08,"unit":"sec","runs":2,""" +
       """"healed":[],"queries":{"q01_agg_pricing_summary":0.2782,""" +
