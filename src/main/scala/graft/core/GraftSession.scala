@@ -24,12 +24,23 @@ object GraftSession {
     * coalescing takes care of the rest.
     */
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession
+    val spark = engineBuilder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The engine's session conf, independent of execution mode — one builder
+    * so a conf added here reaches `local`, `multiJvm`, Bench and ProfileQ
+    * alike. `parallelism` sizes `shuffle.partitions` (cores locally; ~2-3×
+    * total executor cores on a real cluster, AQE coalescing the rest).
+    */
+  private def engineBuilder(master: String, parallelism: Int): SparkSession.Builder =
+    SparkSession
       .builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName("graft")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // 100 TB knobs, as relevant locally as on a cluster: AQE converts
       // oversized SMJ partitions into skew splits, and the runtime bloom
@@ -39,6 +50,31 @@ object GraftSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+
+  /** Multi-JVM session (`local-cluster[n,cores,mem]` or a `spark://` master):
+    * the SAME engine confs as [[local]], plus the executor-side plumbing a
+    * forked-executor deployment needs — the application jar(s) shipped via
+    * `spark.jars` (executors fetch them from the driver's file server; the
+    * driver classpath alone never reaches a forked JVM), JDK-17 module
+    * opens for the executor JVMs (spark-submit injects these for the driver
+    * only; standalone `ExecutorRunner` forks a bare `java`), and an explicit
+    * executor memory matching the worker grant.
+    *
+    * This is the validation path for everything `local[n]` structurally
+    * cannot test: task/closure serialization, broadcast transfer over the
+    * BlockManager, conf capture into executor-side Hadoop access, and
+    * codegen class loading from a fetched jar.
+    */
+  def multiJvm(master: String, parallelism: Int, jars: Seq[String],
+      executorMem: String = "4g"): SparkSession = {
+    require(jars.nonEmpty, "multiJvm needs the application jar for executors " +
+      "(sbt package → target/scala-2.13/*.jar)")
+    val spark = engineBuilder(master, parallelism)
+      .config("spark.jars", jars.mkString(","))
+      .config("spark.executor.memory", executorMem)
+      .config("spark.executor.extraJavaOptions",
+        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions() +
+          " -Dio.netty.tryReflectiveSetAccessible=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
