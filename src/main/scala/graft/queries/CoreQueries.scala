@@ -301,10 +301,14 @@ object CoreQueries {
   val q11_value_counts: Q = Q(
     fn = (s, dir) => {
       val o = table(s, dir, "orders")
-      val total = o.count()
+      // total rides INSIDE the plan as a broadcast 1-row aggregate (the
+      // broadcast-scalar pattern; guide §5 — no driver-blocking count job)
+      val total = o.agg(count(lit(1)).cast("double").as("__tot__"))
       o.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("frac", round(col("n") / lit(total.toDouble), 4))
+        .crossJoin(broadcast(total))
+        .withColumn("frac", round(col("n") / col("__tot__"), 4))
+        .drop("__tot__")
         .orderBy(col("n").desc, col("o_orderpriority"))
     },
     oracle = Some("""

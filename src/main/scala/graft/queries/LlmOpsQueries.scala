@@ -2857,8 +2857,13 @@ object LlmOpsQueries {
       // scale-adaptive selection k (the span-removal output is checkpointed,
       // so this count re-runs none of the text kernels)
       val kSel = math.max(150L, kept.count() / 20L).toInt
+      // raw table read, NOT docsC: this is a dim-style (id, lang)
+      // projection with no text kernel to parallelize, so the
+      // spreadForCompute repartition exchange would be a pure extra
+      // shuffle+job in front of a broadcast join (guide §2.4 — remove
+      // exchanges that buy nothing)
       val withLang = kept.join(
-        docsC(s, dir).select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        table(s, dir, "documents").select(col("doc_id").as("id"), col("lang")), Seq("id"))
       val scores = TextAnalysis.dsirScoresWithin(
         withLang, col("id"), col("clean_text"), col("lang") === "en",
         dim = 1024, alpha = 0.5)

@@ -281,8 +281,13 @@ final class SCol(private val df: DataFrame, val col: Column, val name: String) {
     val sized =
       if (!normalize) counted
       else {
-        val total = base.count().toDouble
-        counted.withColumn("proportion", functions.col("count") / lit(total)).drop("count")
+        // total rides INSIDE the plan as a broadcast 1-row aggregate (the
+        // broadcast-scalar pattern; guide §5) instead of a driver-blocking
+        // count job — same double division, identical proportions
+        val total = base.agg(count(lit(1)).cast("double").as("__vc_tot__"))
+        counted.crossJoin(broadcast(total))
+          .withColumn("proportion", functions.col("count") / functions.col("__vc_tot__"))
+          .drop("count", "__vc_tot__")
       }
     val by = if (normalize) "proportion" else "count"
     sized.orderBy(if (ascending) functions.col(by).asc else functions.col(by).desc, functions.col(name))
