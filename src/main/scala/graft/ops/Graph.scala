@@ -405,18 +405,19 @@ object Graph {
           .drop("__od__")
     }
     val preDeg = degreed.persist()
-    val n = preDeg.count() // materializes the cache
-    if (n == 0) { e.unpersist(false); preDeg.unpersist(false)
-      return preDeg.select(col("node")).withColumn("rank", lit(0.0)) }
-    // ONE profile aggregate over the just-cached degree frame for the three
-    // fork-decision scalars — dangling?, avg id bytes, |E| — instead of
-    // three driver-blocking jobs (a limit-1 probe, an avg, an edge count):
-    // at toy scale each job carries a ~0.15 s scheduling floor that dwarfs
-    // the work, and at cluster scale one pass over |V| rows beats three.
+    // ONE profile aggregate over the degree frame for ALL four
+    // fork-decision scalars — |V|, dangling?, avg id bytes, |E| — instead
+    // of four driver-blocking jobs (a materializing count, a limit-1 probe,
+    // an avg, an edge count): at toy scale each job carries a ~0.15 s
+    // scheduling floor that dwarfs the work, and at cluster scale one pass
+    // over |V| rows beats four. This job is ALSO what materializes the
+    // preDeg cache (r17 — the separate count() job it replaced did the
+    // same work and then prof re-read the cache anyway).
     // Σ coalesce(deg, 0) = total out-endpoints = |E| exactly (every edge
     // row contributes 1 to its src node's degree, null src included), so
     // the edge-cache count job disappears too.
     val prof = preDeg.agg(
+      count(lit(1)).as("__n__"),
       sum(when(col("deg").isNull, 1L).otherwise(0L)).as("__dang__"),
       // id byte width for the broadcast budget: longs are fixed 8 bytes
       // (length() is a string function; measuring decimal digits would
@@ -424,13 +425,16 @@ object Graph {
       coalesce(avg(if (integralIds) lit(8.0) else length(col("node")).cast("double")),
         lit(0.0)).as("__len__"),
       coalesce(sum(coalesce(col("deg"), lit(0L))), lit(0L)).as("__m__")).head()
+    val n = prof.getLong(0)
+    if (n == 0) { e.unpersist(false); preDeg.unpersist(false)
+      return preDeg.select(col("node")).withColumn("rank", lit(0.0)) }
     // One probe, not one per round: graphs with no dangling nodes (any
     // symmetrized graph) skip the per-iteration dangling aggregate — a
     // whole job per round at toy scale, a full pass over ranks at cluster
     // scale.
-    val hasDangling = prof.getLong(0) > 0
-    val avgIdLen = prof.getDouble(1)
-    val m = prof.getLong(2)
+    val hasDangling = prof.getLong(1) > 0
+    val avgIdLen = prof.getDouble(2)
+    val m = prof.getLong(3)
     // teleport weight per node: uniform 1/N (needs the just-counted n), or
     // 1/|S| on the personalized source set (0 elsewhere)
     val tele = teleportTo match {

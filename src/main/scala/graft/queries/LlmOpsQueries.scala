@@ -616,7 +616,15 @@ object LlmOpsQueries {
         .select(col("id_a"), col("id_b"))
       val comps = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
-      val full = corpus.select(col("doc_id"))
+      // id spine respelled off the raw table (same ids as corpus): a
+      // one-column projection has no kernel to parallelize, so re-deriving
+      // it through docsC paid two spreadForCompute exchanges for nothing
+      // (the q208 lang-join lesson, guide §2.4)
+      val rawIds = table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+      val full = rawIds
+        .unionByName(rawIds.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id")))
         .join(comps, Seq("doc_id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
       val survivors = full.groupBy(col("component")).agg(min(col("doc_id")).as("survivor"))
@@ -1583,7 +1591,11 @@ object LlmOpsQueries {
         .contaminatedIdsBloom(docs, col("text"), col("doc_id"), bench, col("text"), k = 5)
         .withColumnRenamed("id", "doc_id")
         .withColumn("contaminated", lit(true))
-      docs.select(col("doc_id"))
+      // id spine from the raw table, not docsC: a one-column (doc_id)
+      // projection has no kernel to parallelize, so the spreadForCompute
+      // exchange would be a pure extra shuffle+job (the q208 lang-join
+      // lesson, guide §2.4)
+      table(s, dir, "documents").select(col("doc_id"))
         .join(cont, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
         .orderBy(col("doc_id"))
