@@ -269,8 +269,15 @@ object Bench {
     * print the full record line, then print THIS short summary as the
     * FINAL stdout line — the kept tail always ends in one complete,
     * parseable JSON object carrying the headline numbers and the path to
-    * the full record. Short by construction: fixed keys, scalar values,
-    * no per-query maps.
+    * the full record.
+    *
+    * Since r18 the summary ALSO carries the min-estimate per-query map
+    * (r17 verdict item 2: PERF_r17's per_query/geomean/scaling were all
+    * empty because the only line that survives the tail capture carried no
+    * per-query numbers). The 25-entry map is ~1 KB — the full record line
+    * only truncated because of the `queries_raw`/`queries_warm`/
+    * `queries_small` maps, which stay OUT of the summary; the summary
+    * remains a fraction of the observed multi-KB tail window.
     */
   /** Render a double as a JSON number, or `null` when non-finite — raw
     * interpolation of NaN/Infinity would malform the one line whose entire
@@ -281,11 +288,15 @@ object Bench {
 
   def summaryLine(total: Double, sharedTotal: Double, sentinel: Double,
       sentinelDegraded: Boolean, priorInflated: Double, totalVsPrior: Double,
-      runInflated: Boolean, sf: String, see: String): String =
+      runInflated: Boolean, sf: String, see: String,
+      queries: Seq[(String, Double)] = Seq.empty): String = {
+    val qmap = queries.map { case (n, t) => s"${jstr(n)}:${jnum(t)}" }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":${jnum(total)},"unit":"sec","r1_shared_total":${jnum(sharedTotal)},""" +
       s""""noise_sentinel":${jnum(sentinel)},"sentinel_degraded":$sentinelDegraded,""" +
       s""""prior_inflated":${jnum(priorInflated)},"total_vs_prior":${jnum(totalVsPrior)},""" +
-      s""""run_inflated":$runInflated,"sf":${jstr(sf)},"see":${jstr(see)}}"""
+      s""""run_inflated":$runInflated,"queries":$qmap,"sf":${jstr(sf)},"see":${jstr(see)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -598,7 +609,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] could not write $absOut: $e") }
     println(line)
     println(summaryLine(total, sharedTotal, sentinel, sentDegraded,
-      priorInflated, totalRatio, runInfl, sfDir, absOut.toString))
+      priorInflated, totalRatio, runInfl, sfDir, absOut.toString, results))
     spark.stop()
   }
 }

@@ -5,8 +5,8 @@ import graft.core.{GraftSession, ResultDigest}
 import graft.queries.QueryCorpus
 import java.nio.file.{Files, Paths}
 
-/** Multi-JVM execution validation (dev/validation main, driver artifact
-  * `CLUSTER_r17.json`): runs the full query corpus TWICE — once under the
+/** Multi-JVM execution validation (dev/validation main, committed artifact
+  * `CLUSTER_r<round>.json`): runs the full query corpus TWICE — once under the
   * usual `local[n]` (single JVM), once under `local-cluster[2,16,4096]`
   * (a real standalone master + workers that FORK separate executor JVMs,
   * with the application jar shipped via `spark.jars`, real task/closure
@@ -98,7 +98,7 @@ object ClusterValidate {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outPath = if (args.length > 1) args(1) else "CLUSTER_r17.json"
+    val outPath = if (args.length > 1) args(1) else "CLUSTER_r18.json"
     val master = sys.env.getOrElse("GRAFT_CLUSTER_MASTER", "local-cluster[2,16,4096]")
     val keep: String => Boolean = sys.env.get("GRAFT_CLUSTER_QUERIES") match {
       case Some(f) if f.nonEmpty =>
@@ -156,7 +156,7 @@ object ClusterValidate {
     val json =
       s"""{
   "metric": "multi_jvm_validation",
-  "round": 17,
+  "round": 18,
   "master": ${jq(master)},
   "sf": ${jq(sfDir)},
   "driver_pid": $driverPid,

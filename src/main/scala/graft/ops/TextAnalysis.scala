@@ -520,6 +520,16 @@ object TextAnalysis {
       .otherwise(array_except(
         sequence(lit(0), size(col("__t__")) - 1),
         coalesce(col("__cov__"), array().cast("array<int>"))))
+    // LAZY checkpoint (r18, guide §5 — one blocking driver job fewer per
+    // call at every scale): eager=true ran a dedicated materialization job
+    // and every caller's first action then re-read the blocks as a second
+    // job. With eager=false the caller's first full action (q208's kSel
+    // count, q182's noop write, a test's collect) computes the chain AND
+    // persists it in ONE job; Spark finalizes the local checkpoint at that
+    // job's end, launching a completion job only for partitions the action
+    // skipped (none of the callers take/limit). Callers that fan out
+    // CONCURRENT jobs before any full action would compute partitions
+    // twice — none do; keep a materializing action first if one appears.
     val result = base
       .join(coveredSets, Seq("id"), "left")
       .withColumn("__ps__", keptExpr)
@@ -528,7 +538,7 @@ object TextAnalysis {
         array_join(
           transform(col("__ps__"), p => element_at(col("__t__"), p + 1)), " ")
           .as(out))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     result
   }
 

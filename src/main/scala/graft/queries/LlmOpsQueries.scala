@@ -605,10 +605,19 @@ object LlmOpsQueries {
     */
   val q91_dedup_clusters: Q = Q(
     fn = (s, dir) => {
-      val docs = docsC(s, dir).filter(col("doc_id") < 200)
+      // Corpus-synthesis constants, spelled ONCE (r17 ADVICE): the corpus
+      // below and the raw-table id spine further down must describe the
+      // SAME id set (ids < idCap ∪ even ids < idCap shifted by nearOffset)
+      // or the spine's left join silently drops/invents rows. Same Long
+      // literal type on both sides — no implicit coercion.
+      val idCap = 200L
+      val nearOffset = 1000000L
+      def nearSeed(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        id % 2 === 0
+      val docs = docsC(s, dir).filter(col("doc_id") < idCap)
         .select(col("doc_id"), col("text"))
-      val near = docs.filter(col("doc_id") % 2 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000)
+      val near = docs.filter(nearSeed(col("doc_id")))
+        .withColumn("doc_id", col("doc_id") + nearOffset)
         .withColumn("text", concat(col("text"), lit(" appended")))
       val corpus = docs.unionByName(near)
       val pairs = Dedup.verifiedNearDupPairs(corpus, col("text"), col("doc_id"),
@@ -616,15 +625,16 @@ object LlmOpsQueries {
         .select(col("id_a"), col("id_b"))
       val comps = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
-      // id spine respelled off the raw table (same ids as corpus): a
-      // one-column projection has no kernel to parallelize, so re-deriving
-      // it through docsC paid two spreadForCompute exchanges for nothing
-      // (the q208 lang-join lesson, guide §2.4)
+      // id spine respelled off the raw table (same ids as corpus, by the
+      // shared constants above): a one-column projection has no kernel to
+      // parallelize, so re-deriving it through docsC paid two
+      // spreadForCompute exchanges for nothing (the q208 lang-join lesson,
+      // guide §2.4)
       val rawIds = table(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 200)
+        .filter(col("doc_id") < idCap)
       val full = rawIds
-        .unionByName(rawIds.filter(col("doc_id") % 2 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionByName(rawIds.filter(nearSeed(col("doc_id")))
+          .select((col("doc_id") + nearOffset).as("doc_id")))
         .join(comps, Seq("doc_id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))
       val survivors = full.groupBy(col("component")).agg(min(col("doc_id")).as("survivor"))
@@ -2866,8 +2876,12 @@ object LlmOpsQueries {
       val collapsed = boiler.join(survivorIds, Seq("doc_id"), "left_semi")
       val cleaned = TextAnalysis.removeDuplicateSpans(collapsed, col("doc_id"), col("text"), k = 5)
       val kept = cleaned.filter(col("n_kept") >= 20)
-      // scale-adaptive selection k (the span-removal output is checkpointed,
-      // so this count re-runs none of the text kernels)
+      // scale-adaptive selection k. The span-removal checkpoint is LAZY
+      // (r18, guide §5): this count is its materializing action — ONE job
+      // computes the span-removal chain, persists the blocks, and returns
+      // the gated row count, where r17 paid a dedicated materialization job
+      // plus this count as a second job. Downstream consumers (the lang
+      // join, the DSIR totals, the packing join) read the persisted blocks.
       val kSel = math.max(150L, kept.count() / 20L).toInt
       // raw table read, NOT docsC: this is a dim-style (id, lang)
       // projection with no text kernel to parallelize, so the

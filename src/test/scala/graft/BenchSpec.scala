@@ -252,11 +252,17 @@ class BenchSpec extends AnyFunSuite {
     // FINAL stdout line, short enough to survive any tail-truncation, and
     // self-contained (metric/value plus the gate-relevant scalars and the
     // path to the full record).
+    // per-query map included since r18 (r17 verdict item 2: PERF per_query
+    // was empty because only this line survives the driver's tail capture);
+    // a realistic 25-entry map must still keep the line far under the
+    // observed multi-KB tail window
+    val qs = (1 to 25).map(i => f"q$i%03d_some_query_name" -> (0.123456789 * i))
     val s = Bench.summaryLine(total = 21.2134, sharedTotal = 6.0912,
       sentinel = 0.93, sentinelDegraded = false, priorInflated = 0.0,
       totalVsPrior = 1.04, runInflated = false,
-      sf = "/root/testdata/sf0.1", see = "/root/repo/bench_out.json")
-    assert(s.length < 1024, s"summary must stay well under truncation size: ${s.length}")
+      sf = "/root/testdata/sf0.1", see = "/root/repo/bench_out.json",
+      queries = qs)
+    assert(s.length < 2048, s"summary must stay well under truncation size: ${s.length}")
     assert(!s.contains("\n"))
     assert(s.startsWith("{") && s.endsWith("}"))
     // the driver's original read contract: metric/value/unit present
@@ -269,10 +275,17 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains(""""sentinel_degraded":false"""))
     assert(s.contains(""""prior_inflated":0.0"""))
     assert(s.contains(""""see":"/root/repo/bench_out.json""""))
-    // deliberately NO per-query map — that is what made the full line
-    // truncate; parsePriorQueries must NOT mistake the summary for a
-    // per-query record (the anchor reader reads the FILE, never stdout)
-    assert(Bench.parsePriorQueries(s).isEmpty)
+    // the per-query map round-trips through the same parser the anchor
+    // reader uses — the driver's PERF extraction sees every query
+    val parsed = Bench.parsePriorQueries(s)
+    assert(parsed.size == 25)
+    assert(math.abs(parsed("q001_some_query_name") - 0.123456789) < 1e-12)
+    // empty map stays valid JSON and parses to no queries
+    val s0 = Bench.summaryLine(total = 1.0, sharedTotal = 0.5, sentinel = 1.0,
+      sentinelDegraded = false, priorInflated = 0.0, totalVsPrior = 1.0,
+      runInflated = false, sf = "sf0.1", see = "/x.json")
+    assert(s0.contains(""""queries":{}"""))
+    assert(Bench.parsePriorQueries(s0).isEmpty)
     // balanced braces/quotes — a cheap structural-JSON check without a parser
     assert(s.count(_ == '{') == s.count(_ == '}'))
     assert(s.count(_ == '"') % 2 == 0)

@@ -1556,6 +1556,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getString(3) == "ok unique tail here now")
   }
 
+  test("removeDuplicateSpans: lazy checkpoint — materialization costs the first action no extra job") {
+    // r18 internals change (guide §5): the final localCheckpoint is LAZY, so
+    // a caller's first full action (q208's kSel count) computes the chain
+    // AND persists it inside its own jobs instead of paying a dedicated
+    // materialization job first. Pin (a) the first action's job count equals
+    // the job count of the same action over already-persisted blocks — no
+    // separate materialization job, no completion job for missed
+    // partitions — and (b) that the checkpoint really happened: a second
+    // consumer reads the SAME persisted result.
+    val sc = spark.sparkContext
+    val docs = (1L to 40L).map(i => (i, s"body $i shared words here plus tail"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+    // statusTracker is listener-fed; poll until the group's count stabilizes
+    def jobs(group: String): Int = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (sc.statusTracker.getJobIdsForGroup(group).length < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(300) // catch stragglers — an EXTRA job here is the bug
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    def countedJobs(tag: String): (Long, Int) = {
+      val group = s"rds-lazy-ckpt-$tag-${System.nanoTime()}"
+      sc.setJobGroup(group, "removeDuplicateSpans lazy-checkpoint probe")
+      val n = out.filter(col("n_kept") >= 0).count()
+      sc.clearJobGroup()
+      (n, jobs(group))
+    }
+    // An identical count over the ALREADY-persisted blocks is the floor
+    // (AQE alone decides how many jobs a count is); the FIRST action — the
+    // one that computes the chain and finalizes the checkpoint — must not
+    // exceed it: materialization rides inside it, no dedicated job, no
+    // completion job for skipped partitions.
+    val (n1, jobsFirst) = countedJobs("first")
+    val (n2, jobsWarm) = countedJobs("warm")
+    assert(n1 == 40L && n2 == n1)
+    assert(jobsFirst == jobsWarm,
+      s"first action over the lazily-checkpointed result ran $jobsFirst jobs; " +
+        s"the same action over persisted blocks ran $jobsWarm — materialization " +
+        "must not cost an extra job")
+  }
+
   test("dsirScores: target == raw gives exactly zero scores; target shifts ranking") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),
