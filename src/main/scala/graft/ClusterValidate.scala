@@ -109,6 +109,26 @@ object ClusterValidate {
     val qs = (QueryCorpus.queries.toSeq ++ extras).sortBy(_._1)
       .filter(kv => keep(kv._1))
 
+    // local-cluster workers fork executor JVMs through the Spark launcher,
+    // which (a) resolves the jars dir from SPARK_HOME and (b) resolves the
+    // Scala suffix from SPARK_SCALA_VERSION — a release distribution has no
+    // launcher/target build dir to infer it from, and a worker forked
+    // inside sbt never ran load-spark-env.sh. Either unset means every
+    // executor dies at fork ("Cannot find any build directories") and the
+    // master removes the app after 10 retries — the r17/r18 failure mode
+    // that left CLUSTER_r17.json unwritten. Fail loud and early instead:
+    // SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13.
+    if (master.startsWith("local-cluster") || master.startsWith("spark://")) {
+      require(sys.env.contains("SPARK_HOME") || sys.props.contains("spark.test.home"),
+        s"master=$master forks executor JVMs: set SPARK_HOME to the Spark " +
+          "distribution root (e.g. SPARK_HOME=/opt/spark) so the launcher " +
+          "can locate the jars dir")
+      require(sys.env.contains("SPARK_SCALA_VERSION"),
+        s"master=$master forks executor JVMs: set SPARK_SCALA_VERSION " +
+          "(e.g. 2.13) — a release distro has no launcher/target dir for " +
+          "the launcher to infer it from")
+    }
+
     val tLocal0 = System.nanoTime()
     val local = GraftSession.local(32)
     val ref = runAll(local, sfDir, "local", qs)
